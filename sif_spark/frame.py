@@ -1,0 +1,305 @@
+"""SifFrame — the reference's DataFrame surface, compiled to PySpark.
+
+The reference's entire user API is a chain of 12 operation factories
+over a single-source frame (SURVEY.md §2): schema ops (AddColumn /
+RemoveColumn / RenameColumn), row transforms (Map / Filter / FlatMap),
+shuffle ops (Reduce / Group / Repartition / RepartitionReduce), and
+terminators (Collect / Accumulate). Every one of them is re-expressed
+here as a *declarative* DataFrame transformation so Catalyst sees
+through it — predicate pushdown, column pruning, partial aggregation
+and AQE all apply. Opaque-closure escape hatches (`map_rows`,
+`flat_map_rows`) exist for parity with the reference's arbitrary-Go-
+closure model (operation.go:21-34) but route through Arrow-vectorized
+``mapInPandas``, never row-at-a-time Python.
+
+Everything the reference *cannot* do (joins, sorts, windows, set ops,
+SQL — SURVEY.md §2.5) is exposed first-class, because a Sif user writes
+those by hand inside closures and capability parity is the north star.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+
+ColumnLike = Column | str
+
+
+def _to_col(c: ColumnLike) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+class SifFrame:
+    """Immutable fluent wrapper over a ``pyspark.sql.DataFrame``.
+
+    Mirrors the reference's ``DataFrame.To(ops...)`` chaining model
+    (internal/dataframe/dataframe.go:69-82): every method returns a new
+    SifFrame; nothing executes until a terminator (collect / accumulate /
+    write / count).
+    """
+
+    __slots__ = ("df",)
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- plumbing -----------------------------------------------------------
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.df.sparkSession
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.df.schema
+
+    def _wrap(self, df: DataFrame) -> "SifFrame":
+        return SifFrame(df)
+
+    def to(self, *ops: Callable[["SifFrame"], "SifFrame"]) -> "SifFrame":
+        """Reference parity: ``frame.To(op1, op2, ...)`` — apply a chain of
+        frame→frame callables (dataframe.go:5-10)."""
+        out = self
+        for op in ops:
+            out = op(out)
+        return out
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+    # -- §2.2 projection / schema operators ---------------------------------
+
+    def add_column(self, name: str, dtype: T.DataType) -> "SifFrame":
+        """AddColumn (operations/transform/with_column.go:22-37): declare a
+        new column, initially null. Usually fused with the expression that
+        fills it — prefer ``with_column``."""
+        return self._wrap(self.df.withColumn(name, F.lit(None).cast(dtype)))
+
+    def with_column(self, name: str, expr: Column) -> "SifFrame":
+        """Expression fast path for the reference's Map-that-fills-a-column
+        idiom — stays inside whole-stage codegen."""
+        return self._wrap(self.df.withColumn(name, expr))
+
+    def remove_column(self, *names: str) -> "SifFrame":
+        """RemoveColumn (operations/transform/remove_column.go:20-36). The
+        reference defers the physical drop to a stage-end Repack; Catalyst's
+        column pruning makes the drop free here."""
+        return self._wrap(self.df.drop(*names))
+
+    def rename_column(self, old: str, new: str) -> "SifFrame":
+        """RenameColumn (operations/transform/rename_column.go:20-34)."""
+        return self._wrap(self.df.withColumnRenamed(old, new))
+
+    def select(self, *cols: ColumnLike) -> "SifFrame":
+        return self._wrap(self.df.select(*[_to_col(c) for c in cols]))
+
+    # -- §2.3 row transforms -------------------------------------------------
+
+    def map(self, **exprs: Column) -> "SifFrame":
+        """Map, expression form: set/overwrite columns from expressions.
+
+        The reference's Map is an arbitrary in-place row mutation
+        (operations/transform/map.go:25-36); when the mutation is
+        expressible as column expressions this compiles to a plain
+        projection (JVM-side, codegen'd)."""
+        return self._wrap(self.df.withColumns(dict(exprs)))
+
+    def map_rows(
+        self,
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: T.StructType | str | None = None,
+        ignore_row_errors: bool = False,
+    ) -> "SifFrame":
+        """Map, opaque form — the escape hatch for closures that have no
+        expression equivalent (reference executes these row-at-a-time,
+        internal/partition/partition-operable.go:22-52; we batch through
+        Arrow). ``fn`` takes and returns a pandas DataFrame.
+
+        ``ignore_row_errors`` reproduces the reference's per-row error
+        tolerance (internal/util/operation.go:10-27): a failing *row* is
+        dropped rather than failing the task, by retrying the batch
+        row-by-row only when the vectorized call raises.
+        """
+        out_schema = schema or self.df.schema
+
+        def _runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not ignore_row_errors:
+                    yield fn(pdf)
+                    continue
+                try:
+                    yield fn(pdf)
+                except Exception:
+                    # Vectorized path failed: isolate bad rows (rare path —
+                    # mirrors the reference's copy-on-error fallback).
+                    good = []
+                    for i in range(len(pdf)):
+                        row = pdf.iloc[i : i + 1]
+                        try:
+                            good.append(fn(row))
+                        except Exception:
+                            continue
+                    if good:
+                        yield pd.concat(good, ignore_index=True)
+
+        return self._wrap(self.df.mapInPandas(_runner, out_schema))
+
+    def filter(self, cond: Column | str) -> "SifFrame":
+        """Filter (operations/transform/filter.go:25-36) — declarative, so
+        Catalyst pushes it into the scan."""
+        return self._wrap(self.df.filter(cond))
+
+    where = filter
+
+    def flat_map(self, expr: Column, alias: str, keep: list[str] | None = None) -> "SifFrame":
+        """FlatMap, expression form: explode an array expression into rows
+        (reference: operations/transform/flatmap.go:25-36 — one row → N via
+        RowFactory; the dominant use is tokenize/split, which is exactly
+        ``explode``)."""
+        cols = [F.col(c) for c in (keep if keep is not None else self.df.columns)]
+        return self._wrap(self.df.select(*cols, F.explode(expr).alias(alias)))
+
+    def flat_map_rows(
+        self,
+        fn: Callable[[pd.DataFrame], Iterator[pd.DataFrame]],
+        schema: T.StructType | str,
+    ) -> "SifFrame":
+        """FlatMap, opaque form: ``fn`` yields zero-or-more output frames per
+        input batch (1→N row multiplicity), via Arrow-batched mapInPandas."""
+
+        def _runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield from fn(pdf)
+
+        return self._wrap(self.df.mapInPandas(_runner, schema))
+
+    # -- §2.4 shuffle / aggregation operators --------------------------------
+
+    def reduce(self, key_cols: list[str], *aggs: Column) -> "SifFrame":
+        """Reduce (operations/transform/reduce.go:94-110): two-phase keyed
+        reduction — key rows, map-side combine, shuffle, final merge.
+        ``groupBy().agg()`` gives the identical physical shape (partial +
+        final aggregation) with Catalyst planning the combine."""
+        return self._wrap(self.df.groupBy(*key_cols).agg(*aggs))
+
+    def reduce_rows(
+        self,
+        key_cols: list[str],
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        schema: T.StructType | str,
+    ) -> "SifFrame":
+        """Reduce, opaque form — arbitrary per-group merge logic via
+        ``applyInPandas`` (reference: ReductionOperation closure merging row
+        pairs; here the whole group arrives as one pandas frame)."""
+        return self._wrap(self.df.groupBy(*key_cols).applyInPandas(fn, schema))
+
+    def group(self, *key_cols: str, sorted_within: bool = False) -> "SifFrame":
+        """Group (operations/transform/group.go:9-23): colocate equal keys
+        without reducing. The reference's shuffle is range-partitioned with
+        key-sorted partitions; pass ``sorted_within=True`` for that exact
+        layout, default is plain hash repartitioning (cheaper, and what a
+        downstream groupBy would do anyway)."""
+        cols = [F.col(c) for c in key_cols]
+        if sorted_within:
+            df = self.df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        else:
+            df = self.df.repartition(*cols)
+        return self._wrap(df)
+
+    def repartition(self, num_partitions: int, *key_cols: str) -> "SifFrame":
+        """Repartition (operations/transform/repartition.go:10-24). The
+        reference's arg is target rows-per-partition; Spark's unit is
+        partition count — callers translate via expected cardinality."""
+        if key_cols:
+            return self._wrap(self.df.repartition(num_partitions, *[F.col(c) for c in key_cols]))
+        return self._wrap(self.df.repartition(num_partitions))
+
+    def repartition_reduce(
+        self, num_partitions: int, key_cols: list[str], *aggs: Column
+    ) -> "SifFrame":
+        """RepartitionReduce (operations/transform/repartition_reduce.go:10-25):
+        reduce with an explicit shuffle-partition override. With AQE on, the
+        override is a hint that runtime coalescing may improve on."""
+        df = self.df.repartition(num_partitions, *[F.col(c) for c in key_cols])
+        return self._wrap(df.groupBy(*key_cols).agg(*aggs))
+
+    # -- §2.5 surface the reference lacks (first-class here) -----------------
+
+    def join(
+        self,
+        other: "SifFrame | DataFrame",
+        on: Any = None,
+        how: str = "inner",
+        broadcast: bool = False,
+    ) -> "SifFrame":
+        right = other.df if isinstance(other, SifFrame) else other
+        if broadcast:
+            right = F.broadcast(right)
+        return self._wrap(self.df.join(right, on=on, how=how))
+
+    def union(self, other: "SifFrame | DataFrame") -> "SifFrame":
+        right = other.df if isinstance(other, SifFrame) else other
+        return self._wrap(self.df.unionByName(right))
+
+    def distinct(self) -> "SifFrame":
+        return self._wrap(self.df.distinct())
+
+    def order_by(self, *cols: ColumnLike) -> "SifFrame":
+        return self._wrap(self.df.orderBy(*[_to_col(c) for c in cols]))
+
+    def limit(self, n: int) -> "SifFrame":
+        return self._wrap(self.df.limit(n))
+
+    def sql(self, query: str, view_name: str = "frame") -> "SifFrame":
+        """Run SQL with this frame registered as ``view_name``."""
+        self.df.createOrReplaceTempView(view_name)
+        return self._wrap(self.spark.sql(query))
+
+    # -- §2.4 terminators ----------------------------------------------------
+
+    def collect(self, partition_limit: int | None = None) -> list:
+        """Collect (operations/util/collect.go:68-84). The reference's limit
+        is in *partitions*, not rows (SURVEY.md §7 hard-part c): emulate by
+        filtering on ``spark_partition_id() < limit``."""
+        if partition_limit is None:
+            return self.df.collect()
+        return (
+            self.df.withColumn("__pid", F.spark_partition_id())
+            .filter(F.col("__pid") < partition_limit)
+            .drop("__pid")
+            .collect()
+        )
+
+    def accumulate(self, accumulator: "Any") -> Any:
+        """Accumulate (operations/util/accumulate.go:41-53): feed every row
+        into an Accumulator; worker-local accumulation then coordinator
+        merge. Built-in accumulators compile to ``df.agg`` (JVM partial
+        aggregation IS the worker-local phase); custom Python accumulators
+        run per-Arrow-batch with a driver-side merge of tiny states."""
+        from sif_spark.accumulators import run_accumulator
+
+        return run_accumulator(self.df, accumulator)
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def to_local_iterator(self):
+        return self.df.toLocalIterator()
+
+    # -- sinks (absent in the reference — SURVEY.md §2.1) --------------------
+
+    def write_parquet(self, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def write_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self.df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+    def write_json(self, path: str, mode: str = "overwrite") -> None:
+        self.df.write.mode(mode).json(path)

@@ -1,0 +1,48 @@
+"""Extension operators beyond the reference's surface.
+
+The reference has no joins, windows, or function library (SURVEY.md
+§2.5) — its users hand-write everything inside Go closures. These
+modules provide the operators a large-scale training-data pipeline
+needs, each built as DataFrame→DataFrame compositions of built-in
+Spark ops (JVM-side, Catalyst-optimizable) with Pandas-UDF fallbacks
+only where expressions genuinely cannot express the semantics.
+"""
+
+from sif_spark.operators.asof import asof_join
+from sif_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+    embedding_near_dup_pairs,
+)
+from sif_spark.operators.similarity import brute_force_knn, lsh_knn
+from sif_spark.operators.text import (
+    tokenize,
+    token_count,
+    quality_score,
+    language_id,
+    fingerprint_md5,
+    shingles,
+)
+
+__all__ = [
+    "asof_join",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "brute_force_knn",
+    "lsh_knn",
+    "tokenize",
+    "token_count",
+    "quality_score",
+    "language_id",
+    "fingerprint_md5",
+    "shingles",
+]

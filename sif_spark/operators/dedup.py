@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+Scale design notes (these run over 100 TB corpora):
+
+- Exact dedup is a hash-groupBy on a fingerprint — one shuffle keyed by
+  a uniformly-distributed md5, so no skew by construction.
+- MinHash-LSH is the classic shingle → signature → band → bucket-join
+  pipeline: candidate generation never compares all pairs; cost is
+  #docs × #bands plus the (tiny) within-bucket joins. Signatures are
+  built with xxhash64 expressions — zero Python.
+- n-gram Jaccard here is the *exact* verifier: run it on LSH candidate
+  pairs (cheap), or standalone on small/blocked inputs. The standalone
+  form self-joins on shared shingles, which explodes on hot shingles —
+  `max_shingle_freq` drops those (standard "stop-shingle" trick).
+- SimHash packs 64 weighted bit-votes into one long; near-dup = small
+  Hamming distance. Banded by 16-bit chunks for sub-quadratic search.
+- Embedding near-dup reuses the similarity module's cosine machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sif_spark.operators.text import fingerprint_md5, shingles, tokenize
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one row per distinct normalized text (md5 fingerprint
+    groupBy; survivor = min/max id for determinism). Returns the
+    surviving rows with their fingerprint attached."""
+    keyed = df.withColumn("__fp", fingerprint_md5(text_col))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    survivors = keyed.groupBy("__fp").agg(agg.alias(id_col))
+    return (
+        keyed.join(survivors, on=["__fp", id_col], how="inner")
+        .withColumnRenamed("__fp", "fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — per-doc MinHash signature.
+
+    Each hash function j is xxhash64(shingle, seed=j); the signature
+    element is the min over the doc's shingle set. All expression-built:
+    one transform over hash indices, aggregate over shingles — JVM-side,
+    no shuffle (pure map)."""
+    sh = shingles(text_col, k=shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_bands matched) via LSH
+    banding: hash each band of the signature, bucket-join on
+    (band_index, band_hash). The join key includes the band hash —
+    uniformly distributed, so the shuffle is skew-free; identical docs
+    collide in all bands, unrelated docs in none."""
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    num_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: signatures → LSH candidates →
+    estimated-Jaccard filter (matching signature fraction ≥ threshold).
+    Returns (id_a, id_b, est_jaccard)."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 100,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via inverted-index self-join:
+    explode distinct shingles, join docs sharing a shingle, count
+    intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``max_shingle_freq`` drops shingles appearing in more than N docs
+    (stop-shingles) — the standard guard against hot-key explosion at
+    scale. Returns (id_a, id_b, inter, jaccard)."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .drop("df_")
+        )
+        sh = sh.join(freq_ok, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+
+    Classic construction: each token votes its xxhash64 bit pattern
+    (+1 for set bits, −1 for clear); the sketch keeps the sign of each
+    bit's vote total. Built as 64 aggregate() expressions over the token
+    array — heavyweight to *write*, but it compiles to a single
+    codegen'd projection with no shuffle and no Python."""
+    toks = tokenize(text_col)
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda bit: F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda vote, bit: F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Sub-quadratic via 16-bit banding (pigeonhole: distance ≤ 3 bands
+    guarantee a matching band; with 4 bands this is exact for
+    max_hamming ≤ 3, a candidate filter above that): join on any equal
+    16-bit chunk, then verify with bit_count(xor)."""
+    sh = simhash(df, text_col, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold. Delegates to the
+    similarity module's all-pairs machinery (LSH-bucketed at scale)."""
+    from sif_spark.operators.similarity import cosine_all_pairs
+
+    return cosine_all_pairs(df, vec_col, id_col).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in Spark expressions (split/regexp/aggregate
+— JVM-side, codegen'd, no Python in the loop), which is what survives a
+100 TB corpus: tokenization and scoring are embarrassingly parallel
+scans with zero shuffle.
+
+The reference has no function library at all (SURVEY.md §2.5) — its
+README tokenizes by hand inside a Go Map closure (README.md:160-170);
+these are the first-class equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# A small multilingual stopword table for the heuristic language id.
+# Deliberately tiny and deterministic — a real pipeline would swap in
+# fastText/CLD3 via a Pandas UDF (see language_id docstring).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+# BPE-ish word/punctuation splitter: word pieces, numbers, or single
+# non-space symbols — approximates subword pre-tokenization.
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>; drops empty tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count as a long."""
+    return F.size(tokenize(col)).cast("long")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (words / numbers / symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("long")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: mean-word-length sanity,
+    alpha ratio, and length saturation. Pure double arithmetic over
+    length() counts — deterministic and engine-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tok = token_count(c).cast("double")
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    mean_word_len = F.when(n_tok > 0, n_alpha / n_tok).otherwise(F.lit(0.0))
+    word_len_ok = F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), 1.0).otherwise(0.5)
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    length_sat = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    return (word_len_ok * 0.4 + alpha_ratio * 0.4 + length_sat * 0.2)
+
+
+def language_id(col: Column | str) -> Column:
+    """Heuristic n-gram/stopword language id → 2-letter code or 'und'.
+
+    Counts marker-word hits per language over the token array and takes
+    the argmax (ties → lexicographically first code, deterministically).
+    Expression-only, so it runs JVM-side; a production pipeline would
+    substitute a fastText Pandas UDF with the same column contract.
+    """
+    toks = tokenize(F.lower(F.col(col) if isinstance(col, str) else col))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(_LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized, lowercased
+    text. The canonical exact-dedup key — identical in any engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hash_fingerprint(col: Column | str, window: int = 8, mod: int = (1 << 61) - 1) -> Column:
+    """Rolling polynomial hash over the token stream: the minimum of
+    per-window polynomial hashes (a winnowing-style document sketch).
+    Built with aggregate() over the token array — JVM-side."""
+    toks = tokenize(col)
+    # Hash each token to a long via xxhash64, then min over windowed sums.
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t) % mod)
+    n = F.size(tok_hashes)
+    idxs = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    window_hash = F.transform(
+        idxs,
+        lambda i: F.aggregate(
+            F.slice(tok_hashes, i + 1, window),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 31 + h) % mod,
+        ),
+    )
+    return F.array_min(window_hash)
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-gram word shingles as array<string> — the unit set for
+    Jaccard similarity and MinHash. Expression-built: sequence() over
+    start positions + slice + concat, no UDF."""
+    toks = tokenize(col)
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(grams)

@@ -1,0 +1,550 @@
+"""Query catalog: every operator exposed as a (spark, sf_dir) → DataFrame
+callable plus a DuckDB-equivalent oracle SQL string.
+
+This is the correctness gate (BASELINE.md): the driver runs each Spark
+query AND its oracle at sf0.01 and hash-compares values. Two rules keep
+the hashes stable across engines:
+
+1. **Integer-exact money math.** The synthetic data's money/rate columns
+   are 2-decimal doubles, so sums are computed in integer cents / basis
+   points (``round(x*100)``) — exact in both engines, immune to
+   floating-point summation order. Headline units are documented per
+   query.
+2. **Identical expression trees for doubles.** Where a double survives
+   to the output (ratios, cosine), both engines evaluate the *same*
+   IEEE-double formula over exact integer inputs, or the value is only
+   used for deterministic ranking with an integer tie-break and the
+   double itself is kept/excluded as noted.
+
+Query keys are stable API: bench.py and __spark_entry__.py import them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from sif_spark.sources.parquet import read_table
+from sif_spark.operators import text as sgtext
+from sif_spark.operators import dedup as sgdedup
+from sif_spark.operators import similarity as sgsim
+from sif_spark.operators.asof import asof_join
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer cents from a 2-decimal double column."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Core relational surface (reference parity: scan→filter→project→reduce;
+# reference-absent: joins/windows/set-ops/rollup — SURVEY.md §2.3-2.5)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped grouped aggregation over lineitem.
+
+    Exercises the full Sif batch lifecycle (scan → filter → project →
+    shuffle-reduce, SURVEY.md §3.2) as one Catalyst plan: partial
+    aggregation map-side, final after a 2-key shuffle. Money in integer
+    cents; disc_price in 1e-4 units; charge in 1e-6 units.
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    price_c = _cents("l_extendedprice")
+    disc_bp = _cents("l_discount")  # basis points /100 == percent*100
+    tax_bp = _cents("l_tax")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_c).alias("sum_base_cents"),
+            F.sum(price_c * (100 - disc_bp)).alias("sum_disc_e4"),
+            F.sum(price_c * (100 - disc_bp) * (100 + tax_bp)).alias("sum_charge_e6"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_e4,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))
+           * (100 + CAST(round(l_tax*100) AS BIGINT))) AS sum_charge_e6,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection — must push down to the parquet scan
+    (PushedFilters + 4-column ReadSchema in `.explain`)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+
+
+ORACLE_Q02 = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_quantity) AS BIGINT) AS qty,
+       CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1998-04-01'
+  AND l_discount >= 0.05
+"""
+
+
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: lineitem ⋈ orders ⋈ customer ⋈ nation, revenue per
+    nation. Dimension sides are broadcast (no shuffle of the fact
+    table for the small joins); the lineitem↔orders join shuffles on
+    orderkey — at 100 TB that is the one unavoidable shuffle, and AQE
+    picks broadcast automatically when orders fits."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    revenue = F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias(
+        "revenue_e4"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(revenue, F.count(F.lit(1)).alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+ORACLE_Q03 = """
+SELECT n_name,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q04_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders by totalprice per customer.
+    Single shuffle on custkey; rank ties broken by orderkey."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rank",
+            _cents("o_totalprice").alias("totalprice_cents"),
+        )
+    )
+
+
+ORACLE_Q04 = """
+SELECT o_custkey, o_orderkey, rank, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no high-value order
+    (totalprice > 350k), counted per market segment. At scale the
+    orders side reduces to distinct keys before the anti-join; Catalyst
+    plans it as a broadcast anti-join here."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q05 = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q06_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total —
+    grouping-set machinery the reference cannot express at all."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q06 = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q07_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatMap/explode: tokenize documents, global top-20 tokens.
+    The reference's FlatMap (1 row → N) as explode + reduce; partial
+    aggregation makes the shuffle carry only (token, count)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(sgtext.tokenize("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(20)
+
+
+ORACLE_Q07 = """
+SELECT token, COUNT(*) AS cnt
+FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
+def q08_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text md5 fingerprint; survivor = min
+    doc_id per fingerprint. One skew-free shuffle on the hash key."""
+    d = read_table(spark, sf_dir, "documents")
+    out = sgdedup.exact_dedup(d, "text", "doc_id", keep="min")
+    return out.select("doc_id", "fingerprint")
+
+
+ORACLE_Q08 = """
+SELECT MIN(doc_id) AS doc_id, fingerprint
+FROM (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+GROUP BY fingerprint
+"""
+
+
+def q09_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-language doc counts, char and whitespace-token
+    totals — pure scan + one tiny aggregation."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(sgtext.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q09 = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS total_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q10_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window (1h) event aggregation — the batch shape of the
+    streaming rollup; value summed in exact cents."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_Q10 = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions
+# ---------------------------------------------------------------------------
+
+
+def q11_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 5.
+    Output is (qid, nid, rank) — integers only; ranking is by double
+    cosine with id tie-break (similarity gaps ≫ float error)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    knn = sgsim.brute_force_knn(emb, queries, k=5)
+    return knn.select("qid", "nid", "rank")
+
+
+ORACLE_Q11 = """
+WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT qid, e.vec_id AS nid, qe, e.embedding AS ne
+  FROM qs, embeddings e WHERE e.vec_id <> qs.qid
+),
+comps AS (
+  SELECT qid, nid, unnest(qe) AS qv, unnest(ne) AS nv FROM pairs
+),
+sims AS (
+  SELECT qid, nid,
+         SUM(CAST(qv AS DOUBLE)*CAST(nv AS DOUBLE))
+         / (sqrt(SUM(CAST(qv AS DOUBLE)*CAST(qv AS DOUBLE)))
+            * sqrt(SUM(CAST(nv AS DOUBLE)*CAST(nv AS DOUBLE)))) AS sim
+  FROM comps GROUP BY qid, nid
+)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+def q12_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the same user's most
+    recent click at-or-before it. Union+window strategy — one shuffle
+    on user_id, no range cross-product (see operators/asof.py)."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="ts",
+        right_cols=["click_id"],
+    )
+    return joined.select("event_id", "user_id", "click_id")
+
+
+ORACLE_Q12 = """
+SELECT p.event_id, p.user_id, c.click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q13_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard similar pairs (≥ 0.2) via inverted-
+    index self-join with stop-shingle guard. jaccard is a double but is
+    a single division of exact ints — bit-identical across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = sgdedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=None
+    )
+    return pairs.select("id_a", "id_b", "inter", "jaccard")
+
+
+ORACLE_Q13 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks WHERE len(w) >= 3
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       inter / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+"""
+
+
+def q14_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user via lag + cumsum
+    windows (the standard Spark idiom); emits sessions-per-user."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap arithmetic (events carry microsecond ts) so
+    # the 30-min boundary compare is integer-exact in both engines.
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sessionized = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    return (
+        sessionized.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q14 = """
+SELECT user_id,
+       SUM(new_session) AS n_sessions,
+       COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) > 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q15_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot: per-day counts of each event type
+    as columns (manual pivot — identical plans in any engine)."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts")).alias("day")
+
+    def n(t: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+
+    return (
+        e.groupBy(day)
+        .agg(n("view"), n("click"), n("purchase"), n("signup"), n("error"))
+        .orderBy("day")
+    )
+
+
+ORACLE_Q15 = """
+SELECT CAST(ts AS DATE) AS day,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q16_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (INTERSECT): users who both purchased and hit an error."""
+    e = read_table(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    erroring = e.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(erroring).orderBy("user_id")
+
+
+ORACLE_Q16 = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+ORDER BY user_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_topk_orders_per_customer": q04_topk_orders_per_customer,
+    "q05_customers_without_orders": q05_customers_without_orders,
+    "q06_rollup_returns": q06_rollup_returns,
+    "q07_top_tokens": q07_top_tokens,
+    "q08_exact_dedup": q08_exact_dedup,
+    "q09_text_stats_by_lang": q09_text_stats_by_lang,
+    "q10_events_hourly": q10_events_hourly,
+    "q11_knn_bruteforce": q11_knn_bruteforce,
+    "q12_asof_purchase_click": q12_asof_purchase_click,
+    "q13_ngram_jaccard_pairs": q13_ngram_jaccard_pairs,
+    "q14_sessionization": q14_sessionization,
+    "q15_event_funnel": q15_event_funnel,
+    "q16_active_buyers": q16_active_buyers,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": ORACLE_Q01,
+    "q02_filter_project": ORACLE_Q02,
+    "q03_revenue_by_nation": ORACLE_Q03,
+    "q04_topk_orders_per_customer": ORACLE_Q04,
+    "q05_customers_without_orders": ORACLE_Q05,
+    "q06_rollup_returns": ORACLE_Q06,
+    "q07_top_tokens": ORACLE_Q07,
+    "q08_exact_dedup": ORACLE_Q08,
+    "q09_text_stats_by_lang": ORACLE_Q09,
+    "q10_events_hourly": ORACLE_Q10,
+    "q11_knn_bruteforce": ORACLE_Q11,
+    "q12_asof_purchase_click": ORACLE_Q12,
+    "q13_ngram_jaccard_pairs": ORACLE_Q13,
+    "q14_sessionization": ORACLE_Q14,
+    "q15_event_funnel": ORACLE_Q15,
+    "q16_active_buyers": ORACLE_Q16,
+}

@@ -1,0 +1,76 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference hand-rolls its execution substrate (LRU partition cache +
+LZ4 spill, pull-based shuffle, range-bucketed sorted indexes — SURVEY.md
+§4.2). All of that is built into Spark; the only thing this module owns
+is configuration: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), Arrow on (vectorized Python interop), UTC
+session timezone (oracle comparability), and a shuffle-partition count
+sized to the local machine rather than the 200 default.
+
+At cluster scale the same settings hold — `spark.sql.shuffle.partitions`
+becomes a starting hint that AQE coalesces/splits at runtime, which is
+exactly the behavior you want at 100 TB where static tuning is hopeless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every Python<->JVM data transfer (pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamps vs the DuckDB oracle (naive-UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Lz4 matches the reference's spill/shuffle codec (SURVEY.md §4.2).
+    "spark.io.compression.codec": "lz4",
+    # Read parquet TIMESTAMP(NANOS) (which Spark has no native type for)
+    # as long nanos; sources.parquet converts to microsecond timestamps.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_session(
+    app_name: str = "sif_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with sif_spark defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count — at real
+    cluster scale callers pass a value sized to input volume and let AQE
+    coalesce.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = SparkSession.builder.master(master).appName(app_name)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Local mode: one JVM; driver memory is the only knob. Leave headroom.
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_session() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
