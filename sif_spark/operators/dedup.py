@@ -150,6 +150,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 100,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via inverted-index self-join:
     explode distinct shingles, join docs sharing a shingle, count
@@ -157,8 +158,28 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_freq`` drops shingles appearing in more than N docs
     (stop-shingles) — the standard guard against hot-key explosion at
-    scale. Returns (id_a, id_b, inter, jaccard)."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    scale. Returns (id_a, id_b, inter, jaccard).
+
+    The shingle set is computed ONCE and (by default) persisted: the
+    plan references it three times (both join sides + sizes), and
+    shingling is the expensive scan — at corpus scale you materialize
+    the inverted index, never recompute it per consumer. Set sizes come
+    from ``F.size`` on the array, not a second explode+count."""
+    # Shingles are joined as 64-bit xxhash values, not strings: the
+    # inverted-index shuffle carries 8-byte keys and the intersection
+    # counts are unchanged (collisions at 2^-64 are noise at any scale).
+    keyed = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(text_col, k), lambda g: F.xxhash64(g))
+        ).alias("__sh"),
+    )
+    if persist:
+        keyed = keyed.persist()
+    sizes = keyed.select(F.col(id_col), F.size("__sh").alias("sz")).filter(
+        F.col("sz") > 0
+    )
+    sh = keyed.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -166,7 +187,8 @@ def ngram_jaccard_pairs(
             .drop("df_")
         )
         sh = sh.join(freq_ok, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        # Stop-shingle filtering changes effective set sizes.
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

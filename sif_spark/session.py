@@ -34,6 +34,7 @@ _DEFAULTS: dict[str, str] = {
     # as long nanos; sources.parquet converts to microsecond timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
 }
 
 
@@ -60,7 +61,7 @@ def get_session(
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     # Local mode: one JVM; driver memory is the only knob. Leave headroom.
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
