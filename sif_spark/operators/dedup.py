@@ -219,32 +219,33 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     Classic construction: each token votes its xxhash64 bit pattern
     (+1 for set bits, −1 for clear); the sketch keeps the sign of each
-    bit's vote total. Built as 64 aggregate() expressions over the token
-    array — heavyweight to *write*, but it compiles to a single
-    codegen'd projection with no shuffle and no Python."""
-    toks = tokenize(text_col)
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda bit: F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
+    bit's vote total. Shaped as explode → groupBy(id) with 64 unrolled
+    SUM aggregates (shift amounts must be Python ints in Spark) — the
+    sums combine map-side, so the shuffle carries one 64-ints row per
+    doc regardless of doc length. Docs with no tokens get simhash 0."""
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__tok"))
+    h = F.xxhash64("__tok")
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
     )
-    sig = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda vote, bit: F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sigs = votes.select(F.col(id_col), sig.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .withColumn("simhash", F.coalesce(F.col("simhash"), F.lit(0).cast("long")))
     )
-    return df.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -252,21 +253,31 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Sub-quadratic via 16-bit banding (pigeonhole: distance ≤ 3 bands
-    guarantee a matching band; with 4 bands this is exact for
-    max_hamming ≤ 3, a candidate filter above that): join on any equal
-    16-bit chunk, then verify with bit_count(xor)."""
+    Sub-quadratic via bit-banding: join on any equal band of the
+    signature, verify with bit_count(xor). By pigeonhole, detecting
+    every pair at distance ≤ h requires h+1 bands (``bands`` default).
+    Wider bands (fewer) are cheaper but only a candidate filter —
+    callers trading recall for cost at huge corpus sizes pass
+    ``bands=4`` (16-bit chunks, uniform buckets, skew-free join)."""
+    n_bands = bands if bands is not None else min(max_hamming + 1, 16)
+    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sh = simhash(df, text_col, id_col)
     chunks = sh.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)),
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
             )
         ).alias("chunk_idx", "chunk"),
     )

@@ -58,7 +58,8 @@ def quality_score(col: Column | str) -> Column:
     word_len_ok = F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0), 1.0).otherwise(0.5)
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     length_sat = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    return (word_len_ok * 0.4 + alpha_ratio * 0.4 + length_sat * 0.2)
+    score = word_len_ok * 0.4 + alpha_ratio * 0.4 + length_sat * 0.2
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(score)
 
 
 def language_id(col: Column | str) -> Column:
@@ -89,13 +90,17 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def rolling_hash_fingerprint(col: Column | str, window: int = 8, mod: int = (1 << 61) - 1) -> Column:
+def rolling_hash_fingerprint(col: Column | str, window: int = 8, mod: int = (1 << 31) - 1) -> Column:
     """Rolling polynomial hash over the token stream: the minimum of
     per-window polynomial hashes (a winnowing-style document sketch).
-    Built with aggregate() over the token array — JVM-side."""
+    Built with aggregate() over the token array — JVM-side.
+
+    ``mod`` is the Mersenne prime 2^31−1 so the polynomial step
+    ``acc*31 + h`` stays below 2^36 — Spark 4 runs ANSI mode and a
+    64-bit modulus would overflow the long multiply."""
     toks = tokenize(col)
-    # Hash each token to a long via xxhash64, then min over windowed sums.
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t) % mod)
+    # Hash each token to a positive long via xxhash64, min over windows.
+    tok_hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(mod)))
     n = F.size(tok_hashes)
     idxs = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
     window_hash = F.transform(

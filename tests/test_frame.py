@@ -1,0 +1,192 @@
+"""SifFrame parity tests mirroring the reference's integration suite
+(FIXTURES.md F1-F3, F5; reference: internal/test/integration/)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from sif_spark.frame import SifFrame
+from sif_spark.sources.memory import from_rows
+from sif_spark.accumulators import Adder, Compose, Counter, PyAccumulator
+
+
+def test_f1_reduce_count(spark):
+    """F1 (reduce_test.go): 100 identical rows count-reduce to one row
+    with count == 100."""
+    frame = from_rows(spark, [("abc",)] * 100, "col1 string", num_partitions=4)
+    out = frame.reduce(["col1"], F.count(F.lit(1)).alias("count")).collect()
+    assert len(out) == 1
+    assert out[0]["col1"] == "abc"
+    assert out[0]["count"] == 100
+
+
+def test_f1_repartition_groups(spark):
+    """F1 (repartition_test.go): alternating abc/def keys — group()
+    colocates each key in a single partition."""
+    rows = [("abc",), ("def",)] * 10
+    frame = from_rows(spark, rows, "col1 string", num_partitions=5)
+    grouped = frame.group("col1")
+    # every key must live in exactly one partition
+    pid = grouped.df.withColumn("pid", F.spark_partition_id())
+    per_key = pid.groupBy("col1").agg(F.countDistinct("pid").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_key)
+    counts = grouped.reduce(["col1"], F.count(F.lit(1)).alias("c")).collect()
+    assert sorted((r["col1"], r["c"]) for r in counts) == [("abc", 10), ("def", 10)]
+
+
+def test_f2_accumulate(spark):
+    """F2 (accumulate_test.go): Counter==100 and Adder(col1)==4950."""
+    frame = from_rows(spark, [(i,) for i in range(100)], "col1 int", num_partitions=5)
+    count, total = frame.accumulate(Compose(Counter(), Adder("col1")))
+    assert count == 100
+    assert total == 4950.0
+
+
+def test_custom_py_accumulator(spark):
+    """Custom accumulator extension point (accumulator.go:12-17):
+    worker-local accumulate + commutative merge."""
+    frame = from_rows(spark, [(i,) for i in range(100)], "col1 int", num_partitions=5)
+    acc = PyAccumulator(
+        accumulate=lambda pdf: {"n": len(pdf), "mx": int(pdf["col1"].max())},
+        merge=lambda a, b: {"n": a["n"] + b["n"], "mx": max(a["mx"], b["mx"])},
+    )
+    out = frame.accumulate(acc)
+    assert out == {"n": 100, "mx": 99}
+
+
+def test_f3_map_error_tolerance(spark):
+    """F3 (map_error_test.go): rows whose transform errors are dropped
+    when ignore_row_errors is on; evens survive."""
+    frame = from_rows(spark, [(i,) for i in range(10)], "col1 int", num_partitions=2)
+
+    def fail_on_odd(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["col1"] % 2 == 1).any():
+            raise ValueError("odd row")
+        return pdf
+
+    out = frame.map_rows(fail_on_odd, ignore_row_errors=True).collect()
+    assert sorted(r["col1"] for r in out) == [0, 2, 4, 6, 8]
+
+
+def test_f3_map_error_strict_raises(spark):
+    frame = from_rows(spark, [(1,)], "col1 int")
+
+    def boom(pdf: pd.DataFrame) -> pd.DataFrame:
+        raise ValueError("boom")
+
+    with pytest.raises(Exception):
+        frame.map_rows(boom).collect()
+
+
+def test_schema_operators(spark):
+    """§2.2: add/remove/rename column."""
+    frame = from_rows(spark, [(1, "x")], "a int, b string")
+    out = (
+        frame.add_column("c", T.DoubleType())
+        .rename_column("b", "name")
+        .remove_column("a")
+    )
+    assert out.df.columns == ["name", "c"]
+    row = out.collect()[0]
+    assert row["name"] == "x" and row["c"] is None
+
+
+def test_map_expression_and_filter(spark):
+    frame = from_rows(spark, [(i,) for i in range(10)], "v int")
+    out = (
+        frame.map(doubled=F.col("v") * 2)
+        .filter(F.col("doubled") >= 10)
+        .order_by("v")
+        .collect()
+    )
+    assert [r["doubled"] for r in out] == [10, 12, 14, 16, 18]
+
+
+def test_flat_map_explode(spark):
+    """F-flatmap (flatmap_test.go): one row → N rows."""
+    frame = from_rows(spark, [("a b c",), ("d e",)], "s string")
+    out = frame.flat_map(F.split("s", " "), alias="tok", keep=[]).collect()
+    assert sorted(r["tok"] for r in out) == ["a", "b", "c", "d", "e"]
+
+
+def test_flat_map_rows(spark):
+    frame = from_rows(spark, [(2,), (3,)], "n int")
+
+    def repeat(pdf: pd.DataFrame):
+        for _, row in pdf.iterrows():
+            yield pd.DataFrame({"n": [int(row["n"])] * int(row["n"])})
+
+    out = frame.flat_map_rows(repeat, "n int").collect()
+    assert sorted(r["n"] for r in out) == [2, 2, 3, 3, 3]
+
+
+def test_reduce_rows_custom_merge(spark):
+    """Opaque ReductionOperation: per-group pandas merge."""
+    rows = [("a", 1), ("a", 2), ("b", 5)]
+    frame = from_rows(spark, rows, "k string, v int")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": [pdf["k"].iloc[0]], "v": [int(pdf["v"].sum())]})
+
+    out = frame.reduce_rows(["k"], merge, "k string, v int").collect()
+    assert sorted((r["k"], r["v"]) for r in out) == [("a", 3), ("b", 5)]
+
+
+def test_collect_partition_limit(spark):
+    """Collect(n) limits *partitions*, not rows (SURVEY §7c)."""
+    frame = from_rows(spark, [(i,) for i in range(100)], "v int", num_partitions=10)
+    subset = frame.collect(partition_limit=3)
+    assert 0 < len(subset) < 100
+
+
+def test_f5_heatmap_reduce(spark):
+    """F5 (nyc_taxi_test.go): map coords → pixel, reduce into a sparse
+    count map, collapse to a single row — via groupBy(pixel).count()
+    then map_from_entries (the idiomatic Spark form of the custom
+    map[int]uint32 column)."""
+    rows = [(0.1, 0.1), (0.1, 0.1), (0.9, 0.9)]
+    frame = from_rows(spark, rows, "x double, y double")
+    grid = 4
+    px = (F.floor(F.col("x") * grid) * grid + F.floor(F.col("y") * grid)).cast("int")
+    heat = (
+        frame.map(pixel=px)
+        .reduce(["pixel"], F.count(F.lit(1)).alias("n"))
+        .df.agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("pixel", "n")))
+            ).alias("heatmap")
+        )
+        .collect()
+    )
+    assert len(heat) == 1
+    assert dict(heat[0]["heatmap"]) == {0: 2, 15: 1}
+
+
+def test_union_distinct_intersect(spark):
+    a = from_rows(spark, [(1,), (2,), (2,)], "v int")
+    b = from_rows(spark, [(2,), (3,)], "v int")
+    assert sorted(r["v"] for r in a.union(b).distinct().collect()) == [1, 2, 3]
+
+
+def test_join_broadcast(spark):
+    left = from_rows(spark, [(1, "a"), (2, "b")], "id int, v string")
+    right = from_rows(spark, [(1, 10)], "id int, w int")
+    out = left.join(right, on="id", how="left", broadcast=True).order_by("id").collect()
+    assert out[0]["w"] == 10 and out[1]["w"] is None
+
+
+def test_sql_entry_point(spark):
+    frame = from_rows(spark, [(i,) for i in range(5)], "v int")
+    out = frame.sql("SELECT sum(v) AS s FROM frame").collect()
+    assert out[0]["s"] == 10
+
+
+def test_to_chain(spark):
+    frame = from_rows(spark, [(i,) for i in range(10)], "v int")
+    out = frame.to(
+        lambda f: f.filter(F.col("v") % 2 == 0),
+        lambda f: f.map(sq=F.col("v") * F.col("v")),
+    ).collect()
+    assert sorted(r["sq"] for r in out) == [0, 4, 16, 36, 64]

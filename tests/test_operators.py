@@ -1,0 +1,168 @@
+"""Unit tests for extension operators: asof join, dedup family,
+similarity, text functions."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sif_spark.operators.asof import asof_join
+from sif_spark.operators import dedup as dd
+from sif_spark.operators import similarity as sim
+from sif_spark.operators import text as tx
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "p1"), (1, ts("2024-01-01T12:00"), "p2"),
+         (2, ts("2024-01-01T10:00"), "p3")],
+        "uid int, t timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:00"), "c1"), (1, ts("2024-01-01T11:00"), "c2"),
+         (3, ts("2024-01-01T08:00"), "c3")],
+        "uid int, t timestamp, cid string",
+    )
+    out = asof_join(left, right, on=["uid"], left_time="t", right_time="t",
+                    right_cols=["cid"])
+    got = {r["pid"]: r["cid"] for r in out.collect()}
+    assert got == {"p1": "c1", "p2": "c2", "p3": None}
+
+
+def test_asof_join_inclusive_tie(spark):
+    """Equal timestamps: the right row at the same instant matches
+    (inclusive >=, matching SQL ASOF JOIN)."""
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00"), "p")], "uid int, t timestamp, pid string")
+    right = spark.createDataFrame([(1, ts("2024-01-01T10:00"), "c")], "uid int, t timestamp, cid string")
+    out = asof_join(left, right, on=["uid"], left_time="t", right_time="t", right_cols=["cid"])
+    assert out.collect()[0]["cid"] == "c"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "THE   quick brown fox jumps over the lazy dog"), # exact dup of 0 after normalize
+        (3, "completely different content about spark engines"),
+        (4, ""),                                              # empty doc edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = dd.exact_dedup(docs, "text", "doc_id").select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 1, 3, 4]  # 2 deduped into 0
+
+
+def test_minhash_near_dup(spark, docs):
+    pairs = dd.minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=64, num_bands=16, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in got  # identical shingle sets → jaccard 1.0
+    assert (0, 1) in got  # high overlap
+    assert all(3 not in p for p in got)
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.4,
+                                   max_shingle_freq=None, persist=False).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    # doc 2 differs from doc 0 only by the case of one token — shingling
+    # is case-sensitive by design (normalization is fingerprint_md5's job),
+    # so 6 of 7 shingles of doc 0 match and one differs: 6/8 = 0.75.
+    assert got[(0, 2)] == 0.75
+    assert 0.4 <= got[(0, 1)] < 1.0
+    assert (0, 3) not in got
+
+
+def test_simhash_identity_and_distance(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, "text", "doc_id").collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    # doc 2 differs by one token's case (~2 of 9 token votes change):
+    # small but nonzero distance, far below the unrelated doc 3.
+    assert hamming(out[0], out[2]) <= 8
+    assert hamming(out[0], out[1]) < hamming(out[0], out[3])
+    assert hamming(out[0], out[3]) > 16
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    pairs = dd.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=8).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+        (4, [1.0, 0.01, 0.0]),  # very close to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_knn(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = sim.brute_force_knn(vectors, queries, k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["nid"] for r in ranked] == [4, 1]
+    assert ranked[0]["cosine"] > 0.99
+
+
+def test_embedding_near_dup(spark, vectors):
+    pairs = dd.embedding_near_dup_pairs(vectors, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 4) in got and (2, 3) not in got
+
+
+def test_lsh_knn_recalls_identical(spark, vectors):
+    """LSH with enough tables must recall the near-identical neighbor."""
+    queries = vectors.filter(F.col("vec_id") == 0)
+    out = sim.lsh_knn(vectors, queries, k=2, dim=3, bits=4, tables=8).collect()
+    assert any(r["nid"] == 4 for r in out)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("Hello, world! This is a test.",), ("",), ("der die und das ist gut",)],
+        "text string",
+    )
+    out = df.select(
+        tx.token_count("text").alias("n"),
+        tx.bpe_token_count("text").alias("bpe"),
+        tx.quality_score("text").alias("q"),
+        tx.language_id("text").alias("lang"),
+        tx.fingerprint_md5("text").alias("fp"),
+    ).collect()
+    assert out[0]["n"] == 6
+    assert out[0]["bpe"] == 9  # 6 words + 3 punct marks
+    assert 0.0 <= out[0]["q"] <= 1.0
+    assert out[1]["n"] == 0 and out[1]["q"] == 0.0
+    assert out[2]["lang"] == "de"
+    assert len(out[0]["fp"]) == 32
+
+
+def test_shingles_edge_cases(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(tx.shingles("text", 3).alias("sh")).collect()
+    assert out[0]["sh"] == []                      # shorter than k
+    assert out[1]["sh"] == ["a b c", "b c d"]
+
+
+def test_rolling_hash_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("one two three four five six seven eight nine",)] * 2, "text string")
+    vals = [r["h"] for r in df.select(tx.rolling_hash_fingerprint("text").alias("h")).collect()]
+    assert vals[0] == vals[1]
