@@ -60,16 +60,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) — per-doc MinHash signature.
 
-    Each hash function j is xxhash64(shingle, seed=j); the signature
-    element is the min over the doc's shingle set. All expression-built:
-    one transform over hash indices, aggregate over shingles — JVM-side,
-    no shuffle (pure map)."""
-    sh = shingles(text_col, k=shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    Each hash function j is xxhash64(shingle, j); the signature element
+    is the min over the doc's shingle set. Shaped as explode →
+    groupBy(id) with num_hashes unrolled MIN aggregates: MIN combines
+    map-side, the shuffle carries one signature row per doc, and the
+    whole thing stays in whole-stage codegen (array higher-order
+    functions would run interpreted — measured ~10× slower). Docs with
+    no shingles (< k tokens) are dropped — near-dup detection over
+    empty shingle sets is meaningless (exact dedup owns those)."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k=shingle_k)).alias("__shingle")
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    aggs = [
+        F.min(F.xxhash64("__shingle", F.lit(j))).alias(f"__h{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__h{j}") for j in range(num_hashes)]).alias("sig"),
+        )
+    )
 
 
 def minhash_lsh_candidates(
@@ -312,7 +325,10 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold. Delegates to the
-    similarity module's all-pairs machinery (LSH-bucketed at scale)."""
+    similarity module's broadcast-GEMM all-pairs with the threshold
+    pushed into the batch kernel (emitted pair set stays sparse). At
+    corpus sizes beyond broadcast, LSH-bucket first (lsh_knn's
+    _bucketize) and run this per bucket."""
     from sif_spark.operators.similarity import cosine_all_pairs
 
-    return cosine_all_pairs(df, vec_col, id_col).filter(F.col("cosine") >= threshold)
+    return cosine_all_pairs(df, vec_col, id_col, min_cosine=threshold)

@@ -511,6 +511,214 @@ ORDER BY user_id
 """
 
 
+def q17_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score histogram per language: floor(score*20) buckets.
+    The score is pure double arithmetic over integer counts with an
+    identical expression tree in the oracle — bit-identical, so the
+    floor() bucketing matches exactly."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.floor(sgtext.quality_score("text") * 20).cast("int").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "bucket")
+    )
+
+
+ORACLE_Q17 = """
+WITH t AS (
+  SELECT lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha
+  FROM documents
+), s AS (
+  SELECT lang,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE
+           (CASE WHEN (CASE WHEN n_tok > 0 THEN n_alpha/n_tok ELSE 0.0 END) >= 3.0
+                  AND (CASE WHEN n_tok > 0 THEN n_alpha/n_tok ELSE 0.0 END) <= 10.0
+                 THEN 1.0 ELSE 0.5 END) * 0.4
+           + (CASE WHEN n_chars > 0 THEN n_alpha/n_chars ELSE 0.0 END) * 0.4
+           + least(n_chars/500.0, 1.0) * 0.2
+         END AS q
+  FROM t
+)
+SELECT lang, CAST(floor(q*20) AS INT) AS bucket, COUNT(*) AS n_docs
+FROM s GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+def q18_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID over documents: predicted-language counts
+    vs the labeled lang column (confusion counts). Marker-word argmax,
+    ties resolved to the lexicographically first code — replicated as a
+    CASE chain in the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", sgtext.language_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+ORACLE_Q18 = """
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), scored AS (
+  SELECT lang,
+         len(list_filter(w, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(w, t -> t IN ('the','and','of','to','a'))) AS s_en,
+         len(list_filter(w, t -> t IN ('el','la','los','que','de'))) AS s_es,
+         len(list_filter(w, t -> t IN ('le','la','et','les','des'))) AS s_fr
+  FROM toks
+), pred AS (
+  SELECT lang,
+         CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def q19_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (regex word/number/symbol pieces) summed
+    per source — the token-budget accounting query of a training-data
+    pipeline."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(sgtext.bpe_token_count("text")).alias("total_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_Q19 = """
+SELECT source,
+       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source ORDER BY source
+"""
+
+
+def q20_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine similar pairs (≥ 0.45 — the synthetic corpus
+    has no true near-dups; threshold sits below its max pairwise
+    cosine so the check exercises real rows). Output ids only; the
+    double cosine never leaves the plan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = sgdedup.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.45)
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+ORACLE_Q20 = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+c AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+s AS (
+  SELECT id_a, id_b,
+         SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+         / (sqrt(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+            * sqrt(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS sim
+  FROM c GROUP BY id_a, id_b
+)
+SELECT id_a, id_b FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b
+"""
+
+
+def q21_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: treat document text bytes as blobs,
+    emit content hash + byte size (the dedup/content-addressing key
+    for binary corpora). sha256 hex matches across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+ORACLE_Q21 = """
+SELECT doc_id,
+       sha256(text) AS content_sha256,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def q22_global_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Accumulate terminator (Counter + Adder compose,
+    accumulators/count.go + sum.go) as one global aggregation."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty_sum"),
+        F.sum(_cents("l_extendedprice")).alias("price_cents_sum"),
+    )
+
+
+ORACLE_Q22 = """
+SELECT COUNT(*) AS row_count,
+       SUM(CAST(round(l_quantity) AS BIGINT)) AS qty_sum,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_cents_sum
+FROM lineitem
+"""
+
+
+def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates (64 hashes, 16 bands, est
+    jaccard ≥ 0.5). Hash-function-dependent (xxhash64) → no portable
+    SQL oracle; the driver records a rows-only check and the exact
+    Jaccard query (q13) covers correctness of the underlying metric."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = sgdedup.minhash_dedup_pairs(
+        d, "text", "doc_id", num_hashes=64, num_bands=16, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", "est_jaccard")
+
+
+def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 8, exact via 9-band
+    pigeonhole). xxhash64-dependent → rows-only check."""
+    d = read_table(spark, sf_dir, "documents")
+    return sgdedup.simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+def q25_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via SRP-LSH for query vectors vec_id < 5 —
+    the scale path of q11. Approximate by construction → rows-only
+    check; recall vs q11 is asserted in the test suite."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sgsim.lsh_knn(emb, queries, k=5, dim=64, bits=8, tables=8).select(
+        "qid", "nid", "rank"
+    )
+
+
+def q26_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document sketch (xxhash64-based →
+    rows-only check); the dedup blocking key for shift-tolerant
+    near-dup detection."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", sgtext.rolling_hash_fingerprint("text").alias("sketch")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -528,6 +736,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_sessionization": q14_sessionization,
     "q15_event_funnel": q15_event_funnel,
     "q16_active_buyers": q16_active_buyers,
+    "q17_quality_histogram": q17_quality_histogram,
+    "q18_language_id": q18_language_id,
+    "q19_bpe_token_stats": q19_bpe_token_stats,
+    "q20_embedding_near_dup": q20_embedding_near_dup,
+    "q21_blob_metadata": q21_blob_metadata,
+    "q22_global_accumulate": q22_global_accumulate,
+    "q23_minhash_lsh": q23_minhash_lsh,
+    "q24_simhash_pairs": q24_simhash_pairs,
+    "q25_lsh_knn": q25_lsh_knn,
+    "q26_rolling_fingerprint": q26_rolling_fingerprint,
 }
 
 ORACLES: dict[str, str] = {
@@ -547,4 +765,11 @@ ORACLES: dict[str, str] = {
     "q14_sessionization": ORACLE_Q14,
     "q15_event_funnel": ORACLE_Q15,
     "q16_active_buyers": ORACLE_Q16,
+    "q17_quality_histogram": ORACLE_Q17,
+    "q18_language_id": ORACLE_Q18,
+    "q19_bpe_token_stats": ORACLE_Q19,
+    "q20_embedding_near_dup": ORACLE_Q20,
+    "q21_blob_metadata": ORACLE_Q21,
+    "q22_global_accumulate": ORACLE_Q22,
+    # q23-q26 are hash-function-dependent or approximate → rows-only.
 }

@@ -1,0 +1,121 @@
+"""Streaming: Sif-parity looping mode + idiomatic Structured Streaming.
+
+The reference's streaming model (SURVEY.md §3.3) is primitive: a
+source with ``IsStreaming()==true`` makes the whole plan re-execute
+forever over fresh generator batches
+(internal/dataframe/plan_executor.go:106-111); no watermarks, no
+event-time windows, no state lifecycle — reduce state just accumulates
+in the shuffle index across iterations. Collect is forbidden on
+streams (operations/util/collect.go:72-74).
+
+Mapping here:
+- ``rate_stream`` ≈ memorystream.CreateDataFrame's generator source
+  (memorystream_datasource.go:15-20): an infinite rate source whose
+  rows are shaped by a generator expression.
+- ``run_sif_stream`` = the parity mode: foreachBatch re-runs the same
+  frame-transformation over every micro-batch, with cross-batch
+  accumulation left to the caller's agg mode — exactly Sif's loop.
+- ``windowed_agg`` / ``sessionized`` / ``dedup_within_watermark`` =
+  the idiomatic upgrades Sif lacks: event-time windows with watermarked
+  late-data handling and bounded state — what you actually run on an
+  unbounded 100 TB/day stream, because unbounded reduce state (Sif's
+  semantics) OOMs by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def rate_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    generator: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Infinite generator source (reference memorystream parity).
+
+    The rate source emits (timestamp, value: long); ``generator`` maps
+    those into the caller's schema, e.g.
+    ``{"col1": (F.col("value") % 10).cast("int")}``."""
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    if generator:
+        df = df.withColumns(generator)
+    return df
+
+
+def read_parquet_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """File-arrival stream over a parquet directory (requires explicit
+    schema, as all streaming file sources do)."""
+    return spark.readStream.format("parquet").schema(schema).load(path)
+
+
+def run_sif_stream(
+    stream: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    sink: Callable[[DataFrame, int], None],
+    trigger_seconds: float = 1.0,
+) -> StreamingQuery:
+    """Sif-parity execution loop: re-run ``transform`` on every
+    micro-batch and hand the result to ``sink`` (plan_executor.go's
+    forever-loop, with Spark managing offsets/retries instead of
+    retained partition loaders)."""
+
+    def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sink(transform(batch_df), epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def windowed_agg(
+    stream: DataFrame,
+    time_col: str,
+    window_duration: str,
+    aggs: list[Column],
+    keys: list[str] | None = None,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation with a watermark
+    bounding late data and state size."""
+    wm = stream.withWatermark(time_col, watermark)
+    window = F.window(F.col(time_col), window_duration, slide) if slide else F.window(
+        F.col(time_col), window_duration
+    )
+    return wm.groupBy(window, *[F.col(k) for k in (keys or [])]).agg(*aggs)
+
+
+def sessionized(
+    stream: DataFrame,
+    time_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (dynamic gap-based) — the streaming form of the
+    batch sessionization idiom (queries.q14)."""
+    wm = stream.withWatermark(time_col, watermark)
+    return wm.groupBy(
+        F.session_window(F.col(time_col), gap), *[F.col(k) for k in keys]
+    ).agg(*aggs)
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: list[str], time_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state older than the
+    horizon is evicted (the scalable answer to Sif's grow-forever
+    reduce index)."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,132 @@
+"""Streaming tests: Sif-parity loop (F4 fixture shape) + idiomatic
+watermarked windows / session windows / streaming dedup."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from sif_spark.sources.parquet import read_table
+from sif_spark.streaming import (
+    dedup_within_watermark,
+    rate_stream,
+    read_parquet_stream,
+    run_sif_stream,
+    sessionized,
+    windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Materialize sf0.001 events (µs timestamps) as a stream-readable
+    parquet dir."""
+    d = tempfile.mkdtemp(prefix="sif_stream_")
+    read_table(spark, "/root/testdata/sf0.001", "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _drain(q):
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+
+def test_f4_sif_parity_loop(spark):
+    """F4 (stream_test.go): generator source, plan re-runs per batch,
+    results accumulate across iterations (reference semantics)."""
+    stream = rate_stream(
+        spark, rows_per_second=200,
+        generator={"col1": (F.col("value") % 10).cast("int")},
+    )
+    batches: list[dict] = []
+
+    def transform(df):
+        return df.groupBy("col1").agg(F.count(F.lit(1)).alias("c"))
+
+    def sink(df, epoch):
+        rows = df.collect()
+        if rows:
+            batches.append({r["col1"]: r["c"] for r in rows})
+
+    q = run_sif_stream(stream, transform, sink, trigger_seconds=0.5)
+    deadline = time.time() + 30
+    while time.time() < deadline and len(batches) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert len(batches) >= 2, "stream should produce multiple reduced batches"
+    assert all(set(b) <= set(range(10)) for b in batches)
+
+
+def test_windowed_agg(spark, events_dir):
+    schema = read_table(spark, "/root/testdata/sf0.001", "events").schema
+    stream = read_parquet_stream(spark, events_dir, schema)
+    agg = windowed_agg(
+        stream, "ts", "1 hour",
+        aggs=[F.count(F.lit(1)).alias("n")],
+        keys=["event_type"], watermark="1 hour",
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("win_out")
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT * FROM win_out").collect()
+    # watermark in append mode emits only closed windows; the final
+    # window stays open, so totals are <= raw count but substantial
+    total = sum(r["n"] for r in got)
+    raw = read_table(spark, "/root/testdata/sf0.001", "events").count()
+    assert 0 < total <= raw
+    # cross-check one closed window against the batch computation
+    sample = got[0]
+    batch_n = (
+        read_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(
+            (F.col("ts") >= sample["window"]["start"])
+            & (F.col("ts") < sample["window"]["end"])
+            & (F.col("event_type") == sample["event_type"])
+        )
+        .count()
+    )
+    assert batch_n == sample["n"]
+
+
+def test_sessionized(spark, events_dir):
+    schema = read_table(spark, "/root/testdata/sf0.001", "events").schema
+    stream = read_parquet_stream(spark, events_dir, schema)
+    sess = sessionized(
+        stream, "ts", "30 minutes", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n")], watermark="1 hour",
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory").queryName("sess_out").start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(got) > 0
+    assert all(r["n"] >= 1 for r in got)
+
+
+def test_dedup_within_watermark(spark):
+    """Duplicates inside the watermark horizon are dropped."""
+    d = tempfile.mkdtemp(prefix="sif_dedup_")
+    rows = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:10"), (2, "2024-01-01 10:01:00")]
+    src = (
+        spark.createDataFrame(rows, "k int, ts_s string")
+        .withColumn("ts", F.to_timestamp("ts_s"))
+        .drop("ts_s")
+    )
+    src.write.mode("overwrite").parquet(d)
+    stream = read_parquet_stream(spark, d, src.schema)
+    deduped = dedup_within_watermark(stream, ["k"], "ts", watermark="1 hour")
+    q = deduped.writeStream.outputMode("append").format("memory").queryName("dd_out").start()
+    _drain(q)
+    got = sorted(r["k"] for r in spark.sql("SELECT * FROM dd_out").collect())
+    assert got == [1, 2]
