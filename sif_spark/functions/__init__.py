@@ -1,0 +1,64 @@
+"""Scalar/aggregate function surface.
+
+The reference ships NO function library — every projection, predicate
+and key extractor is a hand-written Go closure (SURVEY.md §2.3), with
+`KeyColumns` (operations/transform/reduce.go:112-128) as its single
+helper: xxhash64 over the raw bytes of named columns. Here the library
+is `pyspark.sql.functions` itself (JVM-side, codegen'd); this module
+re-exports it plus the sif-specific helpers so user code has one
+import surface:
+
+    from sif_spark import functions as SF
+    df.select(SF.key_columns("a", "b"), SF.lower("a"), ...)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as _F
+from pyspark.sql.functions import *  # noqa: F401,F403 — the full Spark surface
+
+from sif_spark.operators.text import (  # noqa: F401 — text helpers
+    bpe_token_count,
+    fingerprint_md5,
+    language_id,
+    quality_score,
+    rolling_hash_fingerprint,
+    shingles,
+    token_count,
+    tokenize,
+)
+from sif_spark.types import go_time_format_to_spark
+
+
+def key_columns(*cols: str) -> Column:
+    """Compound shuffle key from named columns — the reference's
+    `KeyColumns` KeyingOperation (xxhash64 of the columns' bytes,
+    operations/transform/reduce.go:112-128). Use for explicit
+    key-hash partitioning/salting; plain groupBy(*cols) is preferred
+    when Catalyst should see the real keys."""
+    return _F.xxhash64(*[_F.col(c) for c in cols])
+
+
+def salted_key(*cols: str, buckets: int = 16) -> Column:
+    """Skew-salting helper: a 64-bit shuffle key that spreads each
+    logical key over ``buckets`` distinct values (key hash combined
+    with a uniform salt). Repartition/group by this, aggregate
+    partially per salted key, then finally per real key. Kept as the
+    full hash (not mod buckets) so different logical keys never
+    collapse onto each other."""
+    salt = _F.floor(_F.rand() * buckets).cast("long")
+    return _F.xxhash64(*[_F.col(c) for c in cols], salt)
+
+
+def cents(col: str | Column) -> Column:
+    """Exact integer cents from a 2-decimal double column — the
+    engine-portable money representation used across the catalog."""
+    c = _F.col(col) if isinstance(col, str) else col
+    return _F.round(c * 100).cast("long")
+
+
+def to_timestamp_go(col: str | Column, go_format: str) -> Column:
+    """Parse a timestamp using a Go reference-time layout — the
+    reference's TimeColumnType{Format} (column_type.go:210-222)."""
+    c = _F.col(col) if isinstance(col, str) else col
+    return _F.to_timestamp(c, go_time_format_to_spark(go_format))

@@ -1,0 +1,110 @@
+"""Physical-plan audit utilities.
+
+The reference's only "optimizer observability" is its stage list
+(SURVEY.md §4.1). On Spark the physical plan is the contract that
+decides whether an operator survives 100 TB: filters must reach the
+scan (PushedFilters), projections must prune the read schema, small
+joins must broadcast, aggregates must partially aggregate map-side.
+These helpers parse `.explain("formatted")` output so tests and CI can
+assert those properties instead of eyeballing plans.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@dataclass
+class ScanInfo:
+    table_hint: str
+    pushed_filters: list[str] = field(default_factory=list)
+    read_columns: list[str] = field(default_factory=list)
+
+
+def scans(df: DataFrame) -> list[ScanInfo]:
+    """Parquet scans with their pushed filters and pruned read schema."""
+    text = plan_string(df)
+    out: list[ScanInfo] = []
+    current: ScanInfo | None = None
+    for line in text.splitlines():
+        stripped = line.strip()
+        if re.match(r"\(\d+\) Scan parquet", stripped):
+            current = ScanInfo(table_hint="")
+            out.append(current)
+        elif current is not None and stripped.startswith("Location:"):
+            current.table_hint = stripped.split("/")[-1].rstrip("]")
+        elif current is not None and stripped.startswith("PushedFilters:"):
+            inner = stripped.split("[", 1)[-1].rstrip("]")
+            current.pushed_filters = [f.strip() for f in inner.split(",") if f.strip()]
+        elif current is not None and stripped.startswith("ReadSchema:"):
+            inner = stripped.split("struct<", 1)[-1].rstrip(">")
+            current.read_columns = [
+                c.split(":")[0].strip() for c in inner.split(",") if c.strip()
+            ]
+    return out
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    """Physical join operators in the plan, one entry per join node
+    (parsed from the formatted explain's numbered detail section so the
+    tree rendering doesn't double-count)."""
+    text = plan_string(df)
+    return re.findall(
+        r"^\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+        text,
+        re.MULTILINE,
+    )
+
+
+def has_pushed_filter(df: DataFrame, column: str) -> bool:
+    return any(
+        column in f for scan in scans(df) for f in scan.pushed_filters
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen spans — wider is better (more of
+    the plan fused into generated code). Uses codegen-mode explain
+    (generates the code without executing): AQE plans hide codegen
+    markers from the other modes until the final plan exists."""
+    spark = df.sparkSession
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # AQE defers physical planning, reporting 0 codegen subtrees
+        # pre-execution; plan without it for the audit.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # select("*") forces a fresh QueryExecution — the original df may
+        # have already cached an AQE-wrapped physical plan.
+        text = plan_string(df.select("*"), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", text)
+    return int(m.group(1)) if m else 0
+
+
+def audit(df: DataFrame) -> dict:
+    """One-call plan summary for logging/regression tests."""
+    return {
+        "scans": [
+            {
+                "table": s.table_hint,
+                "pushed": s.pushed_filters,
+                "columns": s.read_columns,
+            }
+            for s in scans(df)
+        ],
+        "joins": join_strategies(df),
+        "codegen_stages": codegen_stage_count(df),
+    }

@@ -719,6 +719,145 @@ def q26_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_parts_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped 'small lots': lineitems with quantity below 20%
+    of their part's average, grouped by brand. Exercises the SQL entry
+    point (spark.sql over registered views); the correlated-subquery
+    form is decorrelated into an explicit per-part aggregate join. The
+    threshold compare is kept in integers (qty*n*5 < sum_qty) so no
+    float average crosses an engine boundary."""
+    from sif_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        WITH per_part AS (
+          SELECT l_partkey, COUNT(*) AS n,
+                 SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p_brand,
+               COUNT(*) AS n_small,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS price_cents
+        FROM lineitem
+        JOIN per_part USING (l_partkey)
+        JOIN part ON p_partkey = l_partkey
+        WHERE CAST(ROUND(l_quantity) AS BIGINT) * n * 5 < sq
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+ORACLE_Q27 = """
+WITH per_part AS (
+  SELECT l_partkey, COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       COUNT(*) AS n_small,
+       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS price_cents
+FROM lineitem
+JOIN per_part USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE CAST(ROUND(l_quantity) AS BIGINT) * n * 5 < sq
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: top-10 BUILDING-segment orders by outstanding
+    revenue (ordered before / shipped after a date). Fact-fact join on
+    orderkey + broadcast dimension filter; deterministic top-10 via
+    (revenue desc, orderkey) ordering."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("odate"))
+        .agg(F.sum(_cents("l_extendedprice") * (100 - _cents("l_discount"))).alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q28 = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, odate
+ORDER BY revenue_e4 DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q29_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus): every grouping-set
+    combination in one pass."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+ORACLE_Q29 = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+def q30_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props column — the Spark
+    form of the reference's gjson dotted-path parsing
+    (datasource/parser/jsonl/jsonl_utils.go:53-61): nested access as an
+    expression over raw JSON."""
+    e = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("k_sum"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q30 = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -746,6 +885,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_simhash_pairs": q24_simhash_pairs,
     "q25_lsh_knn": q25_lsh_knn,
     "q26_rolling_fingerprint": q26_rolling_fingerprint,
+    "q27_parts_below_avg": q27_parts_below_avg,
+    "q28_shipping_priority": q28_shipping_priority,
+    "q29_orders_cube": q29_orders_cube,
+    "q30_json_props": q30_json_props,
 }
 
 ORACLES: dict[str, str] = {
@@ -772,4 +915,8 @@ ORACLES: dict[str, str] = {
     "q21_blob_metadata": ORACLE_Q21,
     "q22_global_accumulate": ORACLE_Q22,
     # q23-q26 are hash-function-dependent or approximate → rows-only.
+    "q27_parts_below_avg": ORACLE_Q27,
+    "q28_shipping_priority": ORACLE_Q28,
+    "q29_orders_cube": ORACLE_Q29,
+    "q30_json_props": ORACLE_Q30,
 }

@@ -4,6 +4,7 @@ from sif_spark.streaming.stream import (
     run_sif_stream,
     windowed_agg,
     sessionized,
+    running_reduce,
     dedup_within_watermark,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "run_sif_stream",
     "windowed_agg",
     "sessionized",
+    "running_reduce",
     "dedup_within_watermark",
 ]

@@ -111,6 +111,50 @@ def sessionized(
     ).agg(*aggs)
 
 
+def running_reduce(
+    stream: DataFrame,
+    keys: list[str],
+    count_col: str = "n",
+    sum_col: str | None = None,
+) -> "DataFrame":
+    """Per-key running aggregation across micro-batches via
+    ``applyInPandasWithState`` — the faithful upgrade of the
+    reference's cross-batch reduce state (SURVEY.md §3.3: reduce state
+    persists in the shuffle index across loop iterations with no
+    eviction). Here the state is managed per key by the streaming
+    engine (fault-tolerant, checkpointable) instead of living
+    implicitly in a worker-local index. Emits one updated row per key
+    per batch: (keys..., n [, sum])."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = ", ".join(f"{k} {stream.schema[k].dataType.simpleString()}" for k in keys)
+    out_schema = f"{key_fields}, {count_col} long" + (f", {sum_col}_sum double" if sum_col else "")
+    state_schema = "n long" + (", s double" if sum_col else "")
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        s = 0.0
+        if state.exists:
+            stored = state.get
+            n = stored[0]
+            s = stored[1] if sum_col else 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            if sum_col:
+                s += float(pdf[sum_col].sum())
+        state.update((n, s) if sum_col else (n,))
+        row = {k: [v] for k, v in zip(keys, key)}
+        row[count_col] = [n]
+        if sum_col:
+            row[f"{sum_col}_sum"] = [s]
+        yield pd.DataFrame(row)
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame, keys: list[str], time_col: str, watermark: str = "10 minutes"
 ) -> DataFrame:

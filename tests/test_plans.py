@@ -1,0 +1,78 @@
+"""Plan-audit regression tests: the physical properties that matter at
+scale must hold — pushdown, pruning, broadcast, partial aggregation."""
+
+from __future__ import annotations
+
+from sif_spark.plans import audit, has_pushed_filter, join_strategies, scans
+from sif_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q02_filter_pushdown_and_pruning(spark):
+    df = QUERIES["q02_filter_project"](spark, SF)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_discount")
+    (scan,) = scans(df)
+    # projection+filter columns only — never the full 11-column table
+    assert set(scan.read_columns) == {
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_q03_broadcast_joins(spark):
+    df = QUERIES["q03_revenue_by_nation"](spark, SF)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in strategies
+
+
+def test_q01_partial_aggregation(spark):
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q01_pricing_summary"](spark, SF))
+    # partial (map-side) + final HashAggregate around one exchange
+    assert text.count("HashAggregate") >= 2
+    assert "Exchange" in text
+
+
+def test_audit_summary_shape(spark):
+    out = audit(QUERIES["q03_revenue_by_nation"](spark, SF))
+    assert len(out["scans"]) == 4
+    assert out["codegen_stages"] >= 1
+
+
+def test_functions_module(spark):
+    from sif_spark import functions as SF_fns
+
+    df = spark.createDataFrame([("a", "b", 1.23)], "x string, y string, v double")
+    row = df.select(
+        SF_fns.key_columns("x", "y").alias("k"),
+        SF_fns.cents("v").alias("c"),
+        SF_fns.lower(SF_fns.col("x")).alias("lx"),
+    ).collect()[0]
+    assert isinstance(row["k"], int)
+    assert row["c"] == 123
+    assert row["lx"] == "a"
+
+
+def test_salted_key_spreads(spark):
+    from sif_spark import functions as SF_fns
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).withColumn("hot", F.lit("same-key"))
+    n = (
+        df.select(SF_fns.salted_key("hot", buckets=8).alias("b"))
+        .select(F.countDistinct("b").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n == 8
+
+
+def test_to_timestamp_go(spark):
+    from sif_spark import functions as SF_fns
+
+    df = spark.createDataFrame([("2024-03-05 10:11:12",)], "t string")
+    row = df.select(SF_fns.to_timestamp_go("t", "2006-01-02 15:04:05").alias("ts")).collect()[0]
+    assert row["ts"].year == 2024 and row["ts"].second == 12

@@ -114,6 +114,45 @@ def test_sessionized(spark, events_dir):
     assert all(r["n"] >= 1 for r in got)
 
 
+def test_running_reduce_stateful(spark):
+    """Cross-batch keyed state (the reference's accumulating stream
+    reduce, F4): two files → two micro-batches; final per-key counts
+    must accumulate across both."""
+    from sif_spark.streaming import running_reduce
+
+    d = tempfile.mkdtemp(prefix="sif_state_")
+    spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "batch1"))
+    spark.createDataFrame([("a", 3.0)], "k string, v double").coalesce(1).write.parquet(
+        os.path.join(d, "batch2")
+    )
+    # flatten: move part files into one dir so maxFilesPerTrigger=1 splits batches
+    import glob, shutil
+    flat = tempfile.mkdtemp(prefix="sif_state_flat_")
+    for i, f in enumerate(sorted(glob.glob(os.path.join(d, "batch*", "part-*.parquet")))):
+        shutil.copy(f, os.path.join(flat, f"{i}.parquet"))
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .load(flat)
+    )
+    out = running_reduce(stream, ["k"], sum_col="v")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory").queryName("rr_out").start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM rr_out").collect()
+    # take the LAST update per key
+    final = {}
+    for r in rows:
+        final[r["k"]] = (r["n"], r["v_sum"])
+    assert final["a"] == (2, 4.0)
+    assert final["b"] == (1, 2.0)
+
+
 def test_dedup_within_watermark(spark):
     """Duplicates inside the watermark horizon are dropped."""
     d = tempfile.mkdtemp(prefix="sif_dedup_")
