@@ -51,3 +51,49 @@ def read_dsv(
     if conf.comment:
         reader = reader.option("comment", conf.comment)
     return SifFrame(reader.csv(glob))
+
+
+def read_dsv_decoded(
+    spark: SparkSession,
+    glob: str,
+    schema: T.StructType,
+    decoder,
+    conf: DSVConf | None = None,
+) -> SifFrame:
+    """DSV with a whole-file pre-pass decoder — the reference's
+    ``DataSourceConf.Decoder`` (``func([]byte)([]byte,error)``,
+    datasource/file/file_datasource.go:24-47, applied per file in
+    file_datasource_partitionloader.go:26-57). Spark mapping:
+    ``binaryFile`` scan → decode each file's bytes in an Arrow batch →
+    parse the decoded text with pandas, yielding rows of ``schema``.
+
+    Files are the parallelism unit here (as in the reference); use the
+    plain ``read_dsv`` + a standard codec when possible — Spark's
+    native line-splitting beats per-file decoding for splittable
+    formats.
+    """
+    import io as _io
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    conf = conf or DSVConf()
+    names = [f.name for f in schema.fields]
+    binary = spark.read.format("binaryFile").load(glob).select("content")
+
+    def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for blob in pdf["content"]:
+                decoded = decoder(bytes(blob))
+                out = pd.read_csv(
+                    _io.BytesIO(decoded),
+                    sep=conf.delimiter,
+                    names=names,
+                    header=0 if conf.header_lines > 0 else None,
+                    comment=conf.comment,
+                    na_values=[conf.nil_value] if conf.nil_value else None,
+                    keep_default_na=False,
+                )
+                yield out
+
+    return SifFrame(binary.mapInPandas(parse, schema))

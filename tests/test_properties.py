@@ -1,0 +1,120 @@
+"""Property-based differential tests (hypothesis) — a layer the
+reference lacks entirely (SURVEY.md §5: no property/randomized
+testing). Each property runs a few random examples against a pandas
+oracle; example counts stay small because every example is a Spark
+job."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sif_spark.operators.asof import asof_join
+from sif_spark.operators.dedup import exact_dedup
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def asof_data(draw):
+    n_left = draw(st.integers(1, 12))
+    n_right = draw(st.integers(0, 12))
+    keys = st.integers(0, 2)
+    # distinct timestamps avoid tie-ambiguity between two RIGHT rows
+    # (standard asof leaves that unspecified); left-right equal ts is
+    # covered deterministically in test_operators.
+    times = draw(
+        st.lists(
+            st.integers(0, 10_000), min_size=n_left + n_right,
+            max_size=n_left + n_right, unique=True,
+        )
+    )
+    left = [(draw(keys), times[i]) for i in range(n_left)]
+    right = [(draw(keys), times[n_left + i]) for i in range(n_right)]
+    return left, right
+
+
+@given(asof_data())
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas(spark, data):
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], "k int, t long, lid int"
+    ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+    right = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(right_rows)] or [(0, -1, -1)],
+        "k int, t long, rid int",
+    ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, on=["k"], left_time="ts", right_time="ts",
+                           right_cols=["rid"]).collect()
+    }
+
+    lp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(left_rows)],
+                      columns=["k", "t", "lid"]).sort_values("t")
+    rp = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(right_rows)] or [(0, -1, -1)],
+                      columns=["k", "t", "rid"]).sort_values("t")
+    merged = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    want = {
+        int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+        for row in merged.itertuples()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=1, max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_properties(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = exact_dedup(df, "text", "doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    # survivors are a subset of inputs, no duplicates among survivors
+    assert set(ids) <= set(range(len(texts)))
+    assert len(ids) == len(set(ids))
+    # one survivor per normalized text; survivor is the min id
+    norm = lambda s: " ".join(s.lower().split())  # noqa: E731
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(norm(t), []).append(i)
+    assert sorted(ids) == sorted(min(g) for g in groups.values())
+    # idempotence
+    again = exact_dedup(
+        df.join(spark.createDataFrame([(i,) for i in ids], "doc_id long"), "doc_id"),
+        "text", "doc_id",
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(ids)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+             min_size=1, max_size=30)
+)
+@settings(**SETTINGS)
+def test_reduce_matches_pandas(spark, rows):
+    from sif_spark.frame import SifFrame
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r["k"]: (r["s"], r["n"])
+        for r in SifFrame(df)
+        .reduce(["k"], F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    want = {
+        int(k): (int(g["v"].sum()), len(g)) for k, g in pdf.groupby("k")
+    }
+    assert got == want

@@ -1,0 +1,119 @@
+"""Source tests: DSV config surface, whole-file decoder, JSONL dotted
+paths, custom Python DataSource (batch + stream)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from sif_spark.sources.dsv import DSVConf, read_dsv, read_dsv_decoded
+from sif_spark.sources.jsonl import read_jsonl
+from sif_spark.sources import custom as custom_source
+
+
+@pytest.fixture(scope="module")
+def tmpdir():
+    return tempfile.mkdtemp(prefix="sif_sources_")
+
+
+def test_dsv_delimiter_comment_nil(spark, tmpdir):
+    """dsv_parser.go config: Delimiter, Comment, NilValue, HeaderLines."""
+    p = os.path.join(tmpdir, "data.dsv")
+    with open(p, "w") as f:
+        f.write("# a comment line\n")
+        f.write("1|alpha|2.5\n")
+        f.write("2|null|3.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    frame = read_dsv(
+        spark, p, schema, DSVConf(delimiter="|", comment="#", nil_value="null")
+    )
+    rows = sorted(frame.collect(), key=lambda r: r["id"])
+    assert len(rows) == 2
+    assert rows[0]["name"] == "alpha"
+    assert rows[1]["name"] is None  # NilValue honored
+    assert rows[1]["v"] == 3.5
+
+
+def test_dsv_decoded_gzip(spark, tmpdir):
+    """file_datasource.go Decoder: whole-file pre-pass (gzip here)."""
+    p = os.path.join(tmpdir, "data.csv.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(b"id,name\n1,a\n2,b\n"))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    frame = read_dsv_decoded(
+        spark, p, schema, decoder=gzip.decompress, conf=DSVConf(header_lines=1)
+    )
+    rows = sorted(frame.collect(), key=lambda r: r["id"])
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_jsonl_dotted_paths(spark, tmpdir):
+    """jsonl_utils.go: gjson dotted paths → flat columns, nil for
+    missing paths."""
+    p = os.path.join(tmpdir, "data.jsonl")
+    with open(p, "w") as f:
+        f.write('{"coords": {"x": 1.5, "z": 2.5}, "date": "2024-01-01"}\n')
+        f.write('{"coords": {"x": 3.5}, "date": "2024-01-02"}\n')
+    frame = read_jsonl(spark, p, paths=["coords.x", "coords.z", "date"])
+    assert frame.df.columns == ["coords.x", "coords.z", "date"]
+    rows = sorted(frame.collect(), key=lambda r: r["date"])
+    assert rows[0]["coords.x"] == 1.5
+    assert rows[1]["coords.z"] is None  # missing path → nil
+
+
+def test_custom_datasource_batch(spark):
+    """docs/custom-datasources.md extension point on the PySpark 4
+    DataSource API: deterministic generator, partitioned."""
+    custom_source.register(spark)
+    df = (
+        spark.read.format("sif_generator")
+        .option("rows", 100)
+        .option("partitions", 4)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert df.rdd.getNumPartitions() == 4
+    assert all(0 <= r["col1"] < 10 for r in rows)
+    # deterministic across reads
+    again = spark.read.format("sif_generator").option("rows", 100).option("partitions", 4).load()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_custom_datasource_stream(spark):
+    """memorystream parity: batch_size rows per micro-batch, offsets
+    tracked by Spark (F4 fixture shape)."""
+    custom_source.register(spark)
+    stream = (
+        spark.readStream.format("sif_generator").option("batch_size", 12).load()
+    )
+    agg = stream.groupBy("col1").agg(F.count(F.lit(1)).alias("c"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("gen_out").start()
+    )
+    import time
+
+    deadline = time.time() + 30
+    total = 0
+    while time.time() < deadline:
+        rows = spark.sql("SELECT sum(c) AS s FROM gen_out").collect()
+        total = rows[0]["s"] or 0
+        if total >= 24:  # at least two micro-batches
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert total >= 24 and total % 12 == 0
