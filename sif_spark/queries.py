@@ -858,6 +858,91 @@ ORDER BY event_type
 """
 
 
+def q31_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving window over daily order revenue (window frame
+    rowsBetween): emits the windowed sum and row count in exact cents —
+    the moving average is their single deterministic division."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(_cents("o_totalprice")).alias("day_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.withColumn("win_cents", F.sum("day_cents").over(w))
+        .withColumn("win_days", F.count(F.lit(1)).over(w))
+        .withColumn("moving_avg_cents", F.col("win_cents") / F.col("win_days"))
+        .select("day", "day_cents", "win_cents", "win_days", "moving_avg_cents")
+        .orderBy("day")
+    )
+
+
+ORACLE_Q31 = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS day_cents
+  FROM orders GROUP BY day
+)
+SELECT day, day_cents,
+       SUM(day_cents) OVER w AS win_cents,
+       COUNT(*) OVER w AS win_days,
+       SUM(day_cents) OVER w / COUNT(*) OVER w AS moving_avg_cents
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+def q32_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartiles of customers by total spend (ties broken by
+    custkey for engine determinism), with per-quartile rollups."""
+    o = read_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum(_cents("o_totalprice")).alias("spend_cents"))
+    w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend_cents").alias("quartile_cents"),
+        )
+        .orderBy("quartile")
+    )
+
+
+ORACLE_Q32 = """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT quartile, COUNT(*) AS n_customers, SUM(spend_cents) AS quartile_cents
+FROM (
+  SELECT spend_cents,
+         ntile(4) OVER (ORDER BY spend_cents DESC, o_custkey) AS quartile
+  FROM spend
+)
+GROUP BY quartile ORDER BY quartile
+"""
+
+
+def q33_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: customers who ordered in 1995 but not in the
+    final two years (2000+) — lapsed buyers."""
+    o = read_table(spark, sf_dir, "orders")
+    # distinct() both sides first: SQL EXCEPT is set semantics, while
+    # Spark's exceptAll subtracts per-occurrence on multisets.
+    in_1995 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    later = o.filter(F.year("o_orderdate") >= 2000).select("o_custkey").distinct()
+    return in_1995.exceptAll(later).orderBy("o_custkey")
+
+
+ORACLE_Q33 = """
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 2000
+ORDER BY o_custkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -889,6 +974,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_shipping_priority": q28_shipping_priority,
     "q29_orders_cube": q29_orders_cube,
     "q30_json_props": q30_json_props,
+    "q31_moving_avg": q31_moving_avg,
+    "q32_customer_quartiles": q32_customer_quartiles,
+    "q33_churned_buyers": q33_churned_buyers,
 }
 
 ORACLES: dict[str, str] = {
@@ -919,4 +1007,7 @@ ORACLES: dict[str, str] = {
     "q28_shipping_priority": ORACLE_Q28,
     "q29_orders_cube": ORACLE_Q29,
     "q30_json_props": ORACLE_Q30,
+    "q31_moving_avg": ORACLE_Q31,
+    "q32_customer_quartiles": ORACLE_Q32,
+    "q33_churned_buyers": ORACLE_Q33,
 }

@@ -5,6 +5,7 @@ from sif_spark.streaming.stream import (
     windowed_agg,
     sessionized,
     running_reduce,
+    interval_join,
     dedup_within_watermark,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "windowed_agg",
     "sessionized",
     "running_reduce",
+    "interval_join",
     "dedup_within_watermark",
 ]

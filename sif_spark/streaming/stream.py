@@ -111,6 +111,38 @@ def sessionized(
     ).agg(*aggs)
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join constrained to a time interval:
+    right_time ∈ [left_time − upper, left_time − lower]. Watermarks on
+    both sides bound the join state — the reference cannot express any
+    two-input operator at all (single-source pipelines, SURVEY.md §3.1),
+    let alone a state-bounded streaming join."""
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = None
+    for k in keys:
+        c = l[k] == r[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (r[right_time] >= F.expr(f"{left_time} - {upper}"))
+        & (r[right_time] <= F.expr(f"{left_time} - {lower}"))
+    )
+    return l.join(r, cond, how)
+
+
 def running_reduce(
     stream: DataFrame,
     keys: list[str],

@@ -153,6 +153,50 @@ def test_running_reduce_stateful(spark):
     assert final["b"] == (1, 2.0)
 
 
+def test_interval_join_stream_stream(spark, events_dir):
+    """Stream-stream interval join: purchase matched to same-user
+    clicks within the preceding hour."""
+    from sif_spark.streaming import interval_join
+
+    schema = read_table(spark, "/root/testdata/sf0.001", "events").schema
+    purchases = (
+        read_parquet_stream(spark, events_dir, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pid"), F.col("user_id"), F.col("ts").alias("pts"))
+    )
+    clicks = (
+        read_parquet_stream(spark, events_dir, schema)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("cid"), F.col("user_id"), F.col("ts").alias("cts"))
+    )
+    joined = interval_join(
+        purchases, clicks, keys=["user_id"],
+        left_time="pts", right_time="cts",
+        lower="interval 0 seconds", upper="interval 1 hour",
+        watermark="2 hours",
+    ).select("pid", "cid")
+    q = joined.writeStream.outputMode("append").format("memory").queryName("ij_out").start()
+    _drain(q)
+    got = {(r["pid"], r["cid"]) for r in spark.sql("SELECT * FROM ij_out").collect()}
+    # batch oracle: same join on static frames
+    e = read_table(spark, "/root/testdata/sf0.001", "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cuid"), F.col("ts").alias("cts"))
+    want = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (p.user_id == c.cuid)
+            & (c.cts >= F.expr("pts - interval 1 hour"))
+            & (c.cts <= p.pts),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_dedup_within_watermark(spark):
     """Duplicates inside the watermark horizon are dropped."""
     d = tempfile.mkdtemp(prefix="sif_dedup_")
