@@ -173,11 +173,15 @@ def ngram_jaccard_pairs(
     (stop-shingles) — the standard guard against hot-key explosion at
     scale. Returns (id_a, id_b, inter, jaccard).
 
-    The shingle set is computed ONCE and (by default) persisted: the
-    plan references it three times (both join sides + sizes), and
-    shingling is the expensive scan — at corpus scale you materialize
-    the inverted index, never recompute it per consumer. Set sizes come
-    from ``F.size`` on the array, not a second explode+count."""
+    The shingle set is computed ONCE and (by default) materialized via
+    ``localCheckpoint``: the plan references it three times (both join
+    sides + sizes) and shingling is the expensive scan — at corpus
+    scale you materialize the inverted index, never recompute it per
+    consumer. localCheckpoint rather than cache(): its blocks are
+    lifecycle-managed by the ContextCleaner when the frame goes out of
+    scope, so repeated invocations can't accumulate named cache entries
+    or race a global clearCache. Set sizes come from ``F.size`` on the
+    array, not a second explode+count."""
     # Shingles are joined as 64-bit xxhash values, not strings: the
     # inverted-index shuffle carries 8-byte keys and the intersection
     # counts are unchanged (collisions at 2^-64 are noise at any scale).
@@ -188,7 +192,7 @@ def ngram_jaccard_pairs(
         ).alias("__sh"),
     )
     if persist:
-        keyed = keyed.persist()
+        keyed = keyed.localCheckpoint(eager=False)
     sizes = keyed.select(F.col(id_col), F.size("__sh").alias("sz")).filter(
         F.col("sz") > 0
     )

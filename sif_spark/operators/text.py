@@ -90,26 +90,21 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
-def rolling_hash_fingerprint(col: Column | str, window: int = 8, mod: int = (1 << 31) - 1) -> Column:
-    """Rolling polynomial hash over the token stream: the minimum of
-    per-window polynomial hashes (a winnowing-style document sketch).
-    Built with aggregate() over the token array — JVM-side.
+def rolling_hash_fingerprint(col: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document sketch: the minimum of xxhash64 over
+    every ``window``-token gram. Shift-tolerant dedup blocking key —
+    two documents sharing any w-token run share the minimum with high
+    probability.
 
-    ``mod`` is the Mersenne prime 2^31−1 so the polynomial step
-    ``acc*31 + h`` stays below 2^36 — Spark 4 runs ANSI mode and a
-    64-bit modulus would overflow the long multiply."""
+    One xxhash64 per window position (a w-gram string hash) rather
+    than a per-element polynomial lambda: higher-order-function lambdas
+    evaluate interpreted in Spark, so the per-window work must be a
+    single built-in call to stay cheap."""
     toks = tokenize(col)
-    # Hash each token to a positive long via xxhash64, min over windows.
-    tok_hashes = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(mod)))
-    n = F.size(tok_hashes)
-    idxs = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1)))
     window_hash = F.transform(
-        idxs,
-        lambda i: F.aggregate(
-            F.slice(tok_hashes, i + 1, window),
-            F.lit(0).cast("long"),
-            lambda acc, h: (acc * 31 + h) % mod,
-        ),
+        idxs, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
     )
     return F.array_min(window_hash)
 

@@ -943,6 +943,32 @@ ORDER BY o_custkey
 """
 
 
+def q34_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct counting per event type. The
+    oracle checks the exact count; the HLL approximation is included
+    as a sanity-bounded extra column in tests, not in the hash (its
+    estimate is engine-specific)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q34 = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -977,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_moving_avg": q31_moving_avg,
     "q32_customer_quartiles": q32_customer_quartiles,
     "q33_churned_buyers": q33_churned_buyers,
+    "q34_distinct_users": q34_distinct_users,
 }
 
 ORACLES: dict[str, str] = {
@@ -1010,4 +1037,5 @@ ORACLES: dict[str, str] = {
     "q31_moving_avg": ORACLE_Q31,
     "q32_customer_quartiles": ORACLE_Q32,
     "q33_churned_buyers": ORACLE_Q33,
+    "q34_distinct_users": ORACLE_Q34,
 }
