@@ -241,7 +241,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     sums combine map-side, so the shuffle carries one 64-ints row per
     doc regardless of doc length. Docs with no tokens get simhash 0."""
     toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__tok"))
-    h = F.xxhash64("__tok")
+    # materialize the hash once per row — referencing xxhash64("__tok")
+    # in all 64 aggregates would recompute it per bit test
+    toks = toks.select(F.col(id_col), F.xxhash64("__tok").alias("__h"))
+    h = F.col("__h")
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
