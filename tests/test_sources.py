@@ -106,9 +106,13 @@ def test_custom_datasource_stream(spark):
     )
     import time
 
-    deadline = time.time() + 30
+    # generous deadline: each micro-batch pays Python-worker startup,
+    # and the host carries sporadic external load
+    deadline = time.time() + 90
     total = 0
     while time.time() < deadline:
+        if q.exception() is not None:
+            raise AssertionError(f"stream died: {q.exception()}")
         rows = spark.sql("SELECT sum(c) AS s FROM gen_out").collect()
         total = rows[0]["s"] or 0
         if total >= 24:  # at least two micro-batches
