@@ -32,10 +32,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The events table stores TIMESTAMP(NANOS), which Spark reads as long
     nanos under ``spark.sql.legacy.parquet.nanosAsLong`` — convert to a
     microsecond TimestampType (truncating, matching DuckDB's ns→µs cast).
+
+    Defensive: the confs are (re)applied here at runtime, not only in
+    get_session — callers (e.g. the verification driver) may hand us a
+    session built without them, which would otherwise fail the scan
+    (PARQUET_TYPE_ILLEGAL) or render the LTZ timestamps in a non-UTC
+    session zone and break oracle comparison.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F, types as T
 
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
