@@ -18,7 +18,7 @@ from sif_spark.operators.dedup import (
     simhash_near_dup_pairs,
     embedding_near_dup_pairs,
 )
-from sif_spark.operators.similarity import brute_force_knn, lsh_knn
+from sif_spark.operators.similarity import brute_force_knn, lsh_knn, ivf_knn
 from sif_spark.operators.text import (
     tokenize,
     token_count,
@@ -39,6 +39,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "brute_force_knn",
     "lsh_knn",
+    "ivf_knn",
     "tokenize",
     "token_count",
     "quality_score",

@@ -259,6 +259,116 @@ def lsh_knn(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer tier
+# ---------------------------------------------------------------------------
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF index: k-means
+    coarse quantizer (Spark MLlib) partitions the corpus into cells;
+    each query probes its ``n_probe`` nearest cells and exact-ranks
+    only those candidates.
+
+    The scale story: cell assignment is one MLlib transform (a scan),
+    the probe join is an equi-join on cell id (shuffle keyed by cell —
+    sized by n_cells, tunable), and re-ranking touches ~n_probe/n_cells
+    of the corpus. Recall is tunable via n_probe. Same output contract
+    as brute_force_knn: (qid, nid, rank, cosine)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    train = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    # a coarse quantizer doesn't need convergence — a few iterations
+    # give balanced-enough cells, and training cost is per-index-build
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    assigned = (
+        model.transform(train)
+        .select(F.col(id_col).alias("nid"), F.col("prediction").alias("cell"))
+        .join(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")), "nid")
+    )
+
+    # query-side probe list: small — computed on the driver
+    qids, Q = _collect_normalized(queries, vec_col, id_col)
+    cnorm = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    probe_cells = np.argsort(-(Q @ cnorm.T), axis=1)[:, :n_probe]
+    probes = spark.createDataFrame(
+        [
+            (int(qid), int(cell))
+            for qid, cells in zip(qids, probe_cells)
+            for cell in cells
+        ],
+        "qid long, cell int",
+    )
+
+    qvecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .join(F.broadcast(qvecs), "qid")
+        .withColumn("cosine", cosine_udf(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def lsh_similar_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Similar-pair search WITHOUT the broadcast-corpus assumption:
+    SRP-bucket the corpus, compare only within (table, bucket), verify
+    with exact cosine. The corpus shuffles once on uniformly-random
+    bucket bits (skew-free) and never crosses the driver — this is the
+    tier for corpora too large for cosine_all_pairs' broadcast.
+    Recall follows the SRP collision bound (tunable via tables/bits)."""
+    planes = np.stack([_random_planes(dim, bits, seed + t) for t in range(tables)])
+    a = _bucketize(df, vec_col, id_col, planes, "a")
+    b = _bucketize(df, vec_col, id_col, planes, "b")
+    return (
+        a.join(
+            b,
+            (F.col("atable") == F.col("btable"))
+            & (F.col("abucket") == F.col("bbucket"))
+            & (F.col("aid") < F.col("bid")),
+        )
+        .select(
+            F.col("aid").alias("id_a"),
+            F.col("bid").alias("id_b"),
+            F.col("avec"),
+            F.col("bvec"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_udf(F.col("avec"), F.col("bvec")))
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
 # All-pairs (similar-pair search)
 # ---------------------------------------------------------------------------
 

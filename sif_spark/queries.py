@@ -969,6 +969,18 @@ ORDER BY event_type
 """
 
 
+def q35_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate kNN — the
+    cell-partitioned scale tier of q11. Approximate + iterative
+    training → rows-only check; exact-recall-at-full-probe is asserted
+    in the test suite."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sgsim.ivf_knn(emb, queries, k=5, n_cells=16, n_probe=8, max_iter=3).select(
+        "qid", "nid", "rank"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1004,6 +1016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_customer_quartiles": q32_customer_quartiles,
     "q33_churned_buyers": q33_churned_buyers,
     "q34_distinct_users": q34_distinct_users,
+    "q35_ivf_knn": q35_ivf_knn,
 }
 
 ORACLES: dict[str, str] = {

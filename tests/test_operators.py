@@ -128,6 +128,29 @@ def test_embedding_near_dup(spark, vectors):
     assert (0, 4) in got and (2, 3) not in got
 
 
+def test_ivf_knn_recall_vs_brute_force(spark):
+    """IVF with enough probes must reproduce exact top-1 for most
+    queries on a small synthetic corpus."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = {
+        r["qid"]: r["nid"]
+        for r in sim.brute_force_knn(corpus, queries, k=1).collect()
+    }
+    approx = {
+        r["qid"]: r["nid"]
+        for r in sim.ivf_knn(corpus, queries, k=1, n_cells=4, n_probe=4).collect()
+    }
+    # probing ALL cells → recall must be exact
+    assert approx == exact
+
+
 def test_lsh_knn_recalls_identical(spark, vectors):
     """LSH with enough tables must recall the near-identical neighbor."""
     queries = vectors.filter(F.col("vec_id") == 0)
