@@ -248,6 +248,19 @@ class SifFrame:
     def distinct(self) -> "SifFrame":
         return self._wrap(self.df.distinct())
 
+    def cube(self, *cols: str, aggs: list[Column]) -> "SifFrame":
+        return self._wrap(self.df.cube(*cols).agg(*aggs))
+
+    def rollup(self, *cols: str, aggs: list[Column]) -> "SifFrame":
+        return self._wrap(self.df.rollup(*cols).agg(*aggs))
+
+    def observe(self, name: str, *extra: Column) -> "tuple[SifFrame, Any]":
+        """Attach a zero-extra-pass row observer (see sif_spark.stats)."""
+        from sif_spark.stats import observe_rows
+
+        df, obs = observe_rows(self.df, name, *extra)
+        return self._wrap(df), obs
+
     def order_by(self, *cols: ColumnLike) -> "SifFrame":
         return self._wrap(self.df.orderBy(*[_to_col(c) for c in cols]))
 

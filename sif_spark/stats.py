@@ -53,9 +53,15 @@ class RuntimeStats:
     partition per stage in Spark).
     """
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, job_group: str | None = None):
+        """``job_group``: scope statistics to jobs launched under this
+        group (set via ``spark.sparkContext.setJobGroup``) — without it
+        the tracker reports every job the session ever ran."""
         self._spark = spark
         self._sc = spark.sparkContext
+        self._group = job_group
+        if job_group is not None:
+            self._sc.setJobGroup(job_group, f"sif_spark stats group {job_group}")
         self._start = time.time()
 
     @property
@@ -67,13 +73,13 @@ class RuntimeStats:
         return time.time() - self._start
 
     def job_ids(self) -> list[int]:
-        return sorted(self._sc.statusTracker().getJobIdsForGroup(None))
+        return sorted(self._sc.statusTracker().getJobIdsForGroup(self._group))
 
     def stage_progress(self) -> list[StageProgress]:
         tracker = self._sc.statusTracker()
         out: list[StageProgress] = []
         seen: set[int] = set()
-        for job_id in tracker.getJobIdsForGroup(None):
+        for job_id in tracker.getJobIdsForGroup(self._group):
             info = tracker.getJobInfo(job_id)
             if info is None:
                 continue

@@ -22,7 +22,9 @@ def test_observe_rows(spark):
 
 
 def test_runtime_stats_progress(spark):
-    stats = RuntimeStats(spark)
+    # job-group scoped: other tests in this session run jobs (some
+    # with intentional task failures) that must not pollute the stats
+    stats = RuntimeStats(spark, job_group="stats-test")
     from_rows(spark, [(i,) for i in range(100)], "v int", num_partitions=5).df.groupBy(
         (F.col("v") % 3).alias("k")
     ).count().collect()
