@@ -13,6 +13,7 @@ from sif_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
+    minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dup_pairs,
@@ -33,6 +34,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",
+    "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs",
