@@ -236,28 +236,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     Classic construction: each token votes its xxhash64 bit pattern
     (+1 for set bits, −1 for clear); the sketch keeps the sign of each
-    bit's vote total. Shaped as explode → groupBy(id) with 64 unrolled
-    SUM aggregates (shift amounts must be Python ints in Spark) — the
-    sums combine map-side, so the shuffle carries one 64-ints row per
-    doc regardless of doc length. Docs with no tokens get simhash 0."""
+    bit's vote total — equivalently, bit b is set iff set-bit count
+    exceeds half the token count (strict majority; ties clear).
+
+    Shape: explode → groupBy(id) with 64 unrolled SUM aggregates
+    (bit-set count per lane; map-side combined, one 65-int row per doc
+    crosses the shuffle). A numpy-partial variant (np.add.at over
+    Arrow batches) was measured: the signature kernel alone is ~2×
+    faster, but Python worker overhead makes the full near-dup
+    pipeline ~2× slower at this scale — JVM aggregates win until doc
+    volume dwarfs worker startup. Docs with no tokens get simhash 0."""
     toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__tok"))
     # materialize the hash once per row — referencing xxhash64("__tok")
     # in all 64 aggregates would recompute it per bit test
     toks = toks.select(F.col(id_col), F.xxhash64("__tok").alias("__h"))
     h = F.col("__h")
     votes = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__v{b}")
+                F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
+            ).alias(f"__b{b}")
             for b in range(64)
-        ]
+        ],
     )
     sig = F.lit(0).cast("long")
     for b in range(64):
+        # strict majority of set bits ⟺ positive +1/−1 vote total
         sig = sig.bitwiseOR(
             F.when(
-                F.col(f"__v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+                2 * F.col(f"__b{b}") > F.col("__n"),
+                F.shiftleft(F.lit(1).cast("long"), b),
             ).otherwise(F.lit(0).cast("long"))
         )
     sigs = votes.select(F.col(id_col), sig.alias("simhash"))
@@ -286,7 +295,9 @@ def simhash_near_dup_pairs(
     n_bands = bands if bands is not None else min(max_hamming + 1, 16)
     widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sh = simhash(df, text_col, id_col)
+    # materialize signatures once: the band self-join references this
+    # subtree twice, and it contains a Python (Arrow) stage
+    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     chunks = sh.select(
         F.col(id_col),
         F.col("simhash"),
