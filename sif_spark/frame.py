@@ -316,3 +316,25 @@ class SifFrame:
 
     def write_json(self, path: str, mode: str = "overwrite") -> None:
         self.df.write.mode(mode).json(path)
+
+    def write_bucketed(
+        self,
+        table_name: str,
+        num_buckets: int,
+        bucket_cols: list[str],
+        path: str | None = None,
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """Write as a bucketed (and optionally sorted) table: rows are
+        hash-partitioned into ``num_buckets`` files per partition on
+        ``bucket_cols`` at write time, so later equi-joins and
+        aggregations on those columns read co-located data and skip the
+        shuffle entirely — the standard way to amortize one shuffle
+        across every future join at 100 TB. Read back via
+        ``spark.table(table_name)``."""
+        w = self.df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        if path:
+            w = w.option("path", path)
+        w.format("parquet").saveAsTable(table_name)

@@ -70,6 +70,27 @@ def test_salted_key_spreads(spark):
     assert n == 8
 
 
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketed tables: a join on the bucket key must not shuffle
+    either side (zero hash-partitioning exchanges in the plan)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sif_spark.frame import SifFrame
+    from sif_spark.plans import plan_string
+
+    d = tempfile.mkdtemp(prefix="sif_bucket_")
+    left = SifFrame(spark.range(0, 1000).withColumn("v", F.col("id") * 2))
+    right = SifFrame(spark.range(0, 500).withColumn("w", F.col("id") + 1))
+    left.write_bucketed("bkt_left", 4, ["id"], path=f"{d}/l", sort_by=["id"])
+    right.write_bucketed("bkt_right", 4, ["id"], path=f"{d}/r", sort_by=["id"])
+    joined = spark.table("bkt_left").join(spark.table("bkt_right"), "id")
+    text = plan_string(joined, "simple")
+    assert "Exchange hashpartitioning" not in text
+    assert joined.count() == 500
+
+
 def test_to_timestamp_go(spark):
     from sif_spark import functions as SF_fns
 
