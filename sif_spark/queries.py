@@ -72,13 +72,13 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q01 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_e4,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
            * (100 - CAST(round(l_discount*100) AS BIGINT))
-           * (100 + CAST(round(l_tax*100) AS BIGINT))) AS sum_charge_e6,
+           * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -139,8 +139,8 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q03 = """
 SELECT n_name,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -221,7 +221,7 @@ def q06_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q06 = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -286,8 +286,8 @@ def q09_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q09 = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS total_tokens
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -314,7 +314,7 @@ def q10_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q10 = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value*100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -451,7 +451,7 @@ def q14_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q14 = """
 SELECT user_id,
-       SUM(new_session) AS n_sessions,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM (
   SELECT user_id,
@@ -484,11 +484,11 @@ def q15_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q15 = """
 SELECT CAST(ts AS DATE) AS day,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events
 GROUP BY 1
 ORDER BY 1
@@ -605,7 +605,7 @@ def q19_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q19 = """
 SELECT source,
-       SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_bpe_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS total_bpe_tokens,
        COUNT(*) AS n_docs
 FROM documents
 GROUP BY source ORDER BY source
@@ -673,8 +673,8 @@ def q22_global_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q22 = """
 SELECT COUNT(*) AS row_count,
-       SUM(CAST(round(l_quantity) AS BIGINT)) AS qty_sum,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS price_cents_sum
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents_sum
 FROM lineitem
 """
 
@@ -757,7 +757,7 @@ WITH per_part AS (
 )
 SELECT p_brand,
        COUNT(*) AS n_small,
-       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS price_cents
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
 FROM lineitem
 JOIN per_part USING (l_partkey)
 JOIN part ON p_partkey = l_partkey
@@ -791,8 +791,8 @@ def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q28 = """
 SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
-       SUM(CAST(round(l_extendedprice*100) AS BIGINT)
-           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revenue_e4
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -822,7 +822,7 @@ def q29_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q29 = """
 SELECT o_orderpriority, o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority, o_orderstatus
@@ -849,7 +849,7 @@ def q30_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q30 = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
 FROM events
@@ -879,13 +879,13 @@ def q31_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q31 = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS day_cents
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents
   FROM orders GROUP BY day
 )
 SELECT day, day_cents,
-       SUM(day_cents) OVER w AS win_cents,
+       CAST(SUM(day_cents) OVER w AS BIGINT) AS win_cents,
        COUNT(*) OVER w AS win_days,
-       SUM(day_cents) OVER w / COUNT(*) OVER w AS moving_avg_cents
+       CAST(SUM(day_cents) OVER w AS BIGINT) / (COUNT(*) OVER w) AS moving_avg_cents
 FROM daily
 WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day
@@ -911,10 +911,10 @@ def q32_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q32 = """
 WITH spend AS (
-  SELECT o_custkey, SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS spend_cents
+  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS spend_cents
   FROM orders GROUP BY o_custkey
 )
-SELECT quartile, COUNT(*) AS n_customers, SUM(spend_cents) AS quartile_cents
+SELECT quartile, COUNT(*) AS n_customers, CAST(SUM(spend_cents) AS BIGINT) AS quartile_cents
 FROM (
   SELECT spend_cents,
          ntile(4) OVER (ORDER BY spend_cents DESC, o_custkey) AS quartile
