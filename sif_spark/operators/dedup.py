@@ -96,14 +96,21 @@ def minhash_lsh_candidates(
     (band_index, band_hash). The join key includes the band hash —
     uniformly distributed, so the shuffle is skew-free; identical docs
     collide in all bands, unrelated docs in none."""
+    # Band hashes are unrolled into a literal array (num_bands is a
+    # plan-time constant) so every xxhash64 stays in codegen; a
+    # F.transform lambda would evaluate interpreted per band.
     bands = sigs.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast("string")
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(
+                            F.col("sig"), b * rows_per_band + 1, rows_per_band
+                        ).cast("string")
+                    )
+                    for b in range(num_bands)
+                ]
             )
         ).alias("band", "band_hash"),
     )
@@ -185,18 +192,16 @@ def ngram_jaccard_pairs(
     # Shingles are joined as 64-bit xxhash values, not strings: the
     # inverted-index shuffle carries 8-byte keys and the intersection
     # counts are unchanged (collisions at 2^-64 are noise at any scale).
-    keyed = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles(text_col, k), lambda g: F.xxhash64(g))
-        ).alias("__sh"),
-    )
+    # Hash AFTER the explode: xxhash64 over a scalar column stays in
+    # whole-stage codegen, while hashing inside F.transform evaluates
+    # the lambda interpreted per element (measured 10-50× slower for
+    # higher-order functions generally — ADVICE r1).
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("__g")
+    ).select(F.col(id_col), F.xxhash64("__g").alias("shingle"))
     if persist:
-        keyed = keyed.localCheckpoint(eager=False)
-    sizes = keyed.select(F.col(id_col), F.size("__sh").alias("sz")).filter(
-        F.col("sz") > 0
-    )
-    sh = keyed.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+        # Materialized once: referenced by sizes + both self-join sides.
+        sh = sh.localCheckpoint(eager=False)
     if max_shingle_freq is not None:
         freq_ok = (
             sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -204,8 +209,9 @@ def ngram_jaccard_pairs(
             .drop("df_")
         )
         sh = sh.join(freq_ok, "shingle")
-        # Stop-shingle filtering changes effective set sizes.
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # shingles() emits per-doc distinct grams, so a per-doc count IS the
+    # (post-filter) set size.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

@@ -1,0 +1,100 @@
+"""Distributed global ranking — scale-safe replacements for
+``Window.orderBy(...)`` with no partitionBy (a single-task global sort,
+the one plan shape that cannot survive 100 TB; VERDICT.md r1 flagged
+q32's global ntile as a scale-killer).
+
+Strategy (the classic two-phase sort-rank): range-repartition on the
+order keys so partitions hold disjoint key ranges, sort within
+partitions, count rows per partition (a tiny per-partition aggregate
+collected to the driver — #partitions values, not data), broadcast the
+cumulative offsets back, and compute ``global_rank = offset +
+row_number() over (partition-local window)``. Every step is distributed;
+the only driver-side state is one integer per partition — the same
+coordinator-side layout metadata the reference keeps for its
+range-partitioned shuffles (go-sif partition/shuffle design, SURVEY.md
+§4).
+
+Determinism: callers must pass a total order (include a unique
+tie-break column); the rank is then independent of partition boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _global_rank_with_total(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = df.repartitionByRange(int(parts), *order_by).sortWithinPartitions(
+        *order_by
+    )
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # localCheckpoint: the partition-count pass and the ranked output
+    # must see the SAME partitioning (repartitionByRange samples; two
+    # executions could draw different boundaries).
+    with_pid = with_pid.localCheckpoint(eager=False)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.lit(0)
+    for pid, off in offsets.items():
+        offset_expr = F.when(F.col("__pid") == pid, F.lit(off)).otherwise(offset_expr)
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    out = (
+        with_pid.withColumn(rank_col, offset_expr + F.row_number().over(w))
+        .drop("__pid")
+    )
+    return out, acc
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based global row number under ``order_by`` (must be a
+    total order) without a global single-partition window."""
+    out, _ = _global_rank_with_total(df, order_by, rank_col, num_partitions)
+    return out
+
+
+def ntile_distributed(
+    df: DataFrame,
+    n: int,
+    order_by: list[Column],
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY ...)`` semantics, distributed.
+
+    SQL ntile: with N rows, the first ``N % n`` tiles get ``N//n + 1``
+    rows, the rest ``N//n`` — reproduced from the global rank by closed
+    formula, so the output is bit-identical to the window function while
+    the plan stays partitioned end-to-end.
+    """
+    ranked, total = _global_rank_with_total(
+        df, order_by, rank_col="__grank", num_partitions=num_partitions
+    )
+    q, r = divmod(total, n)
+    if q == 0:
+        tile = F.col("__grank")  # fewer rows than tiles: rank IS the tile
+    else:
+        big = r * (q + 1)  # rows covered by the (q+1)-sized leading tiles
+        tile = F.when(
+            F.col("__grank") <= F.lit(big),
+            F.floor((F.col("__grank") - 1) / F.lit(q + 1)) + 1,
+        ).otherwise(F.lit(r) + F.floor((F.col("__grank") - F.lit(big) - 1) / F.lit(q)) + 1)
+    return ranked.withColumn(tile_col, tile.cast("int")).drop("__grank")

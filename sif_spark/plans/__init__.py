@@ -4,6 +4,7 @@ from sif_spark.plans.audit import (
     join_strategies,
     has_pushed_filter,
     codegen_stage_count,
+    global_windows,
     audit,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "join_strategies",
     "has_pushed_filter",
     "codegen_stage_count",
+    "global_windows",
     "audit",
 ]

@@ -94,6 +94,36 @@ def codegen_stage_count(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _top_level_bracket_groups(s: str) -> int:
+    """Count top-level ``[...]`` groups in a plan line."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def global_windows(df: DataFrame) -> list[str]:
+    """Window nodes with NO partition spec — each one is a single-task
+    global sort at execution time ("WindowExec: No Partition Defined"
+    warning), the plan shape that cannot scale. A partitioned Window
+    renders as ``Window [exprs], [partitionSpec], [orderSpec]`` (3
+    top-level bracket groups); a global one omits the partition spec
+    (2 groups). Returns the offending plan lines."""
+    text = plan_string(df, "simple")
+    out = []
+    for line in text.splitlines():
+        stripped = line.strip().lstrip("+-*: ")
+        if stripped.startswith("Window ") and _top_level_bracket_groups(stripped) == 2:
+            out.append(stripped[:160])
+    return out
+
+
 def audit(df: DataFrame) -> dict:
     """One-call plan summary for logging/regression tests."""
     return {

@@ -389,11 +389,14 @@ ON p.user_id = c.user_id AND p.ts >= c.ts
 
 def q13_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard similar pairs (≥ 0.2) via inverted-
-    index self-join with stop-shingle guard. jaccard is a double but is
-    a single division of exact ints — bit-identical across engines."""
+    index self-join WITH the stop-shingle guard on (max doc-frequency
+    100 — mirrored in the oracle's HAVING clause): a hot shingle shared
+    by N docs would otherwise make the self-join quadratic in N at
+    corpus scale. jaccard is a double but is a single division of exact
+    ints — bit-identical across engines."""
     d = read_table(spark, sf_dir, "documents")
     pairs = sgdedup.ngram_jaccard_pairs(
-        d, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=None
+        d, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=100
     )
     return pairs.select("id_a", "id_b", "inter", "jaccard")
 
@@ -412,10 +415,12 @@ sh AS (
     FROM toks WHERE len(w) >= 3
   )
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ok AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.gram FROM sh JOIN ok USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, inter,
@@ -894,13 +899,23 @@ ORDER BY day
 
 def q32_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) quartiles of customers by total spend (ties broken by
-    custkey for engine determinism), with per-quartile rollups."""
+    custkey for engine determinism), with per-quartile rollups.
+
+    Uses the distributed ntile (operators/ranking.py) — range-partitioned
+    rank + closed-form tile assignment — instead of
+    ``Window.orderBy(...)`` with no partitionBy, which would pull every
+    customer into one task (round-1 VERDICT's scale-killer). Output is
+    bit-identical to the window-function ntile; the oracle still uses
+    DuckDB's native ntile."""
+    from sif_spark.operators.ranking import ntile_distributed
+
     o = read_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(_cents("o_totalprice")).alias("spend_cents"))
-    w = Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
+    tiled = ntile_distributed(
+        spend, 4, [F.col("spend_cents").desc(), F.col("o_custkey")], tile_col="quartile"
+    )
     return (
-        spend.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
+        tiled.groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("spend_cents").alias("quartile_cents"),

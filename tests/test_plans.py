@@ -91,6 +91,42 @@ def test_bucketed_join_avoids_shuffle(spark):
     assert joined.count() == 500
 
 
+def test_no_global_windows_in_catalog(spark):
+    """No catalog query may plan a partition-less Window (single-task
+    global sort — round-1 VERDICT's scale-killer in q32), except
+    q31_moving_avg, whose window input is pre-aggregated to one row per
+    calendar day (cardinality bounded at any corpus size — accepted in
+    the same VERDICT)."""
+    from sif_spark.plans import global_windows
+
+    window_queries = [
+        "q04_topk_orders_per_customer",
+        "q14_sessionization",
+        "q31_moving_avg",
+        "q32_customer_quartiles",
+    ]
+    offenders = {
+        q: gw for q in window_queries
+        if (gw := global_windows(QUERIES[q](spark, SF)))
+    }
+    assert set(offenders) <= {"q31_moving_avg"}, offenders
+
+
+def test_ntile_distributed_matches_window_ntile(spark):
+    """Distributed ntile must be bit-identical to the window function."""
+    from pyspark.sql import Window, functions as F
+
+    from sif_spark.operators.ranking import ntile_distributed
+
+    df = spark.range(0, 1003).withColumn("v", (F.col("id") * 37) % 991)
+    order = [F.col("v").desc(), F.col("id")]
+    expected = df.withColumn("t", F.ntile(7).over(Window.orderBy(*order)))
+    got = ntile_distributed(df, 7, order, tile_col="t")
+    exp = {(r["id"], r["t"]) for r in expected.collect()}
+    act = {(r["id"], r["t"]) for r in got.collect()}
+    assert act == exp
+
+
 def test_to_timestamp_go(spark):
     from sif_spark import functions as SF_fns
 
