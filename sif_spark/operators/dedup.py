@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from sif_spark.operators.text import fingerprint_md5, shingles, tokenize
+from sif_spark.operators.text import fingerprint_md5, hash60, shingles, tokenize
 
 
 # ---------------------------------------------------------------------------
@@ -57,24 +57,31 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>) — per-doc MinHash signature.
 
-    Each hash function j is xxhash64(shingle, j); the signature element
-    is the min over the doc's shingle set. Shaped as explode →
-    groupBy(id) with num_hashes unrolled MIN aggregates: MIN combines
-    map-side, the shuffle carries one signature row per doc, and the
-    whole thing stays in whole-stage codegen (array higher-order
-    functions would run interpreted — measured ~10× slower). Docs with
-    no shingles (< k tokens) are dropped — near-dup detection over
-    empty shingle sets is meaningless (exact dedup owns those)."""
+    Each hash function j is xxhash64(shingle, j) (or, with
+    ``hash_fn='md5'``, the engine-portable hash60(shingle + '#~' + j)
+    so a DuckDB oracle can replay the signatures exactly); the
+    signature element is the min over the doc's shingle set. Shaped as
+    explode → groupBy(id) with num_hashes unrolled MIN aggregates: MIN
+    combines map-side, the shuffle carries one signature row per doc,
+    and the whole thing stays in whole-stage codegen (array
+    higher-order functions would run interpreted — measured ~10×
+    slower). Docs with no shingles (< k tokens) are dropped — near-dup
+    detection over empty shingle sets is meaningless (exact dedup owns
+    those)."""
     sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, k=shingle_k)).alias("__shingle")
     )
-    aggs = [
-        F.min(F.xxhash64("__shingle", F.lit(j))).alias(f"__h{j}")
-        for j in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        def h(j: int):
+            return hash60(F.concat_ws("", F.col("__shingle"), F.lit(f"#~{j}")))
+    else:
+        def h(j: int):
+            return F.xxhash64("__shingle", F.lit(j))
+    aggs = [F.min(h(j)).alias(f"__h{j}") for j in range(num_hashes)]
     return (
         sh.groupBy(id_col)
         .agg(*aggs)
@@ -137,12 +144,19 @@ def minhash_dedup_pairs(
     shingle_k: int = 3,
     num_bands: int = 16,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash near-dup pipeline: signatures → LSH candidates →
     estimated-Jaccard filter (matching signature fraction ≥ threshold).
-    Returns (id_a, id_b, est_jaccard)."""
+    Returns (id_a, id_b, est_jaccard). ``hash_fn='md5'`` makes the
+    whole pipeline DuckDB-verifiable (candidate membership is decided
+    by band-slice equality, which is hash-independent, so the oracle
+    joins on the slices directly)."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
+    # the band self-join + both est-join sides reference the signature
+    # subtree; materialize it once
+    sigs = sigs.localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(sigs, id_col, num_bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -237,25 +251,39 @@ def ngram_jaccard_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+def simhash_bits(hash_fn: str) -> int:
+    """Signature width per hash primitive: xxhash64 fills 64 bits; the
+    portable hash60 yields 60 usable bits."""
+    return 60 if hash_fn == "md5" else 64
 
-    Classic construction: each token votes its xxhash64 bit pattern
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens
+    (60-bit with ``hash_fn='md5'``, the DuckDB-verifiable variant).
+
+    Classic construction: each token votes its hash bit pattern
     (+1 for set bits, −1 for clear); the sketch keeps the sign of each
     bit's vote total — equivalently, bit b is set iff set-bit count
     exceeds half the token count (strict majority; ties clear).
 
-    Shape: explode → groupBy(id) with 64 unrolled SUM aggregates
-    (bit-set count per lane; map-side combined, one 65-int row per doc
-    crosses the shuffle). A numpy-partial variant (np.add.at over
-    Arrow batches) was measured: the signature kernel alone is ~2×
-    faster, but Python worker overhead makes the full near-dup
-    pipeline ~2× slower at this scale — JVM aggregates win until doc
-    volume dwarfs worker startup. Docs with no tokens get simhash 0."""
+    Shape: explode → groupBy(id) with one unrolled SUM aggregate per
+    bit lane (map-side combined, one (bits+1)-int row per doc crosses
+    the shuffle). A numpy-partial variant (np.add.at over Arrow
+    batches) was measured: the signature kernel alone is ~2× faster,
+    but Python worker overhead makes the full near-dup pipeline ~2×
+    slower at this scale — JVM aggregates win until doc volume dwarfs
+    worker startup. Docs with no tokens get simhash 0."""
+    n_bits = simhash_bits(hash_fn)
+    hasher = hash60 if hash_fn == "md5" else F.xxhash64
     toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__tok"))
-    # materialize the hash once per row — referencing xxhash64("__tok")
-    # in all 64 aggregates would recompute it per bit test
-    toks = toks.select(F.col(id_col), F.xxhash64("__tok").alias("__h"))
+    # materialize the hash once per row — referencing hasher("__tok")
+    # in all the aggregates would recompute it per bit test
+    toks = toks.select(F.col(id_col), hasher(F.col("__tok")).alias("__h"))
     h = F.col("__h")
     votes = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
@@ -263,11 +291,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             F.sum(
                 F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
             ).alias(f"__b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         # strict majority of set bits ⟺ positive +1/−1 vote total
         sig = sig.bitwiseOR(
             F.when(
@@ -283,12 +311,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def simhash_band_layout(n_bits: int, n_bands: int) -> list[tuple[int, int, int]]:
+    """(band_index, bit_offset, width) triples splitting an n_bits
+    signature into n_bands near-equal chunks — shared by the Spark
+    operator and the DuckDB oracle generator so both band identically."""
+    widths = [
+        n_bits // n_bands + (1 if i < n_bits % n_bands else 0) for i in range(n_bands)
+    ]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    return [(i, offsets[i], widths[i]) for i in range(n_bands)]
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
     bands: int | None = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -298,12 +338,14 @@ def simhash_near_dup_pairs(
     Wider bands (fewer) are cheaper but only a candidate filter —
     callers trading recall for cost at huge corpus sizes pass
     ``bands=4`` (16-bit chunks, uniform buckets, skew-free join)."""
+    n_bits = simhash_bits(hash_fn)
     n_bands = bands if bands is not None else min(max_hamming + 1, 16)
-    widths = [64 // n_bands + (1 if i < 64 % n_bands else 0) for i in range(n_bands)]
-    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    layout = simhash_band_layout(n_bits, n_bands)
+    widths = [w for _, _, w in layout]
+    offsets = [o for _, o, _ in layout]
     # materialize signatures once: the band self-join references this
     # subtree twice, and it contains a Python (Arrow) stage
-    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
+    sh = simhash(df, text_col, id_col, hash_fn).localCheckpoint(eager=False)
     chunks = sh.select(
         F.col(id_col),
         F.col("simhash"),

@@ -82,6 +82,23 @@ def language_id(col: Column | str) -> Column:
     return best_lang
 
 
+def hash60(col: Column | str) -> Column:
+    """Engine-portable 60-bit hash: the big-endian integer value of the
+    first 15 hex chars of md5. Both engines share md5 and hex→int
+    conversion, and 60 bits stays clear of BIGINT-overflow in ANSI mode:
+
+    - Spark:  ``CAST(conv(substr(md5(x),1,15), 16, 10) AS BIGINT)``
+    - DuckDB: ``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``
+
+    Used by the oracle-checkable variants of the sketch operators
+    (minhash / simhash / rolling fingerprint) so the driver's DuckDB
+    differential can verify them value-for-value. xxhash64 stays the
+    default in production paths — it's one JVM intrinsic vs md5's
+    digest+hex+parse chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Content fingerprint: md5 of the whitespace-normalized, lowercased
     text. The canonical exact-dedup key — identical in any engine."""
@@ -107,6 +124,56 @@ def rolling_hash_fingerprint(col: Column | str, window: int = 8) -> Column:
         idxs, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
     )
     return F.array_min(window_hash)
+
+
+def rolling_fingerprints(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    hash_fn: str = "xxhash64",
+):
+    """Winnowing-style rolling-hash sketch as a frame operator:
+    (id, sketch) with sketch = min hash over every ``window``-token
+    gram. Shift-tolerant dedup blocking key.
+
+    Shape: posexplode tokens → per-doc lead() window rebuilds each gram
+    as a scalar column → hash (codegen'd builtin, unlike the
+    interpreted per-element lambda of the column-expression form) →
+    min-groupBy with map-side combine. One shuffle on the doc id, which
+    the window and the groupBy share. Docs with no tokens get
+    hash("") — same contract as the column form.
+
+    ``hash_fn='md5'`` switches to the engine-portable
+    :func:`hash60`, making the sketch DuckDB-verifiable.
+    """
+    from pyspark.sql import Window
+
+    hasher = hash60 if hash_fn == "md5" else F.xxhash64
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("__t"))
+    exploded = toks.select(
+        F.col(id_col),
+        F.size("__t").alias("__n"),
+        F.posexplode("__t").alias("__pos", "__tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    gram = F.concat_ws(
+        " ", F.col("__tok"), *[F.lead("__tok", j).over(w) for j in range(1, window)]
+    )
+    sketches = (
+        exploded.withColumn("__gram", gram)
+        # window start positions only: 0 .. max(n-window, 0); for docs
+        # shorter than the window the single pos-0 gram is the whole doc
+        .filter(F.col("__pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
+        .groupBy(id_col)
+        .agg(F.min(hasher(F.col("__gram"))).alias("sketch"))
+    )
+    empty_hash = hasher(F.lit(""))
+    return (
+        df.select(id_col)
+        .join(sketches, id_col, "left")
+        .withColumn("sketch", F.coalesce(F.col("sketch"), empty_hash))
+    )
 
 
 def shingles(col: Column | str, k: int = 3) -> Column:
