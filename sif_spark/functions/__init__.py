@@ -39,6 +39,17 @@ def key_columns(*cols: str) -> Column:
     return _F.xxhash64(*[_F.col(c) for c in cols])
 
 
+def key_columns_portable(*cols: str) -> Column:
+    """Engine-portable variant of :func:`key_columns`: hash60 of the
+    unit-separator-joined string forms of the columns. Same compound-
+    key contract, but DuckDB can replay it exactly
+    (``CAST('0x'||substr(md5(concat_ws(chr(31), ...)),1,15) AS
+    BIGINT)``) — used where a key must cross the oracle boundary."""
+    from sif_spark.operators.text import hash60
+
+    return hash60(_F.concat_ws("\x1f", *[_F.col(c).cast("string") for c in cols]))
+
+
 def salted_key(*cols: str, buckets: int = 16) -> Column:
     """Skew-salting helper: a 64-bit shuffle key that spreads each
     logical key over ``buckets`` distinct values (key hash combined

@@ -45,6 +45,7 @@ _MAGIC = {
     "riff": b"RIFF",  # wav/avi container
     "mp3": b"ID3",
     "pdf": b"%PDF",
+    "parquet": b"PAR1",
 }
 
 

@@ -1208,3 +1208,10 @@ ORACLES: dict[str, str] = {
     "q34_distinct_users": ORACLE_Q34,
     "q35_ivf_knn": ORACLE_Q11,
 }
+
+# Extension catalog (q36+): sources/sinks/terminators/streaming/scenario
+# entries — see sif_spark/queries_ext.py.
+from sif_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+ORACLES.update(EXT_ORACLES)

@@ -1,0 +1,823 @@
+"""Extension catalog: oracle-checked entries for the operators that
+round 1 covered only with pytest (VERDICT.md "Next round" #3).
+
+Every §2 operator the reference ships — sources (DSV conf, decoder,
+memory, custom DataSource, memorystream), SifFrame transforms (Group,
+Repartition, RepartitionReduce, map_rows/IgnoreRowErrors, reduce_rows,
+schema ops), terminators (Collect partition-limit, custom
+accumulators), sinks (CSV, bucketed tables) and streaming — gets a
+``(spark, sf_dir) → DataFrame`` entry here plus a DuckDB oracle, so the
+driver's hash gate verifies it value-for-value instead of trusting unit
+tests.
+
+I/O-exercising entries (DSV round-trip, JSONL, bucketed tables) write
+derived files under /tmp and read them back; the oracle computes the
+same answer straight from the parquet views, so the gate proves the
+write→read path preserves data exactly. Paths are keyed by scale factor
+and overwritten idempotently.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import time
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from sif_spark.accumulators import PyAccumulator
+from sif_spark.frame import SifFrame
+from sif_spark.functions import cents, key_columns_portable
+from sif_spark.sources.dsv import DSVConf, read_dsv, read_dsv_decoded
+from sif_spark.sources.jsonl import read_jsonl
+from sif_spark.sources.memory import from_rows
+from sif_spark.sources.parquet import read_table
+
+
+def _io_dir(sf_dir: str, leaf: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/sif_catalog_io/{base}/{leaf}"
+
+
+# ---------------------------------------------------------------------------
+# Sources: DSV conf / decoder / memory / custom DataSource
+# ---------------------------------------------------------------------------
+
+_SUPPLIER_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType()),
+        T.StructField("s_nationkey", T.LongType()),
+        T.StructField("acct_cents", T.LongType()),
+    ]
+)
+
+
+def _supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → (suppkey, nationkey, acct_cents with negatives as
+    NULL) — the shape both DSV round-trips write out. The NULLs
+    exercise the reference's NilValue parsing (dsv_utils.go:16-18)."""
+    s = read_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.when(F.col("s_acctbal") >= 0, cents("s_acctbal")).alias("acct_cents"),
+    )
+
+
+_DSV_AGG_ORACLE = """
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       COUNT(CASE WHEN s_acctbal >= 0 THEN 1 END) AS n_with_acct,
+       CAST(SUM(CASE WHEN s_acctbal >= 0
+                     THEN CAST(round(s_acctbal*100) AS BIGINT) END) AS BIGINT) AS acct_cents_sum
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def _dsv_aggregate(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.count("acct_cents").alias("n_with_acct"),
+            F.sum("acct_cents").alias("acct_cents_sum"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def q36_dsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSV parser conf + CSV sink round-trip: write supplier as
+    pipe-delimited CSV with header and an explicit NilValue marker,
+    read it back through the reference-config DSV source
+    (dsv_parser.go:11-17 {Delimiter, HeaderLines, NilValue}), and
+    aggregate. The oracle computes the same aggregate straight from
+    parquet — equality proves the sink→parse path loses nothing,
+    including nulls."""
+    out = _io_dir(sf_dir, "supplier_dsv")
+    (
+        _supplier_projection(spark, sf_dir)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("sep", "|")
+        .option("nullValue", r"\N")
+        .option("emptyValue", r"\N")
+        .csv(out)
+    )
+    frame = read_dsv(
+        spark,
+        f"{out}/*.csv",
+        _SUPPLIER_CSV_SCHEMA,
+        DSVConf(delimiter="|", header_lines=1, nil_value=r"\N"),
+    )
+    return _dsv_aggregate(frame.df)
+
+
+def q37_dsv_decoder_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file decoder pre-pass (reference DataSourceConf.Decoder,
+    datasource/file/file_datasource.go:24-47): write the same supplier
+    projection gzip-compressed, read via binaryFile → per-file
+    gzip.decompress → DSV parse. Same oracle as q36."""
+    out = _io_dir(sf_dir, "supplier_dsv_gz")
+    (
+        _supplier_projection(spark, sf_dir)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("sep", "|")
+        .option("nullValue", r"\N")
+        .option("emptyValue", r"\N")
+        .option("compression", "gzip")
+        .csv(out)
+    )
+    frame = read_dsv_decoded(
+        spark,
+        f"{out}/*.csv.gz",
+        _SUPPLIER_CSV_SCHEMA,
+        gzip.decompress,
+        DSVConf(delimiter="|", header_lines=1, nil_value=r"\N"),
+    )
+    return _dsv_aggregate(frame.df)
+
+
+def q38_memory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """memory.CreateDataFrame (memory_datasource.go:14-19): a static
+    in-memory dimension (region growth factors) broadcast-joined onto
+    parquet facts. The oracle inlines the same rows as VALUES."""
+    lookup = from_rows(
+        spark,
+        [(0, 11), (1, 12), (2, 13), (3, 14), (4, 15)],
+        "r_regionkey long, factor long",
+        num_partitions=2,
+    )
+    n = read_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_regionkey", "r_regionkey"
+    )
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(lookup.df), "r_regionkey")
+        .groupBy("r_regionkey", "factor")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents("c_acctbal") * F.col("factor")).alias("weighted_cents"),
+        )
+        .orderBy("r_regionkey")
+    )
+
+
+ORACLE_Q38 = """
+WITH lookup(r_regionkey, factor) AS (VALUES (0, 11), (1, 12), (2, 13), (3, 14), (4, 15))
+SELECT n.r_regionkey, factor,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT) * factor) AS BIGINT) AS weighted_cents
+FROM customer c
+JOIN (SELECT n_nationkey, n_regionkey AS r_regionkey FROM nation) n
+  ON c.c_nationkey = n.n_nationkey
+JOIN lookup USING (r_regionkey)
+GROUP BY n.r_regionkey, factor
+ORDER BY n.r_regionkey
+"""
+
+
+def q45_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PySpark DataSource (the reference's DataSource/
+    PartitionLoader extension point, datasource.go:21-27): the
+    deterministic LCG generator source read as a normal format. The
+    oracle replays the LCG in HUGEINT arithmetic over range(1000) —
+    every generated row is value-checked."""
+    from sif_spark.sources.custom import register
+
+    register(spark)
+    return (
+        spark.read.format("sif_generator")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .option("seed", 42)
+        .load()
+        .orderBy("id")
+    )
+
+
+ORACLE_Q45 = """
+SELECT CAST(i AS BIGINT) AS id,
+       CAST((((CAST(i AS HUGEINT) * 6364136223846793005
+               + 42 * CAST(1442695040888963407 AS HUGEINT))
+              % CAST(18446744073709551616 AS HUGEINT)) // 8589934592) % 10 AS INT) AS col1
+FROM (SELECT unnest(range(1000)) AS i)
+ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SifFrame transforms: schema ops / Group / Repartition(Reduce) /
+# map_rows / reduce_rows / KeyColumns
+# ---------------------------------------------------------------------------
+
+def q51_schema_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's schema-operator chain end-to-end: AddColumn →
+    Map(fill) → RenameColumn → RemoveColumn → Filter
+    (with_column.go/rename_column.go/remove_column.go). Catalyst
+    collapses the whole chain into one pruned projection."""
+    p = read_table(spark, sf_dir, "part")
+    frame = (
+        SifFrame(p)
+        .add_column("price_cents", T.LongType())
+        .with_column("price_cents", cents("p_retailprice"))
+        .rename_column("p_brand", "brand")
+        .remove_column("p_comment", "p_mfgr", "p_type")
+        .filter(F.col("p_size") >= 25)
+        .select("p_partkey", "brand", "p_size", "price_cents")
+        .order_by("p_partkey")
+    )
+    return frame.df
+
+
+ORACLE_Q51 = """
+SELECT p_partkey, p_brand AS brand, p_size,
+       CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+FROM part WHERE p_size >= 25 ORDER BY p_partkey
+"""
+
+
+def q39_group_colocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group (transform/group.go:9-23) feeding a keyed Reduce: the
+    group's hash repartitioning co-locates equal keys, and Catalyst's
+    exchange reuse means the downstream reduce re-uses that shuffle
+    instead of adding one — the reference's group-then-reduce pattern
+    with exactly one exchange."""
+    c = read_table(spark, sf_dir, "customer")
+    frame = (
+        SifFrame(c)
+        .group("c_nationkey")
+        .reduce(
+            ["c_nationkey"],
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents("c_acctbal")).alias("acct_cents"),
+        )
+        .order_by("c_nationkey")
+    )
+    return frame.df
+
+
+ORACLE_Q39 = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acct_cents
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q40_repartition_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repartition + RepartitionReduce (repartition.go:10-24,
+    repartition_reduce.go:10-25): explicit partition-count override on
+    the reduce shuffle. With AQE on the override is a hint runtime
+    coalescing may improve — exactly the right split of
+    responsibilities at scale."""
+    o = read_table(spark, sf_dir, "orders")
+    frame = (
+        SifFrame(o)
+        .repartition(16)
+        .repartition_reduce(
+            8,
+            ["o_orderpriority"],
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .order_by("o_orderpriority")
+    )
+    return frame.df
+
+
+ORACLE_Q40 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q41_map_rows_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque Map with per-row error tolerance (IgnoreRowErrors,
+    internal/util/operation.go:10-27): the closure raises on parts with
+    p_size > 45; those rows are dropped, not the task. The oracle is
+    the surviving-row aggregate — equality proves exactly the failing
+    rows (and only those) were discarded."""
+    import numpy as np
+
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+
+    def to_cents(pdf: pd.DataFrame) -> pd.DataFrame:
+        if (pdf["p_size"] > 45).any():
+            raise ValueError("oversize part")
+        return pd.DataFrame(
+            {
+                "p_partkey": pdf["p_partkey"],
+                "price_cents": np.round(pdf["p_retailprice"] * 100).astype("int64"),
+            }
+        )
+
+    frame = SifFrame(p).map_rows(
+        to_cents, "p_partkey long, price_cents long", ignore_row_errors=True
+    )
+    return frame.df.orderBy("p_partkey")
+
+
+ORACLE_Q41 = """
+SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+FROM part WHERE p_size <= 45 ORDER BY p_partkey
+"""
+
+
+def q42_reduce_rows_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom ReductionOperation (the reference's arbitrary-merge
+    escape hatch) via applyInPandas: per market segment, keep the
+    top-10 customers by account balance (integer-cents ordering,
+    custkey tie-break) and emit count + sum. The oracle replays it
+    with a window."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", cents("c_acctbal").alias("acct_cents")
+    )
+
+    def top10(pdf: pd.DataFrame) -> pd.DataFrame:
+        top = pdf.sort_values(
+            ["acct_cents", "c_custkey"], ascending=[False, True]
+        ).head(10)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "n_top": [len(top)],
+                "top_cents": [int(top["acct_cents"].sum())],
+            }
+        )
+
+    frame = SifFrame(c).reduce_rows(
+        ["c_mktsegment"], top10, "c_mktsegment string, n_top long, top_cents long"
+    )
+    return frame.df.orderBy("c_mktsegment")
+
+
+ORACLE_Q42 = """
+SELECT c_mktsegment, COUNT(*) AS n_top,
+       CAST(SUM(acct_cents) AS BIGINT) AS top_cents
+FROM (
+  SELECT c_mktsegment, acct_cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY acct_cents DESC, c_custkey) AS rn
+  FROM (SELECT c_mktsegment, c_custkey,
+               CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents
+        FROM customer)
+) WHERE rn <= 10
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q44_key_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyColumns (reduce.go:112-128): compound shuffle key over named
+    columns, in the portable hash60 form so DuckDB replays the exact
+    key values. Emits per-shipmode distinct-key counts and the min/max
+    key — verifying the key function value-for-value."""
+    l = read_table(spark, sf_dir, "lineitem")
+    keyed = l.select(
+        "l_returnflag",
+        key_columns_portable("l_orderkey", "l_linenumber").alias("k"),
+    )
+    return (
+        keyed.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("k").alias("n_keys"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q44 = """
+SELECT l_returnflag,
+       COUNT(DISTINCT k) AS n_keys, MIN(k) AS min_key, MAX(k) AS max_key
+FROM (
+  SELECT l_returnflag,
+         CAST(('0x' || substr(md5(concat_ws(chr(31),
+              CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) AS k
+  FROM lineitem
+)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Terminators: Collect partition-limit / custom accumulator
+# ---------------------------------------------------------------------------
+
+def q43_collect_partition_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """util.Collect with a PARTITION limit (collect.go:68-84 — the
+    reference limits collected partitions, not rows; SURVEY.md §7
+    hard-part c). The frame is repartitioned to 3 partitions and
+    collected with partition_limit=3 (full coverage), so the result is
+    deterministic and the oracle is the underlying query; the
+    subset-of-partitions case is inherently layout-dependent (exactly
+    as in the reference, where it returns 'whichever partitions arrive
+    first') and stays pytest-covered."""
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    rows = SifFrame(n).repartition(3, "n_regionkey").collect(partition_limit=3)
+    out = spark.createDataFrame(rows, n.schema)
+    return out.orderBy("n_nationkey")
+
+
+ORACLE_Q43 = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+"""
+
+
+def q47_custom_accumulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PyAccumulator (reference extension point,
+    accumulator.go:12-17): per-Arrow-batch fold into a dict state,
+    commutative merge, driver-side finish — here a language histogram
+    over documents. The tiny final state is re-lifted into a DataFrame
+    so the oracle can hash it."""
+    d = read_table(spark, sf_dir, "documents").select("lang")
+
+    def fold(pdf: pd.DataFrame) -> dict:
+        return pdf["lang"].value_counts().to_dict()
+
+    def merge(a: dict, b: dict) -> dict:
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = out.get(k, 0) + v
+        return out
+
+    hist = SifFrame(d).accumulate(PyAccumulator(accumulate=fold, merge=merge, zero={}))
+    rows = sorted((lang, int(cnt)) for lang, cnt in hist.items())
+    return spark.createDataFrame(rows, "lang string, n_docs long")
+
+
+ORACLE_Q47 = """
+SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sinks: bucketed tables
+# ---------------------------------------------------------------------------
+
+def q46_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table sink + shuffle-elided join: orders and customer
+    are written bucketed by the join key (8 buckets, sorted), then
+    joined — the join reads co-located buckets and skips both shuffles
+    (asserted plan-level in tests/test_plans.py). This is the
+    amortize-one-shuffle-forever pattern for 100 TB fact tables. The
+    oracle joins the parquet views directly."""
+    base = _io_dir(sf_dir, "bucketed")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    SifFrame(o.withColumnRenamed("o_custkey", "custkey")).write_bucketed(
+        "cat_orders_bkt", 8, ["custkey"], path=f"{base}/orders", sort_by=["custkey"]
+    )
+    SifFrame(c.withColumnRenamed("c_custkey", "custkey")).write_bucketed(
+        "cat_customer_bkt", 8, ["custkey"], path=f"{base}/customer", sort_by=["custkey"]
+    )
+    joined = spark.table("cat_orders_bkt").join(spark.table("cat_customer_bkt"), "custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q46 = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSONL dotted paths (EDSM shape) + streaming
+# ---------------------------------------------------------------------------
+
+def q50_jsonl_dotted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted-path JSONL (the reference's gjson parser + EDSM workload,
+    jsonl_utils.go:53-61, edsm_test.go:27-110): events are re-emitted
+    as nested JSON lines {"id", "meta": {"type", "k"}}, read back with
+    dotted paths ['id', 'meta.type', 'meta.k'] — flattened columns
+    NAMED by path, nil for missing — and aggregated. Oracle from the
+    original events table."""
+    out = _io_dir(sf_dir, "events_jsonl")
+    e = read_table(spark, sf_dir, "events")
+    nested = e.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.get_json_object("props", "$.k").cast("long").alias("k"),
+                ).alias("meta"),
+            )
+        ).alias("value")
+    )
+    nested.write.mode("overwrite").text(out)
+    frame = read_jsonl(spark, f"{out}/*.txt", paths=["id", "meta.type", "meta.k"])
+    df = frame.df
+    return (
+        df.groupBy(F.col("`meta.type`").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("`meta.k`").alias("k_sum"),
+            F.countDistinct("id").alias("n_ids"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q50 = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       COUNT(DISTINCT event_id) AS n_ids
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q48_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end, oracle-checked: the events
+    parquet is replayed as a file stream (availableNow trigger), the
+    hourly tumbling aggregation runs in complete mode into a memory
+    sink, and the settled sink contents are returned as a batch frame.
+    Equality with the batch oracle is the streaming-vs-batch
+    differential the reference only eyeballs
+    (internal/test/integration/stream_test.go:43)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    # The streaming file source requires a DIRECTORY; expose the single
+    # testdata file through a symlinked stream dir (bytes untouched).
+    stream_dir = _io_dir(sf_dir, "events_stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = stream.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"cat_stream_hourly_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("hour", "event_type")
+
+
+ORACLE_Q48 = """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q52_memorystream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """memorystream.CreateDataFrame parity (memorystream_datasource_
+    partitionloader.go:22-36): the custom DataSource's stream reader
+    generates 12-row micro-batches with exactly-once offsets; the
+    stream appends into a memory sink until the bounded generator
+    (max_rows=120) drains, then the sink is aggregated as a batch
+    frame. The oracle replays the LCG over range(120)."""
+    from sif_spark.sources.custom import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("sif_generator")
+        .option("batch_size", 12)
+        .option("seed", 42)
+        .option("max_rows", 120)
+        .load()
+    )
+    name = f"cat_memorystream_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.table(name).count() >= 120:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("col1")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("col1")
+    )
+
+
+ORACLE_Q52 = """
+WITH rows AS (
+  SELECT CAST(i AS BIGINT) AS id,
+         CAST((((CAST(i AS HUGEINT) * 6364136223846793005
+                 + 42 * CAST(1442695040888963407 AS HUGEINT))
+                % CAST(18446744073709551616 AS HUGEINT)) // 8589934592) % 10 AS INT) AS col1
+  FROM (SELECT unnest(range(120)) AS i)
+)
+SELECT col1, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+FROM rows GROUP BY col1 ORDER BY col1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scenario pipelines (reference acceptance workloads)
+# ---------------------------------------------------------------------------
+
+def q49_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's NYC-taxi heatmap acceptance shape
+    (internal/test/integration/nyc_taxi_test.go:30-226: bucket
+    coordinates to a grid, reduce to per-cell counts): events bucketed
+    to a (day-of-week × hour-of-day) grid with per-cell counts and
+    exact-cents value totals. Emitted as grid rows — the relational
+    form of the reference's HEATMAP custom column type."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).alias("cell_x"),  # 0=Sunday, matching DuckDB dow
+            F.hour("ts").alias("cell_y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_cents"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
+
+
+ORACLE_Q49 = """
+SELECT CAST(date_part('dow', ts) AS INT) AS cell_x,
+       CAST(date_part('hour', ts) AS INT) AS cell_y,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q53_lsh_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH similar-pair search WITHOUT the broadcast-corpus assumption
+    (similarity.lsh_similar_pairs) — the beyond-broadcast tier of q20.
+    Catalog parameters (16 tables × 2 bits) give perfect recall at gate
+    scale (verified vs the exact all-pairs), so q20's exact SQL is a
+    true oracle; production narrows tables/bits for cost."""
+    from sif_spark.operators.similarity import lsh_similar_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = lsh_similar_pairs(
+        emb, "embedding", "vec_id", min_cosine=0.45, dim=64, bits=2, tables=16
+    )
+    return pairs.select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+ORACLE_Q53 = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+),
+c AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pairs),
+s AS (
+  SELECT id_a, id_b,
+         SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+         / (sqrt(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+            * sqrt(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS sim
+  FROM c GROUP BY id_a, id_b
+)
+SELECT id_a, id_b FROM s WHERE sim >= 0.45 ORDER BY id_a, id_b
+"""
+
+
+def q54_multimodal_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline over REAL blobs: binaryFile-ingest the
+    sf-dir's parquet files themselves as opaque media, then
+    attach_metadata (sniffed format via magic bytes, size, content
+    hash) → dedup_blobs → decode_features with the deterministic
+    decoder (codecs are stubbed in this environment —
+    multimodal.py:119's documented gate).
+
+    The feature digest makes the DECODE path oracle-checkable: the
+    stand-in decoder's 8×8 byte-mod-64 histogram sums to exactly the
+    blob's byte count, and the 16 features are its row/col means, so
+    round(4 × Σfeatures) == n_bytes. DuckDB recomputes n_bytes, the
+    content hash (md5 of the lowercase hex of the bytes), and the magic
+    sniff from the same files via read_blob — any corruption anywhere
+    in ingest→hash→decode breaks equality.
+
+    The oracle hardcodes the driver's gate scale (sf0.01) because
+    read_blob needs a real path, not a registered view."""
+    from sif_spark.operators.multimodal import (
+        attach_metadata,
+        dedup_blobs,
+        decode_features,
+        fake_decoder,
+    )
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+            F.col("content"),
+        )
+    )
+    meta = attach_metadata(blobs, "content")
+    deduped = dedup_blobs(meta, "content", "fname")
+    feats = decode_features(deduped, "content", "fname", decoder=fake_decoder)
+    digest = F.round(
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double")) * 4
+    ).cast("long")
+    return (
+        deduped.select(
+            "fname",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.md5(F.lower(F.hex("content"))).alias("content_md5"),
+            F.col("meta.format").alias("format"),
+        )
+        .join(feats.select("fname", digest.alias("feature_digest")), "fname")
+        .orderBy("fname")
+    )
+
+
+ORACLE_Q54 = """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+       octet_length(content) AS n_bytes,
+       md5(lower(hex(content))) AS content_md5,
+       CASE WHEN left(hex(content), 8) = '50415231' THEN 'parquet'
+            ELSE 'unknown' END AS format,
+       octet_length(content) AS feature_digest
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+ORDER BY fname
+"""
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q36_dsv_roundtrip": q36_dsv_roundtrip,
+    "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
+    "q38_memory_source": q38_memory_source,
+    "q39_group_colocate": q39_group_colocate,
+    "q40_repartition_reduce": q40_repartition_reduce,
+    "q41_map_rows_errors": q41_map_rows_errors,
+    "q42_reduce_rows_topn": q42_reduce_rows_topn,
+    "q43_collect_partition_limit": q43_collect_partition_limit,
+    "q44_key_columns": q44_key_columns,
+    "q45_custom_source": q45_custom_source,
+    "q46_bucketed_join": q46_bucketed_join,
+    "q47_custom_accumulator": q47_custom_accumulator,
+    "q48_streaming_hourly": q48_streaming_hourly,
+    "q49_heatmap": q49_heatmap,
+    "q50_jsonl_dotted": q50_jsonl_dotted,
+    "q51_schema_ops": q51_schema_ops,
+    "q52_memorystream": q52_memorystream,
+    "q53_lsh_similar_pairs": q53_lsh_similar_pairs,
+    "q54_multimodal_blobs": q54_multimodal_blobs,
+}
+
+EXT_ORACLES: dict[str, str] = {
+    "q36_dsv_roundtrip": _DSV_AGG_ORACLE,
+    "q37_dsv_decoder_gzip": _DSV_AGG_ORACLE,
+    "q38_memory_source": ORACLE_Q38,
+    "q39_group_colocate": ORACLE_Q39,
+    "q40_repartition_reduce": ORACLE_Q40,
+    "q41_map_rows_errors": ORACLE_Q41,
+    "q42_reduce_rows_topn": ORACLE_Q42,
+    "q43_collect_partition_limit": ORACLE_Q43,
+    "q44_key_columns": ORACLE_Q44,
+    "q45_custom_source": ORACLE_Q45,
+    "q46_bucketed_join": ORACLE_Q46,
+    "q47_custom_accumulator": ORACLE_Q47,
+    "q48_streaming_hourly": ORACLE_Q48,
+    "q49_heatmap": ORACLE_Q49,
+    "q50_jsonl_dotted": ORACLE_Q50,
+    "q51_schema_ops": ORACLE_Q51,
+    "q52_memorystream": ORACLE_Q52,
+    "q53_lsh_similar_pairs": ORACLE_Q53,
+    "q54_multimodal_blobs": ORACLE_Q54,
+}

@@ -81,6 +81,11 @@ class _GeneratorStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict):
         self.batch_size = int(options.get("batch_size", 12))
         self.seed = int(options.get("seed", 42))
+        # Optional bound: beyond max_rows the generator idles (empty
+        # batches, offset parked) — lets tests/catalog entries drain a
+        # finite prefix deterministically. Unset = infinite, the
+        # reference's run-forever semantics.
+        self.max_rows = int(options["max_rows"]) if "max_rows" in options else None
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -88,8 +93,10 @@ class _GeneratorStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         begin = start["index"]
         end = begin + self.batch_size
+        if self.max_rows is not None:
+            end = min(end, self.max_rows)
         rows = [_gen_row(i, self.seed) for i in range(begin, end)]
-        return iter(rows), {"index": end}
+        return iter(rows), {"index": max(end, begin)}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         return iter(_gen_row(i, self.seed) for i in range(start["index"], end["index"]))

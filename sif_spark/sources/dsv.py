@@ -94,6 +94,15 @@ def read_dsv_decoded(
                     na_values=[conf.nil_value] if conf.nil_value else None,
                     keep_default_na=False,
                 )
+                # Nullable integral columns: pandas promotes int+NaN to
+                # float64, which Arrow refuses to cast back to long —
+                # use pandas' nullable Int64 so nil values survive as
+                # true nulls (reference NilValue semantics, dsv_utils.go:16-18).
+                for f in schema.fields:
+                    if isinstance(f.dataType, (T.LongType, T.IntegerType)) and (
+                        out[f.name].dtype.kind == "f"
+                    ):
+                        out[f.name] = out[f.name].astype("Int64")
                 yield out
 
     return SifFrame(binary.mapInPandas(parse, schema))
