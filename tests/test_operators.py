@@ -189,3 +189,54 @@ def test_rolling_hash_fingerprint_deterministic(spark):
     df = spark.createDataFrame([("one two three four five six seven eight nine",)] * 2, "text string")
     vals = [r["h"] for r in df.select(tx.rolling_hash_fingerprint("text").alias("h")).collect()]
     assert vals[0] == vals[1]
+
+
+def test_rolling_fingerprints_frame_matches_column_form(spark):
+    """The frame-operator winnowing sketch (explode + lead window) must
+    equal the column-expression form hash-for-hash in xxhash64 mode."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "short doc"),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", tx.rolling_hash_fingerprint("text").alias("s")).collect()
+    }
+    frame_form = {
+        r["doc_id"]: r["sketch"]
+        for r in tx.rolling_fingerprints(df, "text", "doc_id").collect()
+    }
+    assert frame_form == col_form
+
+
+def test_heatmap_maptype_reduce(spark):
+    """The reference's HEATMAP custom column type
+    (internal/test/integration/nyc_taxi_test.go:57-93) aggregates grid
+    cells into a map-valued column. Spark form: grid reduce →
+    map_from_entries per group — verify the map totals equal the flat
+    grid rows (q49's oracle-checked shape)."""
+    from pyspark.sql import functions as F
+
+    from sif_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    flat = QUERIES["q49_heatmap"](spark, sf)
+    as_map = (
+        flat.groupBy("cell_x")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cell_y", "n_events"))
+            ).alias("row_cells")
+        )
+    )
+    got = {
+        r["cell_x"]: dict(r["row_cells"]) for r in as_map.collect()
+    }
+    want: dict = {}
+    for r in flat.collect():
+        want.setdefault(r["cell_x"], {})[r["cell_y"]] = r["n_events"]
+    assert got == want
