@@ -121,30 +121,35 @@ class SifFrame:
 
         ``ignore_row_errors`` reproduces the reference's per-row error
         tolerance (internal/util/operation.go:10-27): a failing *row* is
-        dropped rather than failing the task, by retrying the batch
-        row-by-row only when the vectorized call raises.
+        dropped rather than failing the task. Bad rows are isolated by
+        BISECTION, not row-at-a-time: a failing batch is split in half
+        and each half retried, so clean runs succeed wholesale and the
+        cost is O(bad × log(batch)) fn calls instead of O(batch) —
+        errors are exceptional by contract, and the common
+        mostly-clean batch pays ~log extra calls total.
         """
         out_schema = schema or self.df.schema
+
+        def _salvage(pdf: pd.DataFrame, out: list) -> None:
+            try:
+                out.append(fn(pdf))
+                return
+            except Exception:
+                if len(pdf) <= 1:
+                    return  # the bad row — drop it
+            mid = len(pdf) // 2
+            _salvage(pdf.iloc[:mid], out)
+            _salvage(pdf.iloc[mid:], out)
 
         def _runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if not ignore_row_errors:
                     yield fn(pdf)
                     continue
-                try:
-                    yield fn(pdf)
-                except Exception:
-                    # Vectorized path failed: isolate bad rows (rare path —
-                    # mirrors the reference's copy-on-error fallback).
-                    good = []
-                    for i in range(len(pdf)):
-                        row = pdf.iloc[i : i + 1]
-                        try:
-                            good.append(fn(row))
-                        except Exception:
-                            continue
-                    if good:
-                        yield pd.concat(good, ignore_index=True)
+                good: list = []
+                _salvage(pdf, good)
+                if good:
+                    yield pd.concat(good, ignore_index=True)
 
         return self._wrap(self.df.mapInPandas(_runner, out_schema))
 

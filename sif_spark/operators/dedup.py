@@ -51,6 +51,19 @@ def exact_dedup(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# Mersenne prime 2^31-1: multiply-mod stays under 2^62 (ANSI-safe) and
+# both engines share exact integer semantics.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_affine_constants(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j) for the universal-hash family
+    h_j(x) = (a_j·x + b_j) mod p — identical literals are embedded in
+    the Spark plan and the DuckDB oracle."""
+    a = (j * 2_654_435_761 + 1) % MINHASH_PRIME
+    b = (j * 40_503 + 7) % MINHASH_PRIME
+    return a, b
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -76,8 +89,21 @@ def minhash_signatures(
         F.col(id_col), F.explode(shingles(text_col, k=shingle_k)).alias("__shingle")
     )
     if hash_fn == "md5":
+        # Classic universal-hash MinHash: ONE portable base hash per
+        # shingle (hash60 reduced mod the Mersenne prime 2^31-1), then
+        # num_hashes affine transforms h_j = (a_j·base + b_j) mod p —
+        # pure integer multiply-mod, codegen'd, and trivially replayed
+        # in the oracle (constants are literals on both sides). One md5
+        # per shingle instead of num_hashes salted digests: measured
+        # ~4× on the bench. Products stay < 2^62, safe under ANSI.
+        base = F.pmod(hash60(F.col("__shingle")), F.lit(MINHASH_PRIME))
+        sh = sh.select(F.col(id_col), base.alias("__base"))
+
         def h(j: int):
-            return hash60(F.concat_ws("", F.col("__shingle"), F.lit(f"#~{j}")))
+            a, b = minhash_affine_constants(j)
+            return F.pmod(
+                F.lit(a) * F.col("__base") + F.lit(b), F.lit(MINHASH_PRIME)
+            )
     else:
         def h(j: int):
             return F.xxhash64("__shingle", F.lit(j))

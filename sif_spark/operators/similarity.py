@@ -346,22 +346,36 @@ def lsh_similar_pairs(
     tier for corpora too large for cosine_all_pairs' broadcast.
     Recall follows the SRP collision bound (tunable via tables/bits)."""
     planes = np.stack([_random_planes(dim, bits, seed + t) for t in range(tables)])
-    a = _bucketize(df, vec_col, id_col, planes, "a")
-    b = _bucketize(df, vec_col, id_col, planes, "b")
-    return (
+    # Bucketize IDS ONLY: candidate generation shuffles 3 longs per row
+    # instead of dragging two 64-float vectors through the band join and
+    # the distinct (measured 4-8× on the bench — the wide variant
+    # shuffled ~2×dim floats per candidate). Vectors are re-attached to
+    # the deduped pair set afterwards; at pair-verify time each side is
+    # a plain equi-join Catalyst can broadcast when the corpus allows.
+    buckets = _bucketize(df, vec_col, id_col, planes, "a").select(
+        "aid", "atable", "abucket"
+    )
+    a = buckets
+    b = buckets.select(
+        F.col("aid").alias("bid"),
+        F.col("atable").alias("btable"),
+        F.col("abucket").alias("bbucket"),
+    )
+    cands = (
         a.join(
             b,
             (F.col("atable") == F.col("btable"))
             & (F.col("abucket") == F.col("bbucket"))
             & (F.col("aid") < F.col("bid")),
         )
-        .select(
-            F.col("aid").alias("id_a"),
-            F.col("bid").alias("id_b"),
-            F.col("avec"),
-            F.col("bvec"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("aid").alias("id_a"), F.col("bid").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("avec"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("bvec"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_udf(F.col("avec"), F.col("bvec")))
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")

@@ -716,10 +716,16 @@ sh AS (
     FROM toks WHERE len(w) >= 3
   )
 ),
+based AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 2147483647 AS base
+  FROM sh
+),
 sig AS (
   SELECT doc_id, j,
-         MIN(CAST(('0x' || substr(md5(gram || '#~' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)) AS h
-  FROM sh CROSS JOIN (SELECT unnest(range({MINHASH_NUM_HASHES})) AS j) js
+         MIN((((j * 2654435761 + 1) % 2147483647) * base
+              + ((j * 40503 + 7) % 2147483647)) % 2147483647) AS h
+  FROM based CROSS JOIN (SELECT unnest(range({MINHASH_NUM_HASHES})) AS j) js
   GROUP BY doc_id, j
 ),
 bandsig AS (

@@ -301,15 +301,16 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 def q41_map_rows_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque Map with per-row error tolerance (IgnoreRowErrors,
     internal/util/operation.go:10-27): the closure raises on parts with
-    p_size > 45; those rows are dropped, not the task. The oracle is
-    the surviving-row aggregate — equality proves exactly the failing
-    rows (and only those) were discarded."""
+    p_size = 50 (the rare top size — errors are exceptional by
+    contract); those rows are dropped via bisection isolation, not the
+    task. The oracle is the surviving-row set — equality proves exactly
+    the failing rows (and only those) were discarded."""
     import numpy as np
 
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
 
     def to_cents(pdf: pd.DataFrame) -> pd.DataFrame:
-        if (pdf["p_size"] > 45).any():
+        if (pdf["p_size"] >= 50).any():
             raise ValueError("oversize part")
         return pd.DataFrame(
             {
@@ -326,7 +327,7 @@ def q41_map_rows_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q41 = """
 SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
-FROM part WHERE p_size <= 45 ORDER BY p_partkey
+FROM part WHERE p_size < 50 ORDER BY p_partkey
 """
 
 
