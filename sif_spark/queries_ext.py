@@ -779,6 +779,83 @@ ORDER BY fname
 """
 
 
+def q55_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation: event_type is a deliberately
+    hot grouping key (5 values over the whole table), so phase 1
+    aggregates by (key, random salt) — spreading each hot key over 16
+    shuffle buckets — and phase 2 re-aggregates the per-salt partials
+    by key. Integer sums re-associate exactly, so the output is
+    deterministic even though the salt is random, and the plain GROUP
+    BY oracle verifies it. This is the hot-key pattern for 100 TB
+    streams where one key dominates (functions.salted_key)."""
+    from sif_spark.functions import salted_key
+
+    e = read_table(spark, sf_dir, "events")
+    phase1 = (
+        e.withColumn("__salt", salted_key("event_type", buckets=16))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(cents("value")).alias("pv"),
+        )
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(F.sum("pn").alias("n_events"), F.sum("pv").alias("value_cents"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q55 = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q56_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one partitioned plan: lag / lead /
+    first / last / percent_rank over each customer's orders (total
+    order by price cents with orderkey tie-break — percent_rank is
+    (rank-1)/(n-1), an exact integer division identical in both
+    engines)."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", cents("o_totalprice").alias("price_cents")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("price_cents", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "price_cents",
+        F.lag("price_cents").over(w).alias("prev_cents"),
+        F.lead("price_cents").over(w).alias("next_cents"),
+        F.first("price_cents").over(wf).alias("min_cents"),
+        F.last("price_cents").over(wf).alias("max_cents"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+ORACLE_Q56 = """
+SELECT o_custkey, o_orderkey, price_cents,
+       lag(price_cents) OVER w AS prev_cents,
+       lead(price_cents) OVER w AS next_cents,
+       first_value(price_cents) OVER w2 AS min_cents,
+       last_value(price_cents) OVER w2 AS max_cents,
+       percent_rank() OVER w AS pr
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY price_cents, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY price_cents, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -799,6 +876,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_memorystream": q52_memorystream,
     "q53_lsh_similar_pairs": q53_lsh_similar_pairs,
     "q54_multimodal_blobs": q54_multimodal_blobs,
+    "q55_salted_agg": q55_salted_agg,
+    "q56_window_suite": q56_window_suite,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -821,4 +900,6 @@ EXT_ORACLES: dict[str, str] = {
     "q52_memorystream": ORACLE_Q52,
     "q53_lsh_similar_pairs": ORACLE_Q53,
     "q54_multimodal_blobs": ORACLE_Q54,
+    "q55_salted_agg": ORACLE_Q55,
+    "q56_window_suite": ORACLE_Q56,
 }
