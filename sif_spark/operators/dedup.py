@@ -311,25 +311,47 @@ def simhash(
     # in all the aggregates would recompute it per bit test
     toks = toks.select(F.col(id_col), hasher(F.col("__tok")).alias("__h"))
     h = F.col("__h")
-    votes = toks.groupBy(id_col).agg(
+    # Two bit-lanes packed per SUM (components at bit 0 and bit 32):
+    # halves the aggregate width that crosses the shuffle and the
+    # map-side combine cost. A 32-bit component overflows only past
+    # 2^32 tokens per document — not a real document. Purely a
+    # physical-plan optimization: unpacking restores the exact per-lane
+    # vote counts, so signatures (and any oracle) are unchanged.
+    half = (n_bits + 1) // 2
+    packed = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(
                 F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long")
-            ).alias(f"__b{b}")
-            for b in range(n_bits)
+                + (
+                    F.shiftleft(
+                        F.shiftright(h, b + half).bitwiseAND(F.lit(1)).cast("long"),
+                        32,
+                    )
+                    if b + half < n_bits
+                    else F.lit(0).cast("long")
+                )
+            ).alias(f"__p{b}")
+            for b in range(half)
         ],
     )
+    mask32 = F.lit((1 << 32) - 1)
+
+    def lane_votes(b: int) -> F.Column:
+        if b < half:
+            return F.col(f"__p{b}").bitwiseAND(mask32)
+        return F.shiftright(F.col(f"__p{b - half}"), 32).bitwiseAND(mask32)
+
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
         # strict majority of set bits ⟺ positive +1/−1 vote total
         sig = sig.bitwiseOR(
             F.when(
-                2 * F.col(f"__b{b}") > F.col("__n"),
+                2 * lane_votes(b) > F.col("__n"),
                 F.shiftleft(F.lit(1).cast("long"), b),
             ).otherwise(F.lit(0).cast("long"))
         )
-    sigs = votes.select(F.col(id_col), sig.alias("simhash"))
+    sigs = packed.select(F.col(id_col), sig.alias("simhash"))
     return (
         df.select(id_col)
         .join(sigs, id_col, "left")
