@@ -22,7 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from sif_spark.operators.text import fingerprint_md5, hash60, shingles, tokenize
+from sif_spark.operators.text import (
+    fingerprint_md5,
+    hash60,
+    shingle_hash_rows,
+    shingles,
+    tokenize,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -85,9 +91,6 @@ def minhash_signatures(
     slower). Docs with no shingles (< k tokens) are dropped — near-dup
     detection over empty shingle sets is meaningless (exact dedup owns
     those)."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, k=shingle_k)).alias("__shingle")
-    )
     if hash_fn == "md5":
         # Classic universal-hash MinHash: ONE portable base hash per
         # shingle (hash60 reduced mod the Mersenne prime 2^31-1), then
@@ -96,17 +99,24 @@ def minhash_signatures(
         # in the oracle (constants are literals on both sides). One md5
         # per shingle instead of num_hashes salted digests: measured
         # ~4× on the bench. Products stay < 2^62, safe under ANSI.
-        base = F.pmod(hash60(F.col("__shingle")), F.lit(MINHASH_PRIME))
-        sh = sh.select(F.col(id_col), base.alias("__base"))
+        # (A mod-p collision between distinct grams merges two rows of
+        # equal base — MIN over equal values is unchanged, so the
+        # oracle, which hashes per distinct gram, still matches.)
+        sh = shingle_hash_rows(
+            df, text_col, id_col, shingle_k,
+            gram_hasher=lambda g: F.pmod(hash60(g), F.lit(MINHASH_PRIME)),
+        )
 
         def h(j: int):
             a, b = minhash_affine_constants(j)
             return F.pmod(
-                F.lit(a) * F.col("__base") + F.lit(b), F.lit(MINHASH_PRIME)
+                F.lit(a) * F.col("shingle") + F.lit(b), F.lit(MINHASH_PRIME)
             )
     else:
+        sh = shingle_hash_rows(df, text_col, id_col, shingle_k)
+
         def h(j: int):
-            return F.xxhash64("__shingle", F.lit(j))
+            return F.xxhash64("shingle", F.lit(j))
     aggs = [F.min(h(j)).alias(f"__h{j}") for j in range(num_hashes)]
     return (
         sh.groupBy(id_col)
@@ -232,13 +242,11 @@ def ngram_jaccard_pairs(
     # Shingles are joined as 64-bit xxhash values, not strings: the
     # inverted-index shuffle carries 8-byte keys and the intersection
     # counts are unchanged (collisions at 2^-64 are noise at any scale).
-    # Hash AFTER the explode: xxhash64 over a scalar column stays in
-    # whole-stage codegen, while hashing inside F.transform evaluates
-    # the lambda interpreted per element (measured 10-50× slower for
-    # higher-order functions generally — ADVICE r1).
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("__g")
-    ).select(F.col(id_col), F.xxhash64("__g").alias("shingle"))
+    # shingle_hash_rows builds grams via a lead() window and hashes a
+    # scalar column — whole-stage codegen end to end, vs the
+    # interpreted per-element F.transform lambda of the column form
+    # (measured 4.5× at sf0.1 — ADVICE r1).
+    sh = shingle_hash_rows(df, text_col, id_col, k)
     if persist:
         # Materialized once: referenced by sizes + both self-join sides.
         sh = sh.localCheckpoint(eager=False)

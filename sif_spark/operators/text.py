@@ -176,6 +176,38 @@ def rolling_fingerprints(
     )
 
 
+def shingle_hash_rows(
+    df,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    gram_hasher: "Callable[[Column], Column] | None" = None,
+):
+    """Distinct (id, hashed k-gram shingle) rows — the inverted-index /
+    signature input shared by Jaccard and MinHash.
+
+    Frame-operator form: posexplode tokens → per-doc lead() window
+    rebuilds each gram as a scalar column → hash → distinct. The
+    column-expression form (``shingles``) builds grams inside
+    ``F.transform``, whose lambda evaluates interpreted per element —
+    measured 4.5× slower at sf0.1. The distinct runs on (id, 8-byte
+    hash), so the shuffle never carries gram strings.
+
+    ``gram_hasher`` maps the gram Column to its hash Column
+    (default xxhash64)."""
+    from pyspark.sql import Window
+
+    hasher = gram_hasher or F.xxhash64
+    toks = df.select(F.col(id_col), F.posexplode(tokenize(text_col)).alias("__p", "__t"))
+    w = Window.partitionBy(id_col).orderBy("__p")
+    leads = [F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, k)]
+    grammed = toks.select(F.col(id_col), F.col("__t"), *leads).filter(
+        F.col(f"__t{k-1}").isNotNull() if k > 1 else F.lit(True)
+    )
+    gram = F.concat_ws(" ", "__t", *[f"__t{j}" for j in range(1, k)])
+    return grammed.select(F.col(id_col), hasher(gram).alias("shingle")).distinct()
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-gram word shingles as array<string> — the unit set for
     Jaccard similarity and MinHash. Expression-built: sequence() over
