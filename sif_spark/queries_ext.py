@@ -749,7 +749,10 @@ def q54_multimodal_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("content"),
         )
     )
-    meta = attach_metadata(blobs, "content")
+    # The plan references the ingested blobs from three consumers
+    # (metadata projection, dedup self-join, decode) — materialize the
+    # scan+hash once instead of re-reading the files per consumer.
+    meta = attach_metadata(blobs, "content").localCheckpoint(eager=False)
     deduped = dedup_blobs(meta, "content", "fname")
     feats = decode_features(deduped, "content", "fname", decoder=fake_decoder)
     digest = F.round(
