@@ -430,8 +430,12 @@ def simhash_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE dedup: the Hamming test is a codegen'd bit op
+        # over every candidate row, while a distinct is a shuffle —
+        # running it on the few surviving pairs instead of the full
+        # candidate set removed the dominant exchange from this plan.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
 
