@@ -19,13 +19,23 @@ from sif_spark.operators.dedup import (
     simhash_near_dup_pairs,
     embedding_near_dup_pairs,
 )
-from sif_spark.operators.similarity import brute_force_knn, lsh_knn, ivf_knn
+from sif_spark.operators.ranking import global_rank, ntile_distributed
+from sif_spark.operators.similarity import (
+    brute_force_knn,
+    cosine_all_pairs,
+    ivf_knn,
+    lsh_knn,
+    lsh_similar_pairs,
+)
 from sif_spark.operators.text import (
     tokenize,
     token_count,
     quality_score,
     language_id,
     fingerprint_md5,
+    hash60,
+    rolling_fingerprints,
+    shingle_hash_rows,
     shingles,
 )
 
@@ -40,12 +50,19 @@ __all__ = [
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
     "brute_force_knn",
+    "cosine_all_pairs",
     "lsh_knn",
+    "lsh_similar_pairs",
     "ivf_knn",
+    "global_rank",
+    "ntile_distributed",
     "tokenize",
     "token_count",
     "quality_score",
     "language_id",
     "fingerprint_md5",
+    "hash60",
+    "rolling_fingerprints",
+    "shingle_hash_rows",
     "shingles",
 ]
