@@ -859,6 +859,68 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY price_cents, o_orderkey),
 """
 
 
+def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming session windows, oracle-checked: the events
+    file stream aggregates per-user 30-minute-gap sessions via
+    ``session_window`` (complete mode, availableNow) into a memory
+    sink; the oracle rebuilds identical sessions with the batch
+    gaps-and-islands idiom (lag + cumulative sum). This puts a real
+    DuckDB differential on the streaming state machinery q14 covers
+    only in batch form. (Verified: the dataset has no exact-boundary
+    gaps, so the two formulations' boundary conventions coincide.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = _io_dir(sf_dir, "events_stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        stream.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+    name = f"cat_stream_sessions_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+ORACLE_Q57 = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ids AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM ids GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -881,6 +943,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q54_multimodal_blobs": q54_multimodal_blobs,
     "q55_salted_agg": q55_salted_agg,
     "q56_window_suite": q56_window_suite,
+    "q57_streaming_sessions": q57_streaming_sessions,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -905,4 +968,5 @@ EXT_ORACLES: dict[str, str] = {
     "q54_multimodal_blobs": ORACLE_Q54,
     "q55_salted_agg": ORACLE_Q55,
     "q56_window_suite": ORACLE_Q56,
+    "q57_streaming_sessions": ORACLE_Q57,
 }
