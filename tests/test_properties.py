@@ -118,3 +118,55 @@ def test_reduce_matches_pandas(spark, rows):
         int(k): (int(g["v"].sum()), len(g)) for k, g in pdf.groupby("k")
     }
     assert got == want
+
+
+def test_map_rows_bisection_drops_exactly_bad_rows(spark):
+    """Bisection salvage must keep exactly the non-raising rows, for
+    bad-row patterns that stress the recursion (none, all, dense,
+    sparse, boundaries)."""
+    import pandas as pd
+
+    from sif_spark.frame import SifFrame
+
+    n = 257  # odd, spans several bisection levels
+    patterns = {
+        "none": set(),
+        "all": set(range(n)),
+        "first_last": {0, n - 1},
+        "dense": set(range(0, n, 2)),
+        "sparse": {3, 97, 200},
+    }
+    df = spark.range(n).toDF("id")
+    for name, bad in patterns.items():
+        bad_list = sorted(bad)
+
+        def fn(pdf: pd.DataFrame, _bad=frozenset(bad)) -> pd.DataFrame:
+            if pdf["id"].isin(_bad).any():
+                raise ValueError("bad row")
+            return pdf
+
+        out = SifFrame(df).map_rows(fn, "id long", ignore_row_errors=True)
+        got = sorted(r["id"] for r in out.df.collect())
+        want = sorted(set(range(n)) - bad)
+        assert got == want, (name, bad_list[:5])
+
+
+def test_ntile_distributed_edge_sizes(spark):
+    """Distributed ntile equals window ntile for edge row counts:
+    fewer rows than tiles, exact multiples, and ±1 off multiples."""
+    from pyspark.sql import Window, functions as F
+
+    from sif_spark.operators.ranking import ntile_distributed
+
+    for n_rows, k in [(3, 7), (7, 7), (8, 7), (6, 7), (100, 4), (101, 4), (99, 4)]:
+        df = spark.range(n_rows).withColumn("v", (F.col("id") * 13) % 29)
+        order = [F.col("v"), F.col("id")]
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn("t", F.ntile(k).over(Window.orderBy(*order))).collect()
+        }
+        got = {
+            (r["id"], r["t"])
+            for r in ntile_distributed(df, k, order, tile_col="t").collect()
+        }
+        assert got == want, (n_rows, k)
