@@ -94,32 +94,47 @@ def codegen_stage_count(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
-def _top_level_bracket_groups(s: str) -> int:
-    """Count top-level ``[...]`` groups in a plan line."""
-    depth = 0
-    groups = 0
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a plan line."""
+    groups, depth, buf = [], 0, []
     for ch in s:
         if ch == "[":
             if depth == 0:
-                groups += 1
+                buf = []
+            else:
+                buf.append(ch)
             depth += 1
         elif ch == "]":
             depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
     return groups
 
 
 def global_windows(df: DataFrame) -> list[str]:
-    """Window nodes with NO partition spec — each one is a single-task
-    global sort at execution time ("WindowExec: No Partition Defined"
-    warning), the plan shape that cannot scale. A partitioned Window
-    renders as ``Window [exprs], [partitionSpec], [orderSpec]`` (3
-    top-level bracket groups); a global one omits the partition spec
-    (2 groups). Returns the offending plan lines."""
+    """Window nodes with an ORDER spec but NO partition spec — each one
+    is a single-task global sort at execution time ("WindowExec: No
+    Partition Defined" warning), the plan shape that cannot scale.
+
+    A fully-specified Window renders as ``Window [exprs],
+    [partitionSpec], [orderSpec]`` (3 top-level bracket groups). Two
+    groups is ambiguous: either partition-only (fine — whole-partition
+    frames like count-over-partition) or order-only (the global sort).
+    Order specs always carry ASC/DESC markers; partition specs are
+    bare column lists — classify by that. Returns the offending plan
+    lines."""
     text = plan_string(df, "simple")
     out = []
     for line in text.splitlines():
         stripped = line.strip().lstrip("+-*: ")
-        if stripped.startswith("Window ") and _top_level_bracket_groups(stripped) == 2:
+        if not stripped.startswith("Window "):
+            continue
+        groups = _bracket_groups(stripped)
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
             out.append(stripped[:160])
     return out
 

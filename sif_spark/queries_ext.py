@@ -921,6 +921,114 @@ ORDER BY user_id, session_start
 """
 
 
+def q58_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: write part as ORC (Spark's second
+    bundled columnar format — vectorized reads, predicate pushdown),
+    read it back with a filter, aggregate. The oracle computes the same
+    answer from parquet — equality proves the ORC write→read path is
+    lossless, the analogue of what q36 proves for DSV."""
+    out = _io_dir(sf_dir, "part_orc")
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", cents("p_retailprice").alias("price_cents")
+    )
+    p.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("p_size") >= 20)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("price_cents").alias("price_cents_sum"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_Q58 = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(round(p_retailprice*100) AS BIGINT)) AS BIGINT) AS price_cents_sum
+FROM part WHERE p_size >= 20
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def q59_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition pruning — the single
+    biggest 100 TB lever: orders written partitioned by order year,
+    then a one-year query reads ONLY that year's directory (pruning
+    asserted plan-level in tests/test_plans.py::
+    test_q59_reads_one_partition). The oracle filters the unpartitioned
+    view — equality proves pruning loses no rows."""
+    out = _io_dir(sf_dir, "orders_by_year")
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    # idempotent build: static overwrite of the whole dataset
+    o.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1997)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q59 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders WHERE year(o_orderdate) = 1997
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q60_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based percentiles without engine-specific quantile
+    functions: per market segment, the p50 and p90 account balance
+    (in cents) selected by the PERCENTILE_DISC rule — smallest value
+    whose cumulative rank reaches ⌈p·n⌉. Pure integer rank arithmetic,
+    identical in both engines; the partitioned window keeps the plan
+    scale-safe."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", cents("c_acctbal").alias("acct_cents")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("acct_cents", "c_custkey")
+    ranked = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
+    )
+
+    def pick(p: float, alias: str) -> F.Column:
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("acct_cents"))
+        ).alias(alias)
+
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(pick(0.5, "p50_cents"), pick(0.9, "p90_cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q60 = """
+WITH ranked AS (
+  SELECT c_mktsegment, acct_cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY acct_cents, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM (SELECT c_mktsegment, c_custkey,
+               CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents
+        FROM customer)
+)
+SELECT c_mktsegment,
+       CAST(MIN(CASE WHEN rn >= ceil(0.5 * n) THEN acct_cents END) AS BIGINT) AS p50_cents,
+       CAST(MIN(CASE WHEN rn >= ceil(0.9 * n) THEN acct_cents END) AS BIGINT) AS p90_cents
+FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -944,6 +1052,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_salted_agg": q55_salted_agg,
     "q56_window_suite": q56_window_suite,
     "q57_streaming_sessions": q57_streaming_sessions,
+    "q58_orc_roundtrip": q58_orc_roundtrip,
+    "q59_partition_pruning": q59_partition_pruning,
+    "q60_exact_percentiles": q60_exact_percentiles,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -969,4 +1080,7 @@ EXT_ORACLES: dict[str, str] = {
     "q55_salted_agg": ORACLE_Q55,
     "q56_window_suite": ORACLE_Q56,
     "q57_streaming_sessions": ORACLE_Q57,
+    "q58_orc_roundtrip": ORACLE_Q58,
+    "q59_partition_pruning": ORACLE_Q59,
+    "q60_exact_percentiles": ORACLE_Q60,
 }

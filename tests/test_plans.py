@@ -104,6 +104,8 @@ def test_no_global_windows_in_catalog(spark):
         "q14_sessionization",
         "q31_moving_avg",
         "q32_customer_quartiles",
+        "q56_window_suite",
+        "q60_exact_percentiles",
     ]
     offenders = {
         q: gw for q in window_queries
@@ -133,3 +135,15 @@ def test_to_timestamp_go(spark):
     df = spark.createDataFrame([("2024-03-05 10:11:12",)], "t string")
     row = df.select(SF_fns.to_timestamp_go("t", "2006-01-02 15:04:05").alias("ts")).collect()[0]
     assert row["ts"].year == 2024 and row["ts"].second == 12
+
+
+def test_q59_partition_pruning_in_plan(spark):
+    """The partitioned-write query must prune to the single o_year
+    partition at plan time (PartitionFilters on the scan), not filter
+    after reading everything."""
+    from sif_spark.plans import plan_string
+
+    df = QUERIES["q59_partition_pruning"](spark, SF)
+    text = plan_string(df)
+    assert "PartitionFilters" in text
+    assert "o_year" in text.split("PartitionFilters", 1)[1][:200]
