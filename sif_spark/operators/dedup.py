@@ -257,8 +257,8 @@ def ngram_jaccard_pairs(
             .drop("df_")
         )
         sh = sh.join(freq_ok, "shingle")
-    # shingles() emits per-doc distinct grams, so a per-doc count IS the
-    # (post-filter) set size.
+    # shingle_hash_rows emits distinct (id, shingle) rows, so a per-doc
+    # count IS the (post-filter) set size.
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
