@@ -1029,6 +1029,63 @@ FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def q61_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing (multimodal.sample_frames — the
+    FlatMap-shaped opaque op: 1 blob → N frame rows via Arrow batches),
+    over real binaryFile blobs with the deterministic stand-in decoder
+    (every 10th 256-byte chunk; codecs are stubbed in this
+    environment). The oracle recomputes the frame count and total
+    sampled bytes from each file's length in closed form — chunk
+    arithmetic any corruption in the 1→N path would break."""
+    from sif_spark.operators.multimodal import fake_frame_decoder, sample_frames
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(f"{sf_dir}/*.parquet")
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("fname"),
+            F.col("content"),
+        )
+    )
+    frames = sample_frames(
+        blobs, "content", "fname", every_n=10, frame_decoder=fake_frame_decoder
+    )
+    return (
+        frames.groupBy("fname")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame")).cast("long").alias("frame_bytes"),
+            F.min("frame_idx").cast("long").alias("first_idx"),
+            F.max("frame_idx").cast("long").alias("last_idx"),
+        )
+        .orderBy("fname")
+    )
+
+
+ORACLE_Q61 = """
+WITH f AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+         octet_length(content) AS n,
+         CAST(ceil(octet_length(content) / 256.0) AS BIGINT) AS nc
+  FROM read_blob('/root/testdata/sf0.01/*.parquet')
+),
+calc AS (
+  SELECT fname, n, nc,
+         ((nc - 1) // 10) + 1 AS k          -- frames = len(chunks[::10])
+  FROM f WHERE n > 0
+)
+SELECT fname,
+       k AS n_frames,
+       -- every sampled chunk is 256 bytes except possibly the last one
+       CAST(256 * (k - 1)
+            + least(256, n - 256 * (10 * (k - 1))) AS BIGINT) AS frame_bytes,
+       CAST(0 AS BIGINT) AS first_idx,
+       CAST(k - 1 AS BIGINT) AS last_idx
+FROM calc
+ORDER BY fname
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1055,6 +1112,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_orc_roundtrip": q58_orc_roundtrip,
     "q59_partition_pruning": q59_partition_pruning,
     "q60_exact_percentiles": q60_exact_percentiles,
+    "q61_frame_sampling": q61_frame_sampling,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1083,4 +1141,5 @@ EXT_ORACLES: dict[str, str] = {
     "q58_orc_roundtrip": ORACLE_Q58,
     "q59_partition_pruning": ORACLE_Q59,
     "q60_exact_percentiles": ORACLE_Q60,
+    "q61_frame_sampling": ORACLE_Q61,
 }
