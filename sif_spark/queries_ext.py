@@ -1086,6 +1086,77 @@ ORDER BY fname
 """
 
 
+def q62_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-checked: purchases and
+    clicks (two streams over the events file) equi-join on user_id
+    with clicks constrained to the hour before each purchase
+    (streaming.interval_join — watermark-bounded state). INNER
+    stream-stream joins emit matches eagerly — the watermark bounds
+    STATE, not emission — so an availableNow replay produces the
+    complete, deterministic pair set and the plain batch SQL join is an
+    exact oracle. The reference cannot express any two-input operator,
+    let alone a state-bounded streaming join (SURVEY.md §3.1)."""
+    from sif_spark.streaming.stream import interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    stream_dir = _io_dir(sf_dir, "events_stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+
+    def read_stream() -> DataFrame:
+        s = spark.readStream.schema(raw_schema).parquet(stream_dir)
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return s
+
+    purchases = (
+        read_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    clicks = (
+        read_stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("cts"),
+        )
+    )
+    joined = interval_join(
+        purchases, clicks,
+        keys=["user_id"], left_time="ts", right_time="cts",
+        lower="interval 0 seconds", upper="interval 1 hour",
+    ).select(purchases["event_id"], purchases["user_id"], F.col("click_id"))
+    name = f"cat_stream_ijoin_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("event_id", "click_id")
+
+
+ORACLE_Q62 = """
+SELECT p.event_id, p.user_id, c.click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.cts >= p.ts - INTERVAL 1 HOUR
+ AND c.cts <= p.ts
+ORDER BY p.event_id, c.click_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1113,6 +1184,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_partition_pruning": q59_partition_pruning,
     "q60_exact_percentiles": q60_exact_percentiles,
     "q61_frame_sampling": q61_frame_sampling,
+    "q62_streaming_interval_join": q62_streaming_interval_join,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1142,4 +1214,5 @@ EXT_ORACLES: dict[str, str] = {
     "q59_partition_pruning": ORACLE_Q59,
     "q60_exact_percentiles": ORACLE_Q60,
     "q61_frame_sampling": ORACLE_Q61,
+    "q62_streaming_interval_join": ORACLE_Q62,
 }
