@@ -43,11 +43,20 @@ def key_columns_portable(*cols: str) -> Column:
     """Engine-portable variant of :func:`key_columns`: hash60 of the
     unit-separator-joined string forms of the columns. Same compound-
     key contract, but DuckDB can replay it exactly
-    (``CAST('0x'||substr(md5(concat_ws(chr(31), ...)),1,15) AS
-    BIGINT)``) — used where a key must cross the oracle boundary."""
+    (``CAST('0x'||substr(md5(concat_ws(chr(31),
+    coalesce(CAST(c AS VARCHAR), chr(0)), ...)),1,15) AS BIGINT)``) —
+    used where a key must cross the oracle boundary.
+
+    Null contract: each column is ``coalesce``d to a NUL (``\\x00``)
+    sentinel BEFORE joining — ``concat_ws`` silently skips nulls, which
+    would make ('a', NULL) collide with ('a',)-shifted keys and merge
+    distinct compound keys over nullable columns. NULL therefore hashes
+    distinctly from any real string that doesn't contain NUL (matching
+    ``key_columns``, whose xxhash64 distinguishes null positions)."""
     from sif_spark.operators.text import hash60
 
-    return hash60(_F.concat_ws("\x1f", *[_F.col(c).cast("string") for c in cols]))
+    parts = [_F.coalesce(_F.col(c).cast("string"), _F.lit("\x00")) for c in cols]
+    return hash60(_F.concat_ws("\x1f", *parts))
 
 
 def salted_key(*cols: str, buckets: int = 16) -> Column:

@@ -420,7 +420,8 @@ SELECT l_returnflag,
 FROM (
   SELECT l_returnflag,
          CAST(('0x' || substr(md5(concat_ws(chr(31),
-              CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) AS k
+              coalesce(CAST(l_orderkey AS VARCHAR), chr(0)),
+              coalesce(CAST(l_linenumber AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT) AS k
   FROM lineitem
 )
 GROUP BY l_returnflag ORDER BY l_returnflag
@@ -636,13 +637,20 @@ def q52_memorystream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
-    deadline = time.time() + 60
-    while time.time() < deadline:
-        if spark.table(name).count() >= 120:
-            break
-        time.sleep(0.2)
-    q.stop()
-    q.awaitTermination()
+    deadline = time.time() + 120
+    try:
+        while spark.table(name).count() < 120:
+            if time.time() > deadline:
+                # fail LOUDLY — a partial frame would flip the gate
+                # flakily on a loaded machine (ADVICE r2)
+                raise TimeoutError(
+                    f"memorystream drained only {spark.table(name).count()}/120 "
+                    f"rows within the deadline"
+                )
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("col1")
@@ -1057,7 +1065,11 @@ def q61_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 10th 256-byte chunk; codecs are stubbed in this
     environment). The oracle recomputes the frame count and total
     sampled bytes from each file's length in closed form — chunk
-    arithmetic any corruption in the 1→N path would break."""
+    arithmetic any corruption in the 1→N path would break.
+
+    Like q54, the oracle hardcodes the driver's gate scale (sf0.01)
+    because read_blob needs a real path, not a registered view —
+    tools/check_oracle.py skips both when run at any other sf_dir."""
     from sif_spark.operators.multimodal import fake_frame_decoder, sample_frames
 
     blobs = (

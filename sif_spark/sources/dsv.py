@@ -79,30 +79,30 @@ def read_dsv_decoded(
 
     conf = conf or DSVConf()
     names = [f.name for f in schema.fields]
+    # Integral columns parse straight into pandas' NULLABLE Int64/Int32
+    # — never through float64. (Parsing int-then-promote-on-NaN would
+    # silently round BIGINTs above 2^53 in any column that also holds a
+    # nil; reference NilValue semantics, dsv_utils.go:16-18, are exact.)
+    int_dtypes = {
+        f.name: "Int64" if isinstance(f.dataType, T.LongType) else "Int32"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType))
+    }
     binary = spark.read.format("binaryFile").load(glob).select("content")
 
     def parse(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             for blob in pdf["content"]:
                 decoded = decoder(bytes(blob))
-                out = pd.read_csv(
+                yield pd.read_csv(
                     _io.BytesIO(decoded),
                     sep=conf.delimiter,
                     names=names,
                     header=0 if conf.header_lines > 0 else None,
                     comment=conf.comment,
-                    na_values=[conf.nil_value] if conf.nil_value else None,
+                    na_values=[conf.nil_value],  # "" → empty field is nil
                     keep_default_na=False,
+                    dtype=int_dtypes or None,
                 )
-                # Nullable integral columns: pandas promotes int+NaN to
-                # float64, which Arrow refuses to cast back to long —
-                # use pandas' nullable Int64 so nil values survive as
-                # true nulls (reference NilValue semantics, dsv_utils.go:16-18).
-                for f in schema.fields:
-                    if isinstance(f.dataType, (T.LongType, T.IntegerType)) and (
-                        out[f.name].dtype.kind == "f"
-                    ):
-                        out[f.name] = out[f.name].astype("Int64")
-                yield out
 
     return SifFrame(binary.mapInPandas(parse, schema))

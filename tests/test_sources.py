@@ -59,6 +59,24 @@ def test_dsv_decoded_gzip(spark, tmpdir):
     assert [(r["id"], r["name"]) for r in rows] == [(1, "a"), (2, "b")]
 
 
+def test_dsv_decoded_bigint_with_nil_exact(spark, tmpdir):
+    """ADVICE r2 (medium): a BIGINT column that also contains a nil must
+    not round-trip through float64 — values above 2^53 must survive
+    exactly (pandas parses straight into nullable Int64)."""
+    big = (1 << 53) + 1  # not representable as float64
+    p = os.path.join(tmpdir, "big.csv.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(f"id,v\n1,{big}\n2,\n3,{big + 2}\n".encode()))
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    frame = read_dsv_decoded(
+        spark, p, schema, decoder=gzip.decompress, conf=DSVConf(header_lines=1)
+    )
+    rows = {r["id"]: r["v"] for r in frame.collect()}
+    assert rows == {1: big, 2: None, 3: big + 2}
+
+
 def test_jsonl_dotted_paths(spark, tmpdir):
     """jsonl_utils.go: gjson dotted paths → flat columns, nil for
     missing paths."""

@@ -127,9 +127,17 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # Oracles that read_blob() real files — pinned to the driver's gate
+    # scale; comparing them at any other sf would diff the wrong files.
+    SF001_PINNED = {"q54_multimodal_blobs", "q61_frame_sampling"}
+    at_sf001 = sf_dir.rstrip("/").endswith("sf0.01")
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in SF001_PINNED and not at_sf001:
+            print(f"SKIP {name}: oracle pinned to sf0.01 (read_blob path)")
             continue
         t0 = time.time()
         try:
