@@ -1196,6 +1196,49 @@ ORDER BY p.event_id, c.click_id
 """
 
 
+def q63_lsh_knn_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-QUERY-SET tier of SRP-LSH kNN (q25's scale escape,
+    VERDICT r2 "What's wrong" #1): ``broadcast_queries=False`` joins
+    the bucketized corpus and query sides on the uniform (table,
+    bucket) sketch key with NO forced broadcast — the strategy that
+    survives a query set too large for the broadcast limit (the plan
+    shape is pinned by tests/test_plans.py::test_lsh_knn_shuffle_tier
+    with auto-broadcast disabled). 50 query vectors, 16 tables × 2
+    bits: empirically perfect recall at both gate scales, so exact-kNN
+    SQL is a true oracle."""
+    from sif_spark.operators.similarity import lsh_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return lsh_knn(
+        emb, queries, k=5, dim=64, bits=2, tables=16, broadcast_queries=False
+    ).select("qid", "nid", "rank")
+
+
+ORACLE_Q63 = """
+WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
+pairs AS (
+  SELECT qid, e.vec_id AS nid, qe, e.embedding AS ne
+  FROM qs, embeddings e WHERE e.vec_id <> qs.qid
+),
+comps AS (
+  SELECT qid, nid, unnest(qe) AS qv, unnest(ne) AS nv FROM pairs
+),
+sims AS (
+  SELECT qid, nid,
+         SUM(CAST(qv AS DOUBLE)*CAST(nv AS DOUBLE))
+         / (sqrt(SUM(CAST(qv AS DOUBLE)*CAST(qv AS DOUBLE)))
+            * sqrt(SUM(CAST(nv AS DOUBLE)*CAST(nv AS DOUBLE)))) AS sim
+  FROM comps GROUP BY qid, nid
+)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1224,6 +1267,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_exact_percentiles": q60_exact_percentiles,
     "q61_frame_sampling": q61_frame_sampling,
     "q62_streaming_interval_join": q62_streaming_interval_join,
+    "q63_lsh_knn_shuffle": q63_lsh_knn_shuffle,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1254,4 +1298,5 @@ EXT_ORACLES: dict[str, str] = {
     "q60_exact_percentiles": ORACLE_Q60,
     "q61_frame_sampling": ORACLE_Q61,
     "q62_streaming_interval_join": ORACLE_Q62,
+    "q63_lsh_knn_shuffle": ORACLE_Q63,
 }
