@@ -197,6 +197,142 @@ def test_interval_join_stream_stream(spark, events_dir):
     assert len(got) > 0
 
 
+def test_stateful_recovery_from_checkpoint(spark):
+    """Fault-tolerance the reference does NOT have (a worker error fails
+    the whole stage — cluster/coordinator.go:151-183): kill a stateful
+    stream between micro-batches and restart it from the checkpoint;
+    the recovered per-key state must carry the pre-kill batches, so the
+    final counts equal an uninterrupted run over all the data."""
+    from sif_spark.streaming import running_reduce
+
+    flat = tempfile.mkdtemp(prefix="sif_recover_")
+    cp = tempfile.mkdtemp(prefix="sif_recover_cp_")
+
+    def write_file(i, rows):
+        spark.createDataFrame(rows, "k string, v double").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(flat, f"stage{i}"))
+        import glob, shutil
+
+        (part,) = glob.glob(os.path.join(flat, f"stage{i}", "part-*.parquet"))
+        shutil.copy(part, os.path.join(flat, f"{i}.parquet"))
+
+    updates: list[tuple] = []
+
+    def start():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .load(flat + "/*.parquet")
+        )
+
+        def sink(df, epoch):  # memory sink can't recover; foreachBatch can
+            updates.extend((r["k"], r["n"], r["v_sum"]) for r in df.collect())
+
+        return (
+            running_reduce(stream, ["k"], sum_col="v")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", cp)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    # phase 1: two files, then the query dies
+    write_file(0, [("a", 1.0), ("b", 2.0)])
+    write_file(1, [("a", 3.0)])
+    q = start()
+    _drain(q)  # processes files 0,1; state {a:(2,4.0), b:(1,2.0)} checkpointed
+
+    # phase 2: more data lands while the query is down; restart from cp
+    updates.clear()
+    write_file(2, [("a", 5.0), ("b", 7.0), ("c", 9.0)])
+    q = start()
+    _drain(q)
+    final = {k: (n, s) for k, n, s in updates}
+    # the restarted sink only sees phase-2 updates — if these totals
+    # include phase-1 contributions, the state came from the checkpoint
+    assert final["a"] == (3, 9.0), final
+    assert final["b"] == (2, 9.0), final
+    assert final["c"] == (1, 9.0), final
+
+
+def test_session_window_recovery_from_checkpoint(spark):
+    """Session-window (q57 shape) recovery: sessions left OPEN when the
+    query is killed must close and emit correctly after a checkpoint
+    restart — the union of rows appended before and after the restart
+    equals the uninterrupted run's output."""
+    def mkdirs():
+        return tempfile.mkdtemp(prefix="sif_sess_rec_"), tempfile.mkdtemp(
+            prefix="sif_sess_cp_"
+        )
+
+    batch_a = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"),
+               (2, "2024-01-01 10:02:00")]
+    batch_b = [(1, "2024-01-01 13:00:00"), (2, "2024-01-01 13:05:00")]
+
+    def write_batch(flat, i, rows):
+        import glob, shutil
+
+        stage = os.path.join(flat, f"stage{i}")
+        (
+            spark.createDataFrame(rows, "user_id int, ts_s string")
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.copy(part, os.path.join(flat, f"{i}.parquet"))
+
+    def start(flat, cp, out: set):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("user_id int, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .load(flat + "/*.parquet")
+        )
+        sess = sessionized(
+            stream, "ts", "15 minutes", keys=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("n")], watermark="30 minutes",
+        ).select(
+            "user_id", F.col("session_window.start").alias("s"), "n"
+        )
+
+        def sink(df, epoch):  # memory sink can't recover; foreachBatch can
+            out.update((r["user_id"], r["s"], r["n"]) for r in df.collect())
+
+        return (
+            sess.writeStream.outputMode("append")
+            .option("checkpointLocation", cp)
+            .foreachBatch(sink)
+            .start()
+        )
+
+    # uninterrupted reference run: both files from the start
+    flat_u, cp_u = mkdirs()
+    write_batch(flat_u, 0, batch_a)
+    write_batch(flat_u, 1, batch_b)
+    want: set = set()
+    q = start(flat_u, cp_u, want)
+    _drain(q)
+
+    # interrupted run: batch A → kill → batch B lands → restart from cp
+    flat_i, cp_i = mkdirs()
+    write_batch(flat_i, 0, batch_a)
+    got: set = set()
+    q = start(flat_i, cp_i, got)
+    _drain(q)  # sessions for A are OPEN in checkpointed state (wm 09:35)
+    write_batch(flat_i, 1, batch_b)
+    q = start(flat_i, cp_i, got)
+    _drain(q)  # watermark advance closes A's sessions post-restart
+    assert got == want
+    # A's sessions (2 events for user 1, 1 for user 2) must be in there —
+    # they could only emit from RECOVERED state
+    assert any(u == 1 and n == 2 for u, _, n in got), got
+
+
 def test_dedup_within_watermark(spark):
     """Duplicates inside the watermark horizon are dropped."""
     d = tempfile.mkdtemp(prefix="sif_dedup_")
