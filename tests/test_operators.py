@@ -45,6 +45,61 @@ def test_asof_join_inclusive_tie(spark):
     assert out.collect()[0]["cid"] == "c"
 
 
+def test_asof_join_hot_key_bucket_equivalence(spark):
+    """hot_key_bucket mode must be output-identical to the default:
+    exercises carry ACROSS bucket boundaries (left row whose match is
+    in an earlier day), carry over an EMPTY middle bucket, same-bucket
+    matches, equal-time inclusivity, and a never-matched key. Then the
+    same equivalence on the real q12 event shape."""
+    from sif_spark.sources.parquet import read_table
+
+    left = spark.createDataFrame(
+        [  # day 1: in-bucket match; day 3: match carried from day 1
+           # (day 2 has left rows but NO right rows — empty-bucket carry)
+            (1, ts("2024-01-01T10:00"), "p1"),
+            (1, ts("2024-01-02T10:00"), "p2"),
+            (1, ts("2024-01-03T10:00"), "p3"),
+            (1, ts("2024-01-03T12:00"), "p4"),
+            (2, ts("2024-01-01T09:00"), "p5"),  # before any right row
+            (3, ts("2024-01-01T10:00"), "p6"),  # equal-time tie
+        ],
+        "uid int, t timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:00"), "c1"),
+            (1, ts("2024-01-03T11:00"), "c2"),
+            (2, ts("2024-01-01T11:00"), "c3"),  # only AFTER p5
+            (3, ts("2024-01-01T10:00"), "c4"),
+        ],
+        "uid int, t timestamp, cid string",
+    )
+    kw = dict(on=["uid"], left_time="t", right_time="t", right_cols=["cid"])
+    plain = {r["pid"]: r["cid"] for r in asof_join(left, right, **kw).collect()}
+    split = {
+        r["pid"]: r["cid"]
+        for r in asof_join(left, right, hot_key_bucket="day", **kw).collect()
+    }
+    assert plain == {"p1": "c1", "p2": "c1", "p3": "c1", "p4": "c2",
+                     "p5": None, "p6": "c4"}
+    assert split == plain
+
+    e = read_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    kw = dict(on=["user_id"], left_time="ts", right_time="ts",
+              right_cols=["click_id"])
+    want = {(r["event_id"], r["click_id"])
+            for r in asof_join(purchases, clicks, **kw).collect()}
+    got = {(r["event_id"], r["click_id"])
+           for r in asof_join(purchases, clicks, hot_key_bucket="hour", **kw).collect()}
+    assert got == want and len(got) > 0
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = [
