@@ -1239,6 +1239,38 @@ SELECT qid, nid, rank FROM (
 """
 
 
+def q64_asof_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12's as-of join in ``hot_key_bucket`` mode (operators/asof.py):
+    the carry window partitions by (user_id, day) instead of (user_id),
+    so a pathologically hot user spreads over #days tasks — the
+    window-shaped skew escape AQE cannot provide (a window partition is
+    atomic to AQE, unlike a join). Exact cross-bucket carry-in makes the
+    result identical to q12, so DuckDB's ASOF JOIN is the oracle."""
+    from sif_spark.operators.asof import asof_join as _asof
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = _asof(
+        purchases, clicks, on=["user_id"], left_time="ts", right_time="ts",
+        right_cols=["click_id"], hot_key_bucket="day",
+    )
+    return joined.select("event_id", "user_id", "click_id")
+
+
+ORACLE_Q64 = """
+SELECT p.event_id, p.user_id, c.click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click') c
+ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1268,6 +1300,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_frame_sampling": q61_frame_sampling,
     "q62_streaming_interval_join": q62_streaming_interval_join,
     "q63_lsh_knn_shuffle": q63_lsh_knn_shuffle,
+    "q64_asof_hot_key": q64_asof_hot_key,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1299,4 +1332,5 @@ EXT_ORACLES: dict[str, str] = {
     "q61_frame_sampling": ORACLE_Q61,
     "q62_streaming_interval_join": ORACLE_Q62,
     "q63_lsh_knn_shuffle": ORACLE_Q63,
+    "q64_asof_hot_key": ORACLE_Q64,
 }
