@@ -181,21 +181,29 @@ def _bucketize(
     id_col: str,
     planes: np.ndarray,  # (tables, bits, dim)
     out_prefix: str,
+    include_vec: bool = True,
 ) -> DataFrame:
-    """(id, vec, table, bucket) — one row per (vector, table); sketch
-    bits via a single GEMM against all tables' planes."""
+    """(id[, vec], table, bucket) — one row per (vector, table); sketch
+    bits via a single GEMM against all tables' planes.
+
+    ``include_vec=False`` emits id-only rows (3 scalars) — the form to
+    shuffle: candidate generation then moves ~20 bytes/row instead of
+    the vector payload, and vectors join back onto the DEDUPED pair
+    set (the lsh_similar_pairs round-2 lesson)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(planes)
     tables, bits, _ = planes.shape
 
-    schema = T.StructType(
-        [
-            T.StructField(f"{out_prefix}id", T.LongType(), False),
-            T.StructField(f"{out_prefix}vec", T.ArrayType(T.FloatType()), False),
-            T.StructField(f"{out_prefix}table", T.IntegerType(), False),
-            T.StructField(f"{out_prefix}bucket", T.LongType(), False),
-        ]
-    )
+    fields = [T.StructField(f"{out_prefix}id", T.LongType(), False)]
+    if include_vec:
+        fields.append(
+            T.StructField(f"{out_prefix}vec", T.ArrayType(T.FloatType()), False)
+        )
+    fields += [
+        T.StructField(f"{out_prefix}table", T.IntegerType(), False),
+        T.StructField(f"{out_prefix}bucket", T.LongType(), False),
+    ]
+    schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         P = bc.value.reshape(tables * bits, -1)  # (T*B, dim)
@@ -207,14 +215,12 @@ def _bucketize(
             signs = (X @ P.T > 0).reshape(len(pdf), tables, bits)
             buckets = (signs * weights).sum(axis=2)  # (n, tables)
             n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    f"{out_prefix}id": np.repeat(pdf[id_col].to_numpy(), tables),
-                    f"{out_prefix}vec": [v for v in pdf[vec_col] for _ in range(tables)],
-                    f"{out_prefix}table": np.tile(np.arange(tables, dtype=np.int32), n),
-                    f"{out_prefix}bucket": buckets.reshape(-1),
-                }
-            )
+            out = {f"{out_prefix}id": np.repeat(pdf[id_col].to_numpy(), tables)}
+            if include_vec:
+                out[f"{out_prefix}vec"] = [v for v in pdf[vec_col] for _ in range(tables)]
+            out[f"{out_prefix}table"] = np.tile(np.arange(tables, dtype=np.int32), n)
+            out[f"{out_prefix}bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(run, schema)
 
@@ -249,20 +255,43 @@ def lsh_knn(
       skew-free. This is the tier for query sets too large to
       broadcast (e.g. corpus-vs-corpus kNN joins)."""
     planes = np.stack([_random_planes(dim, bits, seed + t) for t in range(tables)])
-    c = _bucketize(corpus, vec_col, id_col, planes, "n")
-    q = _bucketize(queries, vec_col, id_col, planes, "q")
-    q_side = F.broadcast(q) if broadcast_queries else q
-    cands = (
-        c.join(
-            q_side,
-            (F.col("ntable") == F.col("qtable"))
-            & (F.col("nbucket") == F.col("qbucket"))
-            & (F.col("qid") != F.col("nid")),
+    if broadcast_queries:
+        # broadcast tier: the candidate join is map-side, the corpus
+        # never shuffles, and vectors ride along (only the collision
+        # set reaches the dedup exchange)
+        c = _bucketize(corpus, vec_col, id_col, planes, "n")
+        q = _bucketize(queries, vec_col, id_col, planes, "q")
+        cands = (
+            c.join(
+                F.broadcast(q),
+                (F.col("ntable") == F.col("qtable"))
+                & (F.col("nbucket") == F.col("qbucket"))
+                & (F.col("qid") != F.col("nid")),
+            )
+            .select("qid", "nid", "qvec", "nvec")
+            .dropDuplicates(["qid", "nid"])
         )
-        .select("qid", "nid", "qvec", "nvec")
-        .dropDuplicates(["qid", "nid"])
-        .withColumn("cosine", cosine_udf(F.col("qvec"), F.col("nvec")))
-    )
+    else:
+        # shuffle tier: candidates move as id-only rows through the
+        # uniform (table, bucket) exchange and the pair dedup; vectors
+        # join back onto the deduped set only (Catalyst/AQE picks the
+        # join strategy — no forced hint at this tier)
+        c = _bucketize(corpus, vec_col, id_col, planes, "n", include_vec=False)
+        q = _bucketize(queries, vec_col, id_col, planes, "q", include_vec=False)
+        pairs = (
+            c.join(
+                q,
+                (F.col("ntable") == F.col("qtable"))
+                & (F.col("nbucket") == F.col("qbucket"))
+                & (F.col("qid") != F.col("nid")),
+            )
+            .select("qid", "nid")
+            .dropDuplicates(["qid", "nid"])
+        )
+        nv = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+        qv = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        cands = pairs.join(nv, "nid").join(qv, "qid")
+    cands = cands.withColumn("cosine", cosine_udf(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (
         cands.withColumn("rank", F.row_number().over(w))
