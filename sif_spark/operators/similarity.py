@@ -314,6 +314,7 @@ def ivf_knn(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 10,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF index: k-means
     coarse quantizer (Spark MLlib) partitions the corpus into cells;
@@ -324,7 +325,16 @@ def ivf_knn(
     the probe join is an equi-join on cell id (shuffle keyed by cell —
     sized by n_cells, tunable), and re-ranking touches ~n_probe/n_cells
     of the corpus. Recall is tunable via n_probe. Same output contract
-    as brute_force_knn: (qid, nid, rank, cosine)."""
+    as brute_force_knn: (qid, nid, rank, cosine).
+
+    ``broadcast_queries``: True collects the query set to the driver to
+    build the probe list and broadcasts it — right for a small query
+    set. False is the LARGE-query tier: probe cells are computed
+    distributed (each Arrow batch GEMMs against the broadcast centroid
+    matrix — n_cells×dim, tiny), candidates flow as id-only rows
+    through the cell equi-join, and vectors join back onto the
+    candidate set (the lsh_knn shuffle-tier structure). No driver-side
+    collect of queries anywhere on that path."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -336,33 +346,68 @@ def ivf_knn(
     # give balanced-enough cells, and training cost is per-index-build
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-
-    assigned = (
-        model.transform(train)
-        .select(F.col(id_col).alias("nid"), F.col("prediction").alias("cell"))
-        .join(corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")), "nid")
-    )
-
-    # query-side probe list: small — computed on the driver
-    qids, Q = _collect_normalized(queries, vec_col, id_col)
     cnorm = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
-    probe_cells = np.argsort(-(Q @ cnorm.T), axis=1)[:, :n_probe]
-    probes = spark.createDataFrame(
-        [
-            (int(qid), int(cell))
-            for qid, cells in zip(qids, probe_cells)
-            for cell in cells
-        ],
-        "qid long, cell int",
-    )
 
-    qvecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    cands = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("qid") != F.col("nid"))
-        .join(F.broadcast(qvecs), "qid")
-        .withColumn("cosine", cosine_udf(F.col("qvec"), F.col("nvec")))
+    assigned_slim = model.transform(train).select(
+        F.col(id_col).alias("nid"), F.col("prediction").alias("cell")
     )
+    nvecs = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    qvecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+
+    if broadcast_queries:
+        # query-side probe list: small — computed on the driver
+        qids, Q = _collect_normalized(queries, vec_col, id_col)
+        probe_cells = np.argsort(-(Q @ cnorm.T), axis=1)[:, :n_probe]
+        probes = spark.createDataFrame(
+            [
+                (int(qid), int(cell))
+                for qid, cells in zip(qids, probe_cells)
+                for cell in cells
+            ],
+            "qid long, cell int",
+        )
+        cands = (
+            assigned_slim.join(nvecs, "nid")
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .join(F.broadcast(qvecs), "qid")
+        )
+    else:
+        bc = spark.sparkContext.broadcast(cnorm)
+        probe_schema = T.StructType(
+            [
+                T.StructField("qid", T.LongType(), False),
+                T.StructField("cell", T.IntegerType(), False),
+            ]
+        )
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cells = np.argsort(-(_batch_matrix(pdf, vec_col) @ C.T), axis=1)[
+                    :, :n_probe
+                ]
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(pdf[id_col].to_numpy(), cells.shape[1]),
+                        "cell": cells.reshape(-1).astype(np.int32),
+                    }
+                )
+
+        probes = queries.select(id_col, vec_col).mapInPandas(probe, probe_schema)
+        # a corpus vector lives in exactly ONE cell, so (qid, nid) pairs
+        # are already unique — no dedup exchange needed; candidates move
+        # as 3 scalars and vectors join back after
+        pairs = (
+            assigned_slim.join(probes, "cell")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+        )
+        cands = pairs.join(nvecs, "nid").join(qvecs, "qid")
+
+    cands = cands.withColumn("cosine", cosine_udf(F.col("qvec"), F.col("nvec")))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
     return (
         cands.withColumn("rank", F.row_number().over(w))

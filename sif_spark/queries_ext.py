@@ -1271,6 +1271,24 @@ ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def q65_ivf_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q35's IVF kNN through the LARGE-query tier
+    (``broadcast_queries=False``, operators/similarity.py): probe cells
+    are computed distributed via a GEMM against the broadcast centroid
+    matrix — the query set is never collected to the driver — and
+    candidates flow id-only through the cell equi-join. Full probing
+    (n_probe = n_cells) makes IVF exact regardless of k-means training,
+    so the exact-kNN SQL is a true oracle, here over a 50-query set."""
+    from sif_spark.operators.similarity import ivf_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return ivf_knn(
+        emb, queries, k=5, n_cells=16, n_probe=16, max_iter=2,
+        broadcast_queries=False,
+    ).select("qid", "nid", "rank")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1301,6 +1319,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_streaming_interval_join": q62_streaming_interval_join,
     "q63_lsh_knn_shuffle": q63_lsh_knn_shuffle,
     "q64_asof_hot_key": q64_asof_hot_key,
+    "q65_ivf_knn_distributed": q65_ivf_knn_distributed,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1333,4 +1352,5 @@ EXT_ORACLES: dict[str, str] = {
     "q62_streaming_interval_join": ORACLE_Q62,
     "q63_lsh_knn_shuffle": ORACLE_Q63,
     "q64_asof_hot_key": ORACLE_Q64,
+    "q65_ivf_knn_distributed": ORACLE_Q63,  # same exact-kNN contract & query set
 }

@@ -179,6 +179,36 @@ def test_lsh_knn_shuffle_tier(spark):
     assert got == exp
 
 
+def test_ivf_knn_distributed_query_tier(spark):
+    """ivf_knn's large-query tier: probe cells computed distributed
+    (no driver collect of queries), candidates flow id-only, and with
+    auto-broadcast disabled the cell join plans as a shuffle join.
+    Full-probe (n_probe = n_cells) makes both tiers exact, so they
+    must agree."""
+    from sif_spark.operators.similarity import ivf_knn
+
+    corpus = _vec_df(spark, 200)
+    queries = _vec_df(spark, 15)
+    kw = dict(k=3, n_cells=4, n_probe=4, max_iter=2, seed=7)
+
+    bcast = ivf_knn(corpus, queries, broadcast_queries=True, **kw)
+    exp = {(r["qid"], r["nid"], r["rank"]) for r in bcast.collect()}
+
+    conf = spark.conf
+    saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        dist = ivf_knn(corpus, queries, broadcast_queries=False, **kw)
+        strategies = join_strategies(dist)
+        assert "BroadcastHashJoin" not in strategies, strategies
+        got = {(r["qid"], r["nid"], r["rank"]) for r in dist.collect()}
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    assert got == exp
+
+
 def test_global_rank_plan_flat_at_high_partition_count(spark):
     """VERDICT r2 'What's wrong' #2: the per-partition rank offsets must
     ship as a broadcast-joined frame, not an O(#partitions) CASE chain —
