@@ -69,6 +69,16 @@ def test_asof_join_matches_pandas(spark, data):
     }
     assert got == want
 
+    # hot_key_bucket mode must agree with the plain mode on the same
+    # random data (timestamps span multiple minute-buckets, so random
+    # examples exercise cross-bucket carry-in and empty buckets)
+    hot = {
+        r["lid"]: r["rid"]
+        for r in asof_join(left, right, on=["k"], left_time="ts", right_time="ts",
+                           right_cols=["rid"], hot_key_bucket="minute").collect()
+    }
+    assert hot == want
+
 
 @given(
     st.lists(
