@@ -1289,6 +1289,48 @@ def q65_ivf_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "nid", "rank")
 
 
+def q66_uint64_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the Uint64→Decimal(20,0) mapping (types.py:36;
+    reference ``column_type.go:80-129``, SURVEY §1.2) with values ABOVE
+    2^63 end-to-end: a Decimal(20,0) group key at 2^63+k and per-group
+    sum/min/max/count over values descending from uint64-max
+    (18446744073709551615 − o_orderkey). Spark widens the sum to
+    decimal(31,0) and DuckDB to DECIMAL(38,0); the driver's hash is
+    category-sensitive (decimal==decimal) and value-exact, so any
+    wraparound, silent truncation to int64, or float rounding in the
+    widened-decimal path fails the gate."""
+    o = read_table(spark, sf_dir, "orders")
+    u64_max = F.expr("CAST('18446744073709551615' AS DECIMAL(20,0))")
+    two_63 = F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))")
+    return (
+        o.select(
+            (two_63 + (F.col("o_custkey") % 5)).alias("u64_key"),
+            (u64_max - F.col("o_orderkey")).alias("u64_val"),
+        )
+        .groupBy("u64_key")
+        .agg(
+            F.sum("u64_val").alias("sum_u64"),
+            F.min("u64_val").alias("min_u64"),
+            F.max("u64_val").alias("max_u64"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+ORACLE_Q66 = """
+SELECT CAST('9223372036854775808' AS DECIMAL(20,0)) + (o_custkey % 5) AS u64_key,
+       SUM(u64_val) AS sum_u64,
+       MIN(u64_val) AS min_u64,
+       MAX(u64_val) AS max_u64,
+       COUNT(*) AS n
+FROM (
+  SELECT o_custkey,
+         CAST('18446744073709551615' AS DECIMAL(20,0)) - o_orderkey AS u64_val
+  FROM orders
+) GROUP BY 1
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1320,6 +1362,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_lsh_knn_shuffle": q63_lsh_knn_shuffle,
     "q64_asof_hot_key": q64_asof_hot_key,
     "q65_ivf_knn_distributed": q65_ivf_knn_distributed,
+    "q66_uint64_agg": q66_uint64_agg,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1353,4 +1396,5 @@ EXT_ORACLES: dict[str, str] = {
     "q63_lsh_knn_shuffle": ORACLE_Q63,
     "q64_asof_hot_key": ORACLE_Q64,
     "q65_ivf_knn_distributed": ORACLE_Q63,  # same exact-kNN contract & query set
+    "q66_uint64_agg": ORACLE_Q66,
 }

