@@ -1,10 +1,14 @@
 """As-of (most-recent-prior) join — an operator Spark lacks natively.
 
 Implemented as the union-of-tagged-streams trick: tag left/right rows,
-union, then one window pass per key carries the latest right-side row
-forward (``last(..., ignorenulls=True)``) onto each left row. This is
-the scale-correct strategy: ONE shuffle on the join key (same as any
-equi-join), no range cross-product, no per-group pandas.
+union, then one window pass per key carries the latest right-side ROW
+forward onto each left row. The carried columns are packed into a
+single struct and carried with ``last(struct, ignorenulls=True)`` —
+row semantics: the match is the latest right row AS A WHOLE, including
+any NULL columns it has (matching SQL ASOF JOIN; carrying each column
+independently would resurrect older non-null values, ADVICE r3).
+This is the scale-correct strategy: ONE shuffle on the join key (same
+as any equi-join), no range cross-product, no per-group pandas.
 
 Skew caveat: the window partitions by the join key, so ONE logical key
 is ONE window task — a pathologically hot key (say 20% of a 100 TB
@@ -14,16 +18,95 @@ join). For that shape pass ``hot_key_bucket``: the window then
 partitions by (key, time-bucket) — bounded per-task work — and a
 second, tiny per-(key, bucket) pass (one row per bucket) carries state
 across bucket boundaries. Costs one extra broadcast-sized join, so keep
-it off unless keys are actually pathological.
+it off unless keys are actually pathological. ``hot_key_bucket="auto"``
+runs a sampled key-histogram probe and picks a granularity only when a
+key actually exceeds ``hot_key_threshold`` of the (sampled) rows — the
+100 TB user usually doesn't know their key is hot until the job hangs.
 
 Semantics match DuckDB/standard ASOF JOIN: for each left row, the
 right row with the greatest ``right_time <= left_time`` (inclusive) on
 the same key; null columns when no such row exists (left behavior).
+NULL join keys group together (SQL window/GROUP BY semantics, not
+equi-join semantics): the hot-key mode's internal carry joins use
+null-safe equality so both modes agree on NULL keys. Rows with NULL
+timestamps sort first (NULLS FIRST) and thus never see a carried row;
+ordering AMONG equal (timestamp, side) right rows is engine-dependent
+in both modes, as in any ASOF tie.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+
+# "auto" probe: units coarse→fine; pick the coarsest giving >= _MIN_BUCKETS
+# buckets over the observed time span (enough tasks to spread a hot key).
+_BUCKET_UNITS = [
+    ("week", 7 * 86400.0),
+    ("day", 86400.0),
+    ("hour", 3600.0),
+    ("minute", 60.0),
+    ("second", 1.0),
+]
+_MIN_BUCKETS = 64
+
+
+def detect_hot_key_bucket(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    threshold: float = 0.2,
+    sample_fraction: float = 0.01,
+    seed: int = 42,
+) -> str | None:
+    """Sampled key-histogram probe: return a ``date_trunc`` unit when
+    some key holds more than ``threshold`` of the sampled (left+right)
+    rows, else None. The unit is the coarsest one yielding at least
+    ~64 buckets over the sampled time span, so the hot key's window
+    work spreads across enough tasks without exploding the carry join.
+
+    Cost: two small eager jobs over a ``sample_fraction`` sample
+    (count+max per key, min/max time) — that is the price of "auto";
+    callers who know their key distribution pass an explicit unit (or
+    None) and pay nothing.
+    """
+    keyed = left.select(*on, F.col(left_time).alias("__t")).unionByName(
+        right.select(*on, F.col(right_time).alias("__t"))
+    )
+    if sample_fraction < 1.0:
+        keyed = keyed.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    hist = keyed.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+    stats = hist.agg(
+        F.sum("__n").alias("total"), F.max("__n").alias("top")
+    ).first()
+    if stats is None or not stats["total"]:
+        return None
+    if stats["top"] / stats["total"] < threshold:
+        return None
+    span = keyed.agg(
+        F.min("__t").alias("lo"), F.max("__t").alias("hi")
+    ).first()
+    if span is None or span["lo"] is None or span["hi"] is None:
+        return None
+    span_sec = (span["hi"] - span["lo"]).total_seconds()
+    for unit, unit_sec in _BUCKET_UNITS:
+        if span_sec / unit_sec >= _MIN_BUCKETS:
+            return unit
+    return _BUCKET_UNITS[-1][0]
+
+
+def _null_safe_on(a: DataFrame, b: DataFrame, cols: list[str]) -> Column:
+    """AND-folded null-safe equality join condition over ``cols`` —
+    NULL keys must meet (window partitionBy groups NULLs together, so
+    the hot-key mode's carry joins must too; plain equi-join would
+    silently drop their carry-in, ADVICE r3)."""
+    return functools.reduce(
+        operator.and_, [a[c].eqNullSafe(b[c]) for c in cols]
+    )
 
 
 def asof_join(
@@ -35,6 +118,8 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     hot_key_bucket: str | None = None,
+    hot_key_threshold: float = 0.2,
+    hot_key_sample_fraction: float = 0.01,
 ) -> DataFrame:
     """Return ``left`` with, per row, the columns of the most recent
     ``right`` row at-or-before ``left[left_time]`` sharing ``on`` keys.
@@ -47,28 +132,55 @@ def asof_join(
     (key, bucket) instead of (key) so a hot key's work spreads over
     #buckets tasks; cross-bucket carry-in is reconstructed exactly from
     a per-(key, bucket) summary (one row per bucket — see module
-    docstring). Output is identical to the default mode.
+    docstring). Output is identical to the default mode (both carry
+    the latest right row as a unit, NULL columns included, and both
+    group NULL keys together). ``"auto"`` probes a sampled key
+    histogram first (``detect_hot_key_bucket``) and stays in the
+    default single-window mode unless a key exceeds
+    ``hot_key_threshold`` of sampled rows.
     """
+    if hot_key_bucket == "auto":
+        hot_key_bucket = detect_hot_key_bucket(
+            left, right, on, left_time, right_time,
+            threshold=hot_key_threshold,
+            sample_fraction=hot_key_sample_fraction,
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_time]
     carried = {c: (c + suffix if c in left.columns else c) for c in right_cols}
+    outs = list(carried.values())
+    row_type = T.StructType(
+        [T.StructField(out, right.schema[rc].dataType) for rc, out in carried.items()]
+    )
 
-    l_tagged = left.withColumn("__t", F.col(left_time)).withColumn("__side", F.lit(1))
-    for rc, out in carried.items():
-        l_tagged = l_tagged.withColumn(out, F.lit(None).cast(right.schema[rc].dataType))
-
+    # The carried columns travel as ONE struct: non-null for every right
+    # row (even if all its fields are NULL), absent for left rows — so
+    # last(__row, ignorenulls=True) picks the latest right ROW, never a
+    # per-column mix of rows.
+    l_tagged = left.select(
+        "*",
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(row_type).alias("__row"),
+    )
     r_tagged = right.select(
         *[F.col(k) for k in on],
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
-        *[F.col(rc).alias(out) for rc, out in carried.items()],
+        F.struct(
+            *[F.col(rc).alias(out) for rc, out in carried.items()]
+        ).alias("__row"),
     )
     for c in l_tagged.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
-
     unioned = l_tagged.unionByName(r_tagged)
-    outs = list(carried.values())
+
+    def unpack(df: DataFrame) -> DataFrame:
+        out_cols = [c for c in left.columns] + [
+            F.col(f"__row.{out}").alias(out) for out in outs
+        ]
+        return df.filter(F.col("__side") == 1).select(*out_cols)
 
     if hot_key_bucket is None:
         # Right rows sort before left rows at equal timestamps (__side
@@ -79,10 +191,8 @@ def asof_join(
             .orderBy(F.col("__t"), F.col("__side"))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = unioned
-        for out in outs:
-            filled = filled.withColumn(out, F.last(F.col(out), ignorenulls=True).over(w))
-        return filled.filter(F.col("__side") == 1).drop("__t", "__side")
+        filled = unioned.withColumn("__row", F.last("__row", ignorenulls=True).over(w))
+        return unpack(filled)
 
     # --- hot-key mode: (key, time-bucket) partitioned two-phase carry ---
     unioned = unioned.withColumn("__b", F.date_trunc(hot_key_bucket, F.col("__t")))
@@ -93,34 +203,42 @@ def asof_join(
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for out in outs:
-        filled = filled.withColumn(out, F.last(F.col(out), ignorenulls=True).over(w_in))
+    filled = unioned.withColumn("__row", F.last("__row", ignorenulls=True).over(w_in))
 
     # phase 2: cross-bucket carry-in — ONE row per (key, bucket), so the
-    # per-key window here is #buckets rows even for the hottest key
+    # per-key window here is #buckets rows even for the hottest key.
+    # max_by(__row, __t) = latest right row of the bucket AS A UNIT.
     right_last = (
         unioned.filter(F.col("__side") == 0)
         .groupBy(*on, "__b")
-        .agg(F.max_by(F.struct(*outs), F.col("__t")).alias("__last"))
+        .agg(F.max_by(F.col("__row"), F.col("__t")).alias("__last"))
     )
-    all_buckets = unioned.select(*on, "__b").distinct()
+    all_buckets = unioned.select(*on, "__b").distinct().alias("bk")
+    right_last = right_last.alias("rl")
     w_carry = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__b"))
+        Window.partitionBy(*[F.col(f"bk.{k}") for k in on])
+        .orderBy(F.col("bk.__b"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        all_buckets.join(right_last, [*on, "__b"], "left")
-        .withColumn("__carry", F.last(F.col("__last"), ignorenulls=True).over(w_carry))
-        .select(*on, "__b", "__carry")
+        all_buckets.join(
+            right_last,
+            _null_safe_on(all_buckets, right_last, [*on, "__b"]),
+            "left",
+        )
+        .withColumn("__carry", F.last(F.col("rl.__last"), ignorenulls=True).over(w_carry))
+        .select(
+            *[F.col(f"bk.{k}") for k in on], F.col("bk.__b"), F.col("__carry")
+        )
+        .alias("cr")
     )
 
-    joined = filled.join(carry, [*on, "__b"], "left")
-    for out in outs:
-        joined = joined.withColumn(
-            out, F.coalesce(F.col(out), F.col(f"__carry.{out}"))
+    filled = filled.alias("fl")
+    joined = (
+        filled.join(carry, _null_safe_on(filled, carry, [*on, "__b"]), "left")
+        .select(
+            *[F.col(f"fl.{c}") for c in filled.columns if c != "__row"],
+            F.coalesce(F.col("fl.__row"), F.col("cr.__carry")).alias("__row"),
         )
-    return (
-        joined.filter(F.col("__side") == 1).drop("__t", "__side", "__b", "__carry")
     )
+    return unpack(joined)

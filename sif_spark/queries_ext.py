@@ -60,6 +60,22 @@ def _stream_partitions(spark: SparkSession, n: int = 4):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column across the generator's
+    timestamp encodings — long nanos (legacy nanosAsLong read) or
+    tz-less µs (Spark 4 infers TIMESTAMP_NTZ) — to a plain UTC
+    TimestampType. Batch reads get this from ``read_table``; the
+    streaming entries build their own readers and must apply it too
+    (callers already force the session zone to UTC, so the NTZ→LTZ
+    cast reinterprets the naive value as the same UTC instant)."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Sources: DSV conf / decoder / memory / custom DataSource
 # ---------------------------------------------------------------------------
@@ -585,9 +601,9 @@ def q48_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(path, link)
     raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = _normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
+    )
     agg = stream.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n_events"))
@@ -905,9 +921,9 @@ def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(path, link)
     raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = _normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
+    )
     agg = (
         stream.groupBy(
             F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
@@ -1142,10 +1158,9 @@ def q62_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(path).schema
 
     def read_stream() -> DataFrame:
-        s = spark.readStream.schema(raw_schema).parquet(stream_dir)
-        if isinstance(raw_schema["ts"].dataType, T.LongType):
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return s
+        return _normalize_event_ts(
+            spark.readStream.schema(raw_schema).parquet(stream_dir)
+        )
 
     # user_id < 50 keeps the state-store footprint proportionate for a
     # catalog entry (state writes dominate wall-clock on a single-batch

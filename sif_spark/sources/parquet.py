@@ -27,26 +27,41 @@ def read_parquet(spark: SparkSession, path: str) -> SifFrame:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one of the project's testdata tables as a plain DataFrame.
+    """Read one of the project's testdata tables as a plain DataFrame,
+    normalizing every timestamp encoding the generator has shipped to a
+    plain (LTZ) TimestampType under a UTC session zone:
 
-    The events table stores TIMESTAMP(NANOS), which Spark reads as long
-    nanos under ``spark.sql.legacy.parquet.nanosAsLong`` — convert to a
-    microsecond TimestampType (truncating, matching DuckDB's ns→µs cast).
+    - TIMESTAMP(NANOS) → read as long nanos under
+      ``spark.sql.legacy.parquet.nanosAsLong``, truncated to µs
+      (matching DuckDB's ns→µs cast);
+    - tz-less ``timestamp[us]`` (Spark 4 infers TIMESTAMP_NTZ) → cast
+      to TIMESTAMP; with the session zone forced to UTC the instant
+      equals the naive value read as UTC, i.e. exactly what the DuckDB
+      oracle computes on the same file.
 
     Defensive: the confs are (re)applied here at runtime, not only in
     get_session — callers (e.g. the verification driver) may hand us a
     session built without them, which would otherwise fail the scan
-    (PARQUET_TYPE_ILLEGAL) or render the LTZ timestamps in a non-UTC
+    (PARQUET_TYPE_ILLEGAL) or render the timestamps in a non-UTC
     session zone and break oracle comparison.
     """
     from pyspark.sql import functions as F, types as T
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ntz_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    ]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns(
+            {c: F.col(c).cast(T.TimestampType()) for c in ntz_cols}
+        )
     return df
 
 

@@ -100,6 +100,89 @@ def test_asof_join_hot_key_bucket_equivalence(spark):
     assert got == want and len(got) > 0
 
 
+def test_asof_join_null_carried_columns(spark):
+    """Row semantics (ADVICE r3): the match is the latest right ROW as
+    a unit — a NULL column in that row stays NULL, it must NOT be
+    back-filled from an older right row. Both modes, identically."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-03T12:00"), "p1")], "uid int, t timestamp, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), 5), (1, ts("2024-01-02T10:00"), None)],
+        "uid int, t timestamp, v int",
+    )
+    kw = dict(on=["uid"], left_time="t", right_time="t", right_cols=["v"])
+    for bucket in (None, "day"):
+        out = asof_join(left, right, hot_key_bucket=bucket, **kw).collect()
+        assert [r["v"] for r in out] == [None], f"bucket={bucket}"
+
+
+def test_asof_join_null_keys_equivalent(spark):
+    """NULL join keys group together (window semantics) — and the
+    hot-key mode's null-safe carry joins must preserve that, including
+    carry-in across bucket boundaries (ADVICE r3)."""
+    left = spark.createDataFrame(
+        [(None, ts("2024-01-03T12:00"), "p1"), (1, ts("2024-01-03T12:00"), "p2")],
+        "uid int, t timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(None, ts("2024-01-01T10:00"), "c1"), (1, ts("2024-01-01T11:00"), "c2")],
+        "uid int, t timestamp, cid string",
+    )
+    kw = dict(on=["uid"], left_time="t", right_time="t", right_cols=["cid"])
+    plain = {r["pid"]: r["cid"] for r in asof_join(left, right, **kw).collect()}
+    split = {
+        r["pid"]: r["cid"]
+        for r in asof_join(left, right, hot_key_bucket="day", **kw).collect()
+    }
+    assert plain == {"p1": "c1", "p2": "c2"}
+    assert split == plain
+
+
+def test_asof_join_auto_hot_key_detection(spark):
+    """hot_key_bucket='auto' (VERDICT r3 #6): a synthetic 80%-hot key
+    must trip the sampled histogram probe and select a bucketed plan;
+    a uniform key distribution must stay in the default mode. Either
+    way the output equals the default mode's."""
+    from sif_spark.operators.asof import detect_hot_key_bucket
+
+    base = ts("2024-01-01T00:00")
+    hot_left = spark.createDataFrame(
+        [(1 if i % 5 else i, base + dt.timedelta(hours=i), f"p{i}")
+         for i in range(200)],
+        "uid int, t timestamp, pid string",
+    )
+    hot_right = spark.createDataFrame(
+        [(1 if i % 5 else i, base + dt.timedelta(hours=i, minutes=30), f"c{i}")
+         for i in range(200)],
+        "uid int, t timestamp, cid string",
+    )
+    unit = detect_hot_key_bucket(
+        hot_left, hot_right, ["uid"], "t", "t", sample_fraction=1.0
+    )
+    assert unit is not None  # 80% hot key over ~8 days → bucketed plan
+
+    uniform_left = hot_left.withColumn("uid", F.monotonically_increasing_id())
+    uniform_right = hot_right.withColumn("uid", F.monotonically_increasing_id())
+    assert (
+        detect_hot_key_bucket(
+            uniform_left, uniform_right, ["uid"], "t", "t", sample_fraction=1.0
+        )
+        is None
+    )
+
+    kw = dict(on=["uid"], left_time="t", right_time="t", right_cols=["cid"])
+    want = {r["pid"]: r["cid"] for r in asof_join(hot_left, hot_right, **kw).collect()}
+    got = {
+        r["pid"]: r["cid"]
+        for r in asof_join(
+            hot_left, hot_right, hot_key_bucket="auto",
+            hot_key_sample_fraction=1.0, **kw
+        ).collect()
+    }
+    assert got == want
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = [
