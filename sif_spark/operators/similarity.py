@@ -85,6 +85,8 @@ def _collect_normalized(df: DataFrame, vec_col: str, id_col: str) -> tuple[np.nd
     broadcasting. Only ever called on the SMALL side of an operator."""
     pdf = df.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
+    if len(pdf) == 0:  # e.g. an empty hash-chunk in chunked bf-kNN
+        return ids, np.empty((0, 0))
     M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -109,16 +111,58 @@ def brute_force_knn(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str | None = None,
+    query_chunks: int = 1,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (qid, nid, rank, cosine), rank 1..k, ties broken by
     neighbor id. Corpus scans once with zero shuffle; per-Arrow-batch
     GEMM + batch-local top-k bound the rows entering the final global
-    window to |batches|×|queries|×k."""
+    window to |batches|×|queries|×k.
+
+    The query side is collected and broadcast (the documented
+    small-side contract; lsh_knn / ivf_knn are the approximate tiers
+    for large query sets). ``query_chunks > 1`` is the EXACT escape
+    when the query set exceeds the broadcast limit but approximate
+    recall is unacceptable (VERDICT r3 #8): queries are hash-split
+    into chunks, each chunk broadcast and scanned in turn, partials
+    materialized eagerly (``localCheckpoint``) so the driver and
+    executors only ever hold ONE chunk's matrix at a time. Costs
+    ``query_chunks`` sequential corpus scans — strictly a trade of
+    scan count for memory; results are bit-identical to a single
+    broadcast because every qid lives in exactly one chunk and the
+    ranking window partitions by qid."""
     query_id_col = query_id_col or id_col
+    if query_chunks > 1:
+        import functools
+
+        chunked = queries.withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(query_chunks)),
+        )
+        parts = [
+            brute_force_knn(
+                corpus,
+                chunked.filter(F.col("__chunk") == c).drop("__chunk"),
+                k, vec_col, id_col, query_id_col,
+            ).localCheckpoint(eager=True)
+            for c in range(query_chunks)
+        ]
+        return functools.reduce(DataFrame.unionByName, parts)
     qids, Q = _collect_normalized(queries, vec_col, query_id_col)
     spark = corpus.sparkSession
+    if len(qids) == 0:  # empty query set (or empty hash-chunk)
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("qid", T.LongType(), False),
+                    T.StructField("nid", T.LongType(), False),
+                    T.StructField("rank", T.IntegerType(), False),
+                    T.StructField("cosine", T.DoubleType(), False),
+                ]
+            ),
+        )
     bc = spark.sparkContext.broadcast((qids, Q))
 
     out_schema = T.StructType(

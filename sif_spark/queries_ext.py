@@ -592,6 +592,7 @@ def q48_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (internal/test/integration/stream_test.go:43)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, "events.parquet")
     # The streaming file source requires a DIRECTORY; expose the single
     # testdata file through a symlinked stream dir (bytes untouched).
@@ -914,6 +915,7 @@ def q57_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps, so the two formulations' boundary conventions coincide.)"""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, "events.parquet")
     stream_dir = _io_dir(sf_dir, "events_stream")
     os.makedirs(stream_dir, exist_ok=True)
@@ -1149,6 +1151,7 @@ def q62_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, "events.parquet")
     stream_dir = _io_dir(sf_dir, "events_stream")
     os.makedirs(stream_dir, exist_ok=True)
@@ -1346,6 +1349,23 @@ FROM (
 """
 
 
+def q67_bf_knn_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-query EXACT brute-force kNN (VERDICT r3 #8): the tier
+    for a query set past the broadcast limit when approximate recall
+    (q63/q65) is unacceptable. ``query_chunks=4`` hash-splits the 50
+    queries; each chunk is broadcast and GEMM-scanned in turn with
+    partials eagerly materialized, so driver/executors hold one
+    chunk's matrix at a time (operators/similarity.py). Bit-identical
+    to the single-broadcast plan — exact-kNN SQL is the oracle."""
+    from sif_spark.operators.similarity import brute_force_knn
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    return brute_force_knn(emb, queries, k=5, query_chunks=4).select(
+        "qid", "nid", "rank"
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1378,6 +1398,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_asof_hot_key": q64_asof_hot_key,
     "q65_ivf_knn_distributed": q65_ivf_knn_distributed,
     "q66_uint64_agg": q66_uint64_agg,
+    "q67_bf_knn_chunked": q67_bf_knn_chunked,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1412,4 +1433,5 @@ EXT_ORACLES: dict[str, str] = {
     "q64_asof_hot_key": ORACLE_Q64,
     "q65_ivf_knn_distributed": ORACLE_Q63,  # same exact-kNN contract & query set
     "q66_uint64_agg": ORACLE_Q66,
+    "q67_bf_knn_chunked": ORACLE_Q63,  # same exact-kNN contract & query set
 }

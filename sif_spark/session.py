@@ -33,6 +33,10 @@ _DEFAULTS: dict[str, str] = {
     # Read parquet TIMESTAMP(NANOS) (which Spark has no native type for)
     # as long nanos; sources.parquet converts to microsecond timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Tz-less parquet timestamps read as plain (LTZ) TimestampType, not
+    # TIMESTAMP_NTZ — with the UTC session zone the instant equals the
+    # naive value, and no post-scan cast blocks date-filter pushdown.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
 }

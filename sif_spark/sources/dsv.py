@@ -100,7 +100,13 @@ def read_dsv_decoded(
                     names=names,
                     header=0 if conf.header_lines > 0 else None,
                     comment=conf.comment,
-                    na_values=[conf.nil_value],  # "" → empty field is nil
+                    # Empty fields are nil alongside the configured token
+                    # (a non-empty nil_value alone would make any empty
+                    # cell a hard parse error in the nullable-int dtype
+                    # columns, ADVICE r3) — matching read_dsv, where the
+                    # Spark CSV reader nulls empty non-string fields
+                    # regardless of nullValue.
+                    na_values=list({conf.nil_value, ""}),
                     keep_default_na=False,
                     dtype=int_dtypes or None,
                 )

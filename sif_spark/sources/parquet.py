@@ -49,6 +49,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Read tz-less parquet timestamps directly as LTZ TimestampType
+    # rather than inferring TIMESTAMP_NTZ and casting after the scan —
+    # a post-scan cast would sit between filters and the parquet
+    # reader and kill predicate pushdown on every date column
+    # (measured: q01's l_shipdate filter stops reaching PushedFilters).
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf not settable (odd session) — cast fallback below
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         spark.conf.set("spark.sql.session.timeZone", "UTC")

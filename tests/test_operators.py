@@ -260,6 +260,24 @@ def test_brute_force_knn(spark, vectors):
     assert ranked[0]["cosine"] > 0.99
 
 
+def test_brute_force_knn_chunked_identical(spark, vectors):
+    """query_chunks>1 (VERDICT r3 #8) must be bit-identical to the
+    single-broadcast plan — including when some hash-chunks are empty
+    (5 queries over 7 chunks guarantees ≥2 empty ones)."""
+    single = sorted(
+        (r["qid"], r["nid"], r["rank"], r["cosine"])
+        for r in sim.brute_force_knn(vectors, vectors, k=2).collect()
+    )
+    for chunks in (3, 7):
+        chunked = sorted(
+            (r["qid"], r["nid"], r["rank"], r["cosine"])
+            for r in sim.brute_force_knn(
+                vectors, vectors, k=2, query_chunks=chunks
+            ).collect()
+        )
+        assert chunked == single, f"chunks={chunks}"
+
+
 def test_embedding_near_dup(spark, vectors):
     pairs = dd.embedding_near_dup_pairs(vectors, threshold=0.99).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -21,6 +21,21 @@ def test_q02_filter_pushdown_and_pruning(spark):
     }
 
 
+def test_timestamp_normalization_keeps_pushdown(spark):
+    """Round-4 testdata ships tz-less timestamp[us]; read_table must
+    surface plain (LTZ) TimestampType via the read conf, NOT a
+    post-scan cast — a cast layer silently kills date-filter pushdown
+    (q01 measured 2× slower with NTZ+cast)."""
+    from pyspark.sql import types as T
+
+    from sif_spark.sources.parquet import read_table
+
+    for table, col in (("events", "ts"), ("lineitem", "l_shipdate")):
+        dt = read_table(spark, SF, table).schema[col].dataType
+        assert isinstance(dt, T.TimestampType), (table, col, dt)
+    assert has_pushed_filter(QUERIES["q01_pricing_summary"](spark, SF), "l_shipdate")
+
+
 def test_q03_broadcast_joins(spark):
     df = QUERIES["q03_revenue_by_nation"](spark, SF)
     strategies = join_strategies(df)

@@ -77,6 +77,28 @@ def test_dsv_decoded_bigint_with_nil_exact(spark, tmpdir):
     assert rows == {1: big, 2: None, 3: big + 2}
 
 
+def test_dsv_decoded_nonempty_nil_token_with_empty_cells(spark, tmpdir):
+    """ADVICE r3 (low): a NON-empty nil token (e.g. 'NULL') plus an
+    empty cell in a nullable-int column must parse (both read as nil),
+    not raise a pandas dtype ValueError."""
+    p = os.path.join(tmpdir, "niltok.csv.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(b"id,v,name\n1,NULL,a\n2,,b\n3,7,NULL\n"))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    frame = read_dsv_decoded(
+        spark, p, schema, decoder=gzip.decompress,
+        conf=DSVConf(header_lines=1, nil_value="NULL"),
+    )
+    rows = {r["id"]: (r["v"], r["name"]) for r in frame.collect()}
+    assert rows == {1: (None, "a"), 2: (None, "b"), 3: (7, None)}
+
+
 def test_jsonl_dotted_paths(spark, tmpdir):
     """jsonl_utils.go: gjson dotted paths → flat columns, nil for
     missing paths."""
