@@ -12,6 +12,7 @@ is the sum of per-query minima.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -44,6 +45,12 @@ def main() -> None:
         except Exception as e:  # a failing query records -1, not a crash
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Drop py4j refs so the ContextCleaner can reclaim the
+        # localCheckpoint RDDs several catalog entries materialize —
+        # 67 queries × 3 runs otherwise accumulate executor-memory
+        # blocks and later queries pay the GC bill (q32 measured 2.5×
+        # slower at the tail of a full run than standalone).
+        gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
