@@ -21,11 +21,15 @@ from sif_spark.operators.dedup import (
 )
 from sif_spark.operators.ranking import global_rank, ntile_distributed
 from sif_spark.operators.similarity import (
+    IVFIndex,
     brute_force_knn,
+    build_ivf_index,
     cosine_all_pairs,
     ivf_knn,
+    load_ivf_index,
     lsh_knn,
     lsh_similar_pairs,
+    save_ivf_index,
 )
 from sif_spark.operators.text import (
     tokenize,
@@ -54,6 +58,10 @@ __all__ = [
     "lsh_knn",
     "lsh_similar_pairs",
     "ivf_knn",
+    "IVFIndex",
+    "build_ivf_index",
+    "save_ivf_index",
+    "load_ivf_index",
     "global_rank",
     "ntile_distributed",
     "tokenize",

@@ -348,6 +348,87 @@ def lsh_knn(
 # IVF (inverted-file) ANN — coarse-quantizer tier
 # ---------------------------------------------------------------------------
 
+class IVFIndex:
+    """A built IVF index: the k-means centroid matrix plus the corpus
+    cell assignment — the artifact that amortizes training cost across
+    query batches (an index is built once per corpus version, then
+    served; q65's KMeans fit dominating its bench entry is exactly the
+    cost this moves out of the query path).
+
+    ``assigned`` is (nid, cell), materialized so reuse never re-runs
+    the fit or the assignment scan. Centroids are kept raw; consumers
+    normalize as needed."""
+
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame):
+        self.centroids = centroids
+        self.assigned = assigned
+
+    @property
+    def n_cells(self) -> int:
+        return self.centroids.shape[0]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> IVFIndex:
+    """Fit the coarse quantizer and assign every corpus vector to its
+    cell. One MLlib fit + one transform scan; the assignment is
+    localCheckpoint-materialized so every subsequent ``ivf_knn(...,
+    index=...)`` call starts from the (nid, cell) table directly."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    # a coarse quantizer doesn't need convergence — a few iterations
+    # give balanced-enough cells, and training cost is per-index-build
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    assigned = (
+        model.transform(train)
+        .select(F.col(id_col).alias("nid"), F.col("prediction").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    return IVFIndex(centers, assigned)
+
+
+def save_ivf_index(index: IVFIndex, path: str) -> None:
+    """Persist an index as two parquet datasets: ``<path>/assigned``
+    (nid, cell) and ``<path>/centroids`` (cell, vector) — plain
+    columnar data, readable by any engine, no pickled state."""
+    import os
+
+    spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite").parquet(os.path.join(path, "assigned"))
+    cent_rows = [
+        (i, [float(x) for x in index.centroids[i]]) for i in range(index.n_cells)
+    ]
+    spark.createDataFrame(cent_rows, "cell int, vector array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def load_ivf_index(spark, path: str) -> IVFIndex:
+    import os
+
+    cent = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("cell")
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r["vector"], dtype=np.float64) for r in cent])
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    return IVFIndex(centroids, assigned)
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -359,6 +440,7 @@ def ivf_knn(
     seed: int = 42,
     max_iter: int = 10,
     broadcast_queries: bool = True,
+    index: IVFIndex | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF index: k-means
     coarse quantizer (Spark MLlib) partitions the corpus into cells;
@@ -378,23 +460,20 @@ def ivf_knn(
     matrix — n_cells×dim, tiny), candidates flow as id-only rows
     through the cell equi-join, and vectors join back onto the
     candidate set (the lsh_knn shuffle-tier structure). No driver-side
-    collect of queries anywhere on that path."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    collect of queries anywhere on that path.
 
+    ``index``: a prebuilt ``IVFIndex`` (build_ivf_index /
+    load_ivf_index) — skips the KMeans fit and assignment scan, the
+    production shape where one index build serves many query batches.
+    When given, ``n_cells``/``seed``/``max_iter`` are ignored."""
     spark = corpus.sparkSession
-    train = corpus.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
-    )
-    # a coarse quantizer doesn't need convergence — a few iterations
-    # give balanced-enough cells, and training cost is per-index-build
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    if index is None:
+        index = build_ivf_index(corpus, vec_col, id_col, n_cells, seed, max_iter)
+    centers = index.centroids
+    n_probe = min(n_probe, index.n_cells)
     cnorm = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
 
-    assigned_slim = model.transform(train).select(
-        F.col(id_col).alias("nid"), F.col("prediction").alias("cell")
-    )
+    assigned_slim = index.assigned
     nvecs = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
     qvecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
 

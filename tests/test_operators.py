@@ -307,6 +307,36 @@ def test_ivf_knn_recall_vs_brute_force(spark):
     assert approx == exact
 
 
+def test_ivf_index_build_reuse_save_load(spark, tmp_path):
+    """A prebuilt IVFIndex must serve query batches with results
+    identical to the inline fit (same seed), skip re-training, and
+    survive a parquet save/load round-trip — the production shape
+    where one index build serves many query batches."""
+    import numpy as np
+
+    rows = [(i, [float(np.cos(i * 0.7 + d)) for d in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q1 = corpus.filter(F.col("vec_id") < 5)
+    q2 = corpus.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+
+    def key(df):
+        return sorted((r["qid"], r["nid"], r["rank"]) for r in df.collect())
+
+    inline = key(sim.ivf_knn(corpus, q1, k=3, n_cells=4, n_probe=4, max_iter=2))
+    idx = sim.build_ivf_index(corpus, n_cells=4, max_iter=2)
+    assert key(sim.ivf_knn(corpus, q1, k=3, n_probe=4, index=idx)) == inline
+    # second batch through the same index — no refit
+    batch2 = key(sim.ivf_knn(corpus, q2, k=3, n_probe=4, index=idx))
+    assert len(batch2) == 5 * 3
+
+    path = str(tmp_path / "ivf_index")
+    sim.save_ivf_index(idx, path)
+    loaded = sim.load_ivf_index(spark, path)
+    assert loaded.n_cells == 4
+    assert key(sim.ivf_knn(corpus, q1, k=3, n_probe=4, index=loaded)) == inline
+    assert key(sim.ivf_knn(corpus, q2, k=3, n_probe=4, index=loaded)) == batch2
+
+
 def test_lsh_knn_recalls_identical(spark, vectors):
     """LSH with enough tables must recall the near-identical neighbor."""
     queries = vectors.filter(F.col("vec_id") == 0)
