@@ -1,0 +1,56 @@
+"""In-suite oracle gate for the TAIL of the catalog (q51+).
+
+The driver's correctness gate stops at the first 50 `queries()`
+entries (its window is pinned by test_catalog_driver_window_stable);
+the tail — which includes every round-3/4 scale tier (q63 shuffle-LSH,
+q64 hot-key asof, q65 distributed IVF, q66 uint64, q67 chunked bf-kNN)
+— is otherwise gated only by running tools/check_oracle.py by hand.
+This test folds the scale-critical tail entries into `pytest` at
+sf0.001 so "suite green" implies they still match DuckDB. The full
+67-entry gate at the driver's sf remains tools/check_oracle.py.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import compare_tables
+from sif_spark.sources.parquet import TABLES
+
+SF = "/root/testdata/sf0.001"
+
+# The tail entries whose regression would matter most at 100 TB.
+# q54/q61 are excluded: their oracles read_blob() files at the
+# driver's gate scale (see tools/check_oracle.py SF001_PINNED).
+TAIL = [
+    "q53_lsh_similar_pairs",
+    "q63_lsh_knn_shuffle",
+    "q64_asof_hot_key",
+    "q65_ivf_knn_distributed",
+    "q66_uint64_agg",
+    "q67_bf_knn_chunked",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", TAIL)
+def test_tail_entry_matches_oracle(spark, duck, name):
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    atbl = fn(spark, SF).toArrow()
+    dtbl = duck.execute(sql).arrow()
+    assert compare_tables(atbl, dtbl) == [], name
