@@ -14,6 +14,7 @@ from sif_spark.operators.dedup import (
     minhash_signatures,
     minhash_lsh_candidates,
     minhash_dedup_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_dup_pairs,
@@ -49,6 +50,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "minhash_dedup_pairs",
+    "near_dup_clusters",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_near_dup_pairs",

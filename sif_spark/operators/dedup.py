@@ -441,6 +441,81 @@ def simhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Cluster formation (pairs → connected components → survivors)
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the near-dup pair
+    graph — the step every dedup pipeline runs AFTER pair generation
+    (minhash/simhash/jaccard emit pairs; keeping one survivor per
+    GROUP requires grouping transitively: a~b, b~c ⇒ {a,b,c} even
+    though a~c was never emitted).
+
+    Algorithm: min-label propagation — every node starts labeled with
+    its own id; each iteration every node takes the min of its label
+    and its neighbors' labels; converges to the component-minimum in
+    O(component diameter) iterations. Each iteration is ONE shuffle
+    (join + groupBy on node id) over |V|+|E| rows, the
+    GraphX/Pregel-style formulation that scales to billions of edges —
+    near-dup components are overwhelmingly tiny (diameter 1-3), so the
+    loop terminates in a handful of passes. Labels are
+    localCheckpoint-materialized per iteration: the lineage would
+    otherwise double per pass and the convergence test re-runs it.
+
+    ``cluster_id`` is the component's MINIMUM doc id — i.e. exactly
+    the deterministic keep-min survivor, so `cluster_id` doubles as
+    the survivor id and `doc_id != cluster_id` marks rows to drop.
+    Only docs appearing in ``pairs`` are emitted (singletons are
+    trivially their own survivor). Raises after ``max_iter`` passes
+    without convergence rather than returning partial components."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select("node", F.col("label").alias("new_label"))
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iter} iterations — "
+        "component diameter exceeds the bound; raise max_iter"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding near-dup
 # ---------------------------------------------------------------------------
 

@@ -1366,6 +1366,67 @@ def q67_bf_knn_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → connected components → survivors: the step a real dedup
+    pipeline runs after pair generation (a~b, b~c ⇒ {a,b,c} must keep
+    ONE doc). Edges are q13's exact n-gram Jaccard pairs; clustering is
+    min-label propagation (`near_dup_clusters`, one shuffle per
+    iteration — the formulation that survives billion-edge graphs).
+    cluster_id = component-min doc id = the keep-min survivor. The
+    oracle replays the edge SQL and closes it with a recursive CTE."""
+    from sif_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=100
+    )
+    return near_dup_clusters(pairs)
+
+
+ORACLE_Q68 = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks WHERE len(w) >= 3
+  )
+),
+ok AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.gram FROM sh JOIN ok USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shf a JOIN shf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION SELECT id_b, id_a FROM edges
+  UNION SELECT id_a, id_a FROM edges
+  UNION SELECT id_b, id_b FROM edges
+),
+reach(s, d) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+)
+SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1399,6 +1460,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_ivf_knn_distributed": q65_ivf_knn_distributed,
     "q66_uint64_agg": q66_uint64_agg,
     "q67_bf_knn_chunked": q67_bf_knn_chunked,
+    "q68_dedup_clusters": q68_dedup_clusters,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1434,4 +1496,5 @@ EXT_ORACLES: dict[str, str] = {
     "q65_ivf_knn_distributed": ORACLE_Q63,  # same exact-kNN contract & query set
     "q66_uint64_agg": ORACLE_Q66,
     "q67_bf_knn_chunked": ORACLE_Q63,  # same exact-kNN contract & query set
+    "q68_dedup_clusters": ORACLE_Q68,
 }

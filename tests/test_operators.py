@@ -278,6 +278,43 @@ def test_brute_force_knn_chunked_identical(spark, vectors):
         assert chunked == single, f"chunks={chunks}"
 
 
+def test_near_dup_clusters_matches_union_find(spark):
+    """Min-label-propagation connected components must equal a
+    driver-side union-find on the same edges: a chain (transitive
+    closure past directly-emitted pairs), a separate 2-cycle-free
+    component, and a deterministic pseudo-random graph."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11)] + [
+        (rng.randrange(100, 140), rng.randrange(100, 140)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.near_dup_clusters(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert got[3] == 0 and got[11] == 10  # chain closes transitively
+
+
 def test_embedding_near_dup(spark, vectors):
     pairs = dd.embedding_near_dup_pairs(vectors, threshold=0.99).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -34,6 +34,7 @@ TAIL = [
     "q65_ivf_knn_distributed",
     "q66_uint64_agg",
     "q67_bf_knn_chunked",
+    "q68_dedup_clusters",
 ]
 
 
