@@ -180,3 +180,40 @@ def test_ntile_distributed_edge_sizes(spark):
             for r in ntile_distributed(df, k, order, tile_col="t").collect()
         }
         assert got == want, (n_rows, k)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_near_dup_clusters_matches_union_find_property(spark, edges):
+    """Random small graphs: min-label propagation must equal a
+    driver-side union-find — chains, cycles, parallel edges, and
+    disconnected components all emerge from the random edge lists."""
+    from sif_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    assert got == {n: find(n) for n in parent}
