@@ -475,7 +475,10 @@ def near_dup_clusters(
     without convergence rather than returning partial components."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    # No dedup of the edge list: MIN over neighbors is insensitive to
+    # duplicate edges, so a distinct here would be a full shuffle of
+    # |E| rows buying nothing.
+    edges = fwd.unionByName(rev).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
