@@ -1427,6 +1427,140 @@ SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s
 """
 
 
+def q69_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus cleaning — the composed pipeline a training-
+    data user actually runs, as one oracle-gated entry: quality filter
+    (score ≥ 0.5) → language filter (heuristic id ≠ 'und') → exact
+    dedup (keep-min per md5 fingerprint) → near-dup clustering over
+    exact n-gram Jaccard pairs (drop non-survivors) → per-language doc
+    counts + whitespace-token budget. Every stage is an
+    already-oracle-gated operator (q17/q18/q08/q13/q68 fragments); the
+    oracle replays the full composition, recursive closure included.
+    All shuffles are the stages' own (hash-groupBys on fingerprints,
+    inverted-index join, per-iteration label propagation) — composing
+    them adds none."""
+    from sif_spark.operators.dedup import (
+        exact_dedup,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from sif_spark.operators.text import language_id, quality_score, token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    filtered = d.filter(quality_score("text") >= 0.5).filter(
+        language_id("text") != "und"
+    )
+    kept = exact_dedup(filtered, "text", "doc_id")
+    pairs = ngram_jaccard_pairs(
+        kept, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=100
+    )
+    dupes = (
+        near_dup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    cleaned = kept.join(dupes, "doc_id", "left_anti")
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q69 = """
+WITH RECURSIVE feat AS (
+  SELECT doc_id, lang, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tok,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS wlow
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, n_tok,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE
+           (CASE WHEN (CASE WHEN n_tok > 0 THEN n_alpha/n_tok ELSE 0.0 END) >= 3.0
+                  AND (CASE WHEN n_tok > 0 THEN n_alpha/n_tok ELSE 0.0 END) <= 10.0
+                 THEN 1.0 ELSE 0.5 END) * 0.4
+           + (CASE WHEN n_chars > 0 THEN n_alpha/n_chars ELSE 0.0 END) * 0.4
+           + least(n_chars/500.0, 1.0) * 0.2
+         END AS q,
+         len(list_filter(wlow, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(wlow, t -> t IN ('the','and','of','to','a'))) AS s_en,
+         len(list_filter(wlow, t -> t IN ('el','la','los','que','de'))) AS s_es,
+         len(list_filter(wlow, t -> t IN ('le','la','et','les','des'))) AS s_fr
+  FROM feat
+),
+flt AS (
+  SELECT doc_id, lang, text, CAST(n_tok AS BIGINT) AS n_tok FROM scored
+  WHERE q >= 0.5
+    AND (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+              WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+              WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+              WHEN s_fr > 0 THEN 'fr'
+              ELSE 'und' END) <> 'und'
+),
+kept AS (
+  SELECT f.doc_id, f.lang, f.text, f.n_tok FROM flt f
+  JOIN (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+          FROM flt)
+    GROUP BY fp
+  ) s USING (doc_id)
+),
+ktoks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM kept
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM ktoks WHERE len(w) >= 3
+  )
+),
+ok AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.gram FROM sh JOIN ok USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shf a JOIN shf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+),
+und_e AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION SELECT id_b, id_a FROM edges
+  UNION SELECT id_a, id_a FROM edges
+  UNION SELECT id_b, id_b FROM edges
+),
+reach(s, d) AS (
+  SELECT s, d FROM und_e
+  UNION
+  SELECT r.s, u.d FROM reach r JOIN und_e u ON r.d = u.s
+),
+dupes AS (
+  SELECT s AS doc_id FROM (SELECT s, MIN(d) AS m FROM reach GROUP BY s)
+  WHERE s <> m
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+GROUP BY lang ORDER BY lang
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1461,6 +1595,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_uint64_agg": q66_uint64_agg,
     "q67_bf_knn_chunked": q67_bf_knn_chunked,
     "q68_dedup_clusters": q68_dedup_clusters,
+    "q69_corpus_clean": q69_corpus_clean,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1497,4 +1632,5 @@ EXT_ORACLES: dict[str, str] = {
     "q66_uint64_agg": ORACLE_Q66,
     "q67_bf_knn_chunked": ORACLE_Q63,  # same exact-kNN contract & query set
     "q68_dedup_clusters": ORACLE_Q68,
+    "q69_corpus_clean": ORACLE_Q69,
 }

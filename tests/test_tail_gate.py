@@ -35,6 +35,7 @@ TAIL = [
     "q66_uint64_agg",
     "q67_bf_knn_chunked",
     "q68_dedup_clusters",
+    "q69_corpus_clean",
 ]
 
 
