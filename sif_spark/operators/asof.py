@@ -28,10 +28,15 @@ right row with the greatest ``right_time <= left_time`` (inclusive) on
 the same key; null columns when no such row exists (left behavior).
 NULL join keys group together (SQL window/GROUP BY semantics, not
 equi-join semantics): the hot-key mode's internal carry joins use
-null-safe equality so both modes agree on NULL keys. Rows with NULL
-timestamps sort first (NULLS FIRST) and thus never see a carried row;
-ordering AMONG equal (timestamp, side) right rows is engine-dependent
-in both modes, as in any ASOF tie.
+null-safe equality so both modes agree on NULL keys. Right rows with
+a NULL timestamp are dropped before the union — ``right_time <=
+left_time`` is NULL for them in SQL, so they can never be the match
+(DuckDB ASOF agrees; without the filter the default mode's
+NULLS-FIRST window ordering would carry them, review r4). Left rows
+with a NULL timestamp get NULL carried columns — no right row
+satisfies the comparison — which the NULLS-FIRST ordering produces
+naturally. Ordering AMONG equal (timestamp, side) right rows is
+engine-dependent in both modes, as in any ASOF tie.
 """
 
 from __future__ import annotations
@@ -39,7 +44,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 # "auto" probe: units coarse→fine; pick the coarsest giving >= _MIN_BUCKETS
 # buckets over the observed time span (enough tasks to spread a hot key).
@@ -74,12 +79,18 @@ def detect_hot_key_bucket(
     callers who know their key distribution pass an explicit unit (or
     None) and pay nothing.
     """
-    keyed = left.select(*on, F.col(left_time).alias("__t")).unionByName(
-        right.select(*on, F.col(right_time).alias("__t"))
+    keyed = left.select(
+        *[F.col(_q(k)).alias(k) for k in on], F.col(_q(left_time)).alias("__t")
+    ).unionByName(
+        right.select(
+            *[F.col(_q(k)).alias(k) for k in on], F.col(_q(right_time)).alias("__t")
+        )
     )
     if sample_fraction < 1.0:
         keyed = keyed.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
-    hist = keyed.groupBy(*on).agg(F.count(F.lit(1)).alias("__n"))
+    hist = keyed.groupBy(*[F.col(_q(k)) for k in on]).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     stats = hist.agg(
         F.sum("__n").alias("total"), F.max("__n").alias("top")
     ).first()
@@ -99,14 +110,11 @@ def detect_hot_key_bucket(
     return _BUCKET_UNITS[-1][0]
 
 
-def _null_safe_on(a: DataFrame, b: DataFrame, cols: list[str]) -> Column:
-    """AND-folded null-safe equality join condition over ``cols`` —
-    NULL keys must meet (window partitionBy groups NULLs together, so
-    the hot-key mode's carry joins must too; plain equi-join would
-    silently drop their carry-in, ADVICE r3)."""
-    return functools.reduce(
-        operator.and_, [a[c].eqNullSafe(b[c]) for c in cols]
-    )
+def _q(name: str) -> str:
+    """Backtick-quote a user-supplied column name so F.col / select /
+    partitionBy resolve it VERBATIM — unquoted names containing dots
+    would parse as nested-field paths (review r4)."""
+    return f"`{name.replace('`', '``')}`"
 
 
 def asof_join(
@@ -159,16 +167,19 @@ def asof_join(
     # per-column mix of rows.
     l_tagged = left.select(
         "*",
-        F.col(left_time).alias("__t"),
+        F.col(_q(left_time)).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(row_type).alias("__row"),
     )
-    r_tagged = right.select(
-        *[F.col(k) for k in on],
-        F.col(right_time).alias("__t"),
+    # NULL-timestamp right rows can never be the as-of match (the
+    # right_time <= left_time comparison is NULL in SQL) — filter them
+    # here so the window's NULLS-FIRST ordering can't carry them.
+    r_tagged = right.filter(F.col(_q(right_time)).isNotNull()).select(
+        *[F.col(_q(k)).alias(k) for k in on],
+        F.col(_q(right_time)).alias("__t"),
         F.lit(0).alias("__side"),
         F.struct(
-            *[F.col(rc).alias(out) for rc, out in carried.items()]
+            *[F.col(_q(rc)).alias(out) for rc, out in carried.items()]
         ).alias("__row"),
     )
     for c in l_tagged.columns:
@@ -177,17 +188,22 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
 
     def unpack(df: DataFrame) -> DataFrame:
-        out_cols = [c for c in left.columns] + [
-            F.col(f"__row.{out}").alias(out) for out in outs
-        ]
-        return df.filter(F.col("__side") == 1).select(*out_cols)
+        # getField + withColumns (not "__row.<name>" column paths):
+        # carried column names may themselves contain dots, which F.col
+        # would misparse as nested field access (review r4). Left
+        # columns pass through untouched; outs append in order.
+        out = df.filter(F.col("__side") == 1)
+        out = out.withColumns(
+            {o: F.col("__row").getField(o) for o in outs}
+        )
+        return out.drop("__t", "__side", "__b", "__row")
 
     if hot_key_bucket is None:
         # Right rows sort before left rows at equal timestamps (__side
         # 0 < 1) so an equal-time right row is visible to the left row —
         # inclusive as-of semantics, matching SQL ASOF JOIN's >=.
         w = (
-            Window.partitionBy(*on)
+            Window.partitionBy(*[F.col(_q(k)) for k in on])
             .orderBy(F.col("__t"), F.col("__side"))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
@@ -199,7 +215,7 @@ def asof_join(
 
     # phase 1: within-bucket carry — per-task work bounded by bucket size
     w_in = (
-        Window.partitionBy(*on, "__b")
+        Window.partitionBy(*[F.col(_q(k)) for k in on], F.col("__b"))
         .orderBy(F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -208,37 +224,49 @@ def asof_join(
     # phase 2: cross-bucket carry-in — ONE row per (key, bucket), so the
     # per-key window here is #buckets rows even for the hottest key.
     # max_by(__row, __t) = latest right row of the bucket AS A UNIT.
+    # The right side of each internal join renames its key columns to
+    # reserved __-prefixed names: no ambiguous references, and no
+    # "alias.column" string paths that would misparse dotted user
+    # column names (review r4).
     right_last = (
         unioned.filter(F.col("__side") == 0)
-        .groupBy(*on, "__b")
+        .groupBy(*[F.col(_q(k)) for k in on], F.col("__b"))
         .agg(F.max_by(F.col("__row"), F.col("__t")).alias("__last"))
     )
-    all_buckets = unioned.select(*on, "__b").distinct().alias("bk")
-    right_last = right_last.alias("rl")
+    rl = right_last.select(
+        *[F.col(_q(k)).alias(f"__rk{i}") for i, k in enumerate(on)],
+        F.col("__b").alias("__rb"),
+        "__last",
+    )
+    all_buckets = unioned.select(*[F.col(_q(k)).alias(k) for k in on], "__b").distinct()
+    carry_cond = functools.reduce(
+        operator.and_,
+        [all_buckets[_q(k)].eqNullSafe(rl[f"__rk{i}"]) for i, k in enumerate(on)]
+        + [all_buckets["__b"].eqNullSafe(rl["__rb"])],
+    )
     w_carry = (
-        Window.partitionBy(*[F.col(f"bk.{k}") for k in on])
-        .orderBy(F.col("bk.__b"))
+        Window.partitionBy(*[F.col(_q(k)) for k in on])
+        .orderBy(F.col("__b"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        all_buckets.join(
-            right_last,
-            _null_safe_on(all_buckets, right_last, [*on, "__b"]),
-            "left",
-        )
-        .withColumn("__carry", F.last(F.col("rl.__last"), ignorenulls=True).over(w_carry))
-        .select(
-            *[F.col(f"bk.{k}") for k in on], F.col("bk.__b"), F.col("__carry")
-        )
-        .alias("cr")
+        all_buckets.join(rl, carry_cond, "left")
+        .withColumn("__carry", F.last(F.col("__last"), ignorenulls=True).over(w_carry))
+        .select(*[F.col(_q(k)).alias(k) for k in on], "__b", "__carry")
     )
-
-    filled = filled.alias("fl")
+    cr = carry.select(
+        *[F.col(_q(k)).alias(f"__ck{i}") for i, k in enumerate(on)],
+        F.col("__b").alias("__cb"),
+        "__carry",
+    )
+    join_cond = functools.reduce(
+        operator.and_,
+        [filled[_q(k)].eqNullSafe(cr[f"__ck{i}"]) for i, k in enumerate(on)]
+        + [filled["__b"].eqNullSafe(cr["__cb"])],
+    )
     joined = (
-        filled.join(carry, _null_safe_on(filled, carry, [*on, "__b"]), "left")
-        .select(
-            *[F.col(f"fl.{c}") for c in filled.columns if c != "__row"],
-            F.coalesce(F.col("fl.__row"), F.col("cr.__carry")).alias("__row"),
-        )
+        filled.join(cr, join_cond, "left")
+        .withColumn("__row", F.coalesce(filled["__row"], cr["__carry"]))
+        .drop("__carry", "__cb", *[f"__ck{i}" for i in range(len(on))])
     )
     return unpack(joined)

@@ -20,6 +20,8 @@ Scale design notes (these run over 100 TB corpora):
 
 from __future__ import annotations
 
+import gc
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from sif_spark.operators.text import (
@@ -507,7 +509,15 @@ def near_dup_clusters(
             .filter(F.col("new_label") != F.col("label"))
             .count()
         )
+        # Release the superseded iteration's checkpoint blocks: the
+        # Python ref is the only thing keeping them alive, and on a
+        # billion-edge graph accumulating one |V|-row RDD per pass
+        # would grow executor storage linearly with diameter
+        # (review r4). gc.collect() lets the ContextCleaner reclaim
+        # them between passes.
         labels = new_labels
+        del new_labels, nbr
+        gc.collect()
         if changed == 0:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -547,15 +557,38 @@ def embedding_near_dup_pairs(
       (same (id_a < id_b, cosine) contract), recall follows the SRP
       collision bound (tunable via ``tables``/``bits``).
 
-    The tier decision costs one count(*) (parquet-metadata-fast) and a
-    1-row dim probe; pass ``corpus_rows`` to skip the count when the
-    caller already knows it."""
+    The tier decision costs one count(*) (parquet-metadata-fast on a
+    raw scan; a full upstream job on a derived input — pass
+    ``corpus_rows`` to skip it when the caller already knows the
+    count) and a 1-row dim probe."""
+    from pyspark.sql import types as T
+
     from sif_spark.operators.similarity import cosine_all_pairs, lsh_similar_pairs
 
     if corpus_rows is None:
         corpus_rows = df.count()
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"]) if first is not None and first["d"] is not None else 0
+    # Probe dim from a NON-NULL vector: size(NULL) is NULL, and a NULL
+    # first row must not zero out the byte estimate and disable the
+    # guard (review r4 — that routed any-size corpus to the broadcast
+    # tier, the exact driver-OOM this function exists to prevent).
+    first = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d").isNotNull())
+        .first()
+    )
+    dim = int(first["d"]) if first is not None else 0
+    if dim <= 0:
+        # no usable vectors at all — the result is trivially empty
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", T.LongType(), False),
+                    T.StructField("id_b", T.LongType(), False),
+                    T.StructField("cosine", T.DoubleType(), False),
+                ]
+            ),
+        )
     if corpus_rows * dim * 8 <= max_broadcast_bytes:
         # already sized — skip cosine_all_pairs' own guard job
         return cosine_all_pairs(

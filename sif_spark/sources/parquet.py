@@ -47,28 +47,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F, types as T
 
+    def try_conf(key: str, value: str) -> None:
+        # A caller-provided session may refuse runtime conf writes; the
+        # cast fallback below still normalizes types, so never let a
+        # failed set fail the read itself (review r4 — an unguarded
+        # set after a guarded one made the fallback unreachable).
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try_conf("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Read tz-less parquet timestamps directly as LTZ TimestampType
     # rather than inferring TIMESTAMP_NTZ and casting after the scan —
     # a post-scan cast would sit between filters and the parquet
     # reader and kill predicate pushdown on every date column
     # (measured: q01's l_shipdate filter stops reaching PushedFilters).
-    try:
-        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass  # conf not settable (odd session) — cast fallback below
+    try_conf("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try_conf("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     ntz_cols = [
         f.name for f in df.schema.fields
         if isinstance(f.dataType, T.TimestampNTZType)
     ]
     if ntz_cols:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Fallback for conf-frozen sessions: cast post-scan. Correct but
+        # pushdown-hostile — the conf path above is the normal route.
         df = df.withColumns(
             {c: F.col(c).cast(T.TimestampType()) for c in ntz_cols}
         )

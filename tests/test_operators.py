@@ -139,6 +139,49 @@ def test_asof_join_null_keys_equivalent(spark):
     assert split == plain
 
 
+def test_asof_join_null_right_timestamp_never_matches(spark):
+    """A right row with a NULL timestamp can never be the as-of match
+    (right_time <= left_time is NULL in SQL; DuckDB ASOF agrees) —
+    and both modes must agree (review r4: the default mode's
+    NULLS-FIRST ordering used to carry it)."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-03T12:00"), "p1")], "uid int, t timestamp, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, ts("2024-01-01T10:00"), "real")],
+        "uid int, t timestamp, cid string",
+    )
+    kw = dict(on=["uid"], left_time="t", right_time="t", right_cols=["cid"])
+    for bucket in (None, "day"):
+        out = asof_join(left, right, hot_key_bucket=bucket, **kw).collect()
+        assert [r["cid"] for r in out] == ["real"], f"bucket={bucket}"
+    # and with ONLY a null-ts right row, the left row matches nothing
+    ghost_only = right.filter(F.col("cid") == "ghost")
+    for bucket in (None, "day"):
+        out = asof_join(left, ghost_only, hot_key_bucket=bucket, **kw).collect()
+        assert [r["cid"] for r in out] == [None], f"bucket={bucket}"
+
+
+def test_asof_join_dotted_carried_column(spark):
+    """Carried column names containing dots must survive the struct
+    pack/unpack (review r4: '__row.<name>' paths misparse them)."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-02T10:00"), "p1")], "uid int, t timestamp, pid string"
+    )
+    right = (
+        spark.createDataFrame(
+            [(1, ts("2024-01-01T10:00"), 7)], "uid int, t timestamp, v int"
+        )
+        .withColumnRenamed("v", "price.usd")
+    )
+    for bucket in (None, "day"):
+        out = asof_join(
+            left, right, on=["uid"], left_time="t", right_time="t",
+            right_cols=["price.usd"], hot_key_bucket=bucket,
+        ).collect()
+        assert [r["price.usd"] for r in out] == [7], f"bucket={bucket}"
+
+
 def test_asof_join_auto_hot_key_detection(spark):
     """hot_key_bucket='auto' (VERDICT r3 #6): a synthetic 80%-hot key
     must trip the sampled histogram probe and select a bucketed plan;
@@ -319,6 +362,35 @@ def test_embedding_near_dup(spark, vectors):
     pairs = dd.embedding_near_dup_pairs(vectors, threshold=0.99).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 4) in got and (2, 3) not in got
+
+
+def test_embedding_near_dup_null_first_vector_keeps_guard(spark):
+    """A NULL vector in the dim-probe row must not zero the byte
+    estimate and disable the size guard (review r4: size(NULL)=NULL →
+    dim=0 routed ANY corpus to the driver-collect broadcast tier)."""
+    rows = [(0, None)] + [(i, [float(i), 1.0]) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # null row FIRST (the probed row); true dim (2) makes the byte
+    # estimate exceed this budget → must take the LSH tier, i.e. the
+    # tier decision must never reach _collect_normalized (the tier
+    # routing is eager; the LSH plan itself stays lazy)
+    import sif_spark.operators.similarity as simmod
+
+    def poisoned(*a, **k):
+        raise AssertionError("driver collect on the guarded path")
+
+    orig = simmod._collect_normalized
+    simmod._collect_normalized = poisoned
+    try:
+        dd.embedding_near_dup_pairs(df, threshold=0.99, max_broadcast_bytes=64)
+    finally:
+        simmod._collect_normalized = orig
+
+    # all-null corpus → trivially empty result, no crash
+    only_null = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id long, embedding array<float>"
+    )
+    assert dd.embedding_near_dup_pairs(only_null).count() == 0
 
 
 def test_ivf_knn_recall_vs_brute_force(spark):
