@@ -223,14 +223,24 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = 100,
     persist: bool = True,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs via inverted-index self-join:
-    explode distinct shingles, join docs sharing a shingle, count
-    intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    """Exact similar pairs via inverted-index self-join: explode
+    distinct shingles, join docs sharing a shingle, count
+    intersections, score by ``metric``:
+
+    - ``"jaccard"``: |A∩B| / |A∪B| — symmetric near-duplicate.
+    - ``"containment"``: |A∩B| / min(|A|,|B|) — near-SUBSET detection
+      (a short doc embedded in a long one scores ~1.0 here but low on
+      Jaccard, because the union is dominated by the long doc). The
+      standard metric for finding quotes/excerpts/boilerplate
+      inclusions in a training corpus.
 
     ``max_shingle_freq`` drops shingles appearing in more than N docs
     (stop-shingles) — the standard guard against hot-key explosion at
-    scale. Returns (id_a, id_b, inter, jaccard).
+    scale. Returns (id_a, id_b, inter, <metric>); the plan is
+    identical for both metrics (the score is one expression over the
+    same inter/size columns).
 
     The shingle set is computed ONCE and (by default) materialized via
     ``localCheckpoint``: the plan references it three times (both join
@@ -272,14 +282,17 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    if metric == "jaccard":
+        score = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    elif metric == "containment":
+        score = F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))
+    else:
+        raise ValueError(f"unknown metric {metric!r}: use 'jaccard' or 'containment'")
     return (
         inter.join(sz_a, "id_a").join(sz_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "inter", "jaccard")
+        .withColumn(metric, score)
+        .filter(F.col(metric) >= threshold)
+        .select("id_a", "id_b", "inter", metric)
     )
 
 

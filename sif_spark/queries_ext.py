@@ -1561,6 +1561,52 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q70_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-SUBSET detection: exact shingle containment
+    |A∩B| / min(|A|,|B|) ≥ 0.8 — the asymmetric companion to q13's
+    Jaccard (a short doc embedded in a long one scores ~1.0 on
+    containment but low on Jaccard). Same inverted-index plan, score
+    is a single division of exact ints — bit-identical in DuckDB."""
+    from sif_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.8, max_shingle_freq=100,
+        metric="containment",
+    )
+
+
+ORACLE_Q70 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks WHERE len(w) >= 3
+  )
+),
+ok AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.gram FROM sh JOIN ok USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shf a JOIN shf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       inter / least(sa.sz, sb.sz) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / least(sa.sz, sb.sz) >= 0.8
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1596,6 +1642,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_bf_knn_chunked": q67_bf_knn_chunked,
     "q68_dedup_clusters": q68_dedup_clusters,
     "q69_corpus_clean": q69_corpus_clean,
+    "q70_containment_pairs": q70_containment_pairs,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1633,4 +1680,5 @@ EXT_ORACLES: dict[str, str] = {
     "q67_bf_knn_chunked": ORACLE_Q63,  # same exact-kNN contract & query set
     "q68_dedup_clusters": ORACLE_Q68,
     "q69_corpus_clean": ORACLE_Q69,
+    "q70_containment_pairs": ORACLE_Q70,
 }

@@ -321,6 +321,29 @@ def test_brute_force_knn_chunked_identical(spark, vectors):
         assert chunked == single, f"chunks={chunks}"
 
 
+def test_containment_metric(spark):
+    """Containment finds near-subsets Jaccard misses: a short doc
+    fully embedded in a long one scores 1.0 containment but low
+    Jaccard."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"tok{i} filler{i} pad{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    cont = dd.ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.9, metric="containment",
+        max_shingle_freq=None,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0
+    jac = dd.ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.9, metric="jaccard",
+        max_shingle_freq=None,
+    ).collect()
+    assert jac == []  # the union is dominated by the long doc
+
+
 def test_near_dup_clusters_matches_union_find(spark):
     """Min-label-propagation connected components must equal a
     driver-side union-find on the same edges: a chain (transitive

@@ -36,6 +36,7 @@ TAIL = [
     "q67_bf_knn_chunked",
     "q68_dedup_clusters",
     "q69_corpus_clean",
+    "q70_containment_pairs",
 ]
 
 
