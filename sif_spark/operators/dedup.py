@@ -578,17 +578,17 @@ def embedding_near_dup_pairs(
 
     from sif_spark.operators.similarity import cosine_all_pairs, lsh_similar_pairs
 
+    # NULL and zero-length vectors have no cosine to anything — drop
+    # them from the computation up front. This also keeps them out of
+    # the dim probe: size(NULL) is NULL and size([]) is 0, and either
+    # one as the probed row would zero the byte estimate and disable
+    # the size guard — routing any-size corpus to the driver-collect
+    # broadcast tier, the exact driver-OOM this function exists to
+    # prevent (review r4, twice).
+    df = df.filter(F.size(F.col(vec_col)) > 0)
     if corpus_rows is None:
         corpus_rows = df.count()
-    # Probe dim from a NON-NULL vector: size(NULL) is NULL, and a NULL
-    # first row must not zero out the byte estimate and disable the
-    # guard (review r4 — that routed any-size corpus to the broadcast
-    # tier, the exact driver-OOM this function exists to prevent).
-    first = (
-        df.select(F.size(F.col(vec_col)).alias("d"))
-        .filter(F.col("d").isNotNull())
-        .first()
-    )
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = int(first["d"]) if first is not None else 0
     if dim <= 0:
         # no usable vectors at all — the result is trivially empty

@@ -26,3 +26,23 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_smoke() -> str:
     return SF_SMOKE
+
+
+def union_find_clusters(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side reference for connected components with keep-min
+    roots — shared by the deterministic and property tests of
+    near_dup_clusters (review r4: two copies had begun to drift)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}

@@ -362,22 +362,9 @@ def test_near_dup_clusters_matches_union_find(spark):
         r["doc_id"]: r["cluster_id"]
         for r in dd.near_dup_clusters(pairs).collect()
     }
+    from conftest import union_find_clusters
 
-    parent: dict[int, int] = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    want = {n: find(n) for n in parent}
-    assert got == want
+    assert got == union_find_clusters(edges)
     assert got[3] == 0 and got[11] == 10  # chain closes transitively
 
 
@@ -414,6 +401,19 @@ def test_embedding_near_dup_null_first_vector_keeps_guard(spark):
         [(0, None), (1, None)], "vec_id long, embedding array<float>"
     )
     assert dd.embedding_near_dup_pairs(only_null).count() == 0
+
+    # a zero-length vector as the probed first row must neither zero
+    # the dim (review r4, second pass: it suppressed ALL pairs) nor
+    # crash the GEMM — unusable vectors drop out, real pairs survive
+    dirty = spark.createDataFrame(
+        [(0, []), (1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_near_dup_pairs(dirty, threshold=0.99).collect()
+    }
+    assert got == {(1, 2)}
 
 
 def test_ivf_knn_recall_vs_brute_force(spark):

@@ -202,18 +202,6 @@ def test_near_dup_clusters_matches_union_find_property(spark, edges):
     got = {
         r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
     }
+    from conftest import union_find_clusters
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    assert got == {n: find(n) for n in parent}
+    assert got == union_find_clusters(edges)
