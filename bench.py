@@ -24,6 +24,27 @@ from sif_spark.session import get_session
 from sif_spark.queries import QUERIES
 
 
+def calibration_query(spark, sf_dir: str):
+    """Fixed host-speed probe (VERDICT r4 "Next round" #4): a constant
+    parquet scan-agg whose plan never changes round to round, so a
+    judge can normalize cross-round host drift (this host has shown
+    1.6-2× absolute-seconds drift between rounds) by dividing catalog
+    times by the calibration time instead of re-deriving the drift
+    from plan-identical entries. Keep this query FROZEN."""
+    from pyspark.sql import functions as F
+
+    from sif_spark.sources.parquet import read_table
+
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -31,6 +52,16 @@ def main() -> None:
 
     def run(name: str) -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Calibration first (stable position: before any catalog entry has
+    # touched caches/checkpoints), same warmup + min-of-2 protocol.
+    calib = float("inf")
+    calibration_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for _ in range(2):
+        t0 = time.time()
+        calibration_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        calib = min(calib, time.time() - t0)
+    calib = round(calib, 3)
 
     timings: dict[str, float] = {}
     for name in QUERIES:
@@ -59,6 +90,7 @@ def main() -> None:
                 "metric": "query_catalog_total_sec",
                 "value": total,
                 "unit": "sec",
+                "calibration": calib,
                 "queries": timings,
                 "sf": float(sf),
             }

@@ -6,8 +6,11 @@ the tail — which includes every round-3/4 scale tier (q63 shuffle-LSH,
 q64 hot-key asof, q65 distributed IVF, q66 uint64, q67 chunked bf-kNN)
 — is otherwise gated only by running tools/check_oracle.py by hand.
 This test folds the scale-critical tail entries into `pytest` at
-sf0.001 so "suite green" implies they still match DuckDB. The full
-67-entry gate at the driver's sf remains tools/check_oracle.py.
+sf0.01 — the driver's own correctness scale, so "suite green" also
+catches the parquet-encoding drifts this testdata has shipped
+(TIMESTAMP(NANOS) → NTZ), which sf0.001 logic checks missed
+(VERDICT r4 "Next round" #5). The full whole-catalog gate remains
+tools/check_oracle.py.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ sys.path.insert(0, "/root/repo/tools")
 from check_oracle import compare_tables
 from sif_spark.sources.parquet import TABLES
 
-SF = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.01"
 
 # The tail entries whose regression would matter most at 100 TB.
 # q54/q61 are excluded: their oracles read_blob() files at the
