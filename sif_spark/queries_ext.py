@@ -1621,6 +1621,64 @@ WHERE inter / least(sa.sz, sb.sz) >= 0.8
 """
 
 
+def q71_corpus_clean_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q69's cleaning pipeline with the near-dup edge set widened to
+    include CONTAINMENT edges (|A∩B|/min ≥ 0.8): q69 drops near-dups
+    by Jaccard only, so a short doc embedded in a long one (quotes,
+    boilerplate — the q70 case) survives. Both metrics are scored in
+    the SAME inverted-index pass over the shared shingle frame
+    (VERDICT r4 "Next round" #6 — zero extra scans vs q69), and one
+    cluster formation runs over the union edge set."""
+    from sif_spark.operators.dedup import (
+        exact_dedup,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from sif_spark.operators.text import (
+        language_id,
+        quality_score,
+        shingle_hash_rows,
+        token_count,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    filtered = d.filter(quality_score("text") >= 0.5).filter(
+        language_id("text") != "und"
+    )
+    kept = exact_dedup(filtered, "text", "doc_id", persist=True).localCheckpoint(
+        eager=False
+    )
+    sh = shingle_hash_rows(kept, "text", "doc_id", 3).localCheckpoint(eager=False)
+    pairs = ngram_jaccard_pairs(
+        kept, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=100,
+        shingles_df=sh, containment_threshold=0.8,
+    )
+    dupes = (
+        near_dup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    cleaned = kept.join(dupes, "doc_id", "left_anti")
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# q69's oracle with the edge predicate widened by the containment term
+# (everything else identical — same composition, same closure).
+ORACLE_Q71 = ORACLE_Q69.replace(
+    "WHERE inter / (sa.sz + sb.sz - inter) >= 0.2",
+    "WHERE inter / (sa.sz + sb.sz - inter) >= 0.2\n"
+    "     OR inter / least(sa.sz, sb.sz) >= 0.8",
+)
+assert ORACLE_Q71 != ORACLE_Q69
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1657,6 +1715,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_dedup_clusters": q68_dedup_clusters,
     "q69_corpus_clean": q69_corpus_clean,
     "q70_containment_pairs": q70_containment_pairs,
+    "q71_corpus_clean_containment": q71_corpus_clean_containment,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1695,4 +1754,5 @@ EXT_ORACLES: dict[str, str] = {
     "q68_dedup_clusters": ORACLE_Q68,
     "q69_corpus_clean": ORACLE_Q69,
     "q70_containment_pairs": ORACLE_Q70,
+    "q71_corpus_clean_containment": ORACLE_Q71,
 }

@@ -344,6 +344,31 @@ def test_containment_metric(spark):
     assert jac == []  # the union is dominated by the long doc
 
 
+def test_ngram_pairs_combined_edge_set(spark):
+    """containment_threshold widens the edge set in ONE inverted-index
+    pass: a short doc embedded in a long one (jaccard ~0.14 < bar,
+    containment 1.0) must appear with BOTH scores, alongside ordinary
+    jaccard edges — the q71 cleaning-pipeline edge semantics."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(7))
+    near_a = "one two three four five six seven eight"
+    near_b = "one two three four five six seven nine"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, near_a), (4, near_b)],
+        "doc_id long, text string",
+    )
+    out = dd.ngram_jaccard_pairs(
+        df, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=None,
+        containment_threshold=0.8,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in out}
+    assert set(got) == {(1, 2), (3, 4)}
+    r12 = got[(1, 2)]
+    assert r12["containment"] == 1.0 and r12["jaccard"] < 0.2
+    r34 = got[(3, 4)]
+    assert r34["jaccard"] >= 0.2
+
+
 def test_near_dup_clusters_matches_union_find(spark):
     """Min-label-propagation connected components must equal a
     driver-side union-find on the same edges: a chain (transitive

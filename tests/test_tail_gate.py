@@ -40,6 +40,7 @@ TAIL = [
     "q68_dedup_clusters",
     "q69_corpus_clean",
     "q70_containment_pairs",
+    "q71_corpus_clean_containment",
 ]
 
 
