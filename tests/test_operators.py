@@ -226,6 +226,37 @@ def test_asof_join_auto_hot_key_detection(spark):
     assert got == want
 
 
+def test_asof_join_auto_declines_numeric_time(spark):
+    """ADVICE r4: hot_key_bucket='auto' on a NUMERIC (epoch-long) time
+    column must decline the probe (units are unknowable) and fall back
+    to the default single-window mode — not crash in span arithmetic.
+    The default mode handles numeric time, so outputs must match."""
+    from sif_spark.operators.asof import detect_hot_key_bucket
+
+    left = spark.createDataFrame(
+        [(1 if i % 5 else i, i * 3600, f"p{i}") for i in range(100)],
+        "uid int, t long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1 if i % 5 else i, i * 3600 + 1800, f"c{i}") for i in range(100)],
+        "uid int, t long, cid string",
+    )
+    # hot key present, but numeric time → probe declines
+    assert (
+        detect_hot_key_bucket(left, right, ["uid"], "t", "t", sample_fraction=1.0)
+        is None
+    )
+    kw = dict(on=["uid"], left_time="t", right_time="t", right_cols=["cid"])
+    want = {r["pid"]: r["cid"] for r in asof_join(left, right, **kw).collect()}
+    got = {
+        r["pid"]: r["cid"]
+        for r in asof_join(
+            left, right, hot_key_bucket="auto", hot_key_sample_fraction=1.0, **kw
+        ).collect()
+    }
+    assert got == want and len(want) == 100
+
+
 @pytest.fixture(scope="module")
 def docs(spark):
     rows = [
@@ -319,6 +350,31 @@ def test_brute_force_knn_chunked_identical(spark, vectors):
             ).collect()
         )
         assert chunked == single, f"chunks={chunks}"
+
+
+def test_brute_force_knn_chunked_destroys_broadcasts(spark, vectors, monkeypatch):
+    """ADVICE r4 (medium): the chunked tier's one-chunk-in-memory bound
+    must be ENFORCED — each non-empty chunk's query-matrix broadcast is
+    destroy()ed as soon as its partial is materialized, not left to
+    CPython refcount/ContextCleaner timing (py4j reference cycles let
+    all N chunk broadcasts coexist on executors otherwise)."""
+    from pyspark.broadcast import Broadcast
+
+    destroyed = []
+    orig = Broadcast.destroy
+
+    def spy(self, *a, **kw):
+        destroyed.append(self)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Broadcast, "destroy", spy)
+    out = sim.brute_force_knn(vectors, vectors, k=2, query_chunks=3).collect()
+    assert len(out) > 0
+    # 5 vectors over 3 hash-chunks: every non-empty chunk (≥1, ≤3)
+    # must have had its broadcast destroyed before the union returned
+    assert 1 <= len(destroyed) <= 3
+    # and the result is already materialized, so destroying broke nothing
+    assert len(sim.brute_force_knn(vectors, vectors, k=2, query_chunks=3).collect()) == len(out)
 
 
 def test_containment_metric(spark):
@@ -523,8 +579,46 @@ def test_ivf_index_build_reuse_save_load(spark, tmp_path):
     sim.save_ivf_index(idx, path)
     loaded = sim.load_ivf_index(spark, path)
     assert loaded.n_cells == 4
+    # provenance metadata survives the round-trip (ADVICE r4)
+    assert loaded.vec_col == "embedding"
+    assert loaded.dim == 8 and loaded.corpus_rows == 60
     assert key(sim.ivf_knn(corpus, q1, k=3, n_probe=4, index=loaded)) == inline
     assert key(sim.ivf_knn(corpus, q2, k=3, n_probe=4, index=loaded)) == batch2
+
+
+def test_ivf_index_rejects_mismatched_corpus(spark):
+    """ADVICE r4: serving an IVF index against a corpus it was not
+    built over must ERROR, not silently join stale/missing (nid, cell)
+    assignments and return wrong or incomplete neighbors."""
+    import numpy as np
+    import pytest
+
+    rows = [(i, [float(np.cos(i * 0.7 + d)) for d in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") < 5)
+    idx = sim.build_ivf_index(corpus, n_cells=4, max_iter=2)
+
+    # a newer corpus version (rows appended) — row-count mismatch
+    grown = corpus.unionByName(
+        spark.createDataFrame(
+            [(100 + i, [float(i)] * 8) for i in range(5)],
+            "vec_id long, embedding array<float>",
+        )
+    )
+    with pytest.raises(ValueError, match="corpus rows"):
+        sim.ivf_knn(grown, q, k=3, n_probe=4, index=idx)
+
+    # a different vector column / dim
+    wide = spark.createDataFrame(
+        [(i, [float(d) for d in range(16)]) for i in range(60)],
+        "vec_id long, vec array<float>",
+    )
+    with pytest.raises(ValueError, match="built on column"):
+        sim.ivf_knn(wide, q, k=3, vec_col="vec", n_probe=4, index=idx)
+    with pytest.raises(ValueError, match="dim"):
+        sim.ivf_knn(
+            wide.withColumnRenamed("vec", "embedding"), q, k=3, n_probe=4, index=idx
+        )
 
 
 def test_lsh_knn_recalls_identical(spark, vectors):

@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F, types as T
 
 from sif_spark.sources.dsv import DSVConf, read_dsv, read_dsv_decoded
-from sif_spark.sources.jsonl import read_jsonl
+from sif_spark.sources.jsonl import read_jsonl, read_jsonl_decoded
 from sif_spark.sources import custom as custom_source
 
 
@@ -111,6 +111,56 @@ def test_jsonl_dotted_paths(spark, tmpdir):
     rows = sorted(frame.collect(), key=lambda r: r["date"])
     assert rows[0]["coords.x"] == 1.5
     assert rows[1]["coords.z"] is None  # missing path → nil
+
+
+def test_jsonl_decoded_gzip(spark, tmpdir):
+    """VERDICT r4 #7: the whole-file Decoder pre-pass composes with the
+    jsonl parser too (file_datasource.go:24-28 applies it before ANY
+    parser) — gzip'd JSONL with dotted-path flattening must equal
+    read_jsonl on the same content uncompressed, including nested
+    schema, missing-path nils, and exact BIGINTs."""
+    content = (
+        '{"coords": {"x": 1.5, "z": 2.5}, "date": "2024-01-01", "n": 9007199254740993}\n'
+        '{"coords": {"x": 3.5}, "date": "2024-01-02"}\n'
+    )
+    plain = os.path.join(tmpdir, "data.jsonl")
+    with open(plain, "w") as f:
+        f.write(content)
+    gz = os.path.join(tmpdir, "data.jsonl.gz")
+    with open(gz, "wb") as f:
+        f.write(gzip.compress(content.encode()))
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "coords",
+                T.StructType(
+                    [
+                        T.StructField("x", T.DoubleType()),
+                        T.StructField("z", T.DoubleType()),
+                    ]
+                ),
+            ),
+            T.StructField("date", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    paths = ["coords.x", "coords.z", "date", "n"]
+    want = sorted(
+        (tuple(r) for r in read_jsonl(spark, plain, schema, paths).collect())
+    )
+    got = sorted(
+        (tuple(r) for r in
+         read_jsonl_decoded(spark, gz, gzip.decompress, schema, paths).collect())
+    )
+    assert got == want
+    assert got[0][3] == 9007199254740993  # BIGINT > 2^53 exact
+
+    # schema inference path (one extra pass; production passes a schema)
+    inferred = read_jsonl_decoded(spark, gz, gzip.decompress, paths=["date"])
+    assert sorted(r["date"] for r in inferred.collect()) == [
+        "2024-01-01", "2024-01-02",
+    ]
 
 
 def test_custom_datasource_batch(spark):
