@@ -208,6 +208,174 @@ def shingle_hash_rows(
     return grammed.select(F.col(id_col), hasher(gram).alias("shingle")).distinct()
 
 
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+):
+    """Split documents into overlapping token-window chunks — the
+    standard context-window packing pre-pass of an LLM training
+    pipeline (HF ``return_overflowing_tokens`` semantics): chunk i
+    covers tokens [1 + i·stride, 1 + i·stride + chunk_tokens); chunks
+    keep coming until the previous chunk has reached the document's
+    end, so every token is covered and trailing fully-contained
+    windows are not emitted. Returns (id, chunk_idx, n_tokens,
+    chunk_text).
+
+    Pure expression plan: sequence() start positions → filter →
+    posexplode → slice/concat — zero shuffle, zero Python; the scan
+    parallelism IS the chunk parallelism, which is what survives a
+    100 TB corpus. Empty docs yield no chunks."""
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    # keep a start if it's the first OR the previous chunk stopped
+    # short of the document end (otherwise this window is fully
+    # contained in the previous one)
+    kept = F.filter(
+        starts, lambda s: (s == 1) | (s - stride + chunk_tokens - 1 < n)
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(kept).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def stratified_hash_sample(
+    df,
+    strata_col: str,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+):
+    """Deterministic per-stratum downsampling: keep a row iff
+    ``hash60(id) mod 100 < pct(stratum)`` — the reproducible,
+    engine-portable alternative to ``sample()`` for corpus budget
+    enforcement (e.g. cap low-resource languages at 100%, downsample
+    English to 25%). Zero shuffle — a scan-local filter whose
+    selectivity Catalyst can't misestimate into a bad plan, and the
+    same rows survive on ANY cluster size or partitioning (rng-based
+    sampling is partition-order-dependent; a resampled 100 TB corpus
+    must be re-creatable bit-for-bit for training reproducibility).
+
+    ``rates``: stratum value → integer percent 0..100."""
+    pct = F.lit(default_pct)
+    for key, p in sorted(rates.items()):
+        pct = F.when(F.col(strata_col) == key, F.lit(p)).otherwise(pct)
+    bucket = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(100))
+    return df.filter(bucket < pct)
+
+
+def repetition_stats(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+):
+    """Per-doc k-gram repetition: (id, total_grams, distinct_grams,
+    repetition) with repetition = 1 − distinct/total — the standard
+    boilerplate/spam quality signal (highly repetitive docs repeat
+    the same n-grams; prose doesn't). Docs with no k-grams score 0.
+
+    Same shape as ``shingle_hash_rows``: posexplode + per-doc lead()
+    window builds each gram as a scalar column (codegen'd), then ONE
+    groupBy(id) computes count + approx-free exact distinct over the
+    8-byte gram hashes. The window and the groupBy share the same
+    doc-id partitioning, so the whole thing is one shuffle."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("__p", "__t")
+    )
+    w = Window.partitionBy(id_col).orderBy("__p")
+    leads = [F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, k)]
+    grammed = toks.select(F.col(id_col), F.col("__t"), *leads).filter(
+        F.col(f"__t{k-1}").isNotNull() if k > 1 else F.lit(True)
+    )
+    gram_hash = F.xxhash64(F.concat_ws(" ", "__t", *[f"__t{j}" for j in range(1, k)]))
+    stats = grammed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_grams"),
+        F.countDistinct(gram_hash).alias("distinct_grams"),
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("total_grams", F.lit(0)).alias("total_grams"),
+            F.coalesce("distinct_grams", F.lit(0)).alias("distinct_grams"),
+            F.when(
+                F.col("total_grams").isNull() | (F.col("total_grams") == 0),
+                F.lit(0.0),
+            )
+            .otherwise(
+                1.0 - F.col("distinct_grams") / F.col("total_grams")
+            )
+            .alias("repetition"),
+        )
+    )
+
+
+def distinctive_terms(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    top_k: int = 3,
+    max_df_frac: float = 0.5,
+    min_len: int = 4,
+):
+    """Per-stratum keyword extraction without floats: the ``top_k``
+    most frequent terms in each stratum, EXCLUDING corpus-common terms
+    (document frequency > ``max_df_frac`` of all docs — the integer
+    df-filter stand-in for idf, so the whole ranking is exact integer
+    arithmetic and replays bit-identically in any engine) and terms
+    shorter than ``min_len``. Returns (stratum, term, n_docs, rank);
+    ties rank by term ascending, deterministically.
+
+    Plan: one token explode feeds BOTH the per-(stratum, term) counts
+    and the global df counts (distinct doc per term), each a partial
+    agg; the rank window partitions by stratum — never global."""
+    from pyspark.sql import Window
+
+    total_docs = df.count()
+    toks = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.explode_outer(
+            F.array_distinct(tokenize(F.lower(F.col(text_col))))
+        ).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    per_stratum = toks.groupBy(strata_col, "term").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    df_global = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    rare = df_global.filter(F.col("__df") <= int(max_df_frac * total_docs)).select(
+        "term"
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("n_docs").desc(), F.col("term")
+    )
+    return (
+        per_stratum.join(rare, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(F.col(strata_col), "term", "n_docs", "rank")
+    )
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct k-gram word shingles as array<string> — the unit set for
     Jaccard similarity and MinHash. Expression-built: sequence() over

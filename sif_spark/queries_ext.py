@@ -1679,6 +1679,163 @@ ORACLE_Q71 = ORACLE_Q69.replace(
 assert ORACLE_Q71 != ORACLE_Q69
 
 
+def q72_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (`chunk_documents`): overlapping
+    token-window chunks (32 tokens, stride 24) — the training-sequence
+    packing pre-pass. Pure expression plan (sequence → filter →
+    posexplode → slice), zero shuffle, zero Python; the oracle replays
+    the start-position arithmetic with range()/list_slice."""
+    from sif_spark.operators.text import chunk_documents
+
+    d = read_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", chunk_tokens=32, stride=24)
+
+
+ORACLE_Q72 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, w, len(w) AS n, unnest(range(1, len(w) + 1, 24)) AS s
+  FROM toks WHERE len(w) > 0
+),
+kept AS (
+  SELECT doc_id, w, s,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+           AS chunk_idx
+  FROM starts
+  WHERE s = 1 OR s - 24 + 32 - 1 < n
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(list_slice(w, s, s + 31)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text
+FROM kept
+"""
+
+
+def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus budgets
+    (`stratified_hash_sample`): keep a doc iff hash60(doc_id) mod 100
+    falls under its language's percent — reproducible on any cluster
+    size/partitioning (rng sampling is not), zero shuffle. The entry
+    aggregates surviving docs per language; the oracle replays the md5
+    bucket arithmetic exactly."""
+    from sif_spark.operators.text import stratified_hash_sample, token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(
+        d, "lang", {"en": 25, "de": 100, "fr": 50, "es": 50, "zh": 75}, "doc_id"
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_Q73 = """
+WITH b AS (
+  SELECT lang, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+            AS BIGINT) AS total_tokens
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 25 WHEN 'de' THEN 100 WHEN 'fr' THEN 50
+                         WHEN 'es' THEN 50 WHEN 'zh' THEN 75 ELSE 0 END
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q74_repetition_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/spam signal (`repetition_stats`): per-doc bigram
+    repetition 1 − distinct/total, bucketed ×10 into a histogram. One
+    shuffle (the per-doc gram agg shares the lead()-window's doc-id
+    partitioning); the score is a bit-identical double formula tree in
+    both engines (integer inputs, same op order)."""
+    from sif_spark.operators.text import repetition_stats
+
+    d = read_table(spark, sf_dir, "documents")
+    stats = repetition_stats(d, "text", "doc_id", k=2)
+    return (
+        stats.groupBy(F.floor(F.col("repetition") * 10).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q74 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w), 2)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM toks WHERE len(w) >= 2
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS total_grams, COUNT(DISTINCT g) AS distinct_grams
+  FROM grams GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+         CASE WHEN s.total_grams IS NULL OR s.total_grams = 0 THEN 0.0
+              ELSE 1.0 - s.distinct_grams / s.total_grams END AS repetition
+  FROM documents d LEFT JOIN stats s USING (doc_id)
+)
+SELECT CAST(floor(repetition * 10) AS BIGINT) AS bucket, COUNT(*) AS n_docs
+FROM scored GROUP BY bucket ORDER BY bucket
+"""
+
+
+def q75_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keyword extraction (`distinctive_terms`): top-3
+    most frequent terms per language excluding corpus-common terms
+    (global document frequency > 80% of docs) and terms < 4 chars —
+    the integer-exact stand-in for tf-idf (float idf wouldn't replay
+    bit-identically across engines). One explode feeds both counts;
+    the rank window partitions by language, never global."""
+    from sif_spark.operators.text import distinctive_terms
+
+    d = read_table(spark, sf_dir, "documents")
+    return distinctive_terms(
+        d, "text", "doc_id", "lang", top_k=3, max_df_frac=0.8, min_len=4
+    )
+
+
+ORACLE_Q75 = """
+WITH total AS (SELECT COUNT(*) AS n FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id, lang, term FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+  ) WHERE length(term) >= 4
+),
+per AS (SELECT lang, term, COUNT(*) AS n_docs FROM toks GROUP BY 1, 2),
+dfg AS (SELECT term, COUNT(*) AS df_ FROM toks GROUP BY 1),
+rare AS (SELECT term FROM dfg, total WHERE df_ <= CAST(floor(0.8 * n) AS BIGINT)),
+ranked AS (
+  SELECT per.lang, per.term, per.n_docs,
+         CAST(row_number() OVER (PARTITION BY per.lang
+                                 ORDER BY per.n_docs DESC, per.term) AS INT)
+           AS rank
+  FROM per JOIN rare USING (term)
+)
+SELECT lang, term, n_docs, rank FROM ranked WHERE rank <= 3
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1716,6 +1873,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_corpus_clean": q69_corpus_clean,
     "q70_containment_pairs": q70_containment_pairs,
     "q71_corpus_clean_containment": q71_corpus_clean_containment,
+    "q72_doc_chunks": q72_doc_chunks,
+    "q73_stratified_sample": q73_stratified_sample,
+    "q74_repetition_hist": q74_repetition_hist,
+    "q75_distinctive_terms": q75_distinctive_terms,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1755,4 +1916,8 @@ EXT_ORACLES: dict[str, str] = {
     "q69_corpus_clean": ORACLE_Q69,
     "q70_containment_pairs": ORACLE_Q70,
     "q71_corpus_clean_containment": ORACLE_Q71,
+    "q72_doc_chunks": ORACLE_Q72,
+    "q73_stratified_sample": ORACLE_Q73,
+    "q74_repetition_hist": ORACLE_Q74,
+    "q75_distinctive_terms": ORACLE_Q75,
 }

@@ -628,6 +628,99 @@ def test_lsh_knn_recalls_identical(spark, vectors):
     assert any(r["nid"] == 4 for r in out)
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Chunking contract: stride-spaced overlapping windows, every
+    token covered, no trailing window fully contained in the previous
+    one; short docs yield one whole-doc chunk; empty docs none."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b c"),                                # shorter than chunk
+            (3, ""),                                     # empty
+            (4, " ".join(f"u{i}" for i in range(8))),    # exact chunk size
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.chunk_documents(docs, chunk_tokens=8, stride=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 1,5 → chunks of 8 and 6 tokens; start 9 is dropped
+    # (previous chunk 5..12 already covers to token 10)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in c1] == [(0, 8), (1, 6)]
+    assert c1[0]["chunk_text"].split()[:4] == ["t0", "t1", "t2", "t3"]
+    assert c1[1]["chunk_text"].split()[0] == "t4"  # overlap starts at stride
+    # every token of doc 1 appears in some chunk
+    covered = {t for r in c1 for t in r["chunk_text"].split()}
+    assert covered == {f"t{i}" for i in range(10)}
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in by_doc[2]] == [(0, 3)]
+    assert 3 not in by_doc
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in by_doc[4]] == [(0, 8)]
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    """Budget sampling must be partitioning-independent: identical
+    surviving rows at 1 and 7 partitions (rng sample() is not), rates
+    honored per stratum (0% strata vanish, 100% survive whole)."""
+    rows = [(i, "en" if i % 2 else "de") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 30, "de": 100}
+    a = {r["doc_id"] for r in tx.stratified_hash_sample(df, "lang", rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in tx.stratified_hash_sample(df.repartition(7), "lang", rates).collect()
+    }
+    assert a == b
+    de = {i for i in a if i % 2 == 0}
+    assert de == {i for i in range(200) if i % 2 == 0}  # 100% stratum intact
+    en = a - de
+    assert 10 <= len(en) <= 50  # ~30% of 100, hash-exact and stable
+    # unlisted strata default to 0%
+    c = tx.stratified_hash_sample(df, "lang", {"de": 100}).collect()
+    assert all(r["lang"] == "de" for r in c)
+
+
+def test_repetition_stats(spark):
+    """1 − distinct/total bigrams: a fully repetitive doc scores high,
+    distinct prose scores 0, empty/1-token docs score 0 with 0 grams."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),   # 4 bigrams, 1 distinct
+            (2, "all words differ here now"),  # 4 bigrams, 4 distinct
+            (3, "one"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_stats(docs, k=2).collect()}
+    assert out[1]["total_grams"] == 4 and out[1]["distinct_grams"] == 1
+    assert out[1]["repetition"] == 0.75
+    assert out[2]["repetition"] == 0.0
+    assert out[3]["total_grams"] == 0 and out[3]["repetition"] == 0.0
+    assert out[4]["total_grams"] == 0 and out[4]["repetition"] == 0.0
+
+
+def test_distinctive_terms(spark):
+    """Per-stratum top terms exclude corpus-common words (df filter)
+    and short words; ranks are deterministic (count desc, term asc)."""
+    en = [(i, "en", "common zebra zebra quill") for i in range(4)]
+    de = [(10 + i, "de", "common apfel apfel birne") for i in range(4)]
+    df = spark.createDataFrame(en + de, "doc_id long, lang string, text string")
+    out = tx.distinctive_terms(
+        df, "text", "doc_id", "lang", top_k=2, max_df_frac=0.6, min_len=4
+    ).collect()
+    got = {(r["lang"], r["rank"]): (r["term"], r["n_docs"]) for r in out}
+    # 'common' appears in 8/8 docs (df 1.0 > 0.6) → excluded everywhere
+    assert all(term != "common" for term, _ in got.values())
+    # within a doc each term counts once (doc frequency, not term freq)
+    assert got[("en", 1)] == ("quill", 4) or got[("en", 1)] == ("zebra", 4)
+    assert {got[("en", 1)][0], got[("en", 2)][0]} == {"zebra", "quill"}
+    assert {got[("de", 1)][0], got[("de", 2)][0]} == {"apfel", "birne"}
+    # tie on n_docs=4 → term ascending
+    assert got[("en", 1)][0] == "quill" and got[("de", 1)][0] == "apfel"
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [("Hello, world! This is a test.",), ("",), ("der die und das ist gut",)],

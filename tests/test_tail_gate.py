@@ -41,6 +41,10 @@ TAIL = [
     "q69_corpus_clean",
     "q70_containment_pairs",
     "q71_corpus_clean_containment",
+    "q72_doc_chunks",
+    "q73_stratified_sample",
+    "q74_repetition_hist",
+    "q75_distinctive_terms",
 ]
 
 
