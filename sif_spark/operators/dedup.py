@@ -668,3 +668,58 @@ def embedding_near_dup_pairs(
         tables=tables,
         seed=seed,
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 1,
+    mode: str = "flag",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: find (or drop) corpus documents that
+    share >= ``min_hits`` distinct k-gram shingles with ANY document in
+    ``benchmark`` — the standard eval-set leakage check an LLM training
+    pipeline runs before every corpus release (the GPT-3/PaLM-style
+    n-gram collision test, expressed relationally).
+
+    Plan: hash-shingle both sides (the same ``shingle_hash_rows``
+    inverted-index primitive the Jaccard/MinHash operators use), then
+    semi-join the corpus shingles against the DISTINCT benchmark
+    shingle set and count hits per corpus doc. Eval sets are tiny
+    relative to a 100 TB corpus, so the benchmark side is broadcast by
+    default — the corpus side is never shuffled for candidate
+    generation at all; the only shuffle is the per-doc hit count,
+    keyed by doc id (uniform, skew-free). Set
+    ``broadcast_benchmark=False`` for an oversized benchmark side to
+    fall back to a shuffle join on the 8-byte shingle hash.
+
+    ``mode="flag"`` returns (id, n_hits) for contaminated docs only;
+    ``mode="drop"`` returns the corpus rows that SURVIVE (anti-join).
+    """
+    bench_set = (
+        shingle_hash_rows(benchmark, text_col, id_col, k=k)
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_set = F.broadcast(bench_set)
+    hits = (
+        shingle_hash_rows(corpus, text_col, id_col, k=k)
+        .join(bench_set, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    if mode == "flag":
+        return hits
+    if mode == "drop":
+        return corpus.join(hits.select(id_col), id_col, "left_anti")
+    raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")

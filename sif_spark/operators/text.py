@@ -387,3 +387,87 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
     grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + URL extraction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the RE2 ∩ java.util.regex dialect (no
+# backrefs/lookaround) so the SAME literal runs in Spark and in any
+# SQL oracle engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone": "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+}
+
+
+def redact_pii(
+    df,
+    text_col: str = "text",
+    patterns: "dict[str, str] | None" = None,
+    out_col: str | None = None,
+):
+    """Scrub PII from a text column: for each (name, regex) in
+    ``patterns`` (default emails / IPv4 / phone shapes), count the
+    matches in the ORIGINAL text into ``n_<name>`` and replace every
+    occurrence with ``<NAME>``. The mandatory compliance pre-pass of a
+    training-data pipeline.
+
+    Pure JVM expressions (``regexp_count`` + chained
+    ``regexp_replace``) — zero Python, zero shuffle; runs at scan
+    parallelism over 100 TB and pushes through whole-stage codegen.
+    Patterns are applied in dict order; counts are independent
+    (each taken against the pre-redaction text)."""
+    pats = patterns or PII_PATTERNS
+    out = out_col or text_col
+    src = F.col(text_col)
+    cols: dict[str, Column] = {}
+    red = src
+    for name, pat in pats.items():
+        cols[f"n_{name}"] = F.regexp_count(src, F.lit(pat)).cast("long")
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    cols[out] = red
+    return df.withColumns(cols)
+
+
+URL_PATTERN = "https?://[^ \\t\\n]+"
+DOMAIN_PATTERN = "^https?://([^/:?#]+)"
+
+
+def extract_urls(df, text_col: str = "text", id_col: str = "doc_id"):
+    """One row per URL occurrence: (id, url, domain). URL matching and
+    domain parsing are regex expressions shared verbatim with the SQL
+    oracle dialect; the explode runs at scan parallelism (no shuffle).
+    Downstream blocklist filtering / per-domain stats are ordinary
+    relational ops on the result."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)).alias(
+            "url"
+        ),
+    )
+    return exploded.withColumn(
+        "domain", F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1)
+    )
+
+
+def domain_stats(
+    urls,
+    id_col: str = "doc_id",
+    blocklist: "list[str] | None" = None,
+):
+    """Per-domain document reach over an ``extract_urls`` result:
+    (domain, n_docs, n_urls), excluding ``blocklist`` domains — the
+    filter step of URL-based corpus curation. One uniform-keyed
+    shuffle; a blocklist of realistic size (even millions of domains)
+    broadcast-joins, but a plain ``isin`` literal suffices for the
+    common handful."""
+    out = urls
+    if blocklist:
+        out = out.filter(~F.col("domain").isin(blocklist))
+    return out.groupBy("domain").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )

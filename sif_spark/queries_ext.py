@@ -1836,6 +1836,232 @@ SELECT lang, term, n_docs, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q76_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`dedup.decontaminate`): flag corpus
+    docs sharing >=1 distinct 4-gram shingle with a held-out eval set
+    (the GPT-3/PaLM n-gram collision test). The eval set is carved
+    deterministically (hash60(doc_id) mod 20 == 0 — ~5%); the corpus
+    is the rest. The tiny benchmark shingle set is BROADCAST, so the
+    100 TB side never shuffles for candidate generation — the only
+    shuffle is the per-doc hit count, keyed by uniform doc id."""
+    from sif_spark.operators.dedup import decontaminate
+    from sif_spark.operators.text import hash60
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(20))
+    bench = d.filter(bucket == 0)
+    corpus = d.filter(bucket != 0)
+    return decontaminate(
+        corpus, bench, "text", "doc_id", k=4, min_hits=1
+    ).orderBy("doc_id")
+
+
+ORACLE_Q76 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 2),
+                               i -> array_to_string(list_slice(w, i, i + 3), ' ')))
+           AS g
+  FROM toks WHERE len(w) >= 4
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 20 AS bucket
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT g FROM grams JOIN b USING (doc_id) WHERE bucket = 0
+)
+SELECT grams.doc_id, COUNT(*) AS n_hits
+FROM grams JOIN b USING (doc_id) JOIN bench USING (g)
+WHERE b.bucket <> 0
+GROUP BY grams.doc_id HAVING COUNT(*) >= 1 ORDER BY doc_id
+"""
+
+
+def q77_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (`text.redact_pii`): count + redact emails / IPv4
+    / phone shapes. The synthetic corpus carries no PII, so the entry
+    injects it deterministically from doc_id (every 3rd doc an email,
+    5th an IP, 7th a phone) and the oracle replays the same injection
+    — the regex literals are shared verbatim (RE2 ∩ Java dialect).
+    Pure codegen expressions: zero Python, zero shuffle; the md5 of
+    the redacted text proves replacement byte-parity."""
+    from sif_spark.operators.text import redact_pii
+
+    d = read_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(i % 3 == 0, F.concat(F.lit(" contact user"), s, F.lit("@example.com")))
+            .otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.concat(F.lit(" host 10."), (i % 200).cast("string"), F.lit(".0.1")))
+            .otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.concat(F.lit(" call 555-"), F.lpad((i % 1000).cast("string"), 3, "0"), F.lit("-0199")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(injected, "text").select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5(F.col("text")).alias("redacted_md5"),
+    )
+
+
+ORACLE_Q77 = """
+WITH injected AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1'
+              ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-0199'
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'),
+         '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g')) AS redacted_md5
+FROM injected
+"""
+
+
+def q78_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + domain blocklist (`text.extract_urls` +
+    `domain_stats`): URLs injected deterministically (every 4th doc
+    links site<doc_id mod 7>.example.com; every 6th links a blocked
+    domain), extracted by a shared-dialect regex, exploded at scan
+    parallelism, blocklist-filtered, and aggregated per domain — the
+    URL-based curation step of a web-corpus pipeline."""
+    from sif_spark.operators.text import domain_stats, extract_urls
+
+    d = read_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 4 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (i % 7).cast("string"),
+                    F.lit(".example.com/p/"),
+                    i.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(i % 6 == 0, F.lit(" ref https://blocked.example.com/x")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    urls = extract_urls(injected, "text", "doc_id")
+    return domain_stats(urls, "doc_id", blocklist=["blocked.example.com"]).orderBy(
+        "domain"
+    )
+
+
+ORACLE_Q78 = """
+WITH injected AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 4 = 0
+              THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              ELSE '' END ||
+         CASE WHEN doc_id % 6 = 0 THEN ' ref https://blocked.example.com/x'
+              ELSE '' END AS text
+  FROM documents
+),
+urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS url
+  FROM injected
+),
+dom AS (
+  SELECT doc_id, url, regexp_extract(url, '^https?://([^/:?#]+)', 1) AS domain
+  FROM urls
+)
+SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM dom WHERE domain <> 'blocked.example.com'
+GROUP BY domain ORDER BY domain
+"""
+
+
+def q79_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (`timeseries.resample`): per
+    event_type hourly buckets over the global span with EVERY empty
+    bucket materialized and totals carried forward (LOCF). The dense
+    grid is generated executor-side (distinct keys x sequence
+    explode); the fill join keys on the uniform (key, bucket) pair;
+    the carry-forward window partitions per key — never global.
+    Buckets surface as epoch seconds so both engines compare exact
+    integers, and totals are rounded to 4 decimals."""
+    from sif_spark.operators.timeseries import resample
+
+    e = read_table(spark, sf_dir, "events")
+    dense = resample(e, "ts", "event_type", "value", 3600, fill="locf")
+    return dense.select(
+        F.col("key").alias("event_type"),
+        F.unix_timestamp("bucket").cast("long").alias("bucket_s"),
+        "n_events",
+        F.round("total", 4).alias("total"),
+    ).orderBy("event_type", "bucket_s")
+
+
+ORACLE_Q79 = """
+WITH b AS (
+  SELECT event_type AS key,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
+         value
+  FROM events
+),
+per AS (
+  SELECT key, bucket_s, COUNT(*) AS n_events, SUM(value) AS total
+  FROM b GROUP BY 1, 2
+),
+span AS (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM b),
+grid AS (
+  SELECT k.key, g.bucket_s
+  FROM (SELECT DISTINCT key FROM b) k
+  CROSS JOIN (SELECT unnest(range(lo, hi + 1, 3600)) AS bucket_s FROM span) g
+),
+dense AS (
+  SELECT grid.key, grid.bucket_s,
+         COALESCE(per.n_events, 0) AS n_events, per.total
+  FROM grid LEFT JOIN per USING (key, bucket_s)
+)
+SELECT key AS event_type, bucket_s, n_events,
+       round(last_value(total IGNORE NULLS) OVER (
+         PARTITION BY key ORDER BY bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS total
+FROM dense ORDER BY event_type, bucket_s
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -1877,6 +2103,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_stratified_sample": q73_stratified_sample,
     "q74_repetition_hist": q74_repetition_hist,
     "q75_distinctive_terms": q75_distinctive_terms,
+    "q76_decontamination": q76_decontamination,
+    "q77_pii_redaction": q77_pii_redaction,
+    "q78_url_domains": q78_url_domains,
+    "q79_gap_fill": q79_gap_fill,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1920,4 +2150,8 @@ EXT_ORACLES: dict[str, str] = {
     "q73_stratified_sample": ORACLE_Q73,
     "q74_repetition_hist": ORACLE_Q74,
     "q75_distinctive_terms": ORACLE_Q75,
+    "q76_decontamination": ORACLE_Q76,
+    "q77_pii_redaction": ORACLE_Q77,
+    "q78_url_domains": ORACLE_Q78,
+    "q79_gap_fill": ORACLE_Q79,
 }

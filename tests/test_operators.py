@@ -826,3 +826,110 @@ def test_lsh_similar_pairs_matches_all_pairs(spark):
         ).select("id_a", "id_b").collect()
     }
     assert lsh == exact
+
+
+def test_decontaminate_flag_and_drop(spark):
+    """Docs sharing >= min_hits distinct k-grams with the benchmark are
+    flagged with the exact distinct-collision count; drop mode
+    anti-joins them out and leaves clean docs untouched."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps high today"),   # shares 2 distinct 3-grams
+            (2, "totally unrelated prose about spark"),
+            (3, "the quick brown fox jumps over something"),  # shares 4
+        ],
+        "doc_id long, text string",
+    )
+    flags = {
+        r["doc_id"]: r["n_hits"]
+        for r in dd.decontaminate(corpus, bench, k=3, min_hits=1).collect()
+    }
+    assert flags == {1: 2, 3: 4}
+    # min_hits raises the bar
+    strict = {r["doc_id"] for r in dd.decontaminate(corpus, bench, k=3, min_hits=3).collect()}
+    assert strict == {3}
+    kept = {r["doc_id"] for r in dd.decontaminate(corpus, bench, k=3, mode="drop").collect()}
+    assert kept == {2}
+    with pytest.raises(ValueError):
+        dd.decontaminate(corpus, bench, mode="bogus")
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    """Counts are taken against the original text; every occurrence is
+    replaced; PII-free docs pass through byte-identical."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e.org, host 10.0.0.1, call 555-123-4567"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (2, 1, 1)
+    assert r1["text"] == "mail <EMAIL> and <EMAIL>, host <IPV4>, call <PHONE>"
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["text"] == "nothing sensitive here"
+
+
+def test_extract_urls_and_domain_stats(spark):
+    """One row per URL occurrence with the domain parsed out; the
+    blocklist removes matching domains from the per-domain stats."""
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.example.com/x and http://b.example.com/y?q=1"),
+            (2, "again https://a.example.com/z plus https://evil.example.com/p"),
+            (3, "no links"),
+        ],
+        "doc_id long, text string",
+    )
+    urls = tx.extract_urls(df)
+    got = {(r["doc_id"], r["url"], r["domain"]) for r in urls.collect()}
+    assert (1, "https://a.example.com/x", "a.example.com") in got
+    assert (1, "http://b.example.com/y?q=1", "b.example.com") in got
+    assert len(got) == 4
+    stats = {
+        r["domain"]: (r["n_docs"], r["n_urls"])
+        for r in tx.domain_stats(urls, blocklist=["evil.example.com"]).collect()
+    }
+    assert stats == {"a.example.com": (2, 2), "b.example.com": (1, 1)}
+
+
+def test_resample_gap_fill_zero_and_locf(spark):
+    """Every bucket in the global span exists for every key; zero mode
+    fills 0.0, locf carries the last observed total per key (NULL
+    before a key's first observation); empty input yields empty."""
+    from sif_spark.operators.timeseries import resample
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 10), "a", 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 50), "a", 2.0),
+            (3, dt.datetime(2024, 1, 1, 3, 5), "a", 4.0),
+            (4, dt.datetime(2024, 1, 1, 2, 0), "b", 10.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    z = resample(df, "ts", "event_type", "value", 3600, fill="zero")
+    rows = {(r["key"], r["bucket"].hour): (r["n_events"], r["total"]) for r in z.collect()}
+    assert len(rows) == 8  # 2 keys x 4 hourly buckets (00..03)
+    assert rows[("a", 0)] == (2, 3.0)
+    assert rows[("a", 1)] == (0, 0.0)
+    assert rows[("a", 3)] == (1, 4.0)
+    assert rows[("b", 2)] == (1, 10.0)
+    assert rows[("b", 3)] == (0, 0.0)
+
+    l = resample(df, "ts", "event_type", "value", 3600, fill="locf")
+    lrows = {(r["key"], r["bucket"].hour): r["total"] for r in l.collect()}
+    assert lrows[("a", 1)] == 3.0 and lrows[("a", 2)] == 3.0  # carried
+    assert lrows[("b", 0)] is None and lrows[("b", 1)] is None  # before first obs
+    assert lrows[("b", 3)] == 10.0
+    with pytest.raises(ValueError):
+        resample(df, "ts", "event_type", "value", fill="bogus")
+    empty = df.filter("event_id < 0")
+    assert resample(empty, "ts", "event_type", "value").count() == 0

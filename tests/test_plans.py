@@ -121,6 +121,7 @@ def test_no_global_windows_in_catalog(spark):
         "q32_customer_quartiles",
         "q56_window_suite",
         "q60_exact_percentiles",
+        "q79_gap_fill",
     ]
     offenders = {
         q: gw for q in window_queries

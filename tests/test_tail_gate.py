@@ -45,6 +45,10 @@ TAIL = [
     "q73_stratified_sample",
     "q74_repetition_hist",
     "q75_distinctive_terms",
+    "q76_decontamination",
+    "q77_pii_redaction",
+    "q78_url_domains",
+    "q79_gap_fill",
 ]
 
 
