@@ -471,3 +471,54 @@ def domain_stats(
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_urls"),
     )
+
+
+def pack_sequences(
+    chunks,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_tokens",
+    target_tokens: int = 512,
+    buckets: int = 64,
+):
+    """Pack chunk rows (e.g. `chunk_documents` output) into
+    fixed-budget training sequences: each chunk is assigned a
+    (bucket, bin) so every bin holds a contiguous run of chunks whose
+    cumulative token count spans one ``target_tokens`` window — offset
+    packing, the deterministic relational form of greedy sequence
+    packing (each bin covers a contiguous ``target_tokens`` span of
+    its stream; realized fill deviates from the target by less than
+    one chunk in either direction, since a boundary-straddling chunk
+    stays with the lower bin).
+
+    Greedy packing is inherently sequential, so the corpus is first
+    split into ``buckets`` independent streams by a portable hash of
+    the doc id — each stream packs under its own window partition.
+    That keeps the ONLY window per-bucket (parallelism = ``buckets``,
+    never a global sort) and makes the result partitioning-independent
+    AND engine-replayable: same rows → same bins on any cluster.
+    Returns chunks + (bucket, bin_id, bin_offset)."""
+    from pyspark.sql import Window
+
+    b = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(buckets))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(tok_col).over(w)
+    return (
+        chunks.withColumn("bucket", b)
+        .withColumn("__cum", cum)
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("__cum") - F.col(tok_col)) / target_tokens).cast("long"),
+        )
+        .withColumn(
+            "bin_offset",
+            (F.col("__cum") - F.col(tok_col) - F.col("bin_id") * target_tokens).cast(
+                "long"
+            ),
+        )
+        .drop("__cum")
+    )

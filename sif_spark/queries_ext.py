@@ -2062,6 +2062,65 @@ FROM dense ORDER BY event_type, bucket_s
 """
 
 
+def q80_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (`text.pack_sequences`) over `chunk_documents`
+    output: chunks → 8 independent hash-bucket streams → per-bucket
+    cumsum window assigns each chunk a (bin_id, bin_offset) in
+    256-token bins, then one agg summarizes bin fill. The only window
+    is per-bucket (parallelism = bucket count, never global) and the
+    assignment is partitioning-independent, so a repacked 100 TB
+    corpus is bit-reproducible."""
+    from sif_spark.operators.text import chunk_documents, pack_sequences
+
+    d = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "text", "doc_id", chunk_tokens=32, stride=24)
+    packed = pack_sequences(
+        chunks, "doc_id", "chunk_idx", "n_tokens", target_tokens=256, buckets=8
+    )
+    return (
+        packed.groupBy("bucket", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("bucket", "bin_id")
+    )
+
+
+ORACLE_Q80 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, w, len(w) AS n, unnest(range(1, len(w) + 1, 24)) AS s
+  FROM toks WHERE len(w) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT)
+           AS chunk_idx,
+         CAST(len(list_slice(w, s, s + 31)) AS BIGINT) AS n_tokens
+  FROM starts
+  WHERE s = 1 OR s - 24 + 32 - 1 < n
+),
+packed AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 8 AS bucket,
+         SUM(n_tokens) OVER (
+           PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 8
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM chunks
+)
+SELECT bucket, CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY 1, 2 ORDER BY bucket, bin_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2107,6 +2166,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_pii_redaction": q77_pii_redaction,
     "q78_url_domains": q78_url_domains,
     "q79_gap_fill": q79_gap_fill,
+    "q80_sequence_packing": q80_sequence_packing,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2154,4 +2214,5 @@ EXT_ORACLES: dict[str, str] = {
     "q77_pii_redaction": ORACLE_Q77,
     "q78_url_domains": ORACLE_Q78,
     "q79_gap_fill": ORACLE_Q79,
+    "q80_sequence_packing": ORACLE_Q80,
 }

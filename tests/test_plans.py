@@ -360,3 +360,25 @@ def test_cosine_all_pairs_size_guard(spark):
 
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         cosine_all_pairs(_vec_df(spark, 50), min_cosine=0.9, max_broadcast_rows=10)
+
+
+def test_q76_decontamination_broadcasts_benchmark(spark):
+    """The 100 TB scale claim of decontamination: the benchmark shingle
+    set must BROADCAST into the corpus-shingle join (the corpus side
+    never shuffles for candidate generation), and the only hash
+    exchange is the per-doc hit count."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q76_decontamination"](spark, SF), "formatted")
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_q77_pii_redaction_is_scan_local(spark):
+    """PII scrubbing must stay a zero-shuffle codegen scan: no Exchange
+    and no Python evaluation anywhere in the plan."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q77_pii_redaction"](spark, SF), "formatted")
+    assert "Exchange" not in text
+    assert "Python" not in text and "ArrowEval" not in text

@@ -49,6 +49,7 @@ TAIL = [
     "q77_pii_redaction",
     "q78_url_domains",
     "q79_gap_fill",
+    "q80_sequence_packing",
 ]
 
 
