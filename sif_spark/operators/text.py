@@ -522,3 +522,39 @@ def pack_sequences(
         )
         .drop("__cum")
     )
+
+
+def weighted_sample(
+    df,
+    weight_col: str,
+    n: int,
+    group_cols: "list[str] | None" = None,
+    id_col: str = "doc_id",
+):
+    """Deterministic weighted sampling without replacement: the
+    Efraimidis–Spirakis A-ES scheme with the random draw replaced by a
+    portable hash — each row gets priority ``-ln(u)/w`` where
+    ``u = (hash60(id)+1) / 2^60`` in (0, 1], and the ``n`` SMALLEST
+    priorities per group win. Inclusion probability is proportional to
+    ``weight_col`` (exactly the A-ES guarantee), yet the winners are a
+    pure function of the ids: the same sample re-materializes on any
+    cluster size, partitioning, or engine — what corpus-curation needs
+    (rng-based sampling is partition-order-dependent and
+    unreproducible at 100 TB).
+
+    The rank window partitions by ``group_cols`` (or a single global
+    group ONLY if none are given — at scale always pass groups, e.g.
+    language or domain, so no single task sorts the world). Ties
+    break by id, deterministically."""
+    from pyspark.sql import Window
+
+    u = (hash60(F.col(id_col).cast("string")) + 1) / F.lit(float(2**60))
+    prio = -F.log(u) / F.col(weight_col)
+    parts = group_cols or []
+    w = Window.partitionBy(*parts).orderBy(F.col("__prio"), F.col(id_col))
+    return (
+        df.withColumn("__prio", prio)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__prio", "__rk")
+    )

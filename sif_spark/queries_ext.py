@@ -2121,6 +2121,38 @@ FROM packed GROUP BY 1, 2 ORDER BY bucket, bin_id
 """
 
 
+def q81_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (`text.weighted_sample`): 5 docs
+    per language, inclusion probability proportional to n_chars — the
+    Efraimidis–Spirakis priority `-ln(u)/w` with the random draw
+    replaced by the portable 60-bit id hash, so the sample is a pure
+    function of the data (reproducible on any cluster size /
+    partitioning / engine). The rank window partitions per language,
+    never globally."""
+    from sif_spark.operators.text import weighted_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    return weighted_sample(d, "n_chars", 5, ["lang"], "doc_id").select(
+        "lang", "doc_id", "n_chars"
+    ).orderBy("lang", "doc_id")
+
+
+ORACLE_Q81 = """
+WITH prio AS (
+  SELECT lang, doc_id, n_chars,
+         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) + 1) / 1152921504606846976.0) / n_chars AS p
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY p, doc_id) AS rk
+  FROM prio
+)
+SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 5 ORDER BY lang, doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2167,6 +2199,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_url_domains": q78_url_domains,
     "q79_gap_fill": q79_gap_fill,
     "q80_sequence_packing": q80_sequence_packing,
+    "q81_weighted_sample": q81_weighted_sample,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2215,4 +2248,5 @@ EXT_ORACLES: dict[str, str] = {
     "q78_url_domains": ORACLE_Q78,
     "q79_gap_fill": ORACLE_Q79,
     "q80_sequence_packing": ORACLE_Q80,
+    "q81_weighted_sample": ORACLE_Q81,
 }

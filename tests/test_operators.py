@@ -969,3 +969,43 @@ def test_pack_sequences_offset_packing(spark):
     for (bkt, bid), tot in fill.items():
         if bid != last[bkt]:
             assert 100 - 30 < tot < 100 + 30
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    """Winners are a pure function of the data (identical under
+    repartitioning), match a Python replay of the A-ES priorities, and
+    realized inclusion tracks the weights (high-weight rows win far
+    more often across many independent groups)."""
+    import hashlib
+    import math
+
+    from sif_spark.operators.text import weighted_sample
+
+    # 200 groups x 10 rows; row j in every group has weight 1 or 20
+    rows = [
+        (g * 10 + j, str(g), 20.0 if j < 2 else 1.0)
+        for g in range(200)
+        for j in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 2, ["grp"]).collect()}
+    again = {
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(13), "w", 2, ["grp"]).collect()
+    }
+    assert got == again  # partitioning-independent
+
+    def prio(doc_id, w):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return -math.log((h + 1) / 2**60) / w
+
+    expected = set()
+    for g in range(200):
+        grp = [(g * 10 + j, 20.0 if j < 2 else 1.0) for j in range(10)]
+        ranked = sorted(grp, key=lambda t: (prio(*t), t[0]))
+        expected |= {doc for doc, _ in ranked[:2]}
+    assert got == expected  # exact A-ES replay
+
+    # heavy rows (2 of 10, weight 20x) should win most of the 400 slots
+    heavy = sum(1 for d in got if d % 10 < 2)
+    assert heavy > 280  # E[heavy] ≈ 360; light-only would be ~80

@@ -50,6 +50,7 @@ TAIL = [
     "q78_url_domains",
     "q79_gap_fill",
     "q80_sequence_packing",
+    "q81_weighted_sample",
 ]
 
 
