@@ -1,0 +1,114 @@
+"""Sketch-based operators: bounded-memory heavy hitters and mergeable
+distinct-count sketches.
+
+These are the approximate/scale companions to the exact catalog
+entries (q07 exact top-k tokens, q34 exact distinct): at 100 TB the
+exact forms still work (partial agg + top-k), but their shuffle
+carries EVERY distinct key. The operators here bound that:
+
+- `heavy_hitters` never shuffles the key universe: pass 1 runs
+  Misra-Gries summaries per partition (fixed memory, Arrow-batched)
+  and unions the tiny candidate sets; pass 2 exactly recounts ONLY the
+  candidates via a broadcast semi-join. By the averaging argument, any
+  key with global count > N/capacity must exceed its share in at least
+  one partition, so the union of per-partition survivors contains
+  every global heavy hitter — REGARDLESS of partitioning. If the true
+  k-th count clears that threshold, the output is exact and
+  partitioning-independent (the catalog entry runs in that regime, so
+  a plain SQL top-k is a true oracle).
+- `hll_distinct` / `hll_merge` wrap Spark's Apache DataSketches HLL
+  exprs: per-group partial sketches are persistable columns that merge
+  across days/partitions without re-scanning — the production shape
+  for distinct-user counting over a year of 100 TB days.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _misra_gries_partition(
+    batches: Iterator[pd.DataFrame], col: str, capacity: int
+) -> Iterator[pd.DataFrame]:
+    counters: dict = {}
+    for pdf in batches:
+        for v in pdf[col]:
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < capacity:
+                counters[v] = 1
+            else:
+                dead = [k for k in counters if counters[k] == 1]
+                for k in counters:
+                    counters[k] -= 1
+                for k in dead:
+                    del counters[k]
+    yield pd.DataFrame({col: list(counters.keys())})
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    capacity: int = 256,
+) -> DataFrame:
+    """Top-``k`` values of ``col`` by exact count, computed WITHOUT
+    shuffling the full key universe: Misra-Gries candidate generation
+    per partition (fixed ``capacity`` counters, Arrow-batched) →
+    distinct candidate union (tiny) → broadcast semi-join + exact
+    recount of candidates only → top-k with deterministic (count desc,
+    value asc) ordering.
+
+    Exactness regime: every key with global count > N/``capacity`` is
+    guaranteed a candidate under ANY partitioning; when the true k-th
+    count clears that bar (the common Zipfian case), the result equals
+    the exact top-k. Size ``capacity`` >> k accordingly."""
+    src = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    candidates = (
+        src.mapInPandas(
+            lambda it: _misra_gries_partition(it, "__v", capacity),
+            schema="__v " + dict(src.dtypes)["__v"],
+        )
+        .distinct()
+    )
+    counts = (
+        src.join(F.broadcast(candidates), "__v")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("__v"))
+        .limit(k)
+    )
+    return counts.withColumnRenamed("__v", col)
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    group_cols: "list[str] | None" = None,
+    lgk: int = 12,
+) -> DataFrame:
+    """Approximate distinct count per group via Apache DataSketches
+    HLL (`hll_sketch_agg`): returns group cols + `approx_distinct` +
+    the binary `sketch` itself, so partial results persist and merge
+    later (see `hll_merge`) without re-reading the source — the
+    incremental-rollup shape exact countDistinct can't give you."""
+    groups = group_cols or []
+    agg = df.groupBy(*groups).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("sketch")
+    )
+    return agg.withColumn(
+        "approx_distinct", F.hll_sketch_estimate("sketch")
+    )
+
+
+def hll_merge(df: DataFrame, group_cols: "list[str] | None" = None) -> DataFrame:
+    """Merge persisted HLL sketches (e.g. per-day partials) into
+    coarser groups: union the binary sketches, then estimate. The
+    merge reads ONLY the sketch column — never the original corpus."""
+    groups = group_cols or []
+    merged = df.groupBy(*groups).agg(F.hll_union_agg("sketch").alias("sketch"))
+    return merged.withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))

@@ -2153,6 +2153,33 @@ SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 5 ORDER BY lang, doc_id
 """
 
 
+def q82_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory heavy hitters (`sketch.heavy_hitters`): top-10
+    tokens WITHOUT shuffling the key universe — per-partition
+    Misra-Gries candidates (512 Arrow-batched counters) → broadcast
+    semi-join → exact recount of candidates only. Capacity puts the
+    guarantee bar at N/512 ≈ 0.2% of tokens while the 10th token holds
+    >2% (Zipfian corpus), so the result is exact and
+    partitioning-independent — the plain SQL top-k is a true oracle."""
+    from sif_spark.operators.sketch import heavy_hitters
+    from sif_spark.operators.text import tokenize
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokenize("text")).alias("token"))
+    return heavy_hitters(toks, "token", k=10, capacity=512)
+
+
+ORACLE_Q82 = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+    AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS cnt FROM toks
+GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2200,6 +2227,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_gap_fill": q79_gap_fill,
     "q80_sequence_packing": q80_sequence_packing,
     "q81_weighted_sample": q81_weighted_sample,
+    "q82_heavy_hitters": q82_heavy_hitters,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2249,4 +2277,5 @@ EXT_ORACLES: dict[str, str] = {
     "q79_gap_fill": ORACLE_Q79,
     "q80_sequence_packing": ORACLE_Q80,
     "q81_weighted_sample": ORACLE_Q81,
+    "q82_heavy_hitters": ORACLE_Q82,
 }

@@ -1009,3 +1009,53 @@ def test_weighted_sample_deterministic_and_proportional(spark):
     # heavy rows (2 of 10, weight 20x) should win most of the 400 slots
     heavy = sum(1 for d in got if d % 10 < 2)
     assert heavy > 280  # E[heavy] ≈ 360; light-only would be ~80
+
+
+def test_heavy_hitters_exact_in_guarantee_regime(spark):
+    """With capacity far above the heavy-hitter bar, the two-pass
+    Misra-Gries + exact-recount result equals the exact top-k, on any
+    partitioning."""
+    from sif_spark.operators.sketch import heavy_hitters
+
+    # Zipf-ish: value v appears (40 - v) times for v in 0..39
+    rows = [(v,) for v in range(40) for _ in range(40 - v)]
+    df = spark.createDataFrame(rows, "v int")
+    exact = [
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "v").limit(5).collect()
+    ]
+    for parts in (1, 7):
+        got = [
+            (r["v"], r["cnt"])
+            for r in heavy_hitters(df.repartition(parts), "v", k=5, capacity=64).collect()
+        ]
+        assert got == exact, parts
+
+
+def test_heavy_hitters_candidate_guarantee_small_capacity(spark):
+    """Even with tiny capacity, keys above N/capacity must surface:
+    one dominant key among uniform noise is always found."""
+    from sif_spark.operators.sketch import heavy_hitters
+
+    rows = [("dom",)] * 500 + [(f"u{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    got = heavy_hitters(df, "v", k=1, capacity=8).collect()
+    assert got[0]["v"] == "dom" and got[0]["cnt"] == 500
+
+
+def test_hll_sketches_estimate_and_merge(spark):
+    """Per-group HLL estimates land within the sketch's error bound,
+    and merging per-group sketches reproduces the global estimate
+    without touching the source rows."""
+    from sif_spark.operators.sketch import hll_distinct, hll_merge
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 5000).alias("v")
+    )
+    per = hll_distinct(df, "v", ["g"], lgk=14)
+    rows = {r["g"]: r["approx_distinct"] for r in per.collect()}
+    for g, est in rows.items():
+        assert abs(est - 1250) / 1250 < 0.05, (g, est)
+    merged = hll_merge(per).collect()[0]
+    assert abs(merged["approx_distinct"] - 5000) / 5000 < 0.05

@@ -51,6 +51,7 @@ TAIL = [
     "q79_gap_fill",
     "q80_sequence_packing",
     "q81_weighted_sample",
+    "q82_heavy_hitters",
 ]
 
 
