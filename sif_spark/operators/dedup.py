@@ -723,3 +723,35 @@ def decontaminate(
     if mode == "drop":
         return corpus.join(hits.select(id_col), id_col, "left_anti")
     raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+
+
+def exact_dedup_incremental(
+    batch: DataFrame,
+    history_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    keep: str = "min",
+) -> DataFrame:
+    """Incremental exact dedup — the nightly-ingest shape: drop batch
+    rows whose content fingerprint already exists in the historical
+    corpus (a persisted one-column fingerprint store), then dedup
+    within the batch itself. Returns surviving batch rows with their
+    fingerprint attached — append them (and their fingerprints) to the
+    store to advance the corpus.
+
+    Scale: the anti-join and the within-batch groupBy both key on the
+    uniformly-distributed md5 — skew-free by construction. The history
+    side is one 16-byte row per historical doc; store it BUCKETED on
+    the fingerprint (``SifFrame.write_bucketed``) and the nightly
+    anti-join shuffles only the (small) batch side. This beats
+    re-running `exact_dedup` over history+batch, which re-scans the
+    whole corpus every night."""
+    keyed = batch.withColumn("__fp", fingerprint_md5(text_col))
+    hist = history_fingerprints.select(F.col(fp_col).alias("__fp")).distinct()
+    fresh = keyed.join(hist, "__fp", "left_anti")
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    survivors = fresh.groupBy("__fp").agg(agg.alias(id_col))
+    return fresh.join(survivors, on=["__fp", id_col], how="inner").withColumnRenamed(
+        "__fp", fp_col
+    )

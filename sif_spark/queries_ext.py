@@ -2180,6 +2180,42 @@ GROUP BY token ORDER BY cnt DESC, token LIMIT 10
 """
 
 
+def q83_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (`dedup.exact_dedup_incremental`):
+    docs with id < 250 play the persisted historical corpus (their
+    fingerprint store), the rest arrive as tonight's batch; batch rows
+    whose content already exists in history are dropped by a skew-free
+    anti-join on the md5 key, then the batch dedups within itself.
+    The shape that avoids re-scanning 100 TB of history every night."""
+    from sif_spark.operators.dedup import exact_dedup_incremental
+    from sif_spark.operators.text import fingerprint_md5
+
+    d = read_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") < 250).select(
+        fingerprint_md5("text").alias("fingerprint")
+    )
+    batch = d.filter(F.col("doc_id") >= 250)
+    return exact_dedup_incremental(batch, history).select(
+        "doc_id", "fingerprint"
+    ).orderBy("doc_id")
+
+
+ORACLE_Q83 = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+fresh AS (
+  SELECT * FROM fp WHERE doc_id >= 250
+    AND fingerprint NOT IN (SELECT fingerprint FROM hist)
+)
+SELECT MIN(doc_id) AS doc_id, fingerprint
+FROM fresh GROUP BY fingerprint ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2228,6 +2264,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_sequence_packing": q80_sequence_packing,
     "q81_weighted_sample": q81_weighted_sample,
     "q82_heavy_hitters": q82_heavy_hitters,
+    "q83_incremental_dedup": q83_incremental_dedup,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2278,4 +2315,5 @@ EXT_ORACLES: dict[str, str] = {
     "q80_sequence_packing": ORACLE_Q80,
     "q81_weighted_sample": ORACLE_Q81,
     "q82_heavy_hitters": ORACLE_Q82,
+    "q83_incremental_dedup": ORACLE_Q83,
 }

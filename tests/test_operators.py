@@ -1059,3 +1059,29 @@ def test_hll_sketches_estimate_and_merge(spark):
         assert abs(est - 1250) / 1250 < 0.05, (g, est)
     merged = hll_merge(per).collect()[0]
     assert abs(merged["approx_distinct"] - 5000) / 5000 < 0.05
+
+
+def test_exact_dedup_incremental(spark):
+    """Batch rows already in history are dropped; within-batch dups
+    keep one survivor; genuinely new content passes with its
+    fingerprint; the survivor join preserves full rows."""
+    history = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    ).select(tx.fingerprint_md5("text").alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [
+            (10, "seen   BEFORE"),   # normalizes to a history fingerprint
+            (11, "brand new"),
+            (12, "brand new"),       # within-batch dup
+            (13, "another new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dd.exact_dedup_incremental(batch, history).collect()
+    got = {r["doc_id"]: r["text"] for r in out}
+    assert set(got) == {11, 13}
+    fps = {r["fingerprint"] for r in out}
+    assert len(fps) == 2 and all(len(f) == 32 for f in fps)
+    # keep="max" flips the within-batch survivor
+    mx = {r["doc_id"] for r in dd.exact_dedup_incremental(batch, history, keep="max").collect()}
+    assert mx == {12, 13}

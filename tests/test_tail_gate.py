@@ -52,6 +52,7 @@ TAIL = [
     "q80_sequence_packing",
     "q81_weighted_sample",
     "q82_heavy_hitters",
+    "q83_incremental_dedup",
 ]
 
 
