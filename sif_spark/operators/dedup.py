@@ -755,3 +755,41 @@ def exact_dedup_incremental(
     return fresh.join(survivors, on=["__fp", id_col], how="inner").withColumnRenamed(
         "__fp", fp_col
     )
+
+
+def cluster_survivors(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score_col,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-BEST survivor selection over `near_dup_clusters` output:
+    instead of the structural keep-min (cluster_id doubles as the min
+    id), join the (doc_id, cluster_id) assignment back to the doc
+    frame and keep the highest-``score_col`` member per cluster (ties
+    break toward the smaller id, deterministically). This is what a
+    production cleaning pipeline actually wants — when near-dups
+    differ by OCR noise or boilerplate, keep the cleanest copy, not
+    the smallest id.
+
+    ``score_col`` may be a column name or a Column expression
+    evaluated against the joined frame (e.g. `quality_score("text")`).
+    The rank window partitions per cluster_id; near-dup components are
+    tiny, so the window never sees skew. Returns the surviving doc
+    rows + (cluster_id, n_members)."""
+    from pyspark.sql import Window
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    joined = clusters.join(docs, id_col)
+    w = Window.partitionBy("cluster_id")
+    ranked = (
+        joined.withColumn("__score", score)
+        .withColumn("n_members", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                w.orderBy(F.col("__score").desc(), F.col(id_col))
+            ),
+        )
+    )
+    return ranked.filter(F.col("__rk") == 1).drop("__score", "__rk")

@@ -2216,6 +2216,105 @@ FROM fresh GROUP BY fingerprint ORDER BY doc_id
 """
 
 
+def q84_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best survivor selection (`dedup.cluster_survivors`): q68's
+    near-dup components, but each cluster keeps its HIGHEST
+    quality-score member (tie → smaller id) instead of the min id —
+    the production choice when near-dups differ by noise. The per-
+    cluster window sees only component members (tiny), and the quality
+    formula is the same bit-identical double tree both engines share
+    since q17."""
+    from sif_spark.operators.dedup import (
+        cluster_survivors,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from sif_spark.operators.text import quality_score
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=100
+    )
+    clusters = near_dup_clusters(pairs)
+    survivors = cluster_survivors(clusters, d, quality_score("text"))
+    return survivors.select("cluster_id", "doc_id", "n_members").orderBy(
+        "cluster_id"
+    )
+
+
+ORACLE_Q84 = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks WHERE len(w) >= 3
+  )
+),
+ok AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.gram FROM sh JOIN ok USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shf a JOIN shf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION SELECT id_b, id_a FROM edges
+  UNION SELECT id_a, id_a FROM edges
+  UNION SELECT id_b, id_b FROM edges
+),
+reach(s, d) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+),
+clusters AS (SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s),
+q AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS DOUBLE) AS n_tok,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           AS n_alpha
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN n_tok = 0 THEN 0.0 ELSE
+           (CASE WHEN (CASE WHEN n_tok > 0 THEN n_alpha/n_tok ELSE 0.0 END) >= 3.0
+                  AND (CASE WHEN n_tok > 0 THEN n_alpha/n_tok ELSE 0.0 END) <= 10.0
+                 THEN 1.0 ELSE 0.5 END) * 0.4
+           + (CASE WHEN n_chars > 0 THEN n_alpha/n_chars ELSE 0.0 END) * 0.4
+           + least(n_chars/500.0, 1.0) * 0.2
+         END AS score
+  FROM q
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY s.score DESC, c.doc_id) AS rk
+  FROM clusters c JOIN scored s USING (doc_id)
+)
+SELECT cluster_id, doc_id, CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1 ORDER BY cluster_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2265,6 +2364,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_weighted_sample": q81_weighted_sample,
     "q82_heavy_hitters": q82_heavy_hitters,
     "q83_incremental_dedup": q83_incremental_dedup,
+    "q84_cluster_survivors": q84_cluster_survivors,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2316,4 +2416,5 @@ EXT_ORACLES: dict[str, str] = {
     "q81_weighted_sample": ORACLE_Q81,
     "q82_heavy_hitters": ORACLE_Q82,
     "q83_incremental_dedup": ORACLE_Q83,
+    "q84_cluster_survivors": ORACLE_Q84,
 }

@@ -1085,3 +1085,23 @@ def test_exact_dedup_incremental(spark):
     # keep="max" flips the within-batch survivor
     mx = {r["doc_id"] for r in dd.exact_dedup_incremental(batch, history, keep="max").collect()}
     assert mx == {12, 13}
+
+
+def test_cluster_survivors_keeps_best_scored(spark):
+    """The highest-scored member survives per cluster (tie -> smaller
+    id), full doc row carried through, n_members counted."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "b", 0.9), (3, "c", 0.9), (7, "d", 0.5), (8, "e", 0.1)],
+        "doc_id long, text string, score double",
+    )
+    out = {r["cluster_id"]: r for r in dd.cluster_survivors(clusters, docs, "score").collect()}
+    assert out[1]["doc_id"] == 2 and out[1]["n_members"] == 3  # 0.9 tie -> min id
+    assert out[1]["text"] == "b"
+    assert out[7]["doc_id"] == 7 and out[7]["n_members"] == 2
+    # Column-expression score: invert the ordering
+    worst = {r["cluster_id"]: r["doc_id"]
+             for r in dd.cluster_survivors(clusters, docs, -F.col("score")).collect()}
+    assert worst == {1: 1, 7: 8}

@@ -53,6 +53,7 @@ TAIL = [
     "q81_weighted_sample",
     "q82_heavy_hitters",
     "q83_incremental_dedup",
+    "q84_cluster_survivors",
 ]
 
 
