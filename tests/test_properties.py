@@ -205,3 +205,79 @@ def test_near_dup_clusters_matches_union_find_property(spark, edges):
     from conftest import union_find_clusters
 
     assert got == union_find_clusters(edges)
+
+
+@given(
+    st.lists(  # (doc_id implicit by index, n_tokens per chunk stream)
+        st.lists(st.integers(1, 40), min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(16, 64),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_greedy_replay(spark, docs, target):
+    """Offset packing must equal a sequential greedy replay of each
+    bucket's (doc, idx)-ordered stream, for random chunk sizes and
+    targets, on any partitioning."""
+    from sif_spark.operators.text import pack_sequences
+
+    rows = [
+        (d, i, n) for d, sizes in enumerate(docs) for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_tokens long")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["bucket"], r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(
+            df.repartition(3), target_tokens=target, buckets=4
+        ).collect()
+    }
+    # sequential replay
+    import hashlib
+
+    def bucket_of(doc):
+        return int(hashlib.md5(str(doc).encode()).hexdigest()[:15], 16) % 4
+
+    cum = {}
+    for d, sizes in sorted(enumerate(docs)):
+        b = bucket_of(d)
+        for i, n in enumerate(sizes):
+            prev = cum.get(b, 0)
+            assert got[(d, i)] == (b, prev // target, prev - (prev // target) * target)
+            cum[b] = prev + n
+
+
+@given(
+    st.lists(st.sampled_from(["a b c d e", "c d e f g", "x y z w v", "p q r s t"]),
+             min_size=1, max_size=6),
+    st.lists(st.sampled_from(["a b c d e", "x y z w v", "m n o p q"]),
+             min_size=1, max_size=3),
+)
+@settings(**SETTINGS)
+def test_decontaminate_matches_brute_force(spark, corpus_texts, bench_texts):
+    """Flagged ids and hit counts must equal a brute-force set
+    intersection of distinct 3-gram shingles."""
+    from sif_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_texts)), "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench_texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, bench, k=3).collect()
+    }
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    bench_set = set().union(*(grams(t) for t in bench_texts))
+    want = {
+        i: len(grams(t) & bench_set)
+        for i, t in enumerate(corpus_texts)
+        if grams(t) & bench_set
+    }
+    assert got == want
