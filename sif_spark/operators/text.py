@@ -545,9 +545,15 @@ def weighted_sample(
     The rank window partitions by ``group_cols`` (or a single global
     group ONLY if none are given — at scale always pass groups, e.g.
     language or domain, so no single task sorts the world). Ties
-    break by id, deterministically."""
+    break by id, deterministically.
+
+    A-ES requires strictly positive weights: rows with NULL or
+    non-positive weight are excluded up front (a NULL priority would
+    otherwise sort FIRST under Spark's asc-nulls-first default and
+    steal sample slots — review r5)."""
     from pyspark.sql import Window
 
+    df = df.filter(F.col(weight_col) > 0)
     u = (hash60(F.col(id_col).cast("string")) + 1) / F.lit(float(2**60))
     prio = -F.log(u) / F.col(weight_col)
     parts = group_cols or []

@@ -36,9 +36,15 @@ def resample(
     Plan: one partial-agg bucketing pass; one 2-value span agg; grid =
     distinct keys x `sequence()` explode (executor-side); left join on
     the uniform (key, bucket) pair; LOCF via a per-key
-    `last(ignorenulls)` window."""
+    `last(ignorenulls)` window.
+
+    Rows with a NULL key or NULL timestamp are excluded up front: a
+    NULL key can't join the dense grid (non-null-safe key equality
+    would silently zero its counts — review r5) and a NULL timestamp
+    belongs to no bucket."""
     if fill not in ("zero", "locf"):
         raise ValueError(f"fill must be 'zero' or 'locf', got {fill!r}")
+    df = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
     step = F.lit(interval_seconds)
     bucket = F.to_timestamp(
         F.from_unixtime((F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step)

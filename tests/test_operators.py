@@ -1105,3 +1105,37 @@ def test_cluster_survivors_keeps_best_scored(spark):
     worst = {r["cluster_id"]: r["doc_id"]
              for r in dd.cluster_survivors(clusters, docs, -F.col("score")).collect()}
     assert worst == {1: 1, 7: 8}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    """NULL / zero / negative weights must not steal sample slots
+    (a NULL A-ES priority sorts first under asc-nulls-first)."""
+    from sif_spark.operators.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 0.0), (4, -2.0), (5, 5.0), (6, 5.0)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"] for r in weighted_sample(df, "w", 3).collect()}
+    assert got == {1, 5, 6}
+
+
+def test_resample_excludes_null_keys_and_timestamps(spark):
+    """NULL keys can't join the dense grid (their counts would
+    silently zero out) and NULL timestamps have no bucket — both are
+    excluded up front, leaving the valid keys' grids intact."""
+    from sif_spark.operators.timeseries import resample
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 5), "a", 1.0),
+            (2, dt.datetime(2024, 1, 1, 1, 5), None, 9.0),
+            (3, None, "a", 7.0),
+            (4, dt.datetime(2024, 1, 1, 1, 30), "a", 2.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = resample(df, "ts", "event_type", "value", 3600).collect()
+    assert {r["key"] for r in out} == {"a"}
+    got = {r["bucket"].hour: (r["n_events"], r["total"]) for r in out}
+    assert got == {0: (1, 1.0), 1: (1, 2.0)}
