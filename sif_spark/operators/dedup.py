@@ -141,21 +141,19 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def sig_bands(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b, n_bands matched) via LSH
-    banding: hash each band of the signature, bucket-join on
-    (band_index, band_hash). The join key includes the band hash —
-    uniformly distributed, so the shuffle is skew-free; identical docs
-    collide in all bands, unrelated docs in none."""
-    # Band hashes are unrolled into a literal array (num_bands is a
-    # plan-time constant) so every xxhash64 stays in codegen; a
-    # F.transform lambda would evaluate interpreted per band.
-    bands = sigs.select(
+    """(id, band, band_hash) rows for a signature frame — the LSH
+    bucket keys. Band hashes are unrolled into a literal array
+    (num_bands is a plan-time constant) so every xxhash64 stays in
+    codegen; an F.transform lambda would evaluate interpreted per
+    band. Shared by the self-join candidate generator and the
+    incremental (batch-vs-store) path."""
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -170,6 +168,20 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_bands matched) via LSH
+    banding: hash each band of the signature, bucket-join on
+    (band_index, band_hash). The join key includes the band hash —
+    uniformly distributed, so the shuffle is skew-free; identical docs
+    collide in all bands, unrelated docs in none."""
+    bands = sig_bands(sigs, id_col, num_bands, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -793,3 +805,86 @@ def cluster_survivors(
         )
     )
     return ranked.filter(F.col("__rk") == 1).drop("__score", "__rk")
+
+
+def minhash_dedup_incremental(
+    batch: DataFrame,
+    history_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    num_bands: int = 16,
+    threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental NEAR-dup dedup — the MinHash analogue of
+    `exact_dedup_incremental`: drop batch docs whose estimated Jaccard
+    against ANY historical doc reaches ``threshold`` (LSH band
+    collision → signature verify), then conservatively dedup within
+    the batch (a verified within-batch pair drops its greater id; the
+    pair check runs among docs that survived the history pass).
+    Returns surviving batch rows with their ``sig`` attached — append
+    those signatures to the store to advance the corpus.
+
+    ``history_sigs`` is the persisted (id, sig) store:
+    ``num_hashes`` longs per historical doc instead of its full text,
+    so the nightly run re-reads signatures, never the corpus. Band
+    keys derive from the stored signatures (a narrow scan); all joins
+    key on uniformly-distributed band hashes or ids — skew-free. Docs
+    with fewer than ``shingle_k`` tokens carry no signature and pass
+    through (exact dedup owns them). Semantics are deterministic and
+    engine-replayable (``hash_fn='md5'`` for the oracle mode)."""
+    rows_per_band = num_hashes // num_bands
+    bsig = minhash_signatures(
+        batch, text_col, id_col, num_hashes, shingle_k, hash_fn
+    ).localCheckpoint(eager=False)
+    bband = sig_bands(bsig, id_col, num_bands, rows_per_band)
+    hband = sig_bands(history_sigs, id_col, num_bands, rows_per_band)
+    cross = (
+        bband.alias("b")
+        .join(
+            hband.alias("h"),
+            (F.col("b.band") == F.col("h.band"))
+            & (F.col("b.band_hash") == F.col("h.band_hash")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid")
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_b", "sig_h", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    matched = (
+        cross.join(
+            bsig.select(F.col(id_col).alias("bid"), F.col("sig").alias("sig_b")),
+            "bid",
+        )
+        .join(
+            history_sigs.select(
+                F.col(id_col).alias("hid"), F.col("sig").alias("sig_h")
+            ),
+            "hid",
+        )
+        .filter(est >= threshold)
+        .select(F.col("bid").alias(id_col))
+        .distinct()
+    )
+    fresh_sigs = bsig.join(matched, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    within = minhash_lsh_candidates(fresh_sigs, id_col, num_bands, rows_per_band)
+    sa = fresh_sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_b"))
+    sb = fresh_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_h"))
+    dropped = (
+        within.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(est >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(matched.unionByName(dropped), id_col, "left_anti")
+    return survivors.join(
+        bsig.select(id_col, "sig"), id_col, "left"
+    )

@@ -2315,6 +2315,121 @@ FROM ranked WHERE rk = 1 ORDER BY cluster_id
 """
 
 
+def q85_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup (`dedup.minhash_dedup_incremental`):
+    docs with id < 250 play the historical corpus, persisted as their
+    MinHash signature store (32 portable hashes — the nightly run
+    re-reads 32 longs per historical doc, never its text); the rest
+    arrive as tonight's batch. Batch docs whose estimated Jaccard vs
+    ANY historical doc reaches 0.5 (band collision → signature verify)
+    are dropped, then verified within-batch pairs drop their greater
+    id. The oracle replays signatures, banding, both verification
+    passes, and the survivor rule exactly."""
+    from sif_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+    from sif_spark.queries import MINHASH_NUM_BANDS, MINHASH_NUM_HASHES
+
+    assert (MINHASH_NUM_HASHES, MINHASH_NUM_BANDS) == (_Q85_HASHES, _Q85_BANDS)
+    d = read_table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    hist_sigs = minhash_signatures(
+        history, "text", "doc_id", MINHASH_NUM_HASHES, 3, hash_fn="md5"
+    )
+    out = minhash_dedup_incremental(
+        batch,
+        hist_sigs,
+        "text",
+        "doc_id",
+        num_hashes=MINHASH_NUM_HASHES,
+        num_bands=MINHASH_NUM_BANDS,
+        threshold=0.5,
+        hash_fn="md5",
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+# Mirrors queries.MINHASH_NUM_HASHES / MINHASH_NUM_BANDS (asserted
+# equal inside q85) — not imported at module level because queries.py
+# imports this module at its tail, and a top-level back-import would
+# make the init order queries_ext-first → ImportError.
+_Q85_HASHES = 32
+_Q85_BANDS = 8
+
+ORACLE_Q85 = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks WHERE len(w) >= 3
+  )
+),
+based AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 2147483647 AS base
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, j,
+         MIN((((j * 2654435761 + 1) % 2147483647) * base
+              + ((j * 40503 + 7) % 2147483647)) % 2147483647) AS h
+  FROM based CROSS JOIN (SELECT unnest(range({_Q85_HASHES})) AS j) js
+  GROUP BY doc_id, j
+),
+bandsig AS (
+  SELECT doc_id, CAST(j // {_Q85_HASHES // _Q85_BANDS} AS INT) AS band,
+         list(h ORDER BY j) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+cross_cand AS (
+  SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+  FROM bandsig b JOIN bandsig h ON b.band = h.band AND b.bsig = h.bsig
+  WHERE b.doc_id >= 250 AND h.doc_id < 250
+),
+cross_m AS (
+  SELECT c.bid, c.hid, SUM(CASE WHEN sb.h = sh2.h THEN 1 ELSE 0 END) AS nm
+  FROM cross_cand c
+  JOIN sig sb ON sb.doc_id = c.bid
+  JOIN sig sh2 ON sh2.doc_id = c.hid AND sh2.j = sb.j
+  GROUP BY c.bid, c.hid
+),
+hist_dropped AS (
+  SELECT DISTINCT bid FROM cross_m WHERE nm * 2 >= {_Q85_HASHES}
+),
+batch_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+  WHERE a.doc_id >= 250 AND b.doc_id >= 250
+    AND a.doc_id NOT IN (SELECT bid FROM hist_dropped)
+    AND b.doc_id NOT IN (SELECT bid FROM hist_dropped)
+),
+batch_m AS (
+  SELECT c.id_a, c.id_b, SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS nm
+  FROM batch_cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY c.id_a, c.id_b
+),
+within_dropped AS (
+  SELECT DISTINCT id_b AS bid FROM batch_m WHERE nm * 2 >= {_Q85_HASHES}
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id >= 250
+  AND doc_id NOT IN (SELECT bid FROM hist_dropped)
+  AND doc_id NOT IN (SELECT bid FROM within_dropped)
+ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2365,6 +2480,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_heavy_hitters": q82_heavy_hitters,
     "q83_incremental_dedup": q83_incremental_dedup,
     "q84_cluster_survivors": q84_cluster_survivors,
+    "q85_minhash_incremental": q85_minhash_incremental,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2417,4 +2533,5 @@ EXT_ORACLES: dict[str, str] = {
     "q82_heavy_hitters": ORACLE_Q82,
     "q83_incremental_dedup": ORACLE_Q83,
     "q84_cluster_survivors": ORACLE_Q84,
+    "q85_minhash_incremental": ORACLE_Q85,
 }

@@ -1139,3 +1139,29 @@ def test_resample_excludes_null_keys_and_timestamps(spark):
     assert {r["key"] for r in out} == {"a"}
     got = {r["bucket"].hour: (r["n_events"], r["total"]) for r in out}
     assert got == {0: (1, 1.0), 1: (1, 2.0)}
+
+
+def test_minhash_dedup_incremental(spark):
+    """History near-dups are dropped via the signature store; verified
+    within-batch pairs drop their greater id; distinct and
+    sub-shingle docs pass through (the latter with NULL sig)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    history = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (10, base + " lambda"),            # near-dup of history doc 1
+            (11, "one two three four five six seven eight nine ten"),
+            (12, "one two three four five six seven eight nine eleven"),  # ~dup of 11
+            (13, "completely different words entirely unrelated content here today"),
+            (14, "too short"),                 # < 3 tokens -> no signature
+        ],
+        "doc_id long, text string",
+    )
+    hist_sigs = dd.minhash_signatures(history, num_hashes=32, shingle_k=3)
+    out = dd.minhash_dedup_incremental(
+        batch, hist_sigs, num_hashes=32, num_bands=8, threshold=0.5
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {11, 13, 14}
+    assert rows[11]["sig"] is not None and len(rows[11]["sig"]) == 32
+    assert rows[14]["sig"] is None  # passed through without a signature

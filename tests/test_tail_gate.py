@@ -54,6 +54,7 @@ TAIL = [
     "q82_heavy_hitters",
     "q83_incremental_dedup",
     "q84_cluster_survivors",
+    "q85_minhash_incremental",
 ]
 
 
