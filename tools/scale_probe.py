@@ -57,6 +57,13 @@ PROBE_QUERIES: dict = {
     "q32_customer_quartiles": QUERIES["q32_customer_quartiles"],  # distributed ntile
     "q44_key_columns": QUERIES["q44_key_columns"],  # portable compound key scan
     "q49_heatmap": QUERIES["q49_heatmap"],           # grid reduce
+    # round-5 additions (input-driven shapes only; q84/q85 are
+    # near-dup-output-driven like jaccard/minhash, see note above)
+    "q76_decontamination": QUERIES["q76_decontamination"],  # broadcast semi-join
+    "q77_pii_redaction": QUERIES["q77_pii_redaction"],      # codegen regex scan
+    "q80_sequence_packing": QUERIES["q80_sequence_packing"],  # bucket windows
+    "q82_heavy_hitters": QUERIES["q82_heavy_hitters"],      # MG + recount
+    "q83_incremental_dedup": QUERIES["q83_incremental_dedup"],  # fp anti-join
 }
 
 # id columns to shift per replica so keys stay distinct and
