@@ -93,8 +93,12 @@ def _collect_normalized(df: DataFrame, vec_col: str, id_col: str) -> tuple[np.nd
     return ids, M / norms
 
 
-def _batch_matrix(pdf: pd.DataFrame, vec_col: str) -> np.ndarray:
+def _batch_matrix(
+    pdf: pd.DataFrame, vec_col: str, normalize: bool = True
+) -> np.ndarray:
     B = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    if not normalize:  # raw vectors — Euclidean consumers (IVF assignment)
+        return B
     norms = np.linalg.norm(B, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return B / norms
@@ -471,6 +475,79 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
         [(index.vec_col, index.dim, index.corpus_rows)],
         "vec_col string, dim int, corpus_rows long",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def extend_ivf_index(
+    index: IVFIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    check_duplicates: bool = True,
+) -> IVFIndex:
+    """Incrementally ingest new vectors into an existing IVF index
+    WITHOUT refitting the quantizer: each new vector is assigned to
+    its nearest centroid (Euclidean argmin over the raw centers — the
+    same rule `KMeans.transform` applies at build time, first minimum
+    on ties) in one Arrow-batched scan against the broadcast centroid
+    matrix (n_cells x dim — tiny). Returns a NEW index sharing the
+    centroids, with the combined (nid, cell) assignment materialized
+    and `corpus_rows` advanced — the nightly embedding-store ingest
+    shape: the historical corpus is never re-scanned and the fit cost
+    is never re-paid. Re-fit on drift is a policy decision the caller
+    owns (cells only degrade as the data distribution moves).
+
+    ``check_duplicates=True`` (one id-keyed join job) rejects new ids
+    that already exist in the index — a silent double-insert would
+    return duplicate neighbors forever after."""
+    if index.vec_col is not None and index.vec_col != vec_col:
+        raise ValueError(
+            f"IVF index was built on column {index.vec_col!r}, "
+            f"extended with {vec_col!r}"
+        )
+    probe = new_vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and probe["d"] != index.dim:
+        raise ValueError(
+            f"IVF index dim {index.dim} != new vector dim {probe['d']}"
+        )
+    spark = new_vectors.sparkSession
+    bc = spark.sparkContext.broadcast(index.centroids)
+    schema = T.StructType(
+        [
+            T.StructField("nid", T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value  # raw centers: argmin ||v - c||^2 = argmin -2 v.c + ||c||^2
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _batch_matrix(pdf, vec_col, normalize=False)
+            cells = np.argmin(-2.0 * (V @ C.T) + c_sq, axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                }
+            )
+
+    new_assigned = new_vectors.select(id_col, vec_col).mapInPandas(assign, schema)
+    if check_duplicates:
+        dup = new_assigned.join(
+            index.assigned.select("nid"), "nid", "inner"
+        ).limit(1).count()
+        if dup:
+            raise ValueError(
+                "extend_ivf_index: new vector ids collide with ids already "
+                "in the index — double-inserting would duplicate neighbors"
+            )
+    combined = index.assigned.unionByName(new_assigned).localCheckpoint(eager=True)
+    rows = None if index.corpus_rows is None else combined.count()
+    return IVFIndex(
+        index.centroids, combined, vec_col=index.vec_col, corpus_rows=rows
+    )
 
 
 def load_ivf_index(spark, path: str) -> IVFIndex:

@@ -1165,3 +1165,60 @@ def test_minhash_dedup_incremental(spark):
     assert set(rows) == {11, 13, 14}
     assert rows[11]["sig"] is not None and len(rows[11]["sig"]) == 32
     assert rows[14]["sig"] is None  # passed through without a signature
+
+
+def test_extend_ivf_index_incremental_ingest(spark):
+    """New vectors join their true cells (well-separated clusters),
+    provenance advances, duplicate ids are rejected, and a full-probe
+    ivf_knn over the extended index equals exact brute-force kNN over
+    the combined corpus."""
+    import numpy as np
+
+    from sif_spark.operators.similarity import (
+        brute_force_knn,
+        build_ivf_index,
+        extend_ivf_index,
+        ivf_knn,
+    )
+
+    def cluster_rows(start_id, center, n):
+        rng = [(start_id + i,
+                [float(c + ((i * 7 + j) % 5) * 0.01) for j, c in enumerate(center)])
+               for i in range(n)]
+        return rng
+
+    centers = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0], [0.0, 0.0, 10.0, 0.0]]
+    base_rows = [r for ci, c in enumerate(centers) for r in cluster_rows(ci * 100, c, 20)]
+    base = spark.createDataFrame(base_rows, "vec_id long, embedding array<double>")
+    idx = build_ivf_index(base, n_cells=3, seed=11)
+
+    new_rows = [r for ci, c in enumerate(centers) for r in cluster_rows(1000 + ci * 100, c, 5)]
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+    ext = extend_ivf_index(idx, new)
+    assert ext.corpus_rows == 75 and ext.n_cells == 3
+
+    # each new vector must share a cell with its cluster-mates from the base
+    cell_of = {r["nid"]: r["cell"] for r in ext.assigned.collect()}
+    for ci in range(3):
+        base_cells = {cell_of[ci * 100 + i] for i in range(20)}
+        assert len(base_cells) == 1  # well-separated => one cell per cluster
+        for i in range(5):
+            assert cell_of[1000 + ci * 100 + i] in base_cells
+
+    # duplicate ids must be rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collide"):
+        extend_ivf_index(ext, new)
+
+    # full-probe serving over the extended index == exact kNN
+    combined = base.unionByName(new)
+    queries = combined.filter(F.col("vec_id") % 25 == 0)
+    got = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in ivf_knn(combined, queries, k=3, n_probe=3, index=ext).collect()
+    }
+    exact = {
+        (r["qid"], r["nid"], r["rank"])
+        for r in brute_force_knn(combined, queries, k=3).collect()
+    }
+    assert got == exact
