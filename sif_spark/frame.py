@@ -381,6 +381,31 @@ class SifFrame:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
+    def write_sorted(
+        self,
+        path: str,
+        sort_cols: list[str],
+        num_files: int | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write parquet range-clustered on ``sort_cols``:
+        `repartitionByRange` (a sampled range exchange — scalable, no
+        single-task global sort) + `sortWithinPartitions`, so each
+        output file covers a narrow, non-overlapping range of the sort
+        key. Parquet stores per-file/rowgroup min-max for every
+        column; a later range filter on the sort key then skips whole
+        files at scan time — the sink-side half of partition pruning
+        (coarse-grained dir pruning is ``write_parquet(partition_by=
+        ...)``; this is the fine-grained file/rowgroup layer for
+        high-cardinality keys like timestamps, where a dir per value
+        would melt the metastore)."""
+        df = self.df
+        if num_files:
+            df = df.repartitionByRange(num_files, *sort_cols)
+        else:
+            df = df.repartitionByRange(*sort_cols)
+        df.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
     def write_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
         self.df.write.mode(mode).option("header", str(header).lower()).csv(path)
 

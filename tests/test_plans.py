@@ -382,3 +382,36 @@ def test_q77_pii_redaction_is_scan_local(spark):
     text = plan_string(QUERIES["q77_pii_redaction"](spark, SF), "formatted")
     assert "Exchange" not in text
     assert "Python" not in text and "ArrowEval" not in text
+
+
+def test_write_sorted_range_clusters_files(spark):
+    """write_sorted must produce non-overlapping per-file key ranges
+    (the parquet min/max pruning layout) and a range exchange — never
+    a single-task global sort."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sif_spark.frame import SifFrame
+
+    d = tempfile.mkdtemp(prefix="sif_sorted_")
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 37 % 9973).alias("k"), F.col("id").alias("v")
+    )
+    SifFrame(df).write_sorted(f"{d}/out", ["k"], num_files=8)
+    ranges = []
+    for f in glob.glob(f"{d}/out/*.parquet"):
+        md = pq.read_metadata(f)
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4  # range exchange actually split the data
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # non-overlapping key ranges across files
+    # read back: a narrow range filter + full content parity
+    back = spark.read.parquet(f"{d}/out")
+    assert back.count() == 10000
+    assert back.filter("k < 100").count() == df.filter("k < 100").count()
