@@ -564,3 +564,17 @@ def weighted_sample(
         .filter(F.col("__rk") <= n)
         .drop("__prio", "__rk")
     )
+
+
+def clean_text(col: Column | str) -> Column:
+    """Normalization pre-pass shared by fingerprinting and display:
+    control characters (C0 + DEL) become spaces, whitespace runs
+    collapse to one space, and the result is trimmed. Pure codegen
+    regexp chain in the RE2 ∩ Java dialect, so an oracle replays it
+    byte-for-byte; run it BEFORE `fingerprint_md5`/shingling so docs
+    differing only in control noise dedup together. (Unicode NFC is
+    deliberately out of scope for the expression path — the JVM has no
+    built-in normalizer; route through a Pandas UDF if needed.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    no_ctrl = F.regexp_replace(c, "[\\x00-\\x1F\\x7F]", " ")
+    return F.trim(F.regexp_replace(no_ctrl, "\\s+", " "))

@@ -2430,6 +2430,54 @@ ORDER BY doc_id
 """
 
 
+def q86_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (`text.clean_text`): control chars → space,
+    whitespace collapse, trim — the pre-fingerprint cleanup pass. The
+    entry dirties each doc deterministically (C0/DEL wrapping; every
+    2nd doc's spaces become tabs), cleans it, and proves byte-parity
+    via md5 plus the removed-char count. Zero shuffle, zero Python —
+    a codegen regexp chain both engines share."""
+    from sif_spark.operators.text import clean_text
+
+    d = read_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    dirty = F.concat(
+        F.lit("\x01  "),
+        F.when(i % 2 == 0, F.translate(F.col("text"), " ", "\t")).otherwise(
+            F.col("text")
+        ),
+        F.lit(" \x7f"),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(clean_text(dirty)).alias("clean_md5"),
+        (F.length(dirty) - F.length(clean_text(dirty))).cast("long").alias(
+            "removed"
+        ),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q86 = """
+WITH dirty AS (
+  SELECT doc_id,
+         chr(1) || '  ' ||
+         CASE WHEN doc_id % 2 = 0 THEN translate(text, ' ', chr(9)) ELSE text END
+         || ' ' || chr(127) AS t
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(
+           regexp_replace(t, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS c
+  FROM dirty
+)
+SELECT doc_id, md5(c) AS clean_md5,
+       CAST(length(t) - length(c) AS BIGINT) AS removed
+FROM cleaned ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2481,6 +2529,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_incremental_dedup": q83_incremental_dedup,
     "q84_cluster_survivors": q84_cluster_survivors,
     "q85_minhash_incremental": q85_minhash_incremental,
+    "q86_clean_text": q86_clean_text,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2534,4 +2583,5 @@ EXT_ORACLES: dict[str, str] = {
     "q83_incremental_dedup": ORACLE_Q83,
     "q84_cluster_survivors": ORACLE_Q84,
     "q85_minhash_incremental": ORACLE_Q85,
+    "q86_clean_text": ORACLE_Q86,
 }

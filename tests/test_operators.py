@@ -1222,3 +1222,21 @@ def test_extend_ivf_index_incremental_ingest(spark):
         for r in brute_force_knn(combined, queries, k=3).collect()
     }
     assert got == exact
+
+
+def test_clean_text_normalizes(spark):
+    """Control chars become spaces, runs collapse, edges trim; clean
+    text is a fixpoint."""
+    df = spark.createDataFrame(
+        [
+            (1, "\x01 hello\tworld\x00  again \x7f"),
+            (2, "already clean"),
+            (3, "\x02\x03"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["c"] for r in df.select("doc_id", tx.clean_text("text").alias("c")).collect()}
+    assert got == {1: "hello world again", 2: "already clean", 3: ""}
+    # fixpoint
+    again = df.select("doc_id", tx.clean_text(tx.clean_text("text")).alias("c")).collect()
+    assert {r["doc_id"]: r["c"] for r in again} == got

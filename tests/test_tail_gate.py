@@ -55,6 +55,7 @@ TAIL = [
     "q83_incremental_dedup",
     "q84_cluster_survivors",
     "q85_minhash_incremental",
+    "q86_clean_text",
 ]
 
 
