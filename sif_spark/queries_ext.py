@@ -2478,6 +2478,95 @@ FROM cleaned ORDER BY doc_id
 """
 
 
+def q87_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup clustering: TEXT edges (exact n-gram
+    Jaccard >= 0.2, stop-shingle-guarded) and EMBEDDING edges (cosine
+    >= 0.45 over the aligned vector table) union into ONE edge set and
+    ONE label-propagation pass — the production shape where lexical
+    and semantic duplicate signals reinforce each other (a paraphrase
+    caught by cosine transitively merges with its lexical near-dups).
+    Both edge generators are independently oracle-gated (q13/q20);
+    this entry gates the composed closure. min-label propagation is
+    duplicate-edge-insensitive, so the union needs no dedup shuffle."""
+    from sif_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    e = read_table(spark, sf_dir, "embeddings")
+    text_edges = ngram_jaccard_pairs(
+        d, "text", "doc_id", k=3, threshold=0.2, max_shingle_freq=100
+    ).select("id_a", "id_b")
+    emb_edges = embedding_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.45
+    ).select("id_a", "id_b")
+    edges = text_edges.unionByName(emb_edges)
+    return near_dup_clusters(edges).orderBy("doc_id")
+
+
+ORACLE_Q87 = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks WHERE len(w) >= 3
+  )
+),
+ok AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) <= 100),
+shf AS (SELECT sh.doc_id, sh.gram FROM sh JOIN ok USING (gram)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shf a JOIN shf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+text_edges AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter / (sa.sz + sb.sz - inter) >= 0.2
+),
+ep AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+ec AS (SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM ep),
+emb_edges AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+           / (sqrt(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+              * sqrt(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS sim
+    FROM ec GROUP BY id_a, id_b
+  ) WHERE sim >= 0.45
+),
+edges AS (
+  SELECT id_a, id_b FROM text_edges UNION SELECT id_a, id_b FROM emb_edges
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM edges
+  UNION SELECT id_b, id_a FROM edges
+  UNION SELECT id_a, id_a FROM edges
+  UNION SELECT id_b, id_b FROM edges
+),
+reach(s, d) AS (
+  SELECT s, d FROM und
+  UNION
+  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+)
+SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2530,6 +2619,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_cluster_survivors": q84_cluster_survivors,
     "q85_minhash_incremental": q85_minhash_incremental,
     "q86_clean_text": q86_clean_text,
+    "q87_multisignal_dedup": q87_multisignal_dedup,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2584,4 +2674,5 @@ EXT_ORACLES: dict[str, str] = {
     "q84_cluster_survivors": ORACLE_Q84,
     "q85_minhash_incremental": ORACLE_Q85,
     "q86_clean_text": ORACLE_Q86,
+    "q87_multisignal_dedup": ORACLE_Q87,
 }

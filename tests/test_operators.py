@@ -1240,3 +1240,15 @@ def test_clean_text_normalizes(spark):
     # fixpoint
     again = df.select("doc_id", tx.clean_text(tx.clean_text("text")).alias("c")).collect()
     assert {r["doc_id"]: r["c"] for r in again} == got
+
+
+def test_multisignal_edges_merge_transitively(spark):
+    """A text-only edge and an embedding-only edge sharing a node must
+    merge into one cluster through the unioned edge set."""
+    text_edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    emb_edges = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.near_dup_clusters(text_edges.unionByName(emb_edges)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}

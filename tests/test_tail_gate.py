@@ -56,6 +56,7 @@ TAIL = [
     "q84_cluster_survivors",
     "q85_minhash_incremental",
     "q86_clean_text",
+    "q87_multisignal_dedup",
 ]
 
 
