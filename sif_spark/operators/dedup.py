@@ -839,6 +839,11 @@ def minhash_dedup_incremental(
     bsig = minhash_signatures(
         batch, text_col, id_col, num_hashes, shingle_k, hash_fn
     ).localCheckpoint(eager=False)
+    # two consumers (band derivation + the verify join): materialize
+    # once — when the store arrives as a derived frame (tests, q85)
+    # this halves the signature work; for a parquet-store read it
+    # trades a re-scan for a local copy, roughly neutral
+    history_sigs = history_sigs.localCheckpoint(eager=False)
     bband = sig_bands(bsig, id_col, num_bands, rows_per_band)
     hband = sig_bands(history_sigs, id_col, num_bands, rows_per_band)
     cross = (
