@@ -46,8 +46,13 @@ def resample(
         raise ValueError(f"fill must be 'zero' or 'locf', got {fill!r}")
     df = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
     step = F.lit(interval_seconds)
+    # floor division, not cast — cast truncates toward zero, which
+    # shifts pre-1970 (negative-epoch) timestamps into the WRONG
+    # bucket (review r5)
     bucket = F.to_timestamp(
-        F.from_unixtime((F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step)
+        F.from_unixtime(
+            F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+        )
     )
     per_bucket = (
         df.select(F.col(key_col).alias("key"), bucket.alias("bucket"), F.col(value_col).alias("__v"))

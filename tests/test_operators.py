@@ -1252,3 +1252,24 @@ def test_multisignal_edges_merge_transitively(spark):
         for r in dd.near_dup_clusters(text_edges.unionByName(emb_edges)).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_resample_pre_epoch_floor_bucketing(spark):
+    """Negative-epoch timestamps must floor into their bucket, not
+    truncate toward zero: 1969-12-31T23:30 belongs to the 23:00
+    bucket, one hour BELOW epoch zero."""
+    from sif_spark.operators.timeseries import resample
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(1969, 12, 31, 23, 30), "a", 1.0),
+            (2, dt.datetime(1970, 1, 1, 0, 30), "a", 2.0),
+        ],
+        "event_id long, ts timestamp, event_type string, value double",
+    )
+    out = {r["bucket"]: (r["n_events"], r["total"])
+           for r in resample(df, "ts", "event_type", "value", 3600).collect()}
+    assert out == {
+        dt.datetime(1969, 12, 31, 23, 0): (1, 1.0),
+        dt.datetime(1970, 1, 1, 0, 0): (1, 2.0),
+    }
