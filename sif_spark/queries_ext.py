@@ -2567,6 +2567,30 @@ SELECT s AS doc_id, MIN(d) AS cluster_id FROM reach GROUP BY s ORDER BY doc_id
 """
 
 
+def q88_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round-trip (Spark 4 native StAX reader —
+    `sources/xml.py`): write the supplier projection (with NULLs — XML
+    omits null elements; read-back must restore them) as XML, read it
+    back with a pinned schema, and run the q36 aggregate. Same oracle
+    as q36/q37: equality against parquet proves the sink→parse path
+    loses nothing. Avro is environment-blocked (external spark-avro
+    jar absent) — documented in the module."""
+    from sif_spark.sources.xml import read_xml, write_xml
+
+    out = _io_dir(sf_dir, "supplier_xml")
+    write_xml(
+        _supplier_projection(spark, sf_dir), out, row_tag="supplier",
+        root_tag="suppliers",
+    )
+    frame = read_xml(
+        spark,
+        f"{out}/*.xml",
+        row_tag="supplier",
+        schema="s_suppkey BIGINT, s_nationkey BIGINT, acct_cents BIGINT",
+    )
+    return _dsv_aggregate(frame.df)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_dsv_roundtrip": q36_dsv_roundtrip,
     "q37_dsv_decoder_gzip": q37_dsv_decoder_gzip,
@@ -2620,6 +2644,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_minhash_incremental": q85_minhash_incremental,
     "q86_clean_text": q86_clean_text,
     "q87_multisignal_dedup": q87_multisignal_dedup,
+    "q88_xml_roundtrip": q88_xml_roundtrip,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -2675,4 +2700,5 @@ EXT_ORACLES: dict[str, str] = {
     "q85_minhash_incremental": ORACLE_Q85,
     "q86_clean_text": ORACLE_Q86,
     "q87_multisignal_dedup": ORACLE_Q87,
+    "q88_xml_roundtrip": _DSV_AGG_ORACLE,
 }

@@ -211,3 +211,21 @@ def test_custom_datasource_stream(spark):
     q.stop()
     q.awaitTermination(30)
     assert total >= 24 and total % 12 == 0
+
+
+def test_xml_roundtrip_preserves_nulls(spark):
+    """XML write -> read with pinned schema restores values AND nulls
+    (null columns are omitted elements on write)."""
+    import tempfile
+
+    from sif_spark.sources.xml import read_xml, write_xml
+
+    d = tempfile.mkdtemp(prefix="sif_xml_")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30)],
+        "id long, name string, v long",
+    )
+    write_xml(df, f"{d}/out", row_tag="rec", root_tag="recs")
+    back = read_xml(spark, f"{d}/out/*.xml", "rec", "id BIGINT, name STRING, v BIGINT")
+    rows = {r["id"]: (r["name"], r["v"]) for r in back.df.collect()}
+    assert rows == {1: ("a", 10), 2: ("b", None), 3: ("c", 30)}

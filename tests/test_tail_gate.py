@@ -57,6 +57,7 @@ TAIL = [
     "q85_minhash_incremental",
     "q86_clean_text",
     "q87_multisignal_dedup",
+    "q88_xml_roundtrip",
 ]
 
 
