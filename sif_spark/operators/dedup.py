@@ -893,3 +893,101 @@ def minhash_dedup_incremental(
     return survivors.join(
         bsig.select(id_col, "sig"), id_col, "left"
     )
+
+
+# ---------------------------------------------------------------------------
+# Line / paragraph dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    mode: str = "first",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line/paragraph-level dedup across the corpus (the CCNet /
+    RefinedWeb boilerplate pass): split each document on ``sep``, drop
+    duplicated lines, and reassemble the survivors in original order.
+
+    ``mode="first"`` keeps exactly one occurrence of every distinct
+    line — the one in the lowest ``(id, position)`` (CCNet's global
+    line dedup). ``mode="drop_common"`` removes lines that appear in at
+    least ``min_docs`` DISTINCT documents from *everywhere* (pure
+    boilerplate strip: nav bars, cookie banners, license headers).
+
+    Returns one row per input document: ``(id_col, text_col, n_lines,
+    n_kept)`` — documents whose every line was removed survive with
+    empty text, so downstream length/quality filters decide their
+    fate explicitly.
+
+    Scale design: lines shuffle by an 8-byte ``xxhash64`` of their
+    content, never by the line text itself; the min-occurrence /
+    distinct-doc aggregations are partial (map-side combine absorbs
+    the boilerplate hot keys — a line in 10^7 docs contributes one
+    partial per task, not 10^7 shuffle rows for the MIN; the distinct
+    count shuffles (hash, id) pairs, uniform in id). Reassembly groups
+    by the uniform doc id with a bounded per-doc ``collect_list``.
+    No global window, no driver collect.
+
+    Reference parity: sif has no corpus-level text ops — its per-row
+    Map (internal/dataframe/frame.go) can't see across documents; this
+    is the Spark-native capability the north star adds.
+    """
+    if mode not in ("first", "drop_common"):
+        raise ValueError(f"mode must be 'first' or 'drop_common', got {mode!r}")
+    import re as _re
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+                "__pos", "__line"
+            ),
+        )
+        .filter(F.col("__line") != "")
+        .withColumn("__h", F.xxhash64("__line"))
+    )
+    if mode == "first":
+        keep_key = lines.groupBy("__h").agg(
+            F.min(F.struct("__id", "__pos")).alias("__keep")
+        )
+        kept = lines.join(keep_key, "__h").filter(
+            F.struct("__id", "__pos") == F.col("__keep")
+        )
+    else:
+        common = (
+            lines.groupBy("__h")
+            .agg(F.countDistinct("__id").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__h")
+        )
+        kept = lines.join(common, "__h", "left_anti")
+    assembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), _re.escape(sep)), lambda t: t != ""
+            )
+        ).cast("long").alias("n_lines"),
+    )
+    return (
+        totals.join(assembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("__text", F.lit("")).alias(text_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

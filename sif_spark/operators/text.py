@@ -578,3 +578,73 @@ def clean_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     no_ctrl = F.regexp_replace(c, "[\\x00-\\x1F\\x7F]", " ")
     return F.trim(F.regexp_replace(no_ctrl, "\\s+", " "))
+
+
+# Gopher (Rae et al. 2021, arXiv:2112.11446) repetition-free quality
+# heuristics — the standard pre-training document filter battery.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+
+def gopher_signals(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> Column:
+    """Gopher-rule quality signals as ONE struct column: word count,
+    mean word length, alpha-word fraction, symbol-to-word ratio
+    ('#' and '...'), distinct-stopword hits, and the combined
+    ``passes`` verdict (Rae et al. 2021 §A1.1 bounds: 50..100k words,
+    mean word length in [3,10], >80% words with an alphabetic char,
+    symbol ratio <0.1, ≥2 distinct stopwords).
+
+    Pure codegen expressions over the token array — zero shuffle, zero
+    Python, evaluated in the scan stage. Divisions are int/int → double
+    in a fixed order, so both engines produce bit-identical doubles.
+
+    Reference parity: sif's quality surface is the user's own Map
+    lambda; this ships the published rule set as a first-class column.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = tokenize(c)
+    n_words = F.size(words).cast("long")
+    total_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, total_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    frac_alpha = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0,
+        (n_hash + n_ellipsis).cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in stopwords]))
+    ).cast("long")
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (frac_alpha > 0.8)
+        & (symbol_ratio < 0.1)
+        & (stop_hits >= 2)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        passes.alias("passes"),
+    )

@@ -90,3 +90,121 @@ def resample(
         Window.unboundedPreceding, Window.currentRow
     )
     return dense.withColumn("total", F.last("total", ignorenulls=True).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign a per-key session index to every event: a new session
+    starts at a key's first event and whenever the gap since the
+    previous event exceeds ``gap_seconds`` (batch analog of the
+    streaming session windows in streaming/stream.py — same gap
+    semantics, replayable over history).
+
+    Adds ``session_idx`` (long, 1-based per key). Plan: one lag + one
+    running-sum window, both partitioned BY KEY — never a global sort.
+    Equal timestamps within a key order arbitrarily between
+    themselves, but a zero gap can't open a session, so the assignment
+    is deterministic regardless of tie order.
+
+    Scale: per-key window state is bounded by that key's event count.
+    A single key with billions of events is inherently sequential
+    under gap semantics (each boundary depends on the previous event);
+    shard such keys upstream by coarse time range and stitch at the
+    range seams if one key outgrows an executor.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_idx", F.sum(new_sess).over(run).cast("long"))
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Collapse :func:`sessionize` output to one row per session:
+    ``(key, session_idx, n_events, start_ts, end_ts, duration_s)``.
+    One partial-agg shuffle on the uniform (key, session_idx) pair."""
+    s = sessionize(df, key_col, ts_col, gap_seconds)
+    return s.groupBy(key_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).cast("long").alias("duration_s"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 2.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Flag per-group z-score outliers EXACTLY: adds ``is_outlier``
+    (|value − mean| > threshold·σ, population σ) without ever
+    computing a float mean or σ. Values are fixed-pointed at
+    ``scale`` (default cents); the test is the cross-multiplied
+    integer identity
+
+        (n·v − s)² > t² · (n·q − s²)        [all in units of scale²]
+
+    where s = Σv, q = Σv² over the group — so there is no division,
+    no sqrt, and no engine-specific float summation order: both
+    engines agree bit-for-bit. The group stats are one partial-agg
+    shuffle over ``group_col``; the 1-row-per-group result broadcast
+    joins back onto the events (map-side, no second shuffle of the
+    fact table).
+
+    Int64 headroom: n·q must stay under 2^63 — at scale=100 that
+    holds through ~10^12 rows per group for values up to 10^5; past
+    that, widen the sums to decimal(38,0) (both engines share exact
+    decimal semantics).
+    """
+    from pyspark.sql.functions import broadcast
+
+    t2 = int(round(threshold * threshold))
+    if abs(threshold * threshold - t2) > 1e-9:
+        raise ValueError(
+            "threshold**2 must be integral to keep the outlier test in "
+            f"exact integer arithmetic (got threshold={threshold!r}); "
+            "use e.g. 2.0 (t²=4) or 3.0 (t²=9)"
+        )
+    v = F.round(F.col(value_col) * scale).cast("long")
+    stats = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__q"),
+        )
+    )
+    dev = F.col("__n") * v - F.col("__s")
+    var_n2 = F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    return (
+        df.join(broadcast(stats), group_col, "left")
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col(value_col).isNull() | F.col("__n").isNull(),
+                F.lit(False),
+            ).otherwise(dev * dev > F.lit(t2) * var_n2),
+        )
+        .drop("__n", "__s", "__q")
+    )

@@ -1218,6 +1218,9 @@ ORACLES: dict[str, str] = {
 # Extension catalog (q36+): sources/sinks/terminators/streaming/scenario
 # entries — see sif_spark/queries_ext.py.
 from sif_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+from sif_spark.queries_ext2 import EXT2_ORACLES, EXT2_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 ORACLES.update(EXT_ORACLES)
+QUERIES.update(EXT2_QUERIES)
+ORACLES.update(EXT2_ORACLES)

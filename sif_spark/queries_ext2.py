@@ -1,0 +1,369 @@
+"""Extension catalog II (q89+): corpus line-level dedup, Gopher quality
+rules, batch sessionization, pivot, exact z-score outliers, and outer
+joins — round-5 additions past the q36-q88 extension catalog.
+
+Same contract as queries.py / queries_ext.py: every entry is a
+(spark, sf_dir) -> DataFrame callable with a DuckDB-portable oracle
+string producing identical column names, dtype categories, and values.
+Float parity rule: only int/int divisions in a fixed operation order
+reach double outputs, so both engines produce bit-identical IEEE
+results (see tools/check_oracle.py normalize()).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sif_spark.operators import text as sgtext
+from sif_spark.sources.parquet import read_table
+
+_LINE_WORDS = 12
+_NAV = "nav home about contact login"
+
+
+def _lined_text() -> F.Column:
+    """Deterministic multi-line document: a shared nav-boilerplate
+    header, the body re-wrapped at 12 words/line, and a per-source
+    footer. The corpus has no newlines (TESTDATA.md), so line-level
+    entries synthesize line structure the same way q86 synthesizes
+    dirt — identically in both engines."""
+    words = sgtext.tokenize(F.col("text"))
+    nl = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(_LINE_WORDS))), F.lit(1)
+    ).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * _LINE_WORDS + 1, _LINE_WORDS), " "
+            ),
+        ),
+        "\n",
+    )
+    return F.concat(
+        F.lit(_NAV + "\n"), body, F.lit("\n"), F.concat(F.lit("footer "), F.col("source"))
+    )
+
+
+def q89_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (`dedup.line_dedup`, CCNet-style): every
+    distinct line survives exactly once, in its lowest (doc, position)
+    — the shared nav header collapses to doc 0, each source's footer
+    to that source's first doc, body lines (unique word streams) stay.
+    Proves reassembly order + empty-doc handling via md5 byte parity.
+
+    Scale: lines shuffle as 8-byte xxhash64 keys with map-side MIN
+    partials absorbing boilerplate hot keys; reassembly is one
+    uniform groupBy(doc_id). No window over the corpus, no collect.
+    """
+    from sif_spark.operators.dedup import line_dedup
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _lined_text().alias("text")
+    )
+    out = line_dedup(d, "text", "doc_id", sep="\n", mode="first")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_kept",
+    ).orderBy("doc_id")
+
+
+ORACLE_Q89 = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         '{_NAV}' || chr(10) ||
+         array_to_string(
+           list_transform(
+             range(0, CAST(greatest(ceil(len(w)/{float(_LINE_WORDS)}), 1) AS INT)),
+             i -> array_to_string(w[i*{_LINE_WORDS}+1:i*{_LINE_WORDS}+{_LINE_WORDS}], ' ')),
+           chr(10))
+         || chr(10) || 'footer ' || source AS t
+  FROM toks
+),
+ln AS (
+  SELECT doc_id, r['pos'] AS pos, r['line'] AS line FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ls)+1),
+                                 i -> {{'pos': i, 'line': ls[i]}})) AS r
+    FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined)
+  ) WHERE r['line'] <> ''
+),
+firsts AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM ln
+),
+kept AS (SELECT doc_id, pos, line FROM firsts WHERE rn = 1),
+asm AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(COALESCE(a.t2, '')) AS clean_md5,
+       CAST(COALESCE(t.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d
+LEFT JOIN asm a USING (doc_id)
+LEFT JOIN tot t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q90_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (`text.gopher_signals`, Rae et
+    al. 2021 §A1.1) over a deterministically dirtied corpus (every 3rd
+    doc gains '#' symbols, every 5th an ellipsis — so the symbol-ratio
+    and alpha-word rules actually fire). Zero-shuffle scan-stage
+    expressions; the struct is unpacked so every signal is gated."""
+    d = read_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" ## ### #")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ...")).otherwise(F.lit("")),
+    )
+    sig = sgtext.gopher_signals(dirty, min_words=40)
+    return d.select("doc_id", sig.alias("g")).select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("g.mean_word_len").alias("mean_word_len"),
+        F.col("g.frac_alpha_words").alias("frac_alpha_words"),
+        F.col("g.symbol_ratio").alias("symbol_ratio"),
+        F.col("g.stop_hits").alias("stop_hits"),
+        F.col("g.passes").alias("passes"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in sgtext.GOPHER_STOPWORDS) + "]"
+
+ORACLE_Q90 = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' ## ### #' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ...' ELSE '' END AS t
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS w
+  FROM dirty
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum') AS BIGINT)
+           AS total_len,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           AS n_alpha,
+         length(t) - length(replace(t, '#', '')) AS n_hash,
+         (length(t) - length(replace(t, '...', ''))) / 3 AS n_ellipsis,
+         CAST(len(list_intersect(w, {_GOPHER_STOP_SQL})) AS BIGINT) AS stop_hits
+  FROM sig
+)
+SELECT doc_id,
+       n_words,
+       CASE WHEN n_words > 0
+            THEN CAST(total_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS mean_word_len,
+       CASE WHEN n_words > 0
+            THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS frac_alpha_words,
+       CASE WHEN n_words > 0
+            THEN CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE)
+            ELSE 0.0 END AS symbol_ratio,
+       stop_hits,
+       (n_words >= 40 AND n_words <= 100000
+        AND CAST(total_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        AND CAST(total_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.8
+        AND CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) < 0.1
+        AND stop_hits >= 2) AS passes
+FROM m
+ORDER BY doc_id
+"""
+
+
+def q91_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (`timeseries.sessionize` — the replayable
+    history analog of q57's streaming session windows, same 30-min gap
+    semantics): per-user gap detection via one per-key lag window and
+    one per-key running sum, then session-level stats off one uniform
+    (user, session) shuffle. Never a global sort."""
+    from sif_spark.operators.timeseries import session_stats
+
+    e = read_table(spark, sf_dir, "events")
+    return (
+        session_stats(e, "user_id", "ts", gap_seconds=1800)
+        .select(
+            "user_id", "session_idx", "n_events", "start_ts", "end_ts",
+            "duration_s",
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+ORACLE_Q91 = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+x AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS start_ts,
+       MAX(ts) AS end_ts,
+       CAST(floor(epoch(MAX(ts))) AS BIGINT)
+         - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+FROM x
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q92_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshape): per-user revenue by event type in
+    integer cents. The pivot values are EXPLICIT, so Catalyst skips
+    the extra distinct-values job and the plan is a single partial-agg
+    shuffle on user_id — the wide schema is fixed at plan time, which
+    is the only pivot shape that scales (a runtime-discovered pivot
+    over high-cardinality types would be a driver bottleneck)."""
+    e = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.sum(cents))
+        .orderBy("user_id")
+    )
+
+
+ORACLE_Q92 = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(round(value*100) AS BIGINT) END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q93_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group z-score outliers (`timeseries.zscore_outliers`):
+    |v − mean| > 2σ decided purely in int64 via the cross-multiplied
+    identity (n·v − s)² > 4·(n·q − s²) — no float mean, no sqrt, no
+    engine-specific summation order. One partial-agg stats shuffle +
+    a broadcast join back onto the fact table (plan-pinned in
+    tests/test_plans.py)."""
+    from sif_spark.operators.timeseries import zscore_outliers
+
+    e = read_table(spark, sf_dir, "events")
+    flagged = zscore_outliers(e, "event_type", "value", threshold=2.0, scale=100)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q93 = """
+WITH v AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS ve FROM events
+  WHERE value IS NOT NULL
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ve) AS BIGINT) AS s, CAST(SUM(ve*ve) AS BIGINT) AS q
+  FROM v GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN (st.n*ve - st.s)*(st.n*ve - st.s)
+                          > 4*(st.n*st.q - st.s*st.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM v JOIN st USING (event_type)
+GROUP BY v.event_type
+ORDER BY v.event_type
+"""
+
+
+def q94_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join coverage (TPC-H Q13 shape): customers LEFT JOIN
+    orders so zero-order customers keep their 0 bucket, then the
+    order-count histogram. Two uniform-key shuffles (custkey, then the
+    tiny count domain); the outer join uses the same SMJ/AQE machinery
+    as the inner-join entries — this entry gates the null-extension
+    semantics the inner joins can't see."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    cnt = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        cnt.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+ORACLE_Q94 = """
+WITH cnt AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM cnt GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q89_line_dedup": q89_line_dedup,
+    "q90_gopher_quality": q90_gopher_quality,
+    "q91_sessions": q91_sessions,
+    "q92_event_pivot": q92_event_pivot,
+    "q93_value_outliers": q93_value_outliers,
+    "q94_order_count_histogram": q94_order_count_histogram,
+}
+
+EXT2_ORACLES: dict[str, str] = {
+    "q89_line_dedup": ORACLE_Q89,
+    "q90_gopher_quality": ORACLE_Q90,
+    "q91_sessions": ORACLE_Q91,
+    "q92_event_pivot": ORACLE_Q92,
+    "q93_value_outliers": ORACLE_Q93,
+    "q94_order_count_histogram": ORACLE_Q94,
+}

@@ -1273,3 +1273,114 @@ def test_resample_pre_epoch_floor_bucketing(spark):
         dt.datetime(1969, 12, 31, 23, 0): (1, 1.0),
         dt.datetime(1970, 1, 1, 0, 0): (1, 2.0),
     }
+
+
+def test_line_dedup_first_and_drop_common(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\nunique one\nfooter x"),
+            (2, "nav bar\nunique two\nfooter x"),
+            (3, "nav bar\nunique three\nfooter y"),
+            (4, "nav bar"),  # all lines removed -> empty survivor row
+        ],
+        "doc_id long, text string",
+    )
+    first = {r["doc_id"]: r for r in dd.line_dedup(docs, mode="first").collect()}
+    assert first[1]["text"] == "nav bar\nunique one\nfooter x"
+    assert first[2]["text"] == "unique two"  # nav + footer kept in doc 1
+    assert first[3]["text"] == "unique three\nfooter y"
+    assert first[4]["text"] == "" and first[4]["n_kept"] == 0
+    assert first[4]["n_lines"] == 1
+    assert first[1]["n_lines"] == 3 and first[1]["n_kept"] == 3
+
+    common = {
+        r["doc_id"]: r
+        for r in dd.line_dedup(docs, mode="drop_common", min_docs=2).collect()
+    }
+    # 'nav bar' (4 docs) and 'footer x' (2 docs) are boilerplate;
+    # 'footer y' appears once and survives everywhere it occurs.
+    assert common[1]["text"] == "unique one"
+    assert common[2]["text"] == "unique two"
+    assert common[3]["text"] == "unique three\nfooter y"
+    assert common[4]["text"] == ""
+    with pytest.raises(ValueError):
+        dd.line_dedup(docs, mode="nope")
+
+
+def test_line_dedup_preserves_order_and_gap_closing(spark):
+    docs = spark.createDataFrame(
+        [(1, "a\nb\na\nc"), (2, "c\nd")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text"] for r in dd.line_dedup(docs).collect()}
+    # duplicate 'a' within doc 1 keeps only pos 0; 'c' first occurs in
+    # doc 1 pos 3, so doc 2 keeps only 'd'
+    assert out[1] == "a\nb\nc"
+    assert out[2] == "d"
+
+
+def test_gopher_signals_rules(spark):
+    good = " ".join(["the", "and", "with"] * 20)  # 60 words, all alpha
+    bad_symbols = good + " " + " ".join(["###"] * 20)
+    short = "the and"
+    df = spark.createDataFrame(
+        [(1, good), (2, bad_symbols), (3, short), (4, None)],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r["g"]
+        for r in df.select("id", tx.gopher_signals("t").alias("g")).collect()
+    }
+    assert out[1]["passes"] is True
+    assert out[1]["n_words"] == 60
+    assert out[1]["frac_alpha_words"] == 1.0
+    assert out[1]["stop_hits"] == 3
+    assert out[2]["passes"] is False  # 60 '#' chars / 80 words > 0.1
+    assert out[2]["symbol_ratio"] == pytest.approx(0.75)
+    assert out[3]["passes"] is False  # too short
+    assert out[4] is None or out[4]["n_words"] is None  # null text -> null struct
+
+
+def test_sessionize_and_stats(spark):
+    rows = [
+        (1, ts("2024-01-01T10:00"), 1),
+        (1, ts("2024-01-01T10:10"), 1),  # same session (gap 600)
+        (1, ts("2024-01-01T11:00"), 2),  # gap 3000 > 1800 -> new
+        (2, ts("2024-01-01T09:00"), 1),
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t, _ in rows], "user_id long, ts timestamp"
+    )
+    from sif_spark.operators.timeseries import session_stats, sessionize
+
+    got = sessionize(df, "user_id", "ts", gap_seconds=1800).collect()
+    by_key = {(r["user_id"], r["ts"]): r["session_idx"] for r in got}
+    for u, t, want in rows:
+        assert by_key[(u, t)] == want
+    stats = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(df, "user_id", "ts", 1800).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 2
+    assert stats[(1, 1)]["duration_s"] == 600
+    assert stats[(1, 2)]["n_events"] == 1
+    assert stats[(2, 1)]["n_events"] == 1
+
+
+def test_zscore_outliers_exact_flagging(spark):
+    # 10 values at 10.0 and one at 1000.0: the spike is the only outlier.
+    vals = [("a", 10.0)] * 10 + [("a", 1000.0), ("b", 5.0), ("b", None)]
+    df = spark.createDataFrame(vals, "grp string, v double")
+    from sif_spark.operators.timeseries import zscore_outliers
+
+    out = zscore_outliers(df, "grp", "v", threshold=2.0).collect()
+    flagged = [(r["grp"], r["v"]) for r in out if r["is_outlier"]]
+    assert flagged == [("a", 1000.0)]
+    # NULL value rows never flag
+    assert all(not r["is_outlier"] for r in out if r["v"] is None)
+    # driver-side check of the integer identity for the spike
+    ve = [round(v * 100) for _, v in vals[:11]]
+    n, s, q = len(ve), sum(ve), sum(x * x for x in ve)
+    assert (n * ve[-1] - s) ** 2 > 4 * (n * q - s * s)
+    assert (n * ve[0] - s) ** 2 <= 4 * (n * q - s * s)
+    with pytest.raises(ValueError):
+        zscore_outliers(df, "grp", "v", threshold=2.5)

@@ -415,3 +415,26 @@ def test_write_sorted_range_clusters_files(spark):
     back = spark.read.parquet(f"{d}/out")
     assert back.count() == 10000
     assert back.filter("k < 100").count() == df.filter("k < 100").count()
+
+
+def test_q93_outlier_stats_join_broadcasts(spark):
+    """zscore_outliers' 100 TB shape: the per-group stats (one row per
+    group) broadcast back onto the fact table — the fact table is
+    shuffled once for the partial-agg stats pass and never again for
+    the flag join."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q93_value_outliers"](spark, SF), "formatted")
+    assert "BroadcastHashJoin" in text
+    assert "SortMergeJoin" not in text
+
+
+def test_q89_line_dedup_no_global_window(spark):
+    """line_dedup must never sort the corpus globally: dedup is a
+    hash-partial MIN per line hash and reassembly a per-doc groupBy.
+    (A window over the whole line set would be the naive formulation.)"""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q89_line_dedup"](spark, SF), "formatted")
+    assert "Window" not in text
+    assert "partial_min" in text or "partial" in text.lower()

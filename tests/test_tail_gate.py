@@ -58,6 +58,12 @@ TAIL = [
     "q86_clean_text",
     "q87_multisignal_dedup",
     "q88_xml_roundtrip",
+    "q89_line_dedup",
+    "q90_gopher_quality",
+    "q91_sessions",
+    "q92_event_pivot",
+    "q93_value_outliers",
+    "q94_order_count_histogram",
 ]
 
 
