@@ -648,3 +648,86 @@ def gopher_signals(
         stop_hits.alias("stop_hits"),
         passes.alias("passes"),
     )
+
+
+def mix_rates(
+    token_totals: dict[str, int],
+    weights: dict[str, int],
+    budget_tokens: int | None = None,
+    resolution: int = 10_000,
+) -> tuple[int, dict[str, int]]:
+    """Resolve per-stratum acceptance rates for a token-budget corpus
+    mixture. ``weights`` are integer mixture PARTS (e.g. web:7,
+    books:2, code:1 → 70/20/10%); ``budget_tokens`` defaults to the
+    largest budget no stratum can't fill without oversampling
+    (min over strata of T_g·W/w_g). Returns ``(budget, {stratum:
+    rate})`` with rate in [0, resolution] — keep a doc iff
+    ``hash60(id) mod resolution < rate``.
+
+    Everything is exact integer arithmetic (floor division), so the
+    rates are reproducible on any engine from the same totals — no
+    float mixture math to drift between a Spark run and its audit.
+    """
+    w_sum = sum(weights.values())
+    present = {
+        g: w
+        for g, w in weights.items()
+        if w > 0 and token_totals.get(g, 0) > 0
+    }
+    if not present:
+        return 0, {}
+    if budget_tokens is None:
+        budget_tokens = min(
+            token_totals[g] * w_sum // w for g, w in present.items()
+        )
+    rates = {
+        g: min(
+            resolution,
+            budget_tokens * w * resolution // (w_sum * token_totals[g]),
+        )
+        for g, w in present.items()
+    }
+    return budget_tokens, rates
+
+
+def mix_corpus(
+    df,
+    weights: dict[str, int],
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget_tokens: int | None = None,
+    resolution: int = 10_000,
+    keep_rate_col: bool = False,
+):
+    """Token-budget corpus mixing (the pretraining data-mixture op):
+    downsample each stratum so kept tokens approximate the target
+    mixture ``weights``, deterministically. Two steps:
+
+    1. one tiny partial-agg job collects per-stratum token totals
+       (rows = |strata| — same driver-visible class as resample's
+       2-value span);
+    2. a scan-local filter keeps a doc iff its portable hash bucket
+       falls under the stratum's integer rate from :func:`mix_rates`.
+
+    Zero shuffle of the corpus itself; the same documents survive on
+    any cluster size / partitioning (hash-gated, not rng-gated) — a
+    100 TB mixture must be re-creatable bit-for-bit for training
+    reproducibility. ``keep_rate_col=True`` attaches the applied
+    ``mix_rate`` (out of ``resolution``) for audit output.
+    """
+    totals = {
+        r["s"]: r["t"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(token_count(text_col)).alias("t"))
+        .collect()
+    }
+    _, rates = mix_rates(totals, weights, budget_tokens, resolution)
+    rate_col = F.lit(0)
+    for g, r in sorted(rates.items()):
+        rate_col = F.when(F.col(strata_col) == g, F.lit(r)).otherwise(rate_col)
+    bucket = F.pmod(hash60(F.col(id_col).cast("string")), F.lit(resolution))
+    out = df.filter(bucket < rate_col)
+    if keep_rate_col:
+        out = out.withColumn("mix_rate", rate_col.cast("long"))
+    return out

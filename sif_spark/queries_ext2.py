@@ -350,6 +350,112 @@ FROM cnt GROUP BY n_orders ORDER BY n_orders
 """
 
 
+# Mixture parts for the 20 synthetic sources: src<N> gets (N % 4) + 1
+# parts — embedded identically in the Spark entry and the oracle.
+_MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}
+_MIX_RES = 10_000
+
+
+def q95_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (`text.mix_corpus` — the pretraining
+    data-mixture op): per-source integer mixture parts resolve to
+    deterministic hash-gate acceptance rates via exact integer
+    arithmetic (`text.mix_rates`), then a scan-local filter applies
+    them. Output audits the mixture: applied rate, surviving docs,
+    surviving tokens per source. The corpus shuffles once (the tiny
+    totals agg); the filter itself is scan-local and partitioning-
+    independent."""
+    from sif_spark.operators.text import mix_corpus, token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    kept = mix_corpus(
+        d, _MIX_WEIGHTS, resolution=_MIX_RES, keep_rate_col=True
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.first("mix_rate").alias("rate"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_VALUES_SQL = ", ".join(
+    f"('{g}', {w})" for g, w in sorted(_MIX_WEIGHTS.items())
+)
+
+ORACLE_Q95 = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+              AS BIGINT) AS toks,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % {_MIX_RES} AS bucket
+  FROM documents
+),
+w AS (SELECT * FROM (VALUES {_MIX_VALUES_SQL}) AS t(source, wt)),
+wsum AS (SELECT SUM(wt) AS ws FROM w),
+tot AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS tt FROM tk GROUP BY source),
+b AS (
+  SELECT MIN(tt * ws // wt) AS bu
+  FROM tot JOIN w USING (source) CROSS JOIN wsum WHERE wt > 0
+),
+r AS (
+  SELECT source, LEAST({_MIX_RES}, bu * wt * {_MIX_RES} // (ws * tt)) AS rate
+  FROM tot JOIN w USING (source) CROSS JOIN wsum CROSS JOIN b
+  WHERE wt > 0
+)
+SELECT tk.source, CAST(r.rate AS BIGINT) AS rate,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS kept_tokens
+FROM tk JOIN r ON tk.source = r.source
+WHERE bucket < rate
+GROUP BY tk.source, r.rate
+ORDER BY tk.source
+"""
+
+
+def q96_late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point, correlated-EXISTS shape (TPC-H Q4 adapted to
+    this schema's columns): orders having at least one lineitem
+    shipped more than 60 days after the order date, counted by
+    priority. Catalyst rewrites the correlated EXISTS into a LEFT SEMI
+    join on the uniform orderkey — no per-row subquery execution, the
+    decorrelation the reference's SQL-less surface can't express
+    (q27 gates the scalar-subquery shape; this gates EXISTS)."""
+    from sif_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+ORACLE_Q96 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -357,6 +463,8 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_event_pivot": q92_event_pivot,
     "q93_value_outliers": q93_value_outliers,
     "q94_order_count_histogram": q94_order_count_histogram,
+    "q95_token_mixture": q95_token_mixture,
+    "q96_late_shipment_priorities": q96_late_shipment_priorities,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -366,4 +474,6 @@ EXT2_ORACLES: dict[str, str] = {
     "q92_event_pivot": ORACLE_Q92,
     "q93_value_outliers": ORACLE_Q93,
     "q94_order_count_histogram": ORACLE_Q94,
+    "q95_token_mixture": ORACLE_Q95,
+    "q96_late_shipment_priorities": ORACLE_Q96,
 }

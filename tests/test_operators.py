@@ -1384,3 +1384,42 @@ def test_zscore_outliers_exact_flagging(spark):
     assert (n * ve[0] - s) ** 2 <= 4 * (n * q - s * s)
     with pytest.raises(ValueError):
         zscore_outliers(df, "grp", "v", threshold=2.5)
+
+
+def test_mix_rates_integer_budget_math():
+    totals = {"web": 1000, "books": 100, "code": 50}
+    # parts 7/2/1 → books is the binding stratum: B = 100*10//2 = 500
+    budget, rates = tx.mix_rates(totals, {"web": 7, "books": 2, "code": 1})
+    assert budget == 500
+    assert rates["books"] == 10_000  # kept fully
+    assert rates["web"] == 500 * 7 * 10_000 // (10 * 1000) == 3500
+    assert rates["code"] == 500 * 1 * 10_000 // (10 * 50) == 10_000
+    # explicit smaller budget scales every rate down proportionally
+    _, r2 = tx.mix_rates(totals, {"web": 7, "books": 2, "code": 1}, 100)
+    assert r2["web"] == 700 and r2["books"] == 2000 and r2["code"] == 2000
+    # zero-weight / absent strata get no rate (dropped)
+    _, r3 = tx.mix_rates(totals, {"web": 1, "books": 0})
+    assert set(r3) == {"web"}
+    assert tx.mix_rates({}, {"web": 1}) == (0, {})
+
+
+def test_mix_corpus_deterministic_and_rate_col(spark):
+    rows = [(i, "s0" if i < 40 else "s1", "w " * 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = tx.mix_corpus(
+        df, {"s0": 1, "s1": 1}, keep_rate_col=True
+    )
+    got = out.collect()
+    # s1 (scarcer) binds the budget: kept fully; s0 downsampled to half
+    rates = {r["source"]: r["mix_rate"] for r in got}
+    assert rates["s1"] == 10_000
+    assert rates["s0"] == 5000
+    kept_ids = sorted(r["doc_id"] for r in got)
+    # re-running (and re-partitioning) keeps the same documents
+    again = sorted(
+        r["doc_id"]
+        for r in tx.mix_corpus(
+            df.repartition(7), {"s0": 1, "s1": 1}
+        ).collect()
+    )
+    assert kept_ids == again

@@ -438,3 +438,15 @@ def test_q89_line_dedup_no_global_window(spark):
     text = plan_string(QUERIES["q89_line_dedup"](spark, SF), "formatted")
     assert "Window" not in text
     assert "partial_min" in text or "partial" in text.lower()
+
+
+def test_q96_exists_decorrelates_to_semi_join(spark):
+    """The SQL EXISTS must decorrelate: one LeftSemi hash/SMJ join on
+    orderkey, never a per-row subquery (BroadcastNestedLoop)."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(
+        QUERIES["q96_late_shipment_priorities"](spark, SF), "formatted"
+    )
+    assert "LeftSemi" in text
+    assert "BroadcastNestedLoopJoin" not in text

@@ -64,6 +64,8 @@ TAIL = [
     "q92_event_pivot",
     "q93_value_outliers",
     "q94_order_count_histogram",
+    "q95_token_mixture",
+    "q96_late_shipment_priorities",
 ]
 
 
