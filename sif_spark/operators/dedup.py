@@ -906,6 +906,7 @@ def line_dedup(
     sep: str = "\n",
     mode: str = "first",
     min_docs: int = 2,
+    persist: bool = False,
 ) -> DataFrame:
     """Line/paragraph-level dedup across the corpus (the CCNet /
     RefinedWeb boilerplate pass): split each document on ``sep``, drop
@@ -931,6 +932,11 @@ def line_dedup(
     by the uniform doc id with a bounded per-doc ``collect_list``.
     No global window, no driver collect.
 
+    The exploded line frame feeds BOTH the occurrence aggregation and
+    the survivor join, so the input is split/exploded twice per run;
+    ``persist=True`` localCheckpoints it instead — worth it when the
+    upstream is more than a raw scan (same trade as exact_dedup).
+
     Reference parity: sif has no corpus-level text ops — its per-row
     Map (internal/dataframe/frame.go) can't see across documents; this
     is the Spark-native capability the north star adds.
@@ -949,6 +955,8 @@ def line_dedup(
         .filter(F.col("__line") != "")
         .withColumn("__h", F.xxhash64("__line"))
     )
+    if persist:
+        lines = lines.localCheckpoint(eager=False)
     if mode == "first":
         keep_key = lines.groupBy("__h").agg(
             F.min(F.struct("__id", "__pos")).alias("__keep")
@@ -989,5 +997,69 @@ def line_dedup(
             F.coalesce("__text", F.lit("")).alias(text_col),
             "n_lines",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def duplication_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN profile (the span-level metric
+    behind suffix-array dedup, Lee et al. 2022 arXiv:2107.06499,
+    approximated at k-gram granularity): for every document, how many
+    of its k-gram positions are covered by a gram that also appears in
+    at least ``min_dup_docs`` distinct documents. Returns
+    ``(id, n_grams, n_dup_grams, dup_frac)`` — the signal between
+    doc-level near-dup (ngram_jaccard_pairs) and line-level dedup
+    (line_dedup): it catches quotes/boilerplate runs shorter than a
+    line that doc-level Jaccard dilutes away.
+
+    Scale design: grams are per-doc lead() windows (never a corpus
+    window) hashed to 8 bytes; the doc-frequency agg shuffles (hash,
+    id) pairs — uniform in id even for a gram present in every
+    document — with map-side partials; the dup flag joins back on the
+    uniform hash. No pair enumeration anywhere: cost is linear in
+    corpus tokens regardless of duplicate multiplicity.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokenize(text_col)).alias("__p", "__t"),
+    )
+    w = Window.partitionBy("__id").orderBy("__p")
+    leads = [F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, k)]
+    grammed = toks.select("__id", "__p", F.col("__t"), *leads).filter(
+        F.col(f"__t{k-1}").isNotNull() if k > 1 else F.lit(True)
+    )
+    gram = F.concat_ws(" ", "__t", *[f"__t{j}" for j in range(1, k)])
+    grams = grammed.select("__id", "__p", F.xxhash64(gram).alias("__gh"))
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_dup_docs)
+        .select("__gh", F.lit(1).alias("__dup"))
+    )
+    flagged = grams.join(dup, "__gh", "left")
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__dup", F.lit(0))).cast("long").alias(
+                "n_dup_grams"
+            ),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_frac"),
         )
     )

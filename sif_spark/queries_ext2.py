@@ -456,6 +456,72 @@ ORDER BY o_orderpriority
 """
 
 
+_Q97_PRE = "terms of service apply to all content here"
+_Q97_K = 4
+
+
+def q97_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span profile
+    (`dedup.duplication_profile`, the k-gram approximation of
+    suffix-array span dedup): fraction of each doc's 4-gram positions
+    whose gram recurs in ≥2 distinct docs. The corpus is framed with a
+    shared ToS preamble and a per-source footer so the boilerplate
+    spans actually exist (bodies are unique word streams). Linear in
+    corpus tokens — no pair enumeration; doc-frequency agg keyed by
+    the uniform gram hash."""
+    from sif_spark.operators.dedup import duplication_profile
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_Q97_PRE + " "),
+            F.col("text"),
+            F.lit(" brought to you by "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return duplication_profile(
+        d, "text", "doc_id", k=_Q97_K, min_dup_docs=2
+    ).orderBy("doc_id")
+
+
+ORACLE_Q97 = f"""
+WITH base AS (
+  SELECT doc_id,
+         '{_Q97_PRE} ' || text || ' brought to you by ' || source AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS w
+  FROM base
+),
+grams AS (
+  SELECT doc_id, g['pos'] AS pos, g['gram'] AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(w) - {_Q97_K} + 2),
+             i -> {{'pos': i,
+                   'gram': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]}}))
+             AS g
+    FROM toks WHERE len(w) >= {_Q97_K}
+  )
+),
+dupg AS (
+  SELECT gram, 1 AS dup FROM grams
+  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(COALESCE(dup, 0)) AS BIGINT) AS n_dup_grams,
+       CAST(SUM(COALESCE(dup, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS dup_frac
+FROM grams g LEFT JOIN dupg USING (gram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -465,6 +531,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_order_count_histogram": q94_order_count_histogram,
     "q95_token_mixture": q95_token_mixture,
     "q96_late_shipment_priorities": q96_late_shipment_priorities,
+    "q97_duplication_profile": q97_duplication_profile,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -476,4 +543,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q94_order_count_histogram": ORACLE_Q94,
     "q95_token_mixture": ORACLE_Q95,
     "q96_late_shipment_priorities": ORACLE_Q96,
+    "q97_duplication_profile": ORACLE_Q97,
 }

@@ -195,3 +195,58 @@ def dedup_within_watermark(
     horizon is evicted (the scalable answer to Sif's grow-forever
     reduce index)."""
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_near_dup_dedup(
+    stream: DataFrame,
+    store_dir: str,
+    sink: Callable[[DataFrame, int], None],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    num_bands: int = 16,
+    threshold: float = 0.7,
+    trigger_seconds: float = 1.0,
+) -> StreamingQuery:
+    """Continuous near-dup ingest: every micro-batch is MinHash-deduped
+    against the persisted signature store (`minhash_dedup_incremental`
+    — the q85 batch semantics, unchanged), survivors flow to ``sink``,
+    and their signatures are appended to the store as an EPOCH-KEYED
+    partition written with mode=overwrite — so a retried micro-batch
+    rewrites its own partition instead of double-appending: store
+    growth is exactly-once without a transactional sink (same recipe
+    as the file-sink exactly-once test).
+
+    The store carries ``num_hashes`` longs per historical doc; the
+    stream never re-reads historical text. State is unbounded by
+    design (corpus membership IS the state) but lives in parquet, not
+    executor memory — the per-batch cost is one narrow store scan,
+    banded bucket joins on uniform keys, and the batch's own
+    signatures.
+    """
+    from sif_spark.operators.dedup import minhash_dedup_incremental, minhash_signatures
+
+    def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(f"{store_dir}/epoch_*")
+        except Exception:
+            # first epoch: empty store with the right (id, sig) schema
+            store = minhash_signatures(
+                batch_df.limit(0), text_col, id_col, num_hashes, shingle_k
+            )
+        survivors = minhash_dedup_incremental(
+            batch_df, store, text_col, id_col,
+            num_hashes, shingle_k, num_bands, threshold,
+        ).localCheckpoint(eager=True)  # one computation feeds sink + store
+        sink(survivors.drop("sig"), epoch_id)
+        survivors.filter(F.col("sig").isNotNull()).select(
+            id_col, "sig"
+        ).write.mode("overwrite").parquet(f"{store_dir}/epoch_{epoch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

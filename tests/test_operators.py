@@ -1423,3 +1423,27 @@ def test_mix_corpus_deterministic_and_rate_col(spark):
         ).collect()
     )
     assert kept_ids == again
+
+
+def test_duplication_profile_counts_positions(spark):
+    # shared 4-gram "a b c d" in docs 1+2 (twice in doc 1); doc 3 unique
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x a b c d"),
+            (2, "a b c d y z w q"),
+            (3, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.duplication_profile(docs, k=4, min_dup_docs=2).collect()
+    }
+    # doc 1: 6 gram positions; 'a b c d' occurs at pos 0 and 5 -> both
+    # count (position-level, not distinct-gram-level)
+    assert out[1]["n_grams"] == 6
+    assert out[1]["n_dup_grams"] == 2
+    assert out[2]["n_grams"] == 5 and out[2]["n_dup_grams"] == 1
+    assert out[3]["n_dup_grams"] == 0
+    assert out[3]["dup_frac"] == 0.0
+    assert out[1]["dup_frac"] == pytest.approx(2 / 6)

@@ -419,3 +419,49 @@ def test_dedup_within_watermark(spark):
     _drain(q)
     got = sorted(r["k"] for r in spark.sql("SELECT * FROM dd_out").collect())
     assert got == [1, 2]
+
+
+def test_stream_near_dup_dedup_across_batches(spark, tmp_path):
+    """Continuous near-dup ingest: batch 2's near-dup of a batch-1 doc
+    is dropped via the persisted signature store; the store grows one
+    idempotent epoch partition per micro-batch."""
+    from sif_spark.streaming.stream import stream_near_dup_dedup
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = read_parquet_stream(spark, src, b1.schema)
+    got: dict[int, list] = {}
+
+    def sink(df, epoch):
+        for r in df.collect():
+            got.setdefault(r["doc_id"], []).append(epoch)
+
+    q = stream_near_dup_dedup(
+        stream, store, sink, num_hashes=32, num_bands=8, threshold=0.5
+    )
+    try:
+        q.processAllAvailable()
+        assert set(got) == {1, 2}
+        spark.createDataFrame(
+            [(10, base + " lambda"),  # near-dup of doc 1 (previous batch)
+             (11, "completely different words entirely unrelated content here today")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert 10 not in got, "cross-batch near-dup must be dropped"
+        assert 11 in got
+    finally:
+        q.stop()
+    import glob
+
+    epochs = glob.glob(f"{store}/epoch_*")
+    assert len(epochs) >= 2
+    stored = spark.read.parquet(f"{store}/epoch_*")
+    assert set(r["doc_id"] for r in stored.collect()) == {1, 2, 11}

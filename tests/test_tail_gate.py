@@ -66,6 +66,7 @@ TAIL = [
     "q94_order_count_histogram",
     "q95_token_mixture",
     "q96_late_shipment_priorities",
+    "q97_duplication_profile",
 ]
 
 

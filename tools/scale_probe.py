@@ -64,6 +64,14 @@ PROBE_QUERIES: dict = {
     "q80_sequence_packing": QUERIES["q80_sequence_packing"],  # bucket windows
     "q82_heavy_hitters": QUERIES["q82_heavy_hitters"],      # MG + recount
     "q83_incremental_dedup": QUERIES["q83_incremental_dedup"],  # fp anti-join
+    # round-5b additions: all input-driven (line_dedup's cost is one
+    # groupBy + one hash join regardless of duplicate multiplicity —
+    # no pair explosion — so replicated data probes it fairly)
+    "q89_line_dedup": QUERIES["q89_line_dedup"],      # line hash groupBy+join
+    "q91_sessions": QUERIES["q91_sessions"],          # per-key lag windows
+    "q93_value_outliers": QUERIES["q93_value_outliers"],  # stats + broadcast
+    "q95_token_mixture": QUERIES["q95_token_mixture"],    # totals + hash gate
+    "q96_late_shipment_priorities": QUERIES["q96_late_shipment_priorities"],  # semi join
 }
 
 # id columns to shift per replica so keys stay distinct and
