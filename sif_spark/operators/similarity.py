@@ -827,3 +827,328 @@ def cosine_all_pairs(
             )
 
     return df.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-vector ANN tier
+# ---------------------------------------------------------------------------
+
+class PQCodebook:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces of ``dsub = dim/m`` dims, each with its
+    own ``ksub``-centroid codebook — a vector compresses to m small
+    codes (here int16, ≤2·m bytes) instead of dim·4 float bytes:
+    16-128× smaller, which is what makes a 10B-vector corpus hold in
+    cluster memory at all. ``codebooks`` is (m, ksub, dsub) float64.
+
+    Training happens DRIVER-SIDE on a bounded deterministic sample
+    (the standard practice — Faiss trains on ~10^5-10^6 samples
+    regardless of corpus size): codebook quality converges long before
+    the corpus is exhausted, so the fit cost is O(sample), not
+    O(corpus). ``normalized`` records whether vectors were L2-
+    normalized before encoding (True aligns ADC ranking with the
+    cosine contract of the other kNN tiers: ‖a−b‖² = 2−2·cos on unit
+    vectors, a monotone map)."""
+
+    def __init__(self, codebooks: np.ndarray, vec_col: str, normalized: bool):
+        self.codebooks = codebooks
+        self.vec_col = vec_col
+        self.normalized = normalized
+
+    @property
+    def m(self) -> int:
+        return self.codebooks.shape[0]
+
+    @property
+    def ksub(self) -> int:
+        return self.codebooks.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.codebooks.shape[0] * self.codebooks.shape[2]
+
+
+def _lloyd(X: np.ndarray, k: int, iters: int, rng: np.random.RandomState) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample. Distance
+    via the expanded ‖x‖²−2xCᵀ+‖c‖² form — O(n·k) memory, never the
+    n×k×d difference tensor."""
+    k = min(k, len(X))
+    C = X[rng.permutation(len(X))[:k]].copy()
+    for _ in range(iters):
+        d2 = (
+            (X * X).sum(1)[:, None]
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
+def train_pq(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 256,
+    sample_rows: int = 65536,
+    seed: int = 42,
+    iters: int = 10,
+    normalize: bool = True,
+) -> PQCodebook:
+    """Train PQ codebooks on a bounded, deterministic, hash-ordered
+    sample of the corpus (same rows on any partitioning — xxhash64
+    order, not head()): one narrow scan collects ≤ ``sample_rows``
+    vectors (the only driver-side memory, ≤ sample_rows·dim·8 bytes),
+    then ``m`` independent driver-side k-means fits. dim must divide
+    evenly into ``m`` subspaces."""
+    sample = (
+        corpus.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__o"))
+        .orderBy("__o")
+        .limit(sample_rows)
+        .select(vec_col)
+        .toPandas()
+    )
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    if normalize:
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        X = X / n
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.stack(
+        [
+            _lloyd(X[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
+            for j in range(m)
+        ]
+    )
+    return PQCodebook(books, vec_col, normalize)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: PQCodebook,
+    vec_col: str | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every corpus vector to its m PQ codes — one Arrow scan,
+    zero shuffle: per batch, each subspace's assignment is a
+    (batch × ksub) GEMM argmin. Returns (nid, codes array<smallint>):
+    the frame to persist and serve from — ~2·m bytes a vector."""
+    vec_col = vec_col or codebook.vec_col
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (codebook.codebooks, codebook.normalized)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("nid", T.LongType(), False),
+            T.StructField("codes", T.ArrayType(T.ShortType(), False), False),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books, normed = bc.value
+        m, ksub, dsub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normed:
+                nrm = np.linalg.norm(X, axis=1, keepdims=True)
+                nrm[nrm == 0] = 1.0
+                X = X / nrm
+            codes = np.empty((len(X), m), dtype=np.int16)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                C = books[j]
+                d2 = (
+                    (S * S).sum(1)[:, None]
+                    - 2.0 * (S @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1).astype(np.int16)
+            yield pd.DataFrame(
+                {"nid": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def _pq_luts(codebook: PQCodebook, queries: DataFrame, vec_col: str, qid_col: str):
+    """Driver-side (qids, LUT tensor (Q, m, ksub)): per query and
+    subspace, the squared distance from the query subvector to every
+    centroid — the asymmetric-distance tables ADC sums over codes."""
+    qids, Qm = _collect_normalized(queries, vec_col, qid_col)
+    if not codebook.normalized and len(qids):
+        # _collect_normalized L2-normalizes; recollect raw
+        pdf = queries.select(qid_col, vec_col).toPandas()
+        qids = pdf[qid_col].to_numpy()
+        Qm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    books = codebook.codebooks
+    m, ksub, dsub = books.shape
+    luts = np.empty((len(qids), m, ksub))
+    for j in range(m):
+        S = Qm[:, j * dsub : (j + 1) * dsub]
+        C = books[j]
+        luts[:, j, :] = (
+            (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+        )
+    return qids, luts
+
+
+def pq_knn(
+    codes: DataFrame,
+    codebook: PQCodebook,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str | None = None,
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC) over the FULL
+    code table — the brute_force_knn shape with the GEMM replaced by
+    LUT gathers: the corpus side reads 2·m bytes a vector (never the
+    raw floats), each Arrow batch emits its batch-local top-k, one
+    tiny per-qid window finishes. Returns (qid, nid, rank, adist) —
+    adist is the approximate squared L2 (monotone in cosine when the
+    codebook is normalized)."""
+    vec_col = vec_col or codebook.vec_col
+    qids, luts = _pq_luts(codebook, queries, vec_col, query_id_col)
+    spark = codes.sparkSession
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "qid long, nid long, rank int, adist double"
+        )
+    bc = spark.sparkContext.broadcast((qids, luts))
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType(), False),
+            T.StructField("nid", T.LongType(), False),
+            T.StructField("adist", T.DoubleType(), False),
+        ]
+    )
+
+    def topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, L = bc.value
+        m = L.shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nids = pdf["nid"].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (B, m)
+            D = np.zeros((len(nids), len(q_ids)))
+            for j in range(m):
+                D += L[:, j, C[:, j]].T  # (B, Q)
+            D[nids[:, None] == q_ids[None, :]] = np.inf  # exclude self
+            kk = min(k, D.shape[0])
+            idx = np.argpartition(D, kk - 1, axis=0)[:kk]
+            qcol = np.broadcast_to(np.arange(D.shape[1]), idx.shape)
+            dist = D[idx, qcol]
+            keep = np.isfinite(dist)
+            yield pd.DataFrame(
+                {
+                    "qid": q_ids[qcol[keep]],
+                    "nid": nids[idx[keep]],
+                    "adist": dist[keep],
+                }
+            )
+
+    partial = codes.mapInPandas(topk, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adist")
+    )
+
+
+def ivf_pq_knn(
+    codes: DataFrame,
+    codebook: PQCodebook,
+    index: "IVFIndex",
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str | None = None,
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + PQ: the production ANN composition — the coarse quantizer
+    prunes the corpus to each query's ``n_probe`` nearest cells, and
+    ADC scores only those candidates from their 2·m-byte codes. The
+    candidate join is (probe pairs broadcast) ⋈ assigned ⋈ codes, all
+    keyed on uniform cell/nid — the raw vector column is never read at
+    query time. Same output contract as pq_knn."""
+    vec_col = vec_col or codebook.vec_col
+    qids, luts = _pq_luts(codebook, queries, vec_col, query_id_col)
+    spark = codes.sparkSession
+    if len(qids) == 0:
+        return spark.createDataFrame(
+            [], "qid long, nid long, rank int, adist double"
+        )
+    cents = index.centroids
+    if codebook.normalized:
+        nrm = np.linalg.norm(cents, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        cents = cents / nrm
+    # per-query probed cells from the (tiny) centroid matrix,
+    # via the SAME normalization space as the codes
+    _, Qm = _collect_normalized(queries, vec_col, query_id_col)
+    d2 = (
+        (Qm * Qm).sum(1)[:, None]
+        - 2.0 * (Qm @ cents.T)
+        + (cents * cents).sum(1)[None, :]
+    )
+    n_probe = min(n_probe, cents.shape[0])
+    probe = np.argsort(d2, axis=1)[:, :n_probe]
+    pairs = [
+        (int(qids[i]), int(c)) for i in range(len(qids)) for c in probe[i]
+    ]
+    probe_df = spark.createDataFrame(pairs, "qid long, cell int")
+    cand = (
+        F.broadcast(probe_df)
+        .join(index.assigned, "cell")
+        .select("qid", "nid")
+        .join(codes, "nid")
+    )
+    bc = spark.sparkContext.broadcast((qids, luts))
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType(), False),
+            T.StructField("nid", T.LongType(), False),
+            T.StructField("adist", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, L = bc.value
+        m = L.shape[1]
+        pos = {int(q): i for i, q in enumerate(q_ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qi = pdf["qid"].map(pos).to_numpy()
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            g = np.take_along_axis(L[qi], C[:, :, None], axis=2)[:, :, 0]
+            D = g.sum(1)
+            mask = pdf["qid"].to_numpy() != pdf["nid"].to_numpy()  # self
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy()[mask],
+                    "nid": pdf["nid"].to_numpy()[mask],
+                    "adist": D[mask],
+                }
+            )
+
+    scored = cand.mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.col("adist"), F.col("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "rank", "adist")
+    )

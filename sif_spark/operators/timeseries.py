@@ -156,35 +156,38 @@ def zscore_outliers(
     threshold: float = 2.0,
     scale: int = 100,
 ) -> DataFrame:
-    """Flag per-group z-score outliers EXACTLY: adds ``is_outlier``
-    (|value − mean| > threshold·σ, population σ) without ever
-    computing a float mean or σ. Values are fixed-pointed at
-    ``scale`` (default cents); the test is the cross-multiplied
-    integer identity
+    """Flag per-group z-score outliers deterministically: adds
+    ``is_outlier`` (|value − mean| > threshold·σ, population σ)
+    without ever computing a float mean or σ from float sums. Values
+    are fixed-pointed at ``scale`` (default cents); s = Σv and q = Σv²
+    aggregate EXACTLY in int64, and the cross-multiplied test
 
-        (n·v − s)² > t² · (n·q − s²)        [all in units of scale²]
+        (n·v − s)² > t² · (n·q − s²)        [units of scale²]
 
-    where s = Σv, q = Σv² over the group — so there is no division,
-    no sqrt, and no engine-specific float summation order: both
-    engines agree bit-for-bit. The group stats are one partial-agg
-    shuffle over ``group_col``; the 1-row-per-group result broadcast
-    joins back onto the events (map-side, no second shuffle of the
-    fact table).
+    is then evaluated in DOUBLE over those exact integers: both
+    engines perform the identical IEEE operation sequence on identical
+    inputs, so the flags are bit-reproducible — there is no
+    engine-specific float SUMMATION order anywhere (the only float
+    ops are the final products/compare, deterministic given the
+    integer sums). The double evaluation is what keeps the identity
+    overflow-free at scale: its n² term overflows int64 at only ~10^5
+    rows/group at cents scale (the 10× scale probe caught exactly
+    this — see SCALE.md round 5), while double headroom is 10^308
+    with ≤1-ulp boundary sensitivity.
 
-    Int64 headroom: n·q must stay under 2^63 — at scale=100 that
-    holds through ~10^12 rows per group for values up to 10^5; past
-    that, widen the sums to decimal(38,0) (both engines share exact
-    decimal semantics).
+    The group stats are one partial-agg shuffle over ``group_col``;
+    the 1-row-per-group result broadcast joins back onto the events
+    (map-side, no second shuffle of the fact table).
+
+    Int64 headroom for the exact sums themselves: q = Σv² needs
+    rows·(scale·vmax)² < 2^63 — at cents and vmax 10^3 that is ~10^9
+    rows per group; raise ``scale`` awareness or pre-aggregate beyond.
     """
     from pyspark.sql.functions import broadcast
 
-    t2 = int(round(threshold * threshold))
-    if abs(threshold * threshold - t2) > 1e-9:
-        raise ValueError(
-            "threshold**2 must be integral to keep the outlier test in "
-            f"exact integer arithmetic (got threshold={threshold!r}); "
-            "use e.g. 2.0 (t²=4) or 3.0 (t²=9)"
-        )
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold!r}")
+    t2 = threshold * threshold
     v = F.round(F.col(value_col) * scale).cast("long")
     stats = (
         df.filter(F.col(value_col).isNotNull())
@@ -195,8 +198,13 @@ def zscore_outliers(
             F.sum(v * v).alias("__q"),
         )
     )
-    dev = F.col("__n") * v - F.col("__s")
-    var_n2 = F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s")
+    # doubles from here: exact int64 inputs, identical op order in the
+    # oracle — deterministic, and free of the int64 n² overflow
+    n_d = F.col("__n").cast("double")
+    s_d = F.col("__s").cast("double")
+    q_d = F.col("__q").cast("double")
+    dev = n_d * v.cast("double") - s_d
+    var_n2 = n_d * q_d - s_d * s_d
     return (
         df.join(broadcast(stats), group_col, "left")
         .withColumn(

@@ -275,11 +275,13 @@ ORDER BY user_id
 
 
 def q93_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group z-score outliers (`timeseries.zscore_outliers`):
-    |v − mean| > 2σ decided purely in int64 via the cross-multiplied
-    identity (n·v − s)² > 4·(n·q − s²) — no float mean, no sqrt, no
-    engine-specific summation order. One partial-agg stats shuffle +
-    a broadcast join back onto the fact table (plan-pinned in
+    """Per-group z-score outliers (`timeseries.zscore_outliers`):
+    |v − mean| > 2σ via the cross-multiplied identity
+    (n·v − s)² > 4·(n·q − s²) with s, q aggregated EXACTLY in int64
+    and the final products/compare in double (identical IEEE op order
+    both engines — no float summation anywhere; the all-int64 variant
+    overflowed at the 10× scale probe). One partial-agg stats shuffle
+    + a broadcast join back onto the fact table (plan-pinned in
     tests/test_plans.py)."""
     from sif_spark.operators.timeseries import zscore_outliers
 
@@ -309,8 +311,11 @@ st AS (
 )
 SELECT v.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN (st.n*ve - st.s)*(st.n*ve - st.s)
-                          > 4*(st.n*st.q - st.s*st.s)
+       CAST(SUM(CASE WHEN
+              (CAST(st.n AS DOUBLE)*CAST(ve AS DOUBLE) - CAST(st.s AS DOUBLE))
+              * (CAST(st.n AS DOUBLE)*CAST(ve AS DOUBLE) - CAST(st.s AS DOUBLE))
+              > 4.0 * (CAST(st.n AS DOUBLE)*CAST(st.q AS DOUBLE)
+                       - CAST(st.s AS DOUBLE)*CAST(st.s AS DOUBLE))
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM v JOIN st USING (event_type)
 GROUP BY v.event_type
