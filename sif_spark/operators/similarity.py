@@ -982,9 +982,12 @@ def pq_encode(
 
 
 def _pq_luts(codebook: PQCodebook, queries: DataFrame, vec_col: str, qid_col: str):
-    """Driver-side (qids, LUT tensor (Q, m, ksub)): per query and
-    subspace, the squared distance from the query subvector to every
-    centroid — the asymmetric-distance tables ADC sums over codes."""
+    """Driver-side (qids, query matrix, LUT tensor (Q, m, ksub)): per
+    query and subspace, the squared distance from the query subvector
+    to every centroid — the asymmetric-distance tables ADC sums over
+    codes. The returned query matrix lives in the SAME space the
+    codebook was trained in (normalized or raw), so every consumer —
+    LUTs here, cell probing in ivf_pq_knn — measures consistently."""
     qids, Qm = _collect_normalized(queries, vec_col, qid_col)
     if not codebook.normalized and len(qids):
         # _collect_normalized L2-normalizes; recollect raw
@@ -1000,7 +1003,7 @@ def _pq_luts(codebook: PQCodebook, queries: DataFrame, vec_col: str, qid_col: st
         luts[:, j, :] = (
             (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
         )
-    return qids, luts
+    return qids, Qm, luts
 
 
 def pq_knn(
@@ -1019,7 +1022,7 @@ def pq_knn(
     adist is the approximate squared L2 (monotone in cosine when the
     codebook is normalized)."""
     vec_col = vec_col or codebook.vec_col
-    qids, luts = _pq_luts(codebook, queries, vec_col, query_id_col)
+    qids, _Qm, luts = _pq_luts(codebook, queries, vec_col, query_id_col)
     spark = codes.sparkSession
     if len(qids) == 0:
         return spark.createDataFrame(
@@ -1085,7 +1088,7 @@ def ivf_pq_knn(
     keyed on uniform cell/nid — the raw vector column is never read at
     query time. Same output contract as pq_knn."""
     vec_col = vec_col or codebook.vec_col
-    qids, luts = _pq_luts(codebook, queries, vec_col, query_id_col)
+    qids, Qm, luts = _pq_luts(codebook, queries, vec_col, query_id_col)
     spark = codes.sparkSession
     if len(qids) == 0:
         return spark.createDataFrame(
@@ -1096,9 +1099,9 @@ def ivf_pq_knn(
         nrm = np.linalg.norm(cents, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         cents = cents / nrm
-    # per-query probed cells from the (tiny) centroid matrix,
-    # via the SAME normalization space as the codes
-    _, Qm = _collect_normalized(queries, vec_col, query_id_col)
+    # per-query probed cells from the (tiny) centroid matrix, in the
+    # SAME space (normalized or raw) the codebook measures in — one
+    # driver-side collect serves both the LUTs and the probe
     d2 = (
         (Qm * Qm).sum(1)[:, None]
         - 2.0 * (Qm @ cents.T)

@@ -229,10 +229,14 @@ def stream_near_dup_dedup(
 
     def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        from pyspark.errors import AnalysisException
+
         try:
             store = spark.read.parquet(f"{store_dir}/epoch_*")
-        except Exception:
-            # first epoch: empty store with the right (id, sig) schema
+        except AnalysisException:
+            # first epoch (PATH_NOT_FOUND): empty store with the right
+            # (id, sig) schema; any other failure propagates — a
+            # corrupt store must stop the stream, not silently reset it
             store = minhash_signatures(
                 batch_df.limit(0), text_col, id_col, num_hashes, shingle_k
             )
