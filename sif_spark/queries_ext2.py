@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sif_spark.operators import text as sgtext
+from sif_spark.queries_ext import ORACLE_Q69 as _ORACLE_Q69_REF
 from sif_spark.sources.parquet import read_table
 
 _LINE_WORDS = 12
@@ -527,6 +528,36 @@ ORDER BY g.doc_id
 """
 
 
+def q98_pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative pipeline API (`sif_spark.pipeline.
+    CorpusPipeline`) reproducing q69's hand-wired composition —
+    quality ≥ 0.5 → language ≠ und → exact dedup → Jaccard near-dup
+    clustering — and gated against the SAME oracle: proof that the
+    fluent builder emits the identical plan shape (single-tokenize
+    near-dup stage, checkpointed dedup corpus) with zero added
+    shuffles, so a config-driven job loses nothing over expert-written
+    query code."""
+    from sif_spark.operators.text import token_count
+    from sif_spark.pipeline import CorpusPipeline
+
+    pipe = (
+        CorpusPipeline()
+        .quality_filter(min_score=0.5)
+        .language_filter(exclude=("und",))
+        .exact_dedup()
+        .near_dup_dedup(k=3, threshold=0.2, max_shingle_freq=100)
+    )
+    cleaned = pipe.run(read_table(spark, sf_dir, "documents"))
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -537,6 +568,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_token_mixture": q95_token_mixture,
     "q96_late_shipment_priorities": q96_late_shipment_priorities,
     "q97_duplication_profile": q97_duplication_profile,
+    "q98_pipeline_declarative": q98_pipeline_declarative,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -549,4 +581,6 @@ EXT2_ORACLES: dict[str, str] = {
     "q95_token_mixture": ORACLE_Q95,
     "q96_late_shipment_priorities": ORACLE_Q96,
     "q97_duplication_profile": ORACLE_Q97,
+    # the pipeline API must reproduce q69's composition exactly
+    "q98_pipeline_declarative": _ORACLE_Q69_REF,
 }

@@ -67,6 +67,7 @@ TAIL = [
     "q95_token_mixture",
     "q96_late_shipment_priorities",
     "q97_duplication_profile",
+    "q98_pipeline_declarative",
 ]
 
 
