@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sif_spark.operators import text as sgtext
 from sif_spark.queries_ext import ORACLE_Q69 as _ORACLE_Q69_REF
+from sif_spark.queries_ext import _DSV_AGG_ORACLE as _DSV_AGG_ORACLE_REF
 from sif_spark.sources.parquet import read_table
 
 _LINE_WORDS = 12
@@ -558,6 +559,67 @@ def q98_pipeline_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source/sink round-trip
+    (`sources/fixed_width.py` — the positional mainframe-export format
+    the delimiter-based DSV family can't parse): write the supplier
+    projection (NULLs become all-pad fields), read it back through the
+    substring/trim/cast codegen projection, and run the q36 aggregate
+    against the same parquet-equality oracle — proving the positional
+    encode→parse path loses nothing, NULL round-trip included."""
+    from sif_spark.sources.fixed_width import read_fixed_width, write_fixed_width
+    from sif_spark.queries_ext import (
+        _dsv_aggregate,
+        _io_dir,
+        _supplier_projection,
+    )
+
+    out = _io_dir(sf_dir, "supplier_fw")
+    write_fixed_width(
+        _supplier_projection(spark, sf_dir), out,
+        [("s_suppkey", 12), ("s_nationkey", 4), ("acct_cents", 12)],
+    )
+    frame = read_fixed_width(
+        spark, out,
+        [("s_suppkey", 12, "bigint"), ("s_nationkey", 4, "bigint"),
+         ("acct_cents", 12, "bigint")],
+    )
+    return _dsv_aggregate(frame.df)
+
+
+def q100_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL entry point — the generalized
+    form of the rollup/cube entries (q06/q29): three explicit sets
+    (priority, status, grand total) in ONE pass with an Expand node
+    instead of three scans+union. Both engines share the standard
+    null-marker semantics for non-grouped keys."""
+    from sif_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )
+
+
+ORACLE_Q100 = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -569,6 +631,8 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_late_shipment_priorities": q96_late_shipment_priorities,
     "q97_duplication_profile": q97_duplication_profile,
     "q98_pipeline_declarative": q98_pipeline_declarative,
+    "q99_fixed_width_roundtrip": q99_fixed_width_roundtrip,
+    "q100_grouping_sets": q100_grouping_sets,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -583,4 +647,6 @@ EXT2_ORACLES: dict[str, str] = {
     "q97_duplication_profile": ORACLE_Q97,
     # the pipeline API must reproduce q69's composition exactly
     "q98_pipeline_declarative": _ORACLE_Q69_REF,
+    "q99_fixed_width_roundtrip": _DSV_AGG_ORACLE_REF,
+    "q100_grouping_sets": ORACLE_Q100,
 }

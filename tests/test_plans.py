@@ -450,3 +450,18 @@ def test_q96_exists_decorrelates_to_semi_join(spark):
     )
     assert "LeftSemi" in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_mix_corpus_filter_is_scan_local(spark):
+    """After the (driver-resolved) totals job, the mixture filter
+    itself must be a zero-shuffle codegen scan — no Exchange, no
+    Python in the returned frame's plan."""
+    from sif_spark.operators.text import mix_corpus
+    from sif_spark.plans import plan_string
+    from sif_spark.sources.parquet import read_table
+
+    d = read_table(spark, SF, "documents")
+    out = mix_corpus(d, {f"src{i}": (i % 4) + 1 for i in range(20)})
+    text = plan_string(out, "formatted")
+    assert "Exchange" not in text
+    assert "Python" not in text and "ArrowEval" not in text

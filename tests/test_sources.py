@@ -229,3 +229,29 @@ def test_xml_roundtrip_preserves_nulls(spark):
     back = read_xml(spark, f"{d}/out/*.xml", "rec", "id BIGINT, name STRING, v BIGINT")
     rows = {r["id"]: (r["name"], r["v"]) for r in back.df.collect()}
     assert rows == {1: ("a", 10), 2: ("b", None), 3: ("c", 30)}
+
+
+def test_fixed_width_roundtrip_nulls_and_overflow(spark, tmp_path):
+    from pyspark.errors import PySparkRuntimeError, PythonException
+    from sif_spark.sources.fixed_width import read_fixed_width, write_fixed_width
+
+    df = spark.createDataFrame(
+        [(1, "ab", 100), (2, None, None), (3, "c", -5)],
+        "id long, name string, v long",
+    )
+    out = str(tmp_path / "fw")
+    write_fixed_width(df, out, [("id", 4), ("name", 6), ("v", 8)])
+    back = read_fixed_width(
+        spark, out, [("id", 4, "bigint"), ("name", 6, "string"), ("v", 8, "bigint")]
+    ).df
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["name"] == "ab" and rows[1]["v"] == 100
+    assert rows[2]["name"] is None and rows[2]["v"] is None  # all-pad -> NULL
+    assert rows[3]["v"] == -5
+    # overflow must error loudly, not truncate
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="fixed-width overflow"):
+        write_fixed_width(
+            df, str(tmp_path / "fw2"), [("id", 4), ("name", 1), ("v", 8)]
+        )

@@ -68,6 +68,8 @@ TAIL = [
     "q96_late_shipment_priorities",
     "q97_duplication_profile",
     "q98_pipeline_declarative",
+    "q99_fixed_width_roundtrip",
+    "q100_grouping_sets",
 ]
 
 
