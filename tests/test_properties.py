@@ -281,3 +281,82 @@ def test_decontaminate_matches_brute_force(spark, corpus_texts, bench_texts):
         if grams(t) & bench_set
     }
     assert got == want
+
+
+@st.composite
+def line_corpus(draw):
+    n_docs = draw(st.integers(1, 8))
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(n_docs):
+        n_lines = draw(st.integers(0, 5))
+        lines = [
+            " ".join(
+                draw(
+                    st.lists(st.sampled_from(vocab), min_size=1, max_size=3)
+                )
+            )
+            for _ in range(n_lines)
+        ]
+        docs.append((i, "\n".join(lines)))
+    return docs
+
+
+@given(line_corpus())
+@settings(**SETTINGS)
+def test_line_dedup_first_matches_reference(spark, docs):
+    """line_dedup(mode='first') vs a driver-side reference: keep each
+    distinct line's lowest (doc, pos) occurrence, reassemble in pos
+    order, keep every doc (empty text when all lines removed)."""
+    from sif_spark.operators.dedup import line_dedup
+
+    seen: set[str] = set()
+    want: dict[int, list[str]] = {}
+    for did, text in sorted(docs):
+        kept = []
+        for line in text.split("\n"):
+            if line and line not in seen:
+                seen.add(line)
+                kept.append(line)
+        want[did] = kept
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert set(got) == set(want)
+    for did, kept in want.items():
+        assert got[did]["text"] == "\n".join(kept)
+        assert got[did]["n_kept"] == len(kept)
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(1, 10_000_000),
+        min_size=1,
+        max_size=4,
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(0, 9),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_mix_rates_invariants(totals, weights):
+    """Pure-driver properties of the mixture solver: rates bounded by
+    resolution; the default budget never asks any stratum for more
+    than it has (no rate would exceed resolution even WITHOUT the
+    clamp); rates scale monotonically with the budget."""
+    from sif_spark.operators.text import mix_rates
+
+    res = 10_000
+    budget, rates = mix_rates(totals, weights, resolution=res)
+    w_sum = sum(weights.values())
+    for g, r in rates.items():
+        assert 0 <= r <= res
+        # unclamped rate at the default budget stays within resolution
+        assert budget * weights[g] * res // (w_sum * totals[g]) <= res
+    if rates:
+        _, half = mix_rates(totals, weights, budget // 2, resolution=res)
+        assert all(half[g] <= rates[g] for g in half)
