@@ -731,3 +731,117 @@ def mix_corpus(
     if keep_rate_col:
         out = out.withColumn("mix_rate", rate_col.cast("long"))
     return out
+
+
+def gopher_repetition(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    gram_n: int = 2,
+):
+    """Gopher repetition signals (Rae et al. 2021 §A1.1, table A1's
+    intra-document battery) per document:
+
+    - ``n_lines``, ``frac_dup_lines`` — fraction of line positions
+      whose line occurs more than once IN THIS DOC,
+    - ``frac_chars_dup_lines`` — fraction of the doc's characters
+      inside those duplicated lines,
+    - ``frac_chars_top_gram`` — fraction of characters covered by the
+      most frequent ``gram_n``-gram (count × gram length / doc chars).
+
+    Complements the cross-document signals: `repetition_stats` (bigram
+    diversity), `duplication_profile` (corpus-wide spans), and
+    `line_dedup` (removal). These are the *filter* signals — a doc
+    past the Gopher bounds is dropped whole.
+
+    Scale design: per-doc line/gram counting runs as groupBys keyed by
+    (doc id, content hash) — uniform composite keys with map-side
+    partials, NOT per-doc higher-order array lambdas (interpreted, and
+    quadratic in lines for the duplicate test). Ties for the top gram
+    break deterministically by (count, gram) so results are
+    engine-reproducible.
+    """
+    import re as _re
+
+    spark_len = F.length
+    total = df.select(
+        F.col(id_col).alias("__id"),
+        spark_len(text_col).cast("long").alias("__chars"),
+    )
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), _re.escape(sep)), lambda x: x != "")
+        ).alias("__line"),
+    )
+    per_line = lines.groupBy("__id", "__line").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    line_stats = per_line.groupBy("__id").agg(
+        F.sum("__cnt").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__cnt") > 1, F.col("__cnt")).otherwise(0))
+        .cast("long")
+        .alias("__dup_positions"),
+        F.sum(
+            F.when(
+                F.col("__cnt") > 1, F.col("__cnt") * spark_len("__line")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("__dup_chars"),
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokenize(text_col)).alias("__p", "__t"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy("__p")
+    leads = [F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, gram_n)]
+    grammed = toks.select("__id", F.col("__t"), *leads).filter(
+        F.col(f"__t{gram_n-1}").isNotNull() if gram_n > 1 else F.lit(True)
+    )
+    gram = F.concat_ws(" ", "__t", *[f"__t{j}" for j in range(1, gram_n)])
+    top = (
+        grammed.select("__id", gram.alias("__g"))
+        .groupBy("__id", "__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy("__id")
+        .agg(F.max(F.struct("__cnt", "__g")).alias("__top"))
+        .select(
+            "__id",
+            (
+                F.col("__top.__cnt") * spark_len("__top.__g")
+            ).cast("long").alias("__top_chars"),
+        )
+    )
+    return (
+        total.join(line_stats, "__id", "left")
+        .join(top, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.when(
+                F.coalesce("n_lines", F.lit(0)) > 0,
+                F.col("__dup_positions").cast("double")
+                / F.col("n_lines").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac_dup_lines"),
+            F.when(
+                F.col("__chars") > 0,
+                F.coalesce("__dup_chars", F.lit(0)).cast("double")
+                / F.col("__chars").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac_chars_dup_lines"),
+            F.when(
+                F.col("__chars") > 0,
+                F.coalesce("__top_chars", F.lit(0)).cast("double")
+                / F.col("__chars").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac_chars_top_gram"),
+        )
+    )

@@ -620,6 +620,110 @@ ORDER BY o_orderpriority, o_orderstatus
 
 
 
+def q101_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher intra-document repetition battery
+    (`text.gopher_repetition`): duplicate-line fractions and top-2gram
+    character coverage over a corpus re-lined at 10 words/line with
+    every 3rd doc's first line repeated (so the duplicate-line signals
+    actually fire). All counting runs as (doc, content-hash) groupBys
+    with map-side partials — never per-doc array lambdas. Ties for the
+    top gram break on (count, gram), deterministic in both engines."""
+    from sif_spark.operators.text import gopher_repetition
+
+    words = sgtext.tokenize(F.col("text"))
+    nl = F.greatest(F.ceil(F.size(words) / F.lit(10.0)), F.lit(1)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    lines2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(lines, F.slice(lines, 1, 1))
+    ).otherwise(lines)
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(lines2, "\n").alias("text")
+    )
+    return gopher_repetition(d, "text", "doc_id", gram_n=2).orderBy("doc_id")
+
+
+ORACLE_Q101 = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN list_concat(ls, ls[1:1]) ELSE ls END AS ls
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             range(0, CAST(greatest(ceil(len(w)/10.0), 1) AS INT)),
+             i -> array_to_string(w[i*10+1:i*10+10], ' ')) AS ls
+    FROM toks
+  )
+),
+doc AS (
+  SELECT doc_id, array_to_string(ls, chr(10)) AS t, ls FROM lined
+),
+ln AS (SELECT doc_id, unnest(ls) AS line FROM doc),
+per_line AS (
+  SELECT doc_id, line, COUNT(*) AS cnt FROM ln
+  WHERE line <> '' GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_positions,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+              AS BIGINT) AS dup_chars
+  FROM per_line GROUP BY doc_id
+),
+w2 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS w
+  FROM doc
+),
+grams AS (
+  SELECT doc_id, g AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS g
+    FROM w2 WHERE len(w) >= 2
+  )
+),
+gc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram),
+top AS (
+  SELECT doc_id, CAST(cnt * length(gram) AS BIGINT) AS top_chars FROM (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram DESC) AS rn
+    FROM gc
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(ls2.n_lines, 0) AS n_lines,
+       CASE WHEN COALESCE(ls2.n_lines, 0) > 0
+            THEN CAST(ls2.dup_positions AS DOUBLE)
+                 / CAST(ls2.n_lines AS DOUBLE)
+            ELSE 0.0 END AS frac_dup_lines,
+       CASE WHEN length(d.t) > 0
+            THEN CAST(COALESCE(ls2.dup_chars, 0) AS DOUBLE)
+                 / CAST(length(d.t) AS DOUBLE)
+            ELSE 0.0 END AS frac_chars_dup_lines,
+       CASE WHEN length(d.t) > 0
+            THEN CAST(COALESCE(top.top_chars, 0) AS DOUBLE)
+                 / CAST(length(d.t) AS DOUBLE)
+            ELSE 0.0 END AS frac_chars_top_gram
+FROM doc d
+LEFT JOIN line_stats ls2 USING (doc_id)
+LEFT JOIN top USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -633,6 +737,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_pipeline_declarative": q98_pipeline_declarative,
     "q99_fixed_width_roundtrip": q99_fixed_width_roundtrip,
     "q100_grouping_sets": q100_grouping_sets,
+    "q101_gopher_repetition": q101_gopher_repetition,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -649,4 +754,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q98_pipeline_declarative": _ORACLE_Q69_REF,
     "q99_fixed_width_roundtrip": _DSV_AGG_ORACLE_REF,
     "q100_grouping_sets": ORACLE_Q100,
+    "q101_gopher_repetition": ORACLE_Q101,
 }

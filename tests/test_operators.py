@@ -1539,3 +1539,21 @@ def test_ivf_pq_full_probe_matches_flat_adc(spark):
         ).collect()
     }
     assert flat == full  # probing every cell == flat ADC, bit-identical
+
+
+def test_gopher_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b\nc d\na b"), (2, "x y\nz w")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.gopher_repetition(docs).collect()}
+    r1 = out[1]
+    assert r1["n_lines"] == 3
+    assert r1["frac_dup_lines"] == pytest.approx(2 / 3)
+    # text "a b\nc d\na b" is 11 chars; duplicated line 'a b' covers
+    # 2 occurrences x 3 chars; top 2-gram 'a b' (count 2, len 3)
+    assert r1["frac_chars_dup_lines"] == pytest.approx(6 / 11)
+    assert r1["frac_chars_top_gram"] == pytest.approx(6 / 11)
+    r2 = out[2]
+    assert r2["frac_dup_lines"] == 0.0
+    assert r2["frac_chars_dup_lines"] == 0.0

@@ -70,6 +70,7 @@ TAIL = [
     "q98_pipeline_declarative",
     "q99_fixed_width_roundtrip",
     "q100_grouping_sets",
+    "q101_gopher_repetition",
 ]
 
 
