@@ -724,6 +724,109 @@ ORDER BY d.doc_id
 
 
 
+def q102_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the 6-table join
+    pipeline — region→nation broadcast down onto supplier, customer
+    joined through orders to lineitem, revenue only where customer and
+    supplier share a nation. The three dimension joins broadcast; the
+    two fact-fact joins shuffle once each on their uniform keys;
+    revenue aggregates in exact 1e-4 units (q01's integer-cents
+    discipline). This is the join-ordering showcase entry — Catalyst
+    + AQE pick the build sides."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price_c * (100 - disc_bp)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(su, l.l_suppkey == su.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(n, su.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy("n_name")
+    )
+
+
+ORACLE_Q102 = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q103_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers ranked by
+    revenue lost to returns in a quarter — lineitem filtered to
+    R-flag rows BEFORE the joins (predicate pushdown cuts the fact
+    table first), then orders → customer → nation. Full per-customer
+    output ordered deterministically (no LIMIT-with-ties ambiguity);
+    revenue in exact 1e-4 units."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    n = read_table(spark, sf_dir, "nation")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    rev = price_c * (100 - disc_bp)
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("lost_revenue_e4"))
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_Q103 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l_discount*100) AS BIGINT)))
+            AS BIGINT) AS lost_revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY c_custkey
+"""
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -738,6 +841,8 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q99_fixed_width_roundtrip": q99_fixed_width_roundtrip,
     "q100_grouping_sets": q100_grouping_sets,
     "q101_gopher_repetition": q101_gopher_repetition,
+    "q102_local_supplier_volume": q102_local_supplier_volume,
+    "q103_returned_item_revenue": q103_returned_item_revenue,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -755,4 +860,6 @@ EXT2_ORACLES: dict[str, str] = {
     "q99_fixed_width_roundtrip": _DSV_AGG_ORACLE_REF,
     "q100_grouping_sets": ORACLE_Q100,
     "q101_gopher_repetition": ORACLE_Q101,
+    "q102_local_supplier_volume": ORACLE_Q102,
+    "q103_returned_item_revenue": ORACLE_Q103,
 }

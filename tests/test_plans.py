@@ -465,3 +465,15 @@ def test_mix_corpus_filter_is_scan_local(spark):
     text = plan_string(out, "formatted")
     assert "Exchange" not in text
     assert "Python" not in text and "ArrowEval" not in text
+
+
+def test_q102_dimension_joins_broadcast(spark):
+    """The Q5-shape join pipeline must broadcast its dimension sides
+    (supplier/nation/region at minimum) — fact-fact SMJ is fine, but a
+    dimension reaching a shuffle join means statistics or AQE broke."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(
+        QUERIES["q102_local_supplier_volume"](spark, SF), "formatted"
+    )
+    assert text.count("BroadcastHashJoin") >= 3, text[:2000]

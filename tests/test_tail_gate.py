@@ -71,6 +71,8 @@ TAIL = [
     "q99_fixed_width_roundtrip",
     "q100_grouping_sets",
     "q101_gopher_repetition",
+    "q102_local_supplier_volume",
+    "q103_returned_item_revenue",
 ]
 
 
