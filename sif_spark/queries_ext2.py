@@ -827,6 +827,44 @@ ORDER BY c_custkey
 
 
 
+def q104_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-salted join (`operators.joins.salted_join`) gated
+    for RESULT EQUALITY against the plain-join SQL: the 8-way salt
+    spreads every l_suppkey across reducers (build side replicated
+    8×) and must change routing only, never matches. This is the tool
+    for skew AQE can't reach (streaming joins, preserved
+    repartitions); the oracle proves the replicate-and-salt machinery
+    loses and invents nothing."""
+    from sif_spark.operators.joins import salted_join
+
+    l = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    joined = salted_join(
+        l, su, on=[("l_suppkey", "s_suppkey")], how="inner", salt=8
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(price_c).alias("base_cents"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE_Q104 = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+         AS base_cents
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -843,6 +881,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_gopher_repetition": q101_gopher_repetition,
     "q102_local_supplier_volume": q102_local_supplier_volume,
     "q103_returned_item_revenue": q103_returned_item_revenue,
+    "q104_salted_join": q104_salted_join,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -862,4 +901,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q101_gopher_repetition": ORACLE_Q101,
     "q102_local_supplier_volume": ORACLE_Q102,
     "q103_returned_item_revenue": ORACLE_Q103,
+    "q104_salted_join": ORACLE_Q104,
 }

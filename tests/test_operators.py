@@ -1557,3 +1557,37 @@ def test_gopher_repetition_signals(spark):
     r2 = out[2]
     assert r2["frac_dup_lines"] == 0.0
     assert r2["frac_chars_dup_lines"] == 0.0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from sif_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "rk long, rv string"
+    )
+    plain = {
+        tuple(r) for r in left.join(right, left.k == right.rk, "inner").collect()
+    }
+    for salt in (1, 4):
+        got = {
+            tuple(r)
+            for r in salted_join(
+                left, right, [("k", "rk")], salt=salt
+            ).collect()
+        }
+        assert got == plain
+    # left-outer: unmatched rows keep NULL right side exactly once
+    lo = salted_join(left, right, [("k", "rk")], how="left", salt=4)
+    plain_lo = {
+        tuple(r) for r in left.join(right, left.k == right.rk, "left").collect()
+    }
+    assert {tuple(r) for r in lo.collect()} == plain_lo
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, [("k", "rk")], how="full")
+    with _pytest.raises(ValueError):
+        salted_join(left, right, [("k", "rk")], salt=0)

@@ -73,6 +73,7 @@ TAIL = [
     "q101_gopher_repetition",
     "q102_local_supplier_volume",
     "q103_returned_item_revenue",
+    "q104_salted_join",
 ]
 
 
