@@ -78,3 +78,50 @@ def test_mixture_stage_filters_by_rate(spark):
     }
     assert by_src["s1"] == 20  # scarcer stratum kept fully
     assert 0 < by_src["s0"] < 40  # downsampled
+
+
+def test_checkpoint_resume_skips_completed_stages(spark, tmp_path):
+    """A re-run over an existing checkpoint dir must NOT re-execute
+    completed stages (observed via a counting custom stage), must
+    invalidate when a stage's parameters change, and must ignore
+    uncommitted (no _SUCCESS) checkpoints."""
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    calls = {"n": 0}
+
+    def counting(df):
+        calls["n"] += 1
+        return df.filter(F.col("doc_id") < 8)
+
+    ckpt = str(tmp_path / "ck")
+
+    def build(limit):
+        return (
+            CorpusPipeline()
+            .custom("counting", counting)
+            .custom(f"limit{limit}", lambda df: df.filter(F.col("doc_id") < limit))
+        )
+
+    out1 = build(6).run(docs, checkpoint_dir=ckpt, collect_stats=True)
+    assert out1.count() == 6 and calls["n"] == 1
+    p1 = build(6)
+    assert p1.run(docs, checkpoint_dir=ckpt).count() == 6
+    assert calls["n"] == 1  # stage 0 resumed from checkpoint, not re-run
+    # changing stage 1's parameter changes its fingerprint: stage 0
+    # still resumes, stage 1 recomputes
+    out3 = build(4).run(docs, checkpoint_dir=ckpt)
+    assert out3.count() == 4 and calls["n"] == 1
+    # a checkpoint without _SUCCESS is treated as absent
+    stage0 = [d for d in os.listdir(ckpt) if d.startswith("stage_00")][0]
+    os.remove(os.path.join(ckpt, stage0, "_SUCCESS"))
+    assert build(6).run(docs, checkpoint_dir=ckpt).count() == 6
+    assert calls["n"] == 2  # recomputed
+    # stats recorded per stage
+    p = build(6)
+    p.run(docs, checkpoint_dir=str(tmp_path / "ck2"), collect_stats=True)
+    assert [n for n, _ in p.last_stats] == ["counting", "limit6"]
+    assert [c for _, c in p.last_stats] == [8, 6]
