@@ -10,7 +10,11 @@ only where expressions genuinely cannot express the semantics.
 
 from sif_spark.operators.asof import asof_join
 from sif_spark.operators.dedup import (
+    duplication_profile,
     exact_dedup,
+    exact_dedup_incremental,
+    line_dedup,
+    minhash_dedup_incremental,
     minhash_signatures,
     minhash_lsh_candidates,
     minhash_dedup_pairs,
@@ -20,9 +24,16 @@ from sif_spark.operators.dedup import (
     simhash_near_dup_pairs,
     embedding_near_dup_pairs,
 )
+from sif_spark.operators.joins import salted_join
 from sif_spark.operators.ranking import global_rank, ntile_distributed
 from sif_spark.operators.similarity import (
     IVFIndex,
+    PQCodebook,
+    extend_ivf_index,
+    ivf_pq_knn,
+    pq_encode,
+    pq_knn,
+    train_pq,
     brute_force_knn,
     build_ivf_index,
     cosine_all_pairs,
@@ -32,7 +43,17 @@ from sif_spark.operators.similarity import (
     lsh_similar_pairs,
     save_ivf_index,
 )
+from sif_spark.operators.timeseries import (
+    resample,
+    session_stats,
+    sessionize,
+    zscore_outliers,
+)
 from sif_spark.operators.text import (
+    gopher_repetition,
+    gopher_signals,
+    mix_corpus,
+    mix_rates,
     tokenize,
     token_count,
     quality_score,
@@ -46,6 +67,25 @@ from sif_spark.operators.text import (
 
 __all__ = [
     "asof_join",
+    "duplication_profile",
+    "exact_dedup_incremental",
+    "line_dedup",
+    "minhash_dedup_incremental",
+    "salted_join",
+    "PQCodebook",
+    "extend_ivf_index",
+    "train_pq",
+    "pq_encode",
+    "pq_knn",
+    "ivf_pq_knn",
+    "resample",
+    "sessionize",
+    "session_stats",
+    "zscore_outliers",
+    "gopher_signals",
+    "gopher_repetition",
+    "mix_rates",
+    "mix_corpus",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",

@@ -465,3 +465,47 @@ def test_stream_near_dup_dedup_across_batches(spark, tmp_path):
     assert len(epochs) >= 2
     stored = spark.read.parquet(f"{store}/epoch_*")
     assert set(r["doc_id"] for r in stored.collect()) == {1, 2, 11}
+
+
+def test_running_zscore_matches_batch_operator(spark, tmp_path):
+    """One micro-batch containing all data must reproduce
+    timeseries.zscore_outliers exactly (same integer statistics);
+    a second batch is judged against CUMULATIVE state."""
+    from sif_spark.operators.timeseries import zscore_outliers
+    from sif_spark.streaming.stream import running_zscore
+
+    src = str(tmp_path / "zs")
+    rows = [(i, "a", 10.0) for i in range(10)] + [(10, "a", 1000.0), (11, "b", 5.0)]
+    b1 = spark.createDataFrame(rows, "event_id long, grp string, v double")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = read_parquet_stream(spark, src, b1.schema)
+    flagged = running_zscore(stream, "grp", "v", "event_id", threshold=2.0)
+    q = (
+        flagged.writeStream.outputMode("update")
+        .format("memory").queryName("zs_out").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["is_outlier"]
+            for r in spark.sql("select * from zs_out").collect()
+        }
+        want = {
+            r["event_id"]: r["is_outlier"]
+            for r in zscore_outliers(b1, "grp", "v", threshold=2.0).collect()
+        }
+        assert got == want
+        assert got[10] is True and sum(got.values()) == 1
+        # batch 2: a mild value judged against cumulative stats (the
+        # 1000.0 from batch 1 is in the state, so 11.0 is NOT an outlier)
+        spark.createDataFrame(
+            [(12, "a", 11.0)], "event_id long, grp string, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = {
+            r["event_id"]: r["is_outlier"]
+            for r in spark.sql("select * from zs_out").collect()
+        }
+        assert got2[12] is False
+    finally:
+        q.stop()
