@@ -35,6 +35,21 @@ def _has_success_marker(spark, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _write_text(spark, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API
+    (works on local paths, HDFS, and object stores alike) — used for
+    the run manifest, the audit record of what a checkpointed
+    pipeline run actually executed."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 class Stage:
     """A named pipeline step. ``fn`` must preserve the pipeline's
     (id_col, text_col) columns; extra columns pass through."""
@@ -256,10 +271,12 @@ class CorpusPipeline:
         self.last_stats: list[tuple[str, int]] = []
         spark = df.sparkSession
         fingerprint = ""
+        fingerprints: list[str] = []
         for i, stage in enumerate(self.stages):
             fingerprint = hashlib.md5(
                 (fingerprint + stage.name).encode()
             ).hexdigest()[:12]
+            fingerprints.append(fingerprint)
             if checkpoint_dir is not None:
                 path = f"{checkpoint_dir}/stage_{i:02d}_{fingerprint}"
                 # resume only from a COMMITTED checkpoint: the _SUCCESS
@@ -278,4 +295,63 @@ class CorpusPipeline:
                 df = stage.fn(df)
             if collect_stats:
                 self.last_stats.append((stage.name, df.count()))
+        if checkpoint_dir is not None:
+            import json
+
+            manifest = {
+                "stages": [st.name for st in self.stages],
+                "fingerprints": fingerprints,
+                "stats": self.last_stats if collect_stats else None,
+            }
+            _write_text(
+                spark,
+                f"{checkpoint_dir}/manifest.json",
+                json.dumps(manifest, indent=2),
+            )
         return df
+
+
+_CONFIG_STAGES = {
+    "quality_filter": "quality_filter",
+    "language_filter": "language_filter",
+    "gopher_filter": "gopher_filter",
+    "exact_dedup": "exact_dedup",
+    "line_dedup": "line_dedup",
+    "near_dup_dedup": "near_dup_dedup",
+    "mixture": "mixture",
+    "stratified_sample": "stratified_sample",
+}
+
+
+def from_config(config: dict) -> CorpusPipeline:
+    """Build a pipeline from a plain dict (the shape a job's YAML/JSON
+    deserializes to):
+
+        {"text_col": "text", "id_col": "doc_id",
+         "stages": [
+           {"stage": "quality_filter", "min_score": 0.5},
+           {"stage": "language_filter", "exclude": ["und"]},
+           {"stage": "exact_dedup"},
+           {"stage": "near_dup_dedup", "threshold": 0.2},
+           {"stage": "mixture", "weights": {"web": 7, "books": 3}}]}
+
+    Unknown stage names error with the valid set (a config typo must
+    not silently drop a cleaning stage). Tuple-typed parameters
+    (language lists) accept JSON lists."""
+    pipe = CorpusPipeline(
+        text_col=config.get("text_col", "text"),
+        id_col=config.get("id_col", "doc_id"),
+    )
+    for spec in config.get("stages", []):
+        spec = dict(spec)
+        name = spec.pop("stage", None)
+        if name not in _CONFIG_STAGES:
+            raise ValueError(
+                f"unknown pipeline stage {name!r}; valid: "
+                f"{sorted(_CONFIG_STAGES)}"
+            )
+        for k, v in list(spec.items()):
+            if isinstance(v, list):
+                spec[k] = tuple(v)
+        getattr(pipe, _CONFIG_STAGES[name])(**spec)
+    return pipe

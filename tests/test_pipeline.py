@@ -125,3 +125,46 @@ def test_checkpoint_resume_skips_completed_stages(spark, tmp_path):
     p.run(docs, checkpoint_dir=str(tmp_path / "ck2"), collect_stats=True)
     assert [n for n, _ in p.last_stats] == ["counting", "limit6"]
     assert [c for _, c in p.last_stats] == [8, 6]
+
+
+def test_from_config_builds_and_rejects_unknown(spark):
+    from sif_spark.pipeline import from_config
+
+    pipe = from_config(
+        {
+            "stages": [
+                {"stage": "quality_filter", "min_score": 0.4},
+                {"stage": "language_filter", "exclude": ["und"]},
+                {"stage": "exact_dedup"},
+                {"stage": "mixture", "weights": {"s0": 1}},
+            ]
+        }
+    )
+    names = pipe.describe()
+    assert names[0] == "quality_filter(min_score=0.4)"
+    assert "exclude=('und',)" in names[1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown pipeline stage"):
+        from_config({"stages": [{"stage": "nope"}]})
+    # config-built pipeline actually runs
+    docs = spark.createDataFrame(
+        [(1, "a b", "s0"), (2, "a b", "s0")], "doc_id long, text string, source string"
+    )
+    out = from_config({"stages": [{"stage": "exact_dedup"}]}).run(docs)
+    assert out.count() == 1
+
+
+def test_checkpoint_run_writes_manifest(spark, tmp_path):
+    import json
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 5) for i in range(4)], "doc_id long, text string"
+    )
+    ckpt = str(tmp_path / "m")
+    p = CorpusPipeline().custom("noop", lambda df: df)
+    p.run(docs, checkpoint_dir=ckpt, collect_stats=True)
+    m = json.loads(open(f"{ckpt}/manifest.json").read())
+    assert m["stages"] == ["noop"]
+    assert len(m["fingerprints"]) == 1
+    assert m["stats"] == [["noop", 4]]

@@ -72,6 +72,10 @@ PROBE_QUERIES: dict = {
     "q93_value_outliers": QUERIES["q93_value_outliers"],  # stats + broadcast
     "q95_token_mixture": QUERIES["q95_token_mixture"],    # totals + hash gate
     "q96_late_shipment_priorities": QUERIES["q96_late_shipment_priorities"],  # semi join
+    "q97_duplication_profile": QUERIES["q97_duplication_profile"],  # gram doc-freq
+    "q101_gopher_repetition": QUERIES["q101_gopher_repetition"],    # per-doc rep battery
+    "q102_local_supplier_volume": QUERIES["q102_local_supplier_volume"],  # 6-table join
+    "q104_salted_join": QUERIES["q104_salted_join"],                # salted fact join
 }
 
 # id columns to shift per replica so keys stay distinct and
