@@ -50,6 +50,11 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
+    if not on:
+        raise ValueError(
+            "on must name at least one (left_col, right_col) pair — "
+            "an empty key list would degrade to a salt-keyed cross join"
+        )
     salt_cols = left_salt_cols or left.columns
     l2 = left.withColumn(
         "__salt",

@@ -906,7 +906,8 @@ def train_pq(
     then ``m`` independent driver-side k-means fits. dim must divide
     evenly into ``m`` subspaces."""
     sample = (
-        corpus.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__o"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__o"))
         .orderBy("__o")
         .limit(sample_rows)
         .select(vec_col)
@@ -978,7 +979,14 @@ def pq_encode(
                 {"nid": pdf[id_col].to_numpy(), "codes": list(codes)}
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+    # NULL vectors carry no codes — excluded here exactly like the
+    # other kNN tiers (the r4 NULL-vector lesson: a None cell inside
+    # np.stack poisons the whole Arrow batch)
+    return (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInPandas(encode, out_schema)
+    )
 
 
 def _pq_luts(codebook: PQCodebook, queries: DataFrame, vec_col: str, qid_col: str):

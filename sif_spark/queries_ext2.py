@@ -865,6 +865,47 @@ ORDER BY s_nationkey
 
 
 
+def q105_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """line_dedup's OTHER mode, oracle-gated: ``drop_common`` removes
+    every line present in ≥5 distinct documents from EVERYWHERE (the
+    pure boilerplate strip — q89 gates first-occurrence dedup). On the
+    synthetic lined corpus the shared nav header (500 docs) and each
+    25-doc source footer vanish; unique body lines survive
+    untouched. Same plan shape as q89 minus the MIN-occurrence join:
+    one distinct-doc-count agg on the 8-byte line hash, one anti-join."""
+    from sif_spark.operators.dedup import line_dedup
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _lined_text().alias("text")
+    )
+    out = line_dedup(d, "text", "doc_id", mode="drop_common", min_docs=5)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "n_kept",
+    ).orderBy("doc_id")
+
+
+ORACLE_Q105 = ORACLE_Q89.replace(
+    """firsts AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM ln
+),
+kept AS (SELECT doc_id, pos, line FROM firsts WHERE rn = 1),""",
+    """common AS (
+  SELECT line FROM ln GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT doc_id, pos, line FROM ln
+  WHERE line NOT IN (SELECT line FROM common)
+),""",
+)
+assert "common AS" in ORACLE_Q105  # template drift guard
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -882,6 +923,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q102_local_supplier_volume": q102_local_supplier_volume,
     "q103_returned_item_revenue": q103_returned_item_revenue,
     "q104_salted_join": q104_salted_join,
+    "q105_boilerplate_strip": q105_boilerplate_strip,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -902,4 +944,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q102_local_supplier_volume": ORACLE_Q102,
     "q103_returned_item_revenue": ORACLE_Q103,
     "q104_salted_join": ORACLE_Q104,
+    "q105_boilerplate_strip": ORACLE_Q105,
 }

@@ -1591,3 +1591,23 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(left, right, [("k", "rk")], how="full")
     with _pytest.raises(ValueError):
         salted_join(left, right, [("k", "rk")], salt=0)
+
+
+def test_pq_encode_skips_null_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = sim.train_pq(df, m=2, ksub=2, sample_rows=10, iters=4)
+    out = sim.pq_encode(df, cb).collect()
+    assert sorted(r["nid"] for r in out) == [1, 3]  # NULL row carries no codes
+
+
+def test_salted_join_rejects_empty_keys(spark):
+    from sif_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1,)], "k long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        salted_join(df, df, on=[])

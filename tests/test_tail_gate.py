@@ -74,6 +74,7 @@ TAIL = [
     "q102_local_supplier_volume",
     "q103_returned_item_revenue",
     "q104_salted_join",
+    "q105_boilerplate_strip",
 ]
 
 
