@@ -477,3 +477,55 @@ def test_q102_dimension_joins_broadcast(spark):
         QUERIES["q102_local_supplier_volume"](spark, SF), "formatted"
     )
     assert text.count("BroadcastHashJoin") >= 3, text[:2000]
+
+
+def test_write_zordered_prunes_on_both_dimensions(spark):
+    """Z-order layout: per-file parquet min/max ranges must be narrow
+    on BOTH clustered columns (a 1-D sort leaves the second column's
+    per-file range at ~the global range)."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sif_spark.operators.layout import write_zordered
+
+    df = spark.range(0, 16384).select(
+        (F.col("id") % 128).alias("x"),
+        (F.floor(F.col("id") / 128)).alias("y"),
+        F.col("id").alias("v"),
+    )
+    d = tempfile.mkdtemp(prefix="sif_zorder_")
+    write_zordered(df, f"{d}/zo", ["x", "y"], bits=8, num_files=16)
+    from sif_spark.frame import SifFrame
+
+    SifFrame(df).write_sorted(f"{d}/x1d", ["x"], num_files=16)
+
+    def avg_frac(path, col_name):
+        fracs = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col_name:
+                        st = c.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            fracs.append((hi - lo) / 127.0)
+        return sum(fracs) / len(fracs)
+
+    # 16 files over a 128x128 grid: z-order keeps each file to a small
+    # hyper-rectangle on BOTH axes (count-quantile boundaries straddle
+    # a block occasionally, so assert the mean, not the worst file);
+    # the 1-D x-sort leaves y's per-file range at ~the global range —
+    # the comparison IS the claim
+    assert avg_frac(f"{d}/zo", "x") <= 0.55, avg_frac(f"{d}/zo", "x")
+    assert avg_frac(f"{d}/zo", "y") <= 0.55, avg_frac(f"{d}/zo", "y")
+    assert avg_frac(f"{d}/x1d", "x") <= 0.2  # 1-D sort: razor thin on x
+    assert avg_frac(f"{d}/x1d", "y") >= 0.9  # ...but useless on y
+    back = spark.read.parquet(f"{d}/zo")
+    assert back.count() == 16384
+    assert back.filter("x < 32 and y < 32").count() == 32 * 32
