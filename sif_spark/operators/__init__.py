@@ -25,7 +25,7 @@ from sif_spark.operators.dedup import (
     embedding_near_dup_pairs,
 )
 from sif_spark.operators.joins import salted_join
-from sif_spark.operators.layout import write_zordered, zorder_key
+from sif_spark.operators.layout import compact_parquet, write_zordered, zorder_key
 from sif_spark.operators.ranking import global_rank, ntile_distributed
 from sif_spark.operators.similarity import (
     IVFIndex,
@@ -73,6 +73,7 @@ __all__ = [
     "line_dedup",
     "minhash_dedup_incremental",
     "salted_join",
+    "compact_parquet",
     "write_zordered",
     "zorder_key",
     "PQCodebook",

@@ -93,3 +93,50 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Compact a small-files parquet directory into ~``target_file_mb``
+    files — the nightly hygiene pass every streaming/incremental sink
+    eventually needs (a year of micro-batch appends = millions of tiny
+    files; at 100 TB the NameNode/listing cost alone kills scans).
+
+    The output file count derives from the ACTUAL input bytes (one
+    driver-side FileSystem listing — metadata only, no data read);
+    rows are shuffled to evenly-sized files (`repartition`, or a
+    range exchange when ``sort_cols`` is given, which re-establishes
+    min/max pruning while compacting — compaction and clustering are
+    one pass, not two).
+
+    Writes to ``dst`` and returns the file count: never in-place —
+    the swap (rename/retarget) stays with the caller, so a failed
+    compaction can't destroy the source."""
+    import math
+
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError("dst must differ from src (no in-place compaction)")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith("_"):
+            total += st.getLen()
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst)
+    return n_files

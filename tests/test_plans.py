@@ -529,3 +529,39 @@ def test_write_zordered_prunes_on_both_dimensions(spark):
     back = spark.read.parquet(f"{d}/zo")
     assert back.count() == 16384
     assert back.filter("x < 32 and y < 32").count() == 32 * 32
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from sif_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "many")
+    spark.range(0, 50000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    dst = str(tmp_path / "few")
+    n = compact_parquet(spark, src, dst, target_file_mb=1)
+    got = glob.glob(f"{dst}/part-*.parquet")
+    assert len(got) == n and n < 64
+    assert spark.read.parquet(dst).count() == 50000
+    # sorted compaction re-establishes range clustering in the same pass
+    dst2 = str(tmp_path / "few_sorted")
+    compact_parquet(spark, src, dst2, target_file_mb=1, sort_cols=["k"])
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in glob.glob(f"{dst2}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo  # non-overlapping files
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
