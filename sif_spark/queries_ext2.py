@@ -906,6 +906,66 @@ assert "common AS" in ORACLE_Q105  # template drift guard
 
 
 
+def q106_streaming_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score flagging (`streaming.running_zscore`) gated
+    against the BATCH oracle: the events table arrives as one file-
+    source micro-batch, so the cumulative state after it equals the
+    batch statistics and the per-event flags must match q93's SQL
+    exactly — the single-batch case IS the differential contract
+    (multi-batch cumulative semantics are pinned in
+    tests/test_streaming.py). State is three longs per event_type,
+    O(1) forever."""
+    import time as _time
+
+    from sif_spark.queries_ext import _io_dir
+    from sif_spark.streaming.stream import running_zscore
+
+    src = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    stage = _io_dir(sf_dir, "events_stream_src")
+    src.coalesce(1).write.mode("overwrite").parquet(stage)
+    expected = src.count()
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, value double"
+    ).parquet(stage)
+    flagged = running_zscore(
+        stream, "event_type", "value", "event_id", threshold=2.0
+    )
+    name = f"cat_stream_outliers_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    try:
+        while spark.table(name).count() < expected:
+            if _time.time() > deadline:
+                raise TimeoutError(
+                    f"streaming outliers drained only "
+                    f"{spark.table(name).count()}/{expected} rows"
+                )
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -924,6 +984,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_returned_item_revenue": q103_returned_item_revenue,
     "q104_salted_join": q104_salted_join,
     "q105_boilerplate_strip": q105_boilerplate_strip,
+    "q106_streaming_outliers": q106_streaming_outliers,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -945,4 +1006,6 @@ EXT2_ORACLES: dict[str, str] = {
     "q103_returned_item_revenue": ORACLE_Q103,
     "q104_salted_join": ORACLE_Q104,
     "q105_boilerplate_strip": ORACLE_Q105,
+    # single-batch stream == batch statistics: q93's SQL is exact
+    "q106_streaming_outliers": ORACLE_Q93,
 }

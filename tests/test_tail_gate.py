@@ -75,6 +75,7 @@ TAIL = [
     "q103_returned_item_revenue",
     "q104_salted_join",
     "q105_boilerplate_strip",
+    "q106_streaming_outliers",
 ]
 
 
