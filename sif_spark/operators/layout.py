@@ -125,11 +125,20 @@ def compact_parquet(
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(src)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # recursive listing: a partition_by layout keeps its data in
+    # subdirectories — a flat listStatus would total 0 bytes and
+    # silently compact everything into one file
     total = 0
-    for st in fs.listStatus(p):
-        name = st.getPath().getName()
-        if st.isFile() and not name.startswith("_"):
-            total += st.getLen()
+    stack = [p]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = st.getPath().getName()
+            if name.startswith("_"):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            elif st.isFile():
+                total += st.getLen()
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
     if sort_cols:

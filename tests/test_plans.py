@@ -565,3 +565,23 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_parquet(spark, src, src)
+
+
+def test_compact_parquet_sizes_from_partitioned_layout(spark, tmp_path):
+    """The byte total must come from a RECURSIVE listing: a
+    partition_by layout keeps data in subdirectories."""
+    from pyspark.sql import functions as F
+
+    from sif_spark.operators.layout import compact_parquet
+
+    src = str(tmp_path / "parts")
+    spark.range(0, 40000).select(
+        (F.col("id") % 4).alias("p"), F.col("id").alias("v")
+    ).repartition(16).write.partitionBy("p").parquet(src)
+    dst = str(tmp_path / "flat")
+    # ~40000 longs spread over 64 files: with a 1 MB target the count
+    # must derive from real bytes (>=1), and the data must survive
+    n = compact_parquet(spark, src, dst, target_file_mb=1)
+    assert n >= 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 40000
