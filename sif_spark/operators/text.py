@@ -845,3 +845,62 @@ def gopher_repetition(
             .alias("frac_chars_top_gram"),
         )
     )
+
+
+def common_token_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    vocab_df=None,
+):
+    """Corpus-frequency quality signal (the classic common-token /
+    OOV filter): score each document by how much of it is made of
+    tokens the corpus itself uses at least ``min_count`` times.
+    Returns ``(id, n_tokens, n_oov, oov_frac)`` — a high OOV fraction
+    marks gibberish, boilerplate hashes, or wrong-language text
+    relative to THIS corpus (no external model needed, which is why
+    this filter appears in every from-scratch pipeline).
+
+    Two passes: (1) one partial-agg token count builds the vocab —
+    threshold by count, NOT top-K, so no global ordering is needed
+    and the vocab derives deterministically; (2) the doc's tokens
+    anti-check against the vocab on the uniform 8-byte token hash.
+    Pass a precomputed ``vocab_df`` (from a previous run or a
+    reference corpus) to skip pass 1 — scoring new data against a
+    frozen vocabulary is the production shape.
+
+    Scale: both shuffles key on xxhash64(token); the head word "the"
+    is a hot COUNT key but partial aggregation absorbs it map-side,
+    and the vocab join matches ≤1 row per hash. Linear in corpus
+    tokens; no collect, no window.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokenize(text_col)).alias("__t"),
+    ).withColumn("__h", F.xxhash64("__t"))
+    if vocab_df is None:
+        vocab_df = (
+            toks.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") >= min_count)
+            .select("__h", F.lit(1).alias("__known"))
+        )
+    flagged = toks.join(vocab_df.select("__h", "__known"), "__h", "left")
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oov_frac"),
+        )
+    )

@@ -966,6 +966,58 @@ def q106_streaming_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q107_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency OOV filter (`text.common_token_score`): vocab
+    = tokens this corpus uses ≥5×; every 4th doc gains a doc-unique
+    gibberish token so the OOV signal actually fires. Threshold-by-
+    count (not top-K) keeps the vocab derivation ordering-free; both
+    shuffles key on the uniform token hash with map-side partials
+    absorbing head words."""
+    from sif_spark.operators.text import common_token_score
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(" junk"), F.col("doc_id").cast("string"), F.lit("tok")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return common_token_score(d, "text", "doc_id", min_count=5).orderBy("doc_id")
+
+
+ORACLE_Q107 = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0
+                      THEN ' junk' || CAST(doc_id AS VARCHAR) || 'tok'
+                      ELSE '' END AS t
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(t, '\\s+'), x -> x <> ''))
+           AS tok
+  FROM dirty
+),
+vocab AS (
+  SELECT tok, 1 AS known FROM tk GROUP BY tok HAVING COUNT(*) >= 5
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+FROM tk LEFT JOIN vocab USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -985,6 +1037,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q104_salted_join": q104_salted_join,
     "q105_boilerplate_strip": q105_boilerplate_strip,
     "q106_streaming_outliers": q106_streaming_outliers,
+    "q107_common_token_score": q107_common_token_score,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1008,4 +1061,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q105_boilerplate_strip": ORACLE_Q105,
     # single-batch stream == batch statistics: q93's SQL is exact
     "q106_streaming_outliers": ORACLE_Q93,
+    "q107_common_token_score": ORACLE_Q107,
 }

@@ -1611,3 +1611,28 @@ def test_salted_join_rejects_empty_keys(spark):
 
     with _pytest.raises(ValueError, match="at least one"):
         salted_join(df, df, on=[])
+
+
+def test_common_token_score_vocab_and_frozen_reuse(spark):
+    docs = spark.createDataFrame(
+        [(i, "common words here always") for i in range(6)]
+        + [(10, "common words here qzxv9")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.common_token_score(docs, min_count=5).collect()}
+    assert out[0]["n_oov"] == 0 and out[0]["oov_frac"] == 0.0
+    # 'qzxv9' occurs once (<5) -> OOV; the doc's other 3 words are common
+    assert out[10]["n_oov"] == 1
+    assert out[10]["oov_frac"] == pytest.approx(0.25)
+    # frozen-vocab mode: score NEW data against the original vocab
+    vocab = (
+        docs.select(F.explode(tx.tokenize("text")).alias("t"))
+        .withColumn("__h", F.xxhash64("t"))
+        .groupBy("__h").count().filter("count >= 5")
+        .select("__h", F.lit(1).alias("__known"))
+    )
+    new = spark.createDataFrame(
+        [(99, "common unknownzz")], "doc_id long, text string"
+    )
+    got = tx.common_token_score(new, vocab_df=vocab).collect()[0]
+    assert got["n_oov"] == 1 and got["n_tokens"] == 2

@@ -76,6 +76,7 @@ TAIL = [
     "q104_salted_join",
     "q105_boilerplate_strip",
     "q106_streaming_outliers",
+    "q107_common_token_score",
 ]
 
 
