@@ -45,12 +45,14 @@ from sif_spark.operators.similarity import (
     save_ivf_index,
 )
 from sif_spark.operators.timeseries import (
+    mad_outliers,
     resample,
     session_stats,
     sessionize,
     zscore_outliers,
 )
 from sif_spark.operators.text import (
+    common_token_score,
     gopher_repetition,
     gopher_signals,
     mix_corpus,
@@ -86,7 +88,9 @@ __all__ = [
     "sessionize",
     "session_stats",
     "zscore_outliers",
+    "mad_outliers",
     "gopher_signals",
+    "common_token_score",
     "gopher_repetition",
     "mix_rates",
     "mix_corpus",

@@ -216,3 +216,77 @@ def zscore_outliers(
         )
         .drop("__n", "__s", "__q")
     )
+
+
+# 1.4826 in 1e-4 fixed point: the consistency constant that makes MAD
+# estimate sigma for normal data (MAD ~ 0.6745 sigma)
+MAD_SIGMA_E4 = 14_826
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust per-group outliers: |v − median| > k·1.4826·MAD, decided
+    entirely in exact integer arithmetic — the robust complement to
+    :func:`zscore_outliers` (mean/σ are themselves dragged by the very
+    outliers being hunted; median/MAD have a 50% breakdown point, so
+    a contaminated feed still flags correctly).
+
+    Median and MAD are PERCENTILE_DISC picks (q60's rank rule:
+    smallest value with cumulative rank ≥ ⌈n/2⌉) over fixed-point
+    values — integers in both engines, no interpolation, no floats
+    anywhere: the test is ``dev·10⁴ > k_e4·MAD`` with
+    ``k_e4 = round(k·14826)``. Two per-group rank windows (partitioned
+    — scale-bounded by group size like q60) + broadcast joins of the
+    1-row-per-group stats.
+
+    Caveat (standard for MAD): a group where >50% of values are
+    identical has MAD 0, flagging every deviating row; pre-filter
+    such degenerate groups if that is not intended."""
+    from pyspark.sql.functions import broadcast
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k!r}")
+    k_e4 = int(round(k * MAD_SIGMA_E4))
+    v = F.round(F.col(value_col) * scale).cast("long")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), v.alias("__v")
+    )
+
+    def disc_p50(frame: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("__g").orderBy(col)
+        n = Window.partitionBy("__g")
+        ranked = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(n)
+        )
+        return ranked.groupBy("__g").agg(
+            F.min(
+                F.when(
+                    F.col("__rn") >= F.ceil(F.lit(0.5) * F.col("__n")),
+                    F.col(col),
+                )
+            ).alias("__pick")
+        )
+
+    med = disc_p50(vals, "__v").withColumnRenamed("__pick", "__med")
+    dev = vals.join(broadcast(med), "__g").select(
+        "__g", F.abs(F.col("__v") - F.col("__med")).alias("__d")
+    )
+    mad = disc_p50(dev, "__d").withColumnRenamed("__pick", "__mad")
+    stats = med.join(mad, "__g")
+    out = df.join(
+        broadcast(stats),
+        df[group_col] == F.col("__g"),
+        "left",
+    )
+    dev_row = F.abs(v - F.col("__med"))
+    return out.withColumn(
+        "is_outlier",
+        F.when(
+            F.col(value_col).isNull() | F.col("__med").isNull(), F.lit(False)
+        ).otherwise(dev_row * F.lit(10_000) > F.lit(k_e4) * F.col("__mad")),
+    ).drop("__g", "__med", "__mad")

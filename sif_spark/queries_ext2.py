@@ -1018,6 +1018,71 @@ ORDER BY doc_id
 
 
 
+def q108_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier flagging
+    (`timeseries.mad_outliers`) — the 50%-breakdown complement to
+    q93's z-score: |v − median| > 3·1.4826·MAD with median and MAD as
+    PERCENTILE_DISC picks (q60's rank rule), so the whole test is
+    exact integer arithmetic in both engines. Two per-group rank
+    windows + broadcast stats joins."""
+    from sif_spark.operators.timeseries import mad_outliers
+
+    e = read_table(spark, sf_dir, "events")
+    flagged = mad_outliers(e, "event_type", "value", k=3.0, scale=100)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_Q108 = """
+WITH v AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS ve FROM events
+  WHERE value IS NOT NULL
+),
+r1 AS (
+  SELECT event_type, ve,
+         row_number() OVER (PARTITION BY event_type ORDER BY ve) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+med AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn >= ceil(0.5 * n) THEN ve END) AS med
+  FROM r1 GROUP BY event_type
+),
+d AS (
+  SELECT v.event_type, ve, abs(ve - med) AS dev
+  FROM v JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn >= ceil(0.5 * n) THEN dev END) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN dev * 10000 > 44478 * mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1038,6 +1103,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q105_boilerplate_strip": q105_boilerplate_strip,
     "q106_streaming_outliers": q106_streaming_outliers,
     "q107_common_token_score": q107_common_token_score,
+    "q108_robust_outliers": q108_robust_outliers,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1062,4 +1128,5 @@ EXT2_ORACLES: dict[str, str] = {
     # single-batch stream == batch statistics: q93's SQL is exact
     "q106_streaming_outliers": ORACLE_Q93,
     "q107_common_token_score": ORACLE_Q107,
+    "q108_robust_outliers": ORACLE_Q108,
 }

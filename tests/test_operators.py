@@ -1636,3 +1636,27 @@ def test_common_token_score_vocab_and_frozen_reuse(spark):
     )
     got = tx.common_token_score(new, vocab_df=vocab).collect()[0]
     assert got["n_oov"] == 1 and got["n_tokens"] == 2
+
+
+def test_mad_outliers_robust_flagging(spark):
+    from sif_spark.operators.timeseries import mad_outliers
+
+    vals = [("a", float(i)) for i in range(1, 10)] + [("a", 100.0), ("b", None)]
+    df = spark.createDataFrame(vals, "grp string, v double")
+    out = mad_outliers(df, "grp", "v", k=3.0).collect()
+    flagged = [(r["grp"], r["v"]) for r in out if r["is_outlier"]]
+    # med=5, MAD=2 -> threshold 3*1.4826*2 = 8.9: only the 100 flags
+    assert flagged == [("a", 100.0)]
+    assert all(not r["is_outlier"] for r in out if r["v"] is None)
+    # robustness: the spike itself doesn't drag the scale the way it
+    # drags sigma — mean/std of this data is ~14.5/29, so 2-sigma
+    # z-score ALSO only flags 100 here, but median/MAD stays put even
+    # with 5 spikes (breakdown point), z-score does not
+    many = [("c", 5.0)] * 10 + [("c", 1000.0)] * 5
+    df2 = spark.createDataFrame(many, "grp string, v double")
+    got = mad_outliers(df2, "grp", "v", k=3.0).collect()
+    assert sum(1 for r in got if r["is_outlier"]) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mad_outliers(df, "grp", "v", k=0)

@@ -77,6 +77,7 @@ TAIL = [
     "q105_boilerplate_strip",
     "q106_streaming_outliers",
     "q107_common_token_score",
+    "q108_robust_outliers",
 ]
 
 
