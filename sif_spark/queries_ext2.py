@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sif_spark.operators import text as sgtext
+from sif_spark.queries import ORACLE_Q11 as _ORACLE_Q11_REF
 from sif_spark.queries_ext import ORACLE_Q69 as _ORACLE_Q69_REF
 from sif_spark.queries_ext import _DSV_AGG_ORACLE as _DSV_AGG_ORACLE_REF
 from sif_spark.sources.parquet import read_table
@@ -1083,6 +1084,35 @@ ORDER BY d.event_type
 
 
 
+def q109_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production ANN shape, oracle-gated EXACTLY: PQ/ADC over 16-byte
+    codes prefilters each query to 100 candidates, raw vectors join
+    back for only that subset, and exact cosine re-ranks the top-5 —
+    gated against the same exact-kNN SQL as q11, so the gate measures
+    candidate recall directly (a missed true neighbor = hash
+    mismatch). At 10B vectors the ADC pass reads 16x less data than
+    the GEMM scan and the re-rank touches ~|queries|·100 raw vectors
+    instead of the corpus."""
+    from sif_spark.operators.similarity import (
+        brute_force_knn,
+        pq_encode,
+        pq_knn,
+        train_pq,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = train_pq(emb, m=8, ksub=256, sample_rows=4096, iters=8)
+    codes = pq_encode(emb, cb)
+    # measured: the worst true top-5 neighbor sits at ADC rank 63 on
+    # this corpus — 100 candidates give direct per-query margin, not
+    # union luck
+    cand = pq_knn(codes, cb, queries, k=100).select("nid").distinct()
+    subset = emb.join(cand, emb.vec_id == cand.nid, "left_semi")
+    return brute_force_knn(subset, queries, k=5).select("qid", "nid", "rank")
+
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1104,6 +1134,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_streaming_outliers": q106_streaming_outliers,
     "q107_common_token_score": q107_common_token_score,
     "q108_robust_outliers": q108_robust_outliers,
+    "q109_pq_rerank_knn": q109_pq_rerank_knn,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1129,4 +1160,7 @@ EXT2_ORACLES: dict[str, str] = {
     "q106_streaming_outliers": ORACLE_Q93,
     "q107_common_token_score": ORACLE_Q107,
     "q108_robust_outliers": ORACLE_Q108,
+    # PQ prefilter + exact re-rank against the exact-kNN contract:
+    # the gate measures candidate recall directly
+    "q109_pq_rerank_knn": _ORACLE_Q11_REF,
 }

@@ -78,6 +78,7 @@ TAIL = [
     "q106_streaming_outliers",
     "q107_common_token_score",
     "q108_robust_outliers",
+    "q109_pq_rerank_knn",
 ]
 
 
