@@ -1224,3 +1224,7 @@ QUERIES.update(EXT_QUERIES)
 ORACLES.update(EXT_ORACLES)
 QUERIES.update(EXT2_QUERIES)
 ORACLES.update(EXT2_ORACLES)
+# PQ prefilter + exact re-rank (q109) gates against the exact-kNN
+# contract — the oracle lives here to keep queries_ext2 import-order
+# independent
+ORACLES["q109_pq_rerank_knn"] = ORACLE_Q11

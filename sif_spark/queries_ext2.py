@@ -1,6 +1,14 @@
-"""Extension catalog II (q89+): corpus line-level dedup, Gopher quality
-rules, batch sessionization, pivot, exact z-score outliers, and outer
-joins — round-5 additions past the q36-q88 extension catalog.
+"""Extension catalog II (q89-q109), round-5 additions past the q36-q88
+extension catalog: line/paragraph dedup (first-occurrence q89 +
+drop-common q105), Gopher quality and repetition batteries (q90,
+q101), sessionization (q91), pivot (q92), exact z-score / robust MAD /
+streaming outliers (q93, q108, q106), outer joins and TPC-H Q4/Q5/
+Q10/Q13 shapes (q94, q96, q102, q103), token-budget mixture (q95),
+duplicate-span profiling (q97), the declarative pipeline gated on
+q69's oracle (q98), fixed-width round-trip (q99), GROUPING SETS
+(q100), the skew-salted join gated for plain-join equality (q104),
+the corpus-frequency OOV filter (q107), and PQ-prefilter exact-re-rank
+kNN gated on q11's exact contract (q109).
 
 Same contract as queries.py / queries_ext.py: every entry is a
 (spark, sf_dir) -> DataFrame callable with a DuckDB-portable oracle
@@ -17,7 +25,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sif_spark.operators import text as sgtext
-from sif_spark.queries import ORACLE_Q11 as _ORACLE_Q11_REF
 from sif_spark.queries_ext import ORACLE_Q69 as _ORACLE_Q69_REF
 from sif_spark.queries_ext import _DSV_AGG_ORACLE as _DSV_AGG_ORACLE_REF
 from sif_spark.sources.parquet import read_table
@@ -1160,7 +1167,7 @@ EXT2_ORACLES: dict[str, str] = {
     "q106_streaming_outliers": ORACLE_Q93,
     "q107_common_token_score": ORACLE_Q107,
     "q108_robust_outliers": ORACLE_Q108,
-    # PQ prefilter + exact re-rank against the exact-kNN contract:
-    # the gate measures candidate recall directly
-    "q109_pq_rerank_knn": _ORACLE_Q11_REF,
+    # q109's oracle (q11's exact-kNN SQL) is assigned by queries.py
+    # post-merge — importing it here would make the queries <->
+    # queries_ext2 import cycle order-dependent
 }
