@@ -185,10 +185,14 @@ class CorpusPipeline:
                 max_shingle_freq=max_shingle_freq, shingles_df=sh,
                 containment_threshold=containment_threshold,
             ).select("id_a", "id_b")
+            # near_dup_clusters always emits hard-coded (doc_id,
+            # cluster_id) regardless of the pipeline's id_col — filter
+            # on ITS names, then alias back to ours (ADVICE r5: a
+            # non-default id_col crashed here with UNRESOLVED_COLUMN)
             dupes = (
                 near_dup_clusters(pairs)
-                .filter(F.col(self.id_col) != F.col("cluster_id"))
-                .select(self.id_col)
+                .filter(F.col("doc_id") != F.col("cluster_id"))
+                .select(F.col("doc_id").alias(self.id_col))
             )
             return kept.join(dupes, self.id_col, "left_anti")
 
@@ -252,6 +256,7 @@ class CorpusPipeline:
         df: DataFrame,
         checkpoint_dir: str | None = None,
         collect_stats: bool = False,
+        input_token: str | None = None,
     ) -> DataFrame:
         """Fold the stages in order. With ``checkpoint_dir``, each
         stage's output lands in ``<dir>/stage_<i>`` (parquet) and a
@@ -262,6 +267,16 @@ class CorpusPipeline:
         fingerprint, so editing a stage invalidates its checkpoint and
         everything after it, never silently reusing stale data.
 
+        Fingerprint scope (ADVICE r5): the chain hashes stage NAMES
+        (which embed their parameters) plus ``input_token``. It does
+        NOT hash the input data itself or the body of ``custom()``
+        stage functions — a checkpoint_dir is valid for ONE input
+        snapshot and one code version. Pass ``input_token`` (e.g. the
+        input path + snapshot/ingest date) so re-running the same
+        pipeline over DIFFERENT input invalidates every stage instead
+        of silently resuming stale parquet; bump it when a custom
+        stage's logic changes under an unchanged name.
+
         ``collect_stats=True`` records per-stage output row counts in
         ``self.last_stats`` — free when checkpointing (a count over
         the materialized parquet), one extra job per stage otherwise.
@@ -270,7 +285,7 @@ class CorpusPipeline:
 
         self.last_stats: list[tuple[str, int]] = []
         spark = df.sparkSession
-        fingerprint = ""
+        fingerprint = input_token or ""
         fingerprints: list[str] = []
         for i, stage in enumerate(self.stages):
             fingerprint = hashlib.md5(

@@ -297,8 +297,13 @@ def q93_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     flagged = zscore_outliers(e, "event_type", "value", threshold=2.0, scale=100)
+    # zscore_outliers KEEPS NULL-value rows (is_outlier=false) but the
+    # oracle's WITH v filters them before counting — align the contract
+    # explicitly instead of relying on the testdata having no NULLs
+    # (ADVICE r5)
     return (
-        flagged.groupBy("event_type")
+        flagged.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.when(F.col("is_outlier"), 1).otherwise(0))
@@ -960,8 +965,12 @@ def q106_streaming_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+    # same NULL-alignment as q93: the oracle counts only non-NULL
+    # values (running_zscore emits NULL-value rows with
+    # is_outlier=false)
     return (
         spark.table(name)
+        .filter(F.col("value").isNotNull())
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

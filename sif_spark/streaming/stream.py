@@ -208,6 +208,7 @@ def stream_near_dup_dedup(
     num_bands: int = 16,
     threshold: float = 0.7,
     trigger_seconds: float = 1.0,
+    checkpoint_location: str | None = None,
 ) -> StreamingQuery:
     """Continuous near-dup ingest: every micro-batch is MinHash-deduped
     against the persisted signature store (`minhash_dedup_incremental`
@@ -217,6 +218,13 @@ def stream_near_dup_dedup(
     rewrites its own partition instead of double-appending: store
     growth is exactly-once without a transactional sink (same recipe
     as the file-sink exactly-once test).
+
+    Pass ``checkpoint_location`` for any run that may restart: the
+    streaming checkpoint is what makes epoch ids RESUME after a stream
+    restart instead of restarting at 0 (where epoch_0's overwrite
+    would clobber the prior run's epoch_0 signatures — ADVICE r5).
+    Without it the store is only exactly-once within a single query
+    lifetime.
 
     The store carries ``num_hashes`` longs per historical doc; the
     stream never re-reads historical text. State is unbounded by
@@ -233,10 +241,18 @@ def stream_near_dup_dedup(
 
         try:
             store = spark.read.parquet(f"{store_dir}/epoch_*")
-        except AnalysisException:
-            # first epoch (PATH_NOT_FOUND): empty store with the right
-            # (id, sig) schema; any other failure propagates — a
-            # corrupt store must stop the stream, not silently reset it
+        except AnalysisException as e:
+            # ONLY a missing store (first epoch) may be treated as
+            # empty. A crashed epoch write can leave an empty/partial
+            # directory whose read ALSO raises AnalysisException
+            # (UNABLE_TO_INFER_SCHEMA) — that store is corrupt and
+            # must stop the stream, not silently pass historical
+            # near-dups through (ADVICE r5).
+            if (e.getCondition() or "") not in (
+                "PATH_NOT_FOUND",
+                "PATH_NOT_EXIST",  # legacy spelling, pre-4.0 classes
+            ):
+                raise
             store = minhash_signatures(
                 batch_df.limit(0), text_col, id_col, num_hashes, shingle_k
             )
@@ -249,11 +265,12 @@ def stream_near_dup_dedup(
             id_col, "sig"
         ).write.mode("overwrite").parquet(f"{store_dir}/epoch_{epoch_id}")
 
-    return (
-        stream.writeStream.foreachBatch(run_batch)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
+    writer = stream.writeStream.foreachBatch(run_batch).trigger(
+        processingTime=f"{trigger_seconds} seconds"
     )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
 
 
 def running_zscore(
@@ -305,13 +322,19 @@ def running_zscore(
         n, s, q = state.get if state.exists else (0, 0, 0)
         batches = [pdf for pdf in pdfs if not pdf.empty]
         for pdf in batches:
-            v = _fixed(pdf[value_col])
+            # NULL values never enter the state (a NaN through the
+            # int64 cast would silently corrupt s/q forever) — they
+            # are emitted below with is_outlier=False, matching the
+            # batch operator's isNotNull stats filter
+            vv = pdf[value_col].dropna()
+            v = _fixed(vv)
             n += int(len(v))
             s += int(v.sum())
             q += int((v * v).sum())
         state.update((n, s, q))
         for pdf in batches:
-            v = _fixed(pdf[value_col])
+            ok = pdf[value_col].notna().to_numpy()
+            v = _fixed(pdf[value_col].fillna(0.0))
             dev = float(n) * v.astype("float64") - float(s)
             var_n2 = float(n) * float(q) - float(s) * float(s)
             yield pd.DataFrame(
@@ -319,7 +342,7 @@ def running_zscore(
                     key_col: pdf[key_col],
                     id_col: pdf[id_col],
                     value_col: pdf[value_col],
-                    "is_outlier": (dev * dev) > (t2 * var_n2),
+                    "is_outlier": ok & ((dev * dev) > (t2 * var_n2)),
                 }
             )
 

@@ -168,3 +168,41 @@ def test_checkpoint_run_writes_manifest(spark, tmp_path):
     assert m["stages"] == ["noop"]
     assert len(m["fingerprints"]) == 1
     assert m["stats"] == [["noop", 4]]
+
+
+def test_near_dup_dedup_with_custom_id_col(spark):
+    """ADVICE r5 (medium): near_dup_clusters emits hard-coded
+    doc_id/cluster_id — a pipeline built with a non-default id_col
+    crashed with UNRESOLVED_COLUMN in the near_dup_dedup stage."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " lambda"),
+         (3, "one two three four five six seven eight nine ten")],
+        "uid long, text string",
+    )
+    out = (
+        CorpusPipeline(id_col="uid")
+        .near_dup_dedup(k=2, threshold=0.3)
+        .run(docs)
+    )
+    kept = sorted(r["uid"] for r in out.collect())
+    assert kept == [1, 3]  # keep-min survivor of {1,2}, singleton 3
+    assert "uid" in out.columns and "doc_id" not in out.columns
+
+
+def test_checkpoint_input_token_invalidates(spark, tmp_path):
+    """ADVICE r5: same stage names over DIFFERENT input must not
+    resume stale parquet — input_token is mixed into the fingerprint
+    chain so each input snapshot gets its own stage directories."""
+    ckpt = str(tmp_path / "tok")
+    d1 = spark.createDataFrame([(i, "x") for i in range(3)], "doc_id long, text string")
+    d2 = spark.createDataFrame([(i, "x") for i in range(7)], "doc_id long, text string")
+    p = CorpusPipeline().custom("noop", lambda df: df)
+    out1 = p.run(d1, checkpoint_dir=ckpt, input_token="snap=2026-08-13")
+    assert out1.count() == 3
+    out2 = p.run(d2, checkpoint_dir=ckpt, input_token="snap=2026-08-14")
+    assert out2.count() == 7, "new input_token must recompute, not resume"
+    # same token DOES resume (stale d1 output served despite d2 input —
+    # the documented single-snapshot contract)
+    out3 = p.run(d2, checkpoint_dir=ckpt, input_token="snap=2026-08-13")
+    assert out3.count() == 3

@@ -509,3 +509,120 @@ def test_running_zscore_matches_batch_operator(spark, tmp_path):
         assert got2[12] is False
     finally:
         q.stop()
+
+
+def test_stream_near_dup_corrupt_store_stops_stream(spark, tmp_path):
+    """ADVICE r5: an empty/partial epoch dir (crashed write) raises
+    UNABLE_TO_INFER_SCHEMA on read — that must STOP the stream, not be
+    silently treated as an empty store (which would let historical
+    near-dups through)."""
+    import os
+
+    from pyspark.errors import StreamingQueryException
+
+    from sif_spark.streaming.stream import stream_near_dup_dedup
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    os.makedirs(f"{store}/epoch_0")  # corrupt: exists, no parquet inside
+    b1 = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = read_parquet_stream(spark, src, b1.schema)
+    q = stream_near_dup_dedup(stream, store, lambda df, e: df.count())
+    try:
+        with pytest.raises(StreamingQueryException, match="UNABLE_TO_INFER_SCHEMA"):
+            q.processAllAvailable()
+            raise AssertionError("corrupt store must stop the stream")
+    finally:
+        q.stop()
+
+
+def test_stream_near_dup_restart_resumes_epochs(spark, tmp_path):
+    """Kill-and-restart recovery (VERDICT r5 #6): with a
+    checkpointLocation, epoch ids RESUME after a restart instead of
+    restarting at 0 and clobbering epoch_0's signatures — the final
+    store must hold every batch's signatures exactly once."""
+    from sif_spark.streaming.stream import stream_near_dup_dedup
+
+    src = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = "doc_id long, text string"
+    got: dict[int, int] = {}
+
+    def sink(df, epoch):
+        for r in df.collect():
+            got[r["doc_id"]] = epoch
+
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = stream_near_dup_dedup(
+        spark.readStream.schema(schema).parquet(src), store, sink,
+        num_hashes=32, num_bands=8, threshold=0.5,
+        checkpoint_location=ckpt,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # simulated crash between micro-batches
+    assert got == {1: 0}
+    # second batch: an unrelated doc + a near-dup of historical doc 1
+    spark.createDataFrame(
+        [(10, base + " lambda"),
+         (11, "one two three four five six seven eight nine ten")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_near_dup_dedup(
+        spark.readStream.schema(schema).parquet(src), store, sink,
+        num_hashes=32, num_bands=8, threshold=0.5,
+        checkpoint_location=ckpt,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert 10 not in got, "near-dup of pre-restart doc must still be dropped"
+    assert got[11] > 0, "restarted stream must not reuse epoch 0"
+    stored = spark.read.parquet(f"{store}/epoch_*")
+    assert sorted(r["doc_id"] for r in stored.collect()) == [1, 11]
+
+
+def test_running_zscore_null_values_safe(spark, tmp_path):
+    """ADVICE r5 follow-through: NULL values must not corrupt the
+    int64 state (NaN→int64 is undefined) and must emit
+    is_outlier=False, matching the batch operator's isNotNull stats
+    filter."""
+    from sif_spark.operators.timeseries import zscore_outliers
+    from sif_spark.streaming.stream import running_zscore
+
+    src = str(tmp_path / "zsn")
+    rows = [(i, "a", 10.0) for i in range(10)] + [
+        (10, "a", 1000.0), (11, "a", None), (12, "b", None)
+    ]
+    b1 = spark.createDataFrame(rows, "event_id long, grp string, v double")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    flagged = running_zscore(
+        read_parquet_stream(spark, src, b1.schema), "grp", "v", "event_id",
+        threshold=2.0,
+    )
+    q = (
+        flagged.writeStream.outputMode("update")
+        .format("memory").queryName("zs_null").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: r["is_outlier"]
+            for r in spark.sql("select * from zs_null").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["event_id"]: r["is_outlier"]
+        for r in zscore_outliers(b1, "grp", "v", threshold=2.0).collect()
+    }
+    assert got == want
+    assert got[10] is True and got[11] is False and got[12] is False
+    assert sum(got.values()) == 1
