@@ -1,5 +1,5 @@
-"""Extension catalog II (q89-q109), round-5 additions past the q36-q88
-extension catalog: line/paragraph dedup (first-occurrence q89 +
+"""Extension catalog II (q89-q110), round-5/6 additions past the
+q36-q88 extension catalog: line/paragraph dedup (first-occurrence q89 +
 drop-common q105), Gopher quality and repetition batteries (q90,
 q101), sessionization (q91), pivot (q92), exact z-score / robust MAD /
 streaming outliers (q93, q108, q106), outer joins and TPC-H Q4/Q5/
@@ -7,8 +7,9 @@ Q10/Q13 shapes (q94, q96, q102, q103), token-budget mixture (q95),
 duplicate-span profiling (q97), the declarative pipeline gated on
 q69's oracle (q98), fixed-width round-trip (q99), GROUPING SETS
 (q100), the skew-salted join gated for plain-join equality (q104),
-the corpus-frequency OOV filter (q107), and PQ-prefilter exact-re-rank
-kNN gated on q11's exact contract (q109).
+the corpus-frequency OOV filter (q107), PQ-prefilter exact-re-rank
+kNN gated on q11's exact contract (q109), and real dependency-free
+media decode (PPM/BMP/WAV) gated on closed-form digests (q110).
 
 Same contract as queries.py / queries_ext.py: every entry is a
 (spark, sf_dir) -> DataFrame callable with a DuckDB-portable oracle
@@ -1129,6 +1130,112 @@ def q109_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (VERDICT r5 #2): 48 docs each get
+    a generated blob in a real on-disk format by doc_id % 3 — P6 PPM
+    (16×16 RGB), 24-bpp BMP (9×15 — odd width so every row carries
+    4-byte padding), or 16-bit stereo PCM WAV (500 frames) — with
+    element values a closed-form function of (doc_id, position). Each
+    blob then goes through `multimodal.media_decoder`, the format-
+    sniffed DEFAULT decode path (no injected codec anywhere), and the
+    decoded array is reduced to a position-WEIGHTED integer digest.
+
+    The weighting is what makes the gate strong: a decoder that
+    mis-handles BMP's bottom-up row order, its row padding, BGR→RGB,
+    the PPM header offset, or WAV channel interleave produces the same
+    multiset of values but different positions — the plain sum would
+    still match; the weighted digest cannot. The oracle recomputes the
+    digest in closed form from the generation function (pure SQL over
+    range() grids — DuckDB never needs a codec), so Spark-side
+    encode→decode must be an exact identity for all three formats.
+
+    Scale shape: generation+decode+digest ride ONE mapInPandas over
+    the doc_id projection — no shuffle at all until the final orderBy
+    of 48 rows; blobs never leave their executor."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import multimodal as mm
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 48)
+    )
+
+    def gen_decode(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 3
+                if m != 2:
+                    h, w = (16, 16) if m == 0 else (9, 15)
+                    y, x, c = np.meshgrid(
+                        np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                    )
+                    v = ((did + 3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
+                    blob = mm.encode_ppm(v) if m == 0 else mm.encode_bmp(v)
+                    fmt = "ppm" if m == 0 else "bmp"
+                else:
+                    i, ch = np.meshgrid(np.arange(500), np.arange(2), indexing="ij")
+                    s = ((did * 7 + 13 * i + 11 * ch) % 4001 - 2000).astype(np.int16)
+                    blob = mm.encode_wav(s)
+                    fmt = "wav"
+                arr = mm.media_decoder(blob)  # sniffed dispatch under test
+                if fmt == "wav":
+                    vals = np.rint(arr.astype(np.float64) * 32768.0).astype(np.int64)
+                    i2, c2 = np.meshgrid(
+                        np.arange(arr.shape[0]), np.arange(arr.shape[1]), indexing="ij"
+                    )
+                    wgt = 1 + (i2 % 31) + 2 * c2
+                else:
+                    vals = arr.astype(np.int64)
+                    y2, x2, c2 = np.meshgrid(
+                        np.arange(arr.shape[0]),
+                        np.arange(arr.shape[1]),
+                        np.arange(arr.shape[2]),
+                        indexing="ij",
+                    )
+                    wgt = 1 + x2 + 2 * y2 + 4 * c2
+                recs.append((did, fmt, int(vals.size), int((vals * wgt).sum())))
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "fmt", "n_elems", "digest"]
+            )
+
+    return d.mapInPandas(
+        gen_decode, "doc_id long, fmt string, n_elems long, digest long"
+    ).orderBy("doc_id")
+
+
+ORACLE_Q110 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+ppm AS (
+  SELECT doc_id, 'ppm' AS fmt, CAST(16*16*3 AS BIGINT) AS n_elems,
+         CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
+                  * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
+  FROM d, range(16) AS y(j), range(16) AS x(i), range(3) AS c(k)
+  WHERE doc_id % 3 = 0 GROUP BY doc_id
+),
+bmp AS (
+  SELECT doc_id, 'bmp' AS fmt, CAST(9*15*3 AS BIGINT) AS n_elems,
+         CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
+                  * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
+  FROM d, range(9) AS y(j), range(15) AS x(i), range(3) AS c(k)
+  WHERE doc_id % 3 = 1 GROUP BY doc_id
+),
+wav AS (
+  SELECT doc_id, 'wav' AS fmt, CAST(500*2 AS BIGINT) AS n_elems,
+         CAST(SUM(((doc_id*7 + 13*i.n + 11*ch.m) % 4001 - 2000)
+                  * (1 + (i.n % 31) + 2*ch.m)) AS BIGINT) AS digest
+  FROM d, range(500) AS i(n), range(2) AS ch(m)
+  WHERE doc_id % 3 = 2 GROUP BY doc_id
+)
+SELECT * FROM ppm UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM wav
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1151,6 +1258,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q107_common_token_score": q107_common_token_score,
     "q108_robust_outliers": q108_robust_outliers,
     "q109_pq_rerank_knn": q109_pq_rerank_knn,
+    "q110_media_decode": q110_media_decode,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1179,4 +1287,5 @@ EXT2_ORACLES: dict[str, str] = {
     # q109's oracle (q11's exact-kNN SQL) is assigned by queries.py
     # post-merge — importing it here would make the queries <->
     # queries_ext2 import cycle order-dependent
+    "q110_media_decode": ORACLE_Q110,
 }
