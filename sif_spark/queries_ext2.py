@@ -1236,6 +1236,127 @@ ORDER BY doc_id
 """
 
 
+def q111_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (VERDICT r5 #8): customers holding orders whose
+    total line quantity exceeds a threshold — the HAVING-subquery →
+    join decorrelation pattern. The qualifying-order set (204 orders
+    at sf0.01, always ≪ the fact table) is an aggregate-then-filter
+    whose output is explicitly broadcast, so orders and customer are
+    joined map-side with NO shuffle of either — at 100 TB the only
+    shuffle is lineitem's partial-agg groupBy on its own key.
+    Quantities sum as int64 (integral in the data); price in cents."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+    )
+
+
+ORACLE_Q111 = """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS price_cents, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY price_cents DESC, o_orderkey
+"""
+
+
+def q112_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (VERDICT r5 #8): suppliers who were the SOLE
+    late shipper on a multi-supplier finished order — the
+    EXISTS + NOT-EXISTS double-correlated pattern, decorrelated into
+    one LEFT SEMI (another supplier shipped in the order) and one LEFT
+    ANTI (no OTHER supplier shipped late) join. This testdata carries
+    no receipt/commit dates, so "late" is l_shipdate > o_orderdate +
+    90 days (~47% of 'F' lineitems — both gates have real work).
+
+    Scale shape: the order-date join and both semi/anti joins all key
+    on l_orderkey — one co-partitioned key for the three shuffles, no
+    cartesian anywhere (plan-pinned); nation→supplier is broadcast.
+    The semi/anti extra predicate (suppkey ≠) rides the equi-join."""
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = read_table(spark, sf_dir, "lineitem")
+
+    l = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "late"
+        ),
+    )
+    l1 = l.filter(F.col("late"))
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    waiting = (
+        l1.join(l2, (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2), "left_semi")
+        .join(l3, (l1.l_orderkey == F.col("k3")) & (l1.l_suppkey != F.col("s3")), "left_anti")
+    )
+    return (
+        waiting.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+                    "s_suppkey", "s_name", "n_name"
+                )
+            ),
+            waiting.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("n_name", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+ORACLE_Q112 = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT n.n_name, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM l l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY n.n_name, s.s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1259,6 +1380,8 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_robust_outliers": q108_robust_outliers,
     "q109_pq_rerank_knn": q109_pq_rerank_knn,
     "q110_media_decode": q110_media_decode,
+    "q111_large_order_customers": q111_large_order_customers,
+    "q112_waiting_suppliers": q112_waiting_suppliers,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1288,4 +1411,6 @@ EXT2_ORACLES: dict[str, str] = {
     # post-merge — importing it here would make the queries <->
     # queries_ext2 import cycle order-dependent
     "q110_media_decode": ORACLE_Q110,
+    "q111_large_order_customers": ORACLE_Q111,
+    "q112_waiting_suppliers": ORACLE_Q112,
 }

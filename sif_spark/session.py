@@ -57,7 +57,11 @@ def get_session(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = f"local[{cpus}]"
+        # SPARK_GRAFT_MASTER lets any entry point (tests, bench,
+        # check_oracle) run under a DISTRIBUTED master — e.g.
+        # local-cluster[2,16,4096] for the 2-worker multi-process
+        # validation (CLUSTER.md) — without code changes.
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 

@@ -585,3 +585,31 @@ def test_compact_parquet_sizes_from_partitioned_layout(spark, tmp_path):
     assert n >= 1
     back = spark.read.parquet(dst)
     assert back.count() == 40000
+
+
+def test_q111_qualifying_orders_broadcast(spark):
+    """Q18 shape: the HAVING-aggregate's qualifying-order set must
+    broadcast onto orders — no shuffle of the orders side — and the
+    plan must keep a partial+final aggregate pair for the lineitem
+    groupBy."""
+    from sif_spark.plans import join_strategies, plan_string
+
+    df = QUERIES["q111_large_order_customers"](spark, SF)
+    assert "BroadcastHashJoin" in join_strategies(df)
+    text = plan_string(df)
+    assert text.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in text
+
+
+def test_q112_double_exists_decorrelates(spark):
+    """Q21 shape: EXISTS + NOT EXISTS must land as one LeftSemi and
+    one LeftAnti equi-join on l_orderkey (the suppkey ≠ rides the
+    equi-join as an extra predicate) — never a nested-loop or
+    cartesian per-row subquery."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q112_waiting_suppliers"](spark, SF), "formatted")
+    assert "LeftSemi" in text
+    assert "LeftAnti" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
