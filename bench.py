@@ -84,18 +84,27 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_catalog_total_sec",
-                "value": total,
-                "unit": "sec",
-                "calibration": calib,
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "query_catalog_total_sec",
+            "value": total,
+            "unit": "sec",
+            "calibration": calib,
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    print(line)
+    # The driver's BENCH_r{N}.json capture truncates to the last 2000
+    # chars, losing the early entries (VERDICT r5 "What's wrong" #3) —
+    # persist the FULL artifact in-repo so tools/bench_compare.py can
+    # diff complete rounds. Committed per round as bench_local_r{N}.json.
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_local_latest.json"),
+    )
+    with open(out, "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

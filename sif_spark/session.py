@@ -76,7 +76,41 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship sif_spark to the executors as a zip (addPyFile).
+
+    In ``local[n]`` the Python workers fork from the driver and inherit
+    its sys.path, which silently masks a real-cluster failure mode: on
+    any multi-process master (local-cluster, standalone, YARN, k8s)
+    executors spawn their OWN workers, and every cloudpickled closure
+    that references a sif_spark module unpickles with
+    ModuleNotFoundError unless the package ships with the job — the
+    exact failure the round-6 local-cluster validation surfaced on 16
+    catalog entries (CLUSTER.md). This is the same mechanism
+    spark-submit --py-files uses, so the fix IS the production deploy
+    story, not a test shim."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "sif_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        # already registered on this context (getOrCreate reuse) — fine
+        pass
 
 
 def stop_session() -> None:

@@ -19,7 +19,15 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_session("sif_spark_tests", master="local[8]", shuffle_partitions=8)
+    # SPARK_GRAFT_MASTER lets the whole suite run under a distributed
+    # master (e.g. local-cluster[2,8,4096]) — the CLUSTER.md validation
+    import os
+
+    s = get_session(
+        "sif_spark_tests",
+        master=os.environ.get("SPARK_GRAFT_MASTER", "local[8]"),
+        shuffle_partitions=8,
+    )
     yield s
 
 

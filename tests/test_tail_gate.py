@@ -79,6 +79,9 @@ TAIL = [
     "q107_common_token_score",
     "q108_robust_outliers",
     "q109_pq_rerank_knn",
+    "q110_media_decode",
+    "q111_large_order_customers",
+    "q112_waiting_suppliers",
 ]
 
 
