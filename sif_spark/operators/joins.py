@@ -45,7 +45,28 @@ def salted_join(
     only routes them), which is exactly what the q104 oracle gate
     asserts. ``how`` supports inner and left (the build side is
     replicated, so right-outer semantics would need dedup — use the
-    plain join there)."""
+    plain join there).
+
+    WHEN to salt — the measured decision rule (tools/skew_probe.py,
+    round 6; 12M-row fact with 60% of rows on one key, 2M-row build):
+    AQE skew-join ON → plain 2.05s vs salted 2.44s; AQE OFF → plain
+    2.95s vs salted 2.52s. With AQE's skew-join enabled (the
+    sif_spark default) the PLAIN join wins: AQE splits the hot
+    partition from shuffle stats for free, while salting always pays
+    the ``salt``× build-side replication. So do NOT salt batch
+    shuffle joins under AQE. Reach for salted_join only where AQE
+    cannot act:
+
+    - AQE unavailable or disabled — notably plans inside STATEFUL
+      streaming queries, where Spark disables AQE;
+    - skew in AGGREGATIONS or windows, which AQE's skew handling
+      never touches (joins only) — use `functions.salted_key` / the
+      q55 two-phase pattern, or `asof_join(hot_key_bucket=...)` for
+      window-shaped hot keys (a window partition is atomic to AQE);
+    - single-key skew so extreme that AQE's split granularity (one
+      map-output block) still leaves an oversized partition AND the
+      build side is small enough that ``salt``× replication is
+      cheaper than the residual straggler."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if salt < 1:

@@ -65,23 +65,31 @@ def build(spark) -> None:
     fact_zipf.write.mode("overwrite").parquet(f"{OUT}/fact_zipf.parquet")
 
 
-def run_join(spark, fact_name: str) -> None:
+def run_join(spark, fact_name: str, salt: int = 0) -> None:
     fact = spark.read.parquet(f"{OUT}/{fact_name}.parquet")
     right = spark.read.parquet(f"{OUT}/right.parquet")
+    if salt:
+        from sif_spark.operators.joins import salted_join
+
+        joined = salted_join(
+            fact, right.withColumnRenamed("k", "rk"), on=[("k", "rk")], salt=salt
+        ).select("k", "v", "payload")
+    else:
+        joined = fact.join(right, "k")
     (
-        fact.join(right, "k")
+        joined
         .groupBy((F.col("k") % 10).alias("g"))
         .agg(F.sum(F.col("v") * F.col("payload")).alias("s"))
         .write.format("noop").mode("overwrite").save()
     )
 
 
-def timed(spark, fact_name: str, n: int = 3) -> float:
-    run_join(spark, fact_name)  # warmup
+def timed(spark, fact_name: str, n: int = 3, salt: int = 0) -> float:
+    run_join(spark, fact_name, salt)  # warmup
     best = float("inf")
     for _ in range(n):
         t0 = time.time()
-        run_join(spark, fact_name)
+        run_join(spark, fact_name, salt)
         best = min(best, time.time() - t0)
     return round(best, 2)
 
@@ -105,8 +113,14 @@ def main() -> None:
 
     uniform = timed(spark, "fact_uniform")
     skewed = timed(spark, "fact_zipf")
+    # AQE-vs-manual-salting adjudication (VERDICT r5 ask #7): the same
+    # hot-key join through salted_join, with AQE skew-join on and off.
+    # Salting replicates the 2M-row build side `salt`× — that cost is
+    # real and part of the verdict.
+    skewed_salted = timed(spark, "fact_zipf", salt=8)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
     skewed_noaqe = timed(spark, "fact_zipf")
+    skewed_salted_noaqe = timed(spark, "fact_zipf", salt=8)
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     print(
@@ -117,8 +131,11 @@ def main() -> None:
                 "hot_fraction": HOT_FRACTION,
                 "uniform_sec": uniform,
                 "skewed_sec": skewed,
+                "skewed_salted_sec": skewed_salted,
                 "skewed_no_skewjoin_sec": skewed_noaqe,
+                "skewed_salted_no_skewjoin_sec": skewed_salted_noaqe,
                 "skew_ratio": round(skewed / uniform, 2) if uniform else None,
+                "salted_vs_aqe": round(skewed_salted / skewed, 2) if skewed else None,
             }
         )
     )
