@@ -214,3 +214,23 @@ def test_to_chain(spark):
         lambda f: f.map(sq=F.col("v") * F.col("v")),
     ).collect()
     assert sorted(r["sq"] for r in out) == [0, 4, 16, 36, 64]
+
+
+def test_ship_package_zip_contents(spark, tmp_path, monkeypatch):
+    """The executor-shipping zip (CLUSTER.md fix) must contain the
+    whole package rooted at sif_spark/ — a wrong arcname would ship a
+    zip that unpacks to the wrong sys.path layout and reintroduce the
+    local-cluster ModuleNotFoundError silently."""
+    import tempfile
+    import zipfile
+
+    from sif_spark import session as sess
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    sess._ship_package(spark)  # addPyFile on a local master is harmless
+    with zipfile.ZipFile(tmp_path / "sif_spark_pyfiles.zip") as z:
+        names = z.namelist()
+    assert "sif_spark/session.py" in names
+    assert "sif_spark/operators/multimodal.py" in names
+    assert "sif_spark/sources/custom.py" in names
+    assert all(n.startswith("sif_spark/") for n in names)

@@ -360,3 +360,53 @@ def test_mix_rates_invariants(totals, weights):
     if rates:
         _, half = mix_rates(totals, weights, budget // 2, resolution=res)
         assert all(half[g] <= rates[g] for g in half)
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 255),
+    gray=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_property(h, w, seed, gray):
+    """encode→decode is an exact identity for every shape, including
+    1-pixel and single-row/column images."""
+    import numpy as np
+
+    from sif_spark.operators import multimodal as mm
+
+    shape = (h, w) if gray else (h, w, 3)
+    img = ((seed + np.arange(int(np.prod(shape)))) % 256).astype(np.uint8).reshape(shape)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(img)), img)
+
+
+@given(h=st.integers(1, 12), w=st.integers(1, 12), seed=st.integers(0, 255))
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    """Exact identity across every width mod 4 (row padding 0-3 bytes)
+    — the class of off-by-one a BMP reader typically gets wrong."""
+    import numpy as np
+
+    from sif_spark.operators import multimodal as mm
+
+    img = ((seed + np.arange(h * w * 3)) % 256).astype(np.uint8).reshape(h, w, 3)
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(img)), img)
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+    channels=st.integers(1, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples, channels):
+    import numpy as np
+
+    from sif_spark.operators import multimodal as mm
+
+    n = (len(samples) // channels) or 1
+    pcm = np.resize(np.asarray(samples, dtype=np.int16), (n, channels))
+    decoded = mm.decode_wav(mm.encode_wav(pcm))
+    assert decoded.shape == (n, channels)
+    back = np.rint(decoded.astype(np.float64) * 32768.0).astype(np.int16)
+    assert np.array_equal(back, pcm)
