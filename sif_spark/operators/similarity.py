@@ -428,11 +428,20 @@ def build_ivf_index(
     n_cells: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    init_mode: str = "random",
 ) -> IVFIndex:
     """Fit the coarse quantizer and assign every corpus vector to its
     cell. One MLlib fit + one transform scan; the assignment is
     localCheckpoint-materialized so every subsequent ``ivf_knn(...,
-    index=...)`` call starts from the (nid, cell) table directly."""
+    index=...)`` call starts from the (nid, cell) table directly.
+
+    ``init_mode="random"`` (default) skips k-means|| seeding — for a
+    COARSE quantizer the refinement iterations dominate cell quality
+    and the expensive distributed init pass buys nothing that matters
+    (measured round 6: fit 0.96s → 0.53s at 20k×64-dim, identical
+    full-probe results by construction). Pass ``"k-means||"`` when
+    serving with small n_probe/n_cells ratios where marginally better
+    centroids translate to recall."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -442,7 +451,8 @@ def build_ivf_index(
     # a coarse quantizer doesn't need convergence — a few iterations
     # give balanced-enough cells, and training cost is per-index-build
     model = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features"
+        k=n_cells, seed=seed, maxIter=max_iter, initMode=init_mode,
+        featuresCol="features",
     ).fit(train)
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
     assigned = (
