@@ -114,3 +114,40 @@ def hll_merge(df: DataFrame, group_cols: "list[str] | None" = None) -> DataFrame
     groups = group_cols or []
     merged = df.groupBy(*groups).agg(F.hll_union_agg("sketch").alias("sketch"))
     return merged.withColumn("approx_distinct", F.hll_sketch_estimate("sketch"))
+
+
+def approx_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: "list[float]" = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Mergeable approximate percentiles per group — the sketch
+    companion to the exact-percentile catalog entry (q60): at 100 TB
+    an exact percentile needs a per-group sort (or a full
+    count-histogram shuffle), while `percentile_approx` aggregates a
+    bounded GK-style summary with map-side partial merge — one
+    ordinary partial-agg shuffle, state O(accuracy) per group
+    regardless of row count.
+
+    The guarantee is RANK error ≤ n/accuracy, and the returned value
+    is always an ELEMENT of the column (discrete percentile, lower
+    convention — matches DuckDB's quantile_disc, verified value-exact
+    at gate scale). With ``accuracy ≥ n`` the summary is lossless and
+    the result is the exact discrete percentile — the catalog entry
+    runs in that regime so plain SQL is a true oracle (the q25/q35
+    recall-gate pattern); production lowers ``accuracy`` to bound
+    memory and keeps the rank-error contract.
+
+    Output: (group_col, p<NN> for each percentile, n_values). NULL
+    values are excluded from both the sketch and the count (Spark agg
+    semantics), matching WHERE value IS NOT NULL oracles."""
+    aggs = [
+        F.percentile_approx(value_col, p, accuracy).alias(
+            f"p{str(p * 100).rstrip('0').rstrip('.').replace('.', '_')}"
+        )
+        for p in percentiles
+    ]
+    aggs.append(F.count(value_col).alias("n_values"))
+    return df.groupBy(group_col).agg(*aggs)

@@ -1357,6 +1357,36 @@ ORDER BY numwait DESC, s_name
 """
 
 
+def q113_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier percentiles (`sketch.approx_percentiles`): per
+    event_type p50/p90/p99 of value via percentile_approx — a
+    bounded-memory mergeable summary with map-side partials, vs q60's
+    exact per-group sort. Gate regime: accuracy (100k) ≥ group row
+    count, where the GK summary is lossless and the discrete-percentile
+    result (always an ELEMENT of the column, lower convention) equals
+    DuckDB's quantile_disc value-for-value — the q25/q35 pattern of
+    parameters making plain SQL a true oracle; production lowers
+    accuracy to bound state, trading to the rank-error contract.
+    One partial-agg shuffle on the 5-value group key; no sort."""
+    from sif_spark.operators.sketch import approx_percentiles
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return approx_percentiles(
+        e, "event_type", "value", percentiles=(0.5, 0.9, 0.99), accuracy=100_000
+    ).orderBy("event_type")
+
+
+ORACLE_Q113 = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       CAST(COUNT(value) AS BIGINT) AS n_values
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1382,6 +1412,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q110_media_decode": q110_media_decode,
     "q111_large_order_customers": q111_large_order_customers,
     "q112_waiting_suppliers": q112_waiting_suppliers,
+    "q113_approx_percentiles": q113_approx_percentiles,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1413,4 +1444,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q110_media_decode": ORACLE_Q110,
     "q111_large_order_customers": ORACLE_Q111,
     "q112_waiting_suppliers": ORACLE_Q112,
+    "q113_approx_percentiles": ORACLE_Q113,
 }

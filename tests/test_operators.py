@@ -1660,3 +1660,49 @@ def test_mad_outliers_robust_flagging(spark):
 
     with _pytest.raises(ValueError):
         mad_outliers(df, "grp", "v", k=0)
+
+
+def test_approx_percentiles_rank_error_bound(spark):
+    """Production regime (accuracy < n): the GK summary's contract is
+    RANK error <= n/accuracy. 2000 distinct values, accuracy=100 ->
+    rank error <= 20; and the result must always be an ELEMENT of the
+    column (discrete percentile), never an interpolation."""
+    from sif_spark.operators.sketch import approx_percentiles
+
+    n = 2000
+    df = spark.createDataFrame(
+        [(i % 2, float(i)) for i in range(n)], "g int, v double"
+    ).repartition(8)
+    out = {
+        r["g"]: r
+        for r in approx_percentiles(
+            df, "g", "v", percentiles=(0.5, 0.9), accuracy=100
+        ).collect()
+    }
+    per_group = n // 2
+    tol = per_group / 100 + 1
+    for g in (0, 1):
+        vals = sorted(float(i) for i in range(n) if i % 2 == g)
+        assert out[g]["n_values"] == per_group
+        for p, col in ((0.5, "p50"), (0.9, "p90")):
+            got = out[g][col]
+            assert got in vals, "must be an element of the column"
+            rank = vals.index(got)
+            assert abs(rank - p * per_group) <= tol, (g, col, rank)
+
+
+def test_approx_percentiles_exact_in_lossless_regime(spark):
+    """accuracy >= n: the summary is lossless and the output equals
+    the exact lower discrete percentile — the q113 gate regime."""
+    import math
+
+    from sif_spark.operators.sketch import approx_percentiles
+
+    vals = [float(x) for x in [5, 1, 9, 3, 7, 2, 8, 4, 6, 10]]
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v double")
+    row = approx_percentiles(
+        df, "g", "v", percentiles=(0.5, 0.9), accuracy=1000
+    ).collect()[0]
+    s = sorted(vals)
+    assert row["p50"] == s[math.ceil(0.5 * len(s)) - 1]
+    assert row["p90"] == s[math.ceil(0.9 * len(s)) - 1]

@@ -82,6 +82,7 @@ TAIL = [
     "q110_media_decode",
     "q111_large_order_customers",
     "q112_waiting_suppliers",
+    "q113_approx_percentiles",
 ]
 
 
