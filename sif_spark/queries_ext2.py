@@ -1387,6 +1387,79 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q114_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (`streaming.enrich_stream`): the
+    events stream joins the STATIC customer dimension via an explicit
+    broadcast — the stream side never shuffles, no state, no
+    watermark; Spark re-plans the static side each micro-batch. The
+    events table arrives as one file-source micro-batch so the
+    enriched per-(segment, event_type) totals must equal the batch
+    join exactly — the q106 single-batch differential contract.
+    Spend: one broadcast of the 1.5k-row dim + map-side join + the
+    tiny group-key agg; at 100 TB/day the per-trigger cost is
+    O(batch), independent of stream history."""
+    import time as _time
+
+    from sif_spark.queries_ext import _io_dir
+    from sif_spark.streaming.stream import enrich_stream
+
+    src = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stage = _io_dir(sf_dir, "events_enrich_src")
+    src.coalesce(1).write.mode("overwrite").parquet(stage)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).parquet(stage)
+    enriched = enrich_stream(stream, dim, on="user_id", how="inner")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("value_cents"),
+    )
+    name = f"cat_stream_enrich_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    expected = src.count()
+    deadline = _time.time() + 120
+    try:
+        q.processAllAvailable()
+        while (
+            spark.table(name).agg(F.sum("n_events")).collect()[0][0] or 0
+        ) < expected:
+            if _time.time() > deadline:
+                raise TimeoutError("stream enrich drained incompletely")
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_Q114 = """
+SELECT c_mktsegment, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN value IS NOT NULL
+                     THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS value_cents
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+ORDER BY c_mktsegment, event_type
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1413,6 +1486,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_large_order_customers": q111_large_order_customers,
     "q112_waiting_suppliers": q112_waiting_suppliers,
     "q113_approx_percentiles": q113_approx_percentiles,
+    "q114_stream_enrich": q114_stream_enrich,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1445,4 +1519,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q111_large_order_customers": ORACLE_Q111,
     "q112_waiting_suppliers": ORACLE_Q112,
     "q113_approx_percentiles": ORACLE_Q113,
+    "q114_stream_enrich": ORACLE_Q114,
 }

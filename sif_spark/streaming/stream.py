@@ -349,3 +349,21 @@ def running_zscore(
     return stream.groupBy(key_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a streaming frame to a STATIC
+    dimension with an explicit broadcast — the standard "attach user/
+    item/doc attributes to an event stream" shape. Spark re-plans the
+    static side per micro-batch (so a dim refresh is picked up on the
+    next trigger) and the broadcast keeps the stream side shuffle-free:
+    state-free, watermark-free, O(batch) per trigger regardless of
+    stream history. For dims too big to broadcast, drop the hint and
+    pre-bucket both sides instead; for slowly-changing dims needing
+    point-in-time semantics, use `asof_join` in a foreachBatch."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -83,6 +83,7 @@ TAIL = [
     "q111_large_order_customers",
     "q112_waiting_suppliers",
     "q113_approx_percentiles",
+    "q114_stream_enrich",
 ]
 
 
