@@ -1,4 +1,4 @@
-"""Extension catalog II (q89-q110), round-5/6 additions past the
+"""Extension catalog II (q89-q114), round-5/6 additions past the
 q36-q88 extension catalog: line/paragraph dedup (first-occurrence q89 +
 drop-common q105), Gopher quality and repetition batteries (q90,
 q101), sessionization (q91), pivot (q92), exact z-score / robust MAD /
@@ -8,8 +8,10 @@ duplicate-span profiling (q97), the declarative pipeline gated on
 q69's oracle (q98), fixed-width round-trip (q99), GROUPING SETS
 (q100), the skew-salted join gated for plain-join equality (q104),
 the corpus-frequency OOV filter (q107), PQ-prefilter exact-re-rank
-kNN gated on q11's exact contract (q109), and real dependency-free
-media decode (PPM/BMP/WAV) gated on closed-form digests (q110).
+kNN gated on q11's exact contract (q109), real dependency-free
+media decode (PPM/BMP/WAV) gated on closed-form digests (q110),
+TPC-H Q18/Q21 decorrelation shapes (q111, q112), sketch-tier
+percentiles (q113), and stream-static enrichment (q114).
 
 Same contract as queries.py / queries_ext.py: every entry is a
 (spark, sf_dir) -> DataFrame callable with a DuckDB-portable oracle
