@@ -1462,6 +1462,59 @@ ORDER BY c_mktsegment, event_type
 """
 
 
+def q115_correlated_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst's OWN decorrelation of correlated SCALAR subqueries —
+    the class q27 covers only in hand-decorrelated form and q96/q112
+    cover for EXISTS/NOT-EXISTS. The Spark side is the genuinely
+    correlated Q17 shape with TWO scalar subqueries per outer row
+    (per-part COUNT and per-part quantity SUM, both correlated on
+    l2.l_partkey = l.l_partkey); the oracle is the manual per_part-CTE
+    decorrelation — the gate literally proves Catalyst's rewrite is
+    semantics-preserving. The predicate stays in exact integers
+    (qty·n·5 < Σqty — q27's float-free cross-multiply), so the only
+    thing under test is the plan rewrite. Plan-pinned: the correlated
+    subqueries must land as aggregate joins on l_partkey, never a
+    per-row subquery (no BroadcastNestedLoopJoin/CartesianProduct)."""
+    from sif_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(
+        """
+        SELECT p_brand,
+               COUNT(*) AS n_small,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS price_cents
+        FROM lineitem l JOIN part ON p_partkey = l_partkey
+        WHERE CAST(ROUND(l_quantity) AS BIGINT)
+              * (SELECT COUNT(*) FROM lineitem l2
+                 WHERE l2.l_partkey = l.l_partkey) * 5
+              < (SELECT SUM(CAST(ROUND(l2.l_quantity) AS BIGINT))
+                 FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+# the manually-decorrelated form (q27's oracle): equality proves the
+# correlated rewrite preserves semantics
+ORACLE_Q115 = """
+WITH per_part AS (
+  SELECT l_partkey, COUNT(*) AS n,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM lineitem
+JOIN per_part USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE CAST(ROUND(l_quantity) AS BIGINT) * n * 5 < sq
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1489,6 +1542,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q112_waiting_suppliers": q112_waiting_suppliers,
     "q113_approx_percentiles": q113_approx_percentiles,
     "q114_stream_enrich": q114_stream_enrich,
+    "q115_correlated_scalar_subqueries": q115_correlated_scalar_subqueries,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1522,4 +1576,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q112_waiting_suppliers": ORACLE_Q112,
     "q113_approx_percentiles": ORACLE_Q113,
     "q114_stream_enrich": ORACLE_Q114,
+    "q115_correlated_scalar_subqueries": ORACLE_Q115,
 }

@@ -613,3 +613,17 @@ def test_q112_double_exists_decorrelates(spark):
     assert "LeftAnti" in text
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+def test_q115_correlated_scalars_decorrelate(spark):
+    """TWO correlated scalar subqueries must decorrelate into
+    aggregate equi-joins on l_partkey — never per-row subquery
+    execution (nested loop / cartesian)."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(
+        QUERIES["q115_correlated_scalar_subqueries"](spark, SF), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "HashAggregate" in text

@@ -410,3 +410,44 @@ def test_wav_roundtrip_property(samples, channels):
     assert decoded.shape == (n, channels)
     back = np.rint(decoded.astype(np.float64) * 32768.0).astype(np.int16)
     assert np.array_equal(back, pcm)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(
+            lambda ws: " ".join(f"w{c}" for c in ws)
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    max_hamming=st.integers(2, 12),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_simhash_banding_finds_all_pairs_property(spark, docs, max_hamming):
+    """Pigeonhole guarantee: with h+1 bands, the banded candidate join
+    must find EVERY pair at Hamming distance ≤ h — identical to the
+    brute-force all-pairs XOR popcount (recall exactly 1.0, and the
+    verify step makes precision exactly 1.0 too)."""
+    from sif_spark.operators.dedup import simhash, simhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    # mask: signatures are SIGNED 64-bit longs; Python's XOR on
+    # negative ints is infinite-precision sign-magnitude, not the
+    # two's-complement popcount bit_count(xor) computes
+    want = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b
+        and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= max_hamming
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            df, "text", "doc_id", max_hamming=max_hamming
+        ).collect()
+    }
+    assert got == want

@@ -84,6 +84,7 @@ TAIL = [
     "q112_waiting_suppliers",
     "q113_approx_percentiles",
     "q114_stream_enrich",
+    "q115_correlated_scalar_subqueries",
 ]
 
 
