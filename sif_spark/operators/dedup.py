@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import gc
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from sif_spark.operators.text import (
     fingerprint_md5,
@@ -521,6 +521,7 @@ def near_dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_max_edges: int | None = 500_000,
 ) -> DataFrame:
     """(doc_id, cluster_id): connected components of the near-dup pair
     graph — the step every dedup pipeline runs AFTER pair generation
@@ -548,7 +549,54 @@ def near_dup_clusters(
     the survivor id and `doc_id != cluster_id` marks rows to drop.
     Only docs appearing in ``pairs`` are emitted (singletons are
     trivially their own survivor). Raises after ``max_iter`` passes
-    without convergence rather than returning partial components."""
+    without convergence rather than returning partial components.
+
+    Auto-tier (round 6): near-dup edge sets are usually TINY relative
+    to the corpus (a 5% dup rate over 100k docs is ~5k edges), and the
+    distributed loop pays 2-4 Spark jobs of fixed latency per
+    diameter step — 1.5s+ even on a few thousand edges (the dominant
+    cost of q69/q71/q87 measured at sf0.1). When the edge count is ≤
+    ``driver_max_edges`` (default 500k ≈ 8 MB — the same small-side-
+    to-driver judgment as a broadcast join), the components are
+    computed with a driver union-find in one collect, bit-identical
+    labels (keep-min roots) by construction. Larger edge sets — the
+    100 TB path — take the distributed min-label loop unchanged; pass
+    ``driver_max_edges=None`` to force it (the differential test
+    does). The tier decision is a LIMIT-bounded collect, not a
+    count-then-collect — the pair frame is often an un-materialized
+    join subtree, and a separate count() would compute it twice
+    (measured: q69 regressed 1.2s exactly that way before this
+    shape)."""
+    rows = None
+    if driver_max_edges is not None:
+        rows = pairs.select(id_a, id_b).limit(driver_max_edges + 1).collect()
+        if len(rows) > driver_max_edges:
+            rows = None  # too big: fall through to the distributed loop
+    if rows is not None:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out_rows = [(n, find(n)) for n in parent]
+        id_type = pairs.schema[id_a].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type, True),
+                T.StructField("cluster_id", id_type, True),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out_rows, schema)
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     # No dedup of the edge list: MIN over neighbors is insensitive to

@@ -193,18 +193,27 @@ def test_ntile_distributed_edge_sizes(spark):
 )
 @settings(**SETTINGS)
 def test_near_dup_clusters_matches_union_find_property(spark, edges):
-    """Random small graphs: min-label propagation must equal a
-    driver-side union-find — chains, cycles, parallel edges, and
-    disconnected components all emerge from the random edge lists."""
+    """Random small graphs: BOTH tiers — the driver union-find
+    (default for small edge sets since r6) and the distributed
+    min-label propagation (forced via driver_max_edges=None) — must
+    equal the reference union-find, and therefore each other. Chains,
+    cycles, parallel edges, and disconnected components all emerge
+    from the random edge lists."""
     from sif_spark.operators.dedup import near_dup_clusters
 
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {
-        r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
-    }
     from conftest import union_find_clusters
 
-    assert got == union_find_clusters(edges)
+    want = union_find_clusters(edges)
+    got_driver = {
+        r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()
+    }
+    got_dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, driver_max_edges=None).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
 
 
 @given(
