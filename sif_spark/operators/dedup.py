@@ -522,6 +522,7 @@ def near_dup_clusters(
     id_b: str = "id_b",
     max_iter: int = 50,
     driver_max_edges: int | None = 500_000,
+    driver_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(doc_id, cluster_id): connected components of the near-dup pair
     graph — the step every dedup pipeline runs AFTER pair generation
@@ -551,28 +552,44 @@ def near_dup_clusters(
     trivially their own survivor). Raises after ``max_iter`` passes
     without convergence rather than returning partial components.
 
-    Auto-tier (round 6): near-dup edge sets are usually TINY relative
-    to the corpus (a 5% dup rate over 100k docs is ~5k edges), and the
-    distributed loop pays 2-4 Spark jobs of fixed latency per
-    diameter step — 1.5s+ even on a few thousand edges (the dominant
-    cost of q69/q71/q87 measured at sf0.1). When the edge count is ≤
-    ``driver_max_edges`` (default 500k ≈ 8 MB — the same small-side-
-    to-driver judgment as a broadcast join), the components are
-    computed with a driver union-find in one collect, bit-identical
-    labels (keep-min roots) by construction. Larger edge sets — the
-    100 TB path — take the distributed min-label loop unchanged; pass
-    ``driver_max_edges=None`` to force it (the differential test
-    does). The tier decision is a LIMIT-bounded collect, not a
-    count-then-collect — the pair frame is often an un-materialized
-    join subtree, and a separate count() would compute it twice
-    (measured: q69 regressed 1.2s exactly that way before this
-    shape)."""
-    rows = None
+    Auto-tier (round 6; hardened round 7): near-dup edge sets are
+    usually TINY relative to the corpus (a 5% dup rate over 100k docs
+    is ~5k edges), and the distributed loop pays 2-4 Spark jobs of
+    fixed latency per diameter step — 1.5s+ even on a few thousand
+    edges (the dominant cost of q69/q71/q87 measured at sf0.1). When
+    the edge count is ≤ ``driver_max_edges`` AND the collected columns
+    fit in ``driver_max_bytes`` (measured on the ARROW buffers, so the
+    guard is real bytes, not a row-count proxy that underestimates
+    long string/hash ids — ADVICE r6), the components are computed
+    with a driver union-find, bit-identical labels (keep-min roots) by
+    construction. The collect is Arrow-columnar
+    (``DataFrame.toArrow``), not Row objects — measured on this host
+    (tools/cc_driver_probe.py, SCALE.md round-7 probe): 500k long-id
+    edges cost 8.0 MB of Arrow buffers and ~70 MB driver RSS delta
+    including the pylist ids + union-find dict, vs ~190 MB for the
+    old Row-object collect (str40 hash ids: 44 MB Arrow / ~161 MB RSS
+    vs ~246 MB Rows). The 64 MB Arrow byte cap therefore bounds
+    driver RSS at roughly 230 MB even for wide string ids —
+    broadcast-join-sized, and enforced on measured bytes rather than
+    assumed id width.
+
+    NOTE — laziness contract: when the driver tier is eligible this
+    function is EAGER (it runs the upstream pair job at call time to
+    collect the edges) and its result is a small local DataFrame.
+    Callers that need strict laziness or plan-level composition over
+    the result must pass ``driver_max_edges=None`` to keep the fully
+    lazy distributed loop. Larger edge sets — the 100 TB path — take
+    the distributed min-label loop unchanged. The tier decision is a
+    LIMIT-bounded collect, not a count-then-collect — the pair frame
+    is often an un-materialized join subtree, and a separate count()
+    would compute it twice (measured: q69 regressed 1.2s exactly that
+    way before this shape)."""
+    tbl = None
     if driver_max_edges is not None:
-        rows = pairs.select(id_a, id_b).limit(driver_max_edges + 1).collect()
-        if len(rows) > driver_max_edges:
-            rows = None  # too big: fall through to the distributed loop
-    if rows is not None:
+        tbl = pairs.select(id_a, id_b).limit(driver_max_edges + 1).toArrow()
+        if tbl.num_rows > driver_max_edges or tbl.nbytes > driver_max_bytes:
+            tbl = None  # too big by rows OR bytes: distributed loop
+    if tbl is not None:
         parent: dict = {}
 
         def find(x):
@@ -584,8 +601,8 @@ def near_dup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in rows:
-            ra, rb = find(r[0]), find(r[1])
+        for a, b in zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()):
+            ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         out_rows = [(n, find(n)) for n in parent]

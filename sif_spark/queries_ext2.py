@@ -1434,7 +1434,14 @@ def q114_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
-    expected = src.count()
+    # Drain target = the BATCH-side inner join count, not src.count():
+    # the enrichment is an inner join, so any event with a NULL or
+    # unmatched user_id never reaches the sink and a src-count target
+    # would be unreachable — burning the full deadline then raising
+    # even though the stream fully drained (ADVICE r6, medium). The
+    # poll after processAllAvailable() is belt-and-braces for memory-
+    # sink visibility, not the drain mechanism.
+    expected = src.join(dim, "user_id", "inner").count()
     deadline = _time.time() + 120
     try:
         q.processAllAvailable()

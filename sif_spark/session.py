@@ -93,12 +93,29 @@ def _ship_package(spark: SparkSession) -> None:
     exact failure the round-6 local-cluster validation surfaced on 16
     catalog entries (CLUSTER.md). This is the same mechanism
     spark-submit --py-files uses, so the fix IS the production deploy
-    story, not a test shim."""
+    story, not a test shim.
+
+    ADVICE r6 hardening: the zip is written to a PER-PROCESS unique
+    temp name (a fixed path was racy — one process could rewrite the
+    zip while another's executors were mid-fetch), ship-once is
+    decided by checking the context's registered files up front
+    (instead of a bare ``except Exception: pass`` around addPyFile,
+    which could silently swallow a genuine shipping failure and
+    reintroduce the very ModuleNotFoundError this code prevents), and
+    any addPyFile error now propagates."""
     import tempfile
     import zipfile
 
+    sc = spark.sparkContext
+    try:
+        already = any("sif_spark_pyfiles" in f for f in sc.listFiles)
+    except Exception:
+        already = False  # listFiles unavailable on this master — ship anyway
+    if already:
+        return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "sif_spark_pyfiles.zip")
+    fd, zpath = tempfile.mkstemp(prefix="sif_spark_pyfiles_", suffix=".zip")
+    os.close(fd)
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _, files in os.walk(pkg_dir):
             for f in sorted(files):
@@ -106,11 +123,7 @@ def _ship_package(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
-    try:
-        spark.sparkContext.addPyFile(zpath)
-    except Exception:
-        # already registered on this context (getOrCreate reuse) — fine
-        pass
+    sc.addPyFile(zpath)
 
 
 def stop_session() -> None:
