@@ -265,25 +265,184 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → channel count (3 = palette, unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PNG Paeth predictor, vectorized over int arrays: pick whichever
+    of left (a), up (b), upper-left (c) is closest to a+b−c, ties
+    broken left → up → upper-left (the spec's order)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decoder (zlib inflate + NumPy unfiltering —
+    VERDICT r6 "Next round" #2, the one compressed format reachable
+    without third-party codecs). Supports 8-bit depth, color types
+    0/2/4/6 (gray → (H,W), gray+alpha → (H,W,2), RGB → (H,W,3),
+    RGBA → (H,W,4)), non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth). Chunk CRCs are verified. Palette
+    (color type 3), 16-bit, and Adam7 raise ValueError — decode must
+    be exact or loud, never approximate."""
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG blob (signature {blob[:8]!r})")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 12 <= len(blob):
+        ln = int.from_bytes(blob[pos : pos + 4], "big")
+        typ = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(blob[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} compression={comp} "
+            f"filter_method={filt} interlace={interlace}); built-in codec "
+            "covers 8-bit non-interlaced only"
+        )
+    channels = _PNG_CHANNELS.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype} (palette?)")
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    recon = np.zeros((h, stride), dtype=np.int32)
+    for r in range(h):
+        ft = int(raw[r, 0])
+        line = raw[r, 1:].astype(np.int32)
+        prev = recon[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        if ft == 0:  # None
+            recon[r] = line
+        elif ft == 1:  # Sub: recon[i] = line[i] + recon[i-bpp] — a
+            # per-lane running sum; cumsum in a wide dtype then mask
+            # is exact because addition mod 256 is associative.
+            for k in range(bpp):
+                recon[r, k::bpp] = np.cumsum(line[k::bpp], dtype=np.int64) & 0xFF
+        elif ft == 2:  # Up
+            recon[r] = (line + prev) & 0xFF
+        elif ft == 3:  # Average: sequential left-dependency per lane
+            row = recon[r]
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth: sequential left/up-left dependency
+            row = recon[r]
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft} on row {r}")
+    out = recon.astype(np.uint8)
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
+
+
+def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """(H,W) gray / (H,W,2) gray+alpha / (H,W,3) RGB / (H,W,4) RGBA
+    uint8 → 8-bit non-interlaced PNG. ``filter_type`` selects the
+    scanline filter: 0-4 apply one filter to every row; "mixed"
+    cycles row r through filter r % 5, which the Hypothesis
+    round-trip test uses to exercise every unfilter path in one blob.
+    Filtering is fully vectorized (it predicts from ORIGINAL
+    neighbors, so unlike unfiltering it has no sequential
+    dependency)."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        channels, (h, w) = 1, a.shape
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        h, w, channels = a.shape
+    else:
+        raise ValueError(f"expected (H,W[,2|3|4]) uint8, got {a.shape}")
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    pix = a.reshape(h, stride).astype(np.int32)
+    prev = np.vstack([np.zeros((1, stride), dtype=np.int32), pix[:-1]])
+    left = np.zeros_like(pix)
+    left[:, channels:] = pix[:, :-channels]
+    upleft = np.vstack([np.zeros((1, stride), dtype=np.int32), left[:-1]])
+    filtered_by_type = {
+        0: pix,
+        1: (pix - left) & 0xFF,
+        2: (pix - prev) & 0xFF,
+        3: (pix - ((left + prev) >> 1)) & 0xFF,
+        4: (pix - _paeth_predict(left, prev, upleft)) & 0xFF,
+    }
+    lines = bytearray()
+    for r in range(h):
+        ft = (r % 5) if filter_type == "mixed" else int(filter_type)
+        lines.append(ft)
+        lines += filtered_by_type[ft][r].astype(np.uint8).tobytes()
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def media_decoder(blob: bytes) -> np.ndarray:
     """Format-sniffed decode dispatch — the default decoder for
     `decode_features`. Covers the dependency-free formats (PPM/PGM,
-    24-bpp BMP, PCM WAV); anything else raises NotImplementedError
-    naming the sniffed format so compressed media still gates loudly
-    behind an injected codec."""
+    24-bpp BMP, PCM WAV) plus 8-bit non-interlaced PNG (stdlib zlib);
+    anything else raises NotImplementedError naming the sniffed
+    format so the remaining compressed media (jpeg/gif/mp3/video)
+    still gates loudly behind an injected codec."""
     if blob[:2] in (b"P6", b"P5"):
         return decode_ppm(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return decode_wav(blob)
+    if blob[:8] == _PNG_SIG:
+        return decode_png(blob)
     sniffed = next(
         (name for name, magic in _MAGIC.items() if blob[: len(magic)] == magic),
         "unknown",
     )
     raise NotImplementedError(
         f"no built-in codec for format {sniffed!r}: built-ins cover "
-        "ppm/pgm/bmp/wav; pass decoder= with a real codec for "
+        "ppm/pgm/bmp/wav/png; pass decoder= with a real codec for "
         "compressed media"
     )
 

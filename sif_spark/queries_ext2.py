@@ -1133,23 +1133,28 @@ def q109_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode end-to-end (VERDICT r5 #2): 48 docs each get
-    a generated blob in a real on-disk format by doc_id % 3 — P6 PPM
-    (16×16 RGB), 24-bpp BMP (9×15 — odd width so every row carries
-    4-byte padding), or 16-bit stereo PCM WAV (500 frames) — with
-    element values a closed-form function of (doc_id, position). Each
-    blob then goes through `multimodal.media_decoder`, the format-
-    sniffed DEFAULT decode path (no injected codec anywhere), and the
-    decoded array is reduced to a position-WEIGHTED integer digest.
+    """REAL media decode end-to-end (VERDICT r5 #2; PNG added per
+    VERDICT r6 #2): 48 docs each get a generated blob in a real
+    on-disk format by doc_id % 4 — P6 PPM (16×16 RGB), 24-bpp BMP
+    (9×15 — odd width so every row carries 4-byte padding), 16-bit
+    stereo PCM WAV (500 frames), or 8-bit RGBA PNG (11×13, encoded
+    with MIXED scanline filters — row r uses filter r % 5, so the
+    zlib inflate AND all five unfilter paths sit in the oracle-gated
+    pipeline) — with element values a closed-form function of
+    (doc_id, position). Each blob then goes through
+    `multimodal.media_decoder`, the format-sniffed DEFAULT decode
+    path (no injected codec anywhere), and the decoded array is
+    reduced to a position-WEIGHTED integer digest.
 
     The weighting is what makes the gate strong: a decoder that
     mis-handles BMP's bottom-up row order, its row padding, BGR→RGB,
-    the PPM header offset, or WAV channel interleave produces the same
-    multiset of values but different positions — the plain sum would
-    still match; the weighted digest cannot. The oracle recomputes the
-    digest in closed form from the generation function (pure SQL over
-    range() grids — DuckDB never needs a codec), so Spark-side
-    encode→decode must be an exact identity for all three formats.
+    the PPM header offset, WAV channel interleave, or any PNG
+    unfilter's left/up dependency produces the same multiset of
+    values but different positions — the plain sum would still match;
+    the weighted digest cannot. The oracle recomputes the digest in
+    closed form from the generation function (pure SQL over range()
+    grids — DuckDB never needs a codec), so Spark-side encode→decode
+    must be an exact identity for all four formats.
 
     Scale shape: generation+decode+digest ride ONE mapInPandas over
     the doc_id projection — no shuffle at all until the final orderBy
@@ -1170,8 +1175,8 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             recs = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                m = did % 3
-                if m != 2:
+                m = did % 4
+                if m in (0, 1):
                     h, w = (16, 16) if m == 0 else (9, 15)
                     y, x, c = np.meshgrid(
                         np.arange(h), np.arange(w), np.arange(3), indexing="ij"
@@ -1179,6 +1184,13 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     v = ((did + 3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
                     blob = mm.encode_ppm(v) if m == 0 else mm.encode_bmp(v)
                     fmt = "ppm" if m == 0 else "bmp"
+                elif m == 3:
+                    y, x, c = np.meshgrid(
+                        np.arange(11), np.arange(13), np.arange(4), indexing="ij"
+                    )
+                    v = ((did + 3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
+                    blob = mm.encode_png(v, filter_type="mixed")
+                    fmt = "png"
                 else:
                     i, ch = np.meshgrid(np.arange(500), np.arange(2), indexing="ij")
                     s = ((did * 7 + 13 * i + 11 * ch) % 4001 - 2000).astype(np.int16)
@@ -1217,23 +1229,31 @@ ppm AS (
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(16) AS y(j), range(16) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 3 = 0 GROUP BY doc_id
+  WHERE doc_id % 4 = 0 GROUP BY doc_id
 ),
 bmp AS (
   SELECT doc_id, 'bmp' AS fmt, CAST(9*15*3 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(9) AS y(j), range(15) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 3 = 1 GROUP BY doc_id
+  WHERE doc_id % 4 = 1 GROUP BY doc_id
 ),
 wav AS (
   SELECT doc_id, 'wav' AS fmt, CAST(500*2 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id*7 + 13*i.n + 11*ch.m) % 4001 - 2000)
                   * (1 + (i.n % 31) + 2*ch.m)) AS BIGINT) AS digest
   FROM d, range(500) AS i(n), range(2) AS ch(m)
-  WHERE doc_id % 3 = 2 GROUP BY doc_id
+  WHERE doc_id % 4 = 2 GROUP BY doc_id
+),
+png AS (
+  SELECT doc_id, 'png' AS fmt, CAST(11*13*4 AS BIGINT) AS n_elems,
+         CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
+                  * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
+  FROM d, range(11) AS y(j), range(13) AS x(i), range(4) AS c(k)
+  WHERE doc_id % 4 = 3 GROUP BY doc_id
 )
-SELECT * FROM ppm UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM wav
+SELECT * FROM ppm UNION ALL SELECT * FROM bmp
+UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM png
 ORDER BY doc_id
 """
 

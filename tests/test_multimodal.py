@@ -40,9 +40,14 @@ def test_dedup_blobs(spark, blobs):
 
 def test_decode_features_stub_gate(spark, blobs):
     # the gate moved INSIDE the sniffed dispatch (r6): compressed
-    # formats raise at execution time with the format named
+    # formats without a built-in codec raise at execution time with
+    # the format named (jpeg here — PNG gained a real decoder in r7)
     with pytest.raises(Exception, match="no built-in codec"):
-        mm.decode_features(blobs, "blob", "id").collect()
+        mm.decode_features(blobs.filter("id = 1"), "blob", "id").collect()
+    # a corrupt PNG (valid signature, garbage chunks) fails LOUDLY in
+    # the real decoder, never silently produces features
+    with pytest.raises(Exception, match="PNG"):
+        mm.decode_features(blobs.filter("id = 0"), "blob", "id").collect()
 
 
 def test_decode_features_fake(spark, blobs):
@@ -170,8 +175,51 @@ def test_media_decoder_dispatch():
     assert np.array_equal(mm.media_decoder(mm.encode_ppm(img)), img)
     assert np.array_equal(mm.media_decoder(mm.encode_bmp(img)), img)
     assert mm.media_decoder(mm.encode_wav(np.arange(4, dtype=np.int16))).shape == (4, 1)
-    with pytest.raises(NotImplementedError, match="'png'"):
-        mm.media_decoder(PNG)
+    assert np.array_equal(mm.media_decoder(mm.encode_png(img, "mixed")), img)
+    with pytest.raises(NotImplementedError, match="'jpeg'"):
+        mm.media_decoder(JPG)
+    with pytest.raises(ValueError, match="PNG"):
+        mm.media_decoder(PNG)  # valid signature, garbage chunks
+
+
+def test_png_rejects_unsupported_variants():
+    """The decoder is exact-or-loud: palette, 16-bit, interlaced, and
+    corrupted-CRC blobs all raise with the reason named rather than
+    decoding approximately."""
+    import zlib
+
+    import numpy as np
+
+    img = _grid(5, 5)
+    blob = bytearray(mm.encode_png(img))
+    # flip one IDAT payload byte → CRC mismatch
+    bad = bytearray(blob)
+    bad[-20] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(bad))
+
+    def variant(depth=8, ctype=2, interlace=0):
+        ihdr = (
+            (5).to_bytes(4, "big") + (5).to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, interlace])
+        )
+        def chunk(typ, body):
+            return (
+                len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(5 * 16)))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="color type 3"):
+        mm.decode_png(variant(ctype=3))
+    with pytest.raises(ValueError, match="depth=16"):
+        mm.decode_png(variant(depth=16))
+    with pytest.raises(ValueError, match="interlace=1"):
+        mm.decode_png(variant(interlace=1))
 
 
 def test_wav_frame_decoder_real():

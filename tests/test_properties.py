@@ -404,6 +404,36 @@ def test_bmp_roundtrip_property(h, w, seed):
 
 
 @given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 255),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    filter_type=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+)
+@settings(max_examples=80, deadline=None)
+def test_png_roundtrip_property(h, w, seed, channels, filter_type):
+    """encode→decode identity across every (color type, scanline
+    filter) pair — gray/gray+alpha/RGB/RGBA × None/Sub/Up/Average/
+    Paeth/mixed — including 1-pixel and single-row/column shapes where
+    the left/up filter neighbors are entirely out of bounds. This is
+    the class of bug a PNG unfilter typically has: wrong bpp offset in
+    Sub/Paeth, signed overflow in Average, missing zero rows at the
+    image edge."""
+    import numpy as np
+
+    from sif_spark.operators import multimodal as mm
+
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    img = ((seed + 7 * np.arange(int(np.prod(shape)))) % 256).astype(np.uint8).reshape(shape)
+    blob = mm.encode_png(img, filter_type=filter_type)
+    out = mm.decode_png(blob)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+    # the sniffed dispatch must route PNG blobs to the same decoder
+    assert np.array_equal(mm.media_decoder(blob), img)
+
+
+@given(
     samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
     channels=st.integers(1, 4),
 )
