@@ -1,13 +1,27 @@
 """Per-round benchmark: run the query catalog at $SPARK_GRAFT_SF_DIR
 (default sf0.1) and print ONE JSON line with per-query seconds.
 
-Protocol: each query runs once untimed (warmup: JVM JIT + codegen
-cache; first-run codegen costs 5-10× steady state and would swamp a
-600k-row measurement) then twice timed, keeping the minimum — the host
-shows sporadic external load worth 10×+ on single samples. Execution
-is forced through the `noop` sink so the full plan runs (all columns
-materialized) without driver-side collect overhead. The headline value
-is the sum of per-query minima.
+Protocol (round 7 — regression-detecting, VERDICT r6 ask #1): each
+query runs once untimed (warmup: JVM JIT + codegen cache; first-run
+codegen costs 5-10× steady state and would swamp a 600k-row
+measurement) then N=3 timed runs (fresh plan each run, same session),
+recording the MEDIAN as the headline per-entry number plus min and
+relative spread ((max-min)/median). Rationale: the two round-6
+captures disagreed by ±30% on 2-4s entries (q24 3.14 vs 4.03s, q101
+2.74 vs 3.52s) because a min-of-2 on a host with sporadic external
+load is itself a noisy statistic — a real 30% regression was
+invisible. The median of 3 is robust to one loaded sample, and the
+recorded spread gives tools/bench_compare.py a per-entry noise bound
+to adjudicate flagged ratios against. Execution is forced through the
+`noop` sink so the full plan runs (all columns materialized) without
+driver-side collect overhead. The headline value is the sum of
+per-query medians.
+
+Output schema: `queries` maps entry → MEDIAN seconds (the field the
+driver and bench_compare consume); `queries_detail` maps entry →
+{median, min, spread}; `calibration`/`calibration_detail` get the
+same treatment (kept FROZEN — the fixed scan-agg that normalizes
+cross-round host drift, VERDICT r4 ask #4).
 """
 
 from __future__ import annotations
@@ -15,6 +29,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sif_spark.session import get_session
 from sif_spark.queries import QUERIES
+
+N_TIMED = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def calibration_query(spark, sf_dir: str):
@@ -45,40 +62,54 @@ def calibration_query(spark, sf_dir: str):
     )
 
 
+def timed_runs(fn) -> dict:
+    """warmup + N_TIMED timed executions → {median, min, spread}."""
+    fn()  # warmup: codegen + JIT, untimed
+    samples = []
+    for _ in range(N_TIMED):
+        t0 = time.time()
+        fn()
+        samples.append(time.time() - t0)
+    med = statistics.median(samples)
+    return {
+        "median": round(med, 3),
+        "min": round(min(samples), 3),
+        "spread": round((max(samples) - min(samples)) / med, 3) if med > 0 else 0.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_session("bench")
 
-    def run(name: str) -> None:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
     # Calibration first (stable position: before any catalog entry has
-    # touched caches/checkpoints), same warmup + min-of-2 protocol.
-    calib = float("inf")
-    calibration_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for _ in range(2):
-        t0 = time.time()
-        calibration_query(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        calib = min(calib, time.time() - t0)
-    calib = round(calib, 3)
+    # touched caches/checkpoints), same warmup + median-of-N protocol.
+    calib_detail = timed_runs(
+        lambda: calibration_query(spark, sf_dir)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in QUERIES:
         try:
-            run(name)  # warmup: codegen + JIT, untimed
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                run(name)
-                best = min(best, time.time() - t0)
-            timings[name] = round(best, 3)
+            d = timed_runs(
+                lambda: QUERIES[name](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            timings[name] = d["median"]
+            detail[name] = d
         except Exception as e:  # a failing query records -1, not a crash
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
         # Drop py4j refs so the ContextCleaner can reclaim the
         # localCheckpoint RDDs several catalog entries materialize —
-        # 67 queries × 3 runs otherwise accumulate executor-memory
+        # 115 queries × 4 runs otherwise accumulate executor-memory
         # blocks and later queries pay the GC bill (q32 measured 2.5×
         # slower at the tail of a full run than standalone).
         gc.collect()
@@ -89,8 +120,11 @@ def main() -> None:
             "metric": "query_catalog_total_sec",
             "value": total,
             "unit": "sec",
-            "calibration": calib,
+            "calibration": calib_detail["median"],
+            "calibration_detail": calib_detail,
+            "runs_per_entry": N_TIMED,
             "queries": timings,
+            "queries_detail": detail,
             "sf": float(sf),
         }
     )
