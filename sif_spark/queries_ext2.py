@@ -1542,6 +1542,162 @@ ORDER BY p_brand
 """
 
 
+def q116_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (VERDICT r6 "Next round" #6) adapted to this
+    schema (no partsupp table — the availability threshold becomes a
+    shipped-share threshold over lineitem): suppliers holding a
+    DOMINANT share of some 'small%' part — a nested-IN chain
+    (supplier IN … part IN …) whose inner block carries TWO
+    CORRELATED scalar-aggregate thresholds (the (part,supplier)
+    windowed quantity must exceed 3× the part's AVERAGE per-supplier
+    share — per-part total AND per-part distinct-supplier count, both
+    correlated on l1.l_partkey). The 3×-average form is deliberately
+    scale-invariant: a fixed "half the total" threshold empties as
+    supplier count grows with SF (measured: 0 qualifying suppliers
+    even at 6× on this data), while "3× average share" selects a
+    stable tail (5 suppliers at sf0.01) at any corpus size. Mirrors
+    the reference's ability to express multi-level subqueries through
+    its SQL front (SURVEY §2.5 assigns subquery surface to the Spark
+    SQL entry point; filter.go:25-36 composes only column-level
+    predicates).
+
+    Catalyst must decorrelate BOTH levels: the IN-chains become
+    left-semi equi-joins and the correlated scalar aggregates join as
+    per-partkey aggregates — never a per-row nested-loop (pinned in
+    tests/test_plans.py). Quantities compare in exact integers
+    (win·n_supp > 3·total cross-multiply — no division, no floats),
+    so the oracle gate tests ONLY the plan rewrite. At 100 TB: two
+    partial-agg shuffles of lineitem on l_partkey(+l_suppkey) and a
+    broadcast-semi of the tiny qualifying-supplier set — no
+    data-proportional driver state."""
+    from sif_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l1.l_suppkey
+          FROM lineitem l1
+          WHERE l1.l_partkey IN
+                (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            AND l1.l_shipdate < DATE '1998-01-01'
+          GROUP BY l1.l_partkey, l1.l_suppkey
+          HAVING SUM(CAST(ROUND(l1.l_quantity) AS BIGINT))
+                 * (SELECT COUNT(DISTINCT l3.l_suppkey)
+                    FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)
+                 > 3 * (SELECT SUM(CAST(ROUND(l2.l_quantity) AS BIGINT))
+                        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        )
+        ORDER BY s_suppkey
+        """
+    )
+
+
+# manually-decorrelated form: per-part totals as a CTE joined back —
+# equality proves Catalyst's nested-IN + correlated-HAVING rewrite
+ORACLE_Q116 = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS total_qty,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_partkey
+),
+win AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS win_qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND l_shipdate < DATE '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT w.l_suppkey FROM win w JOIN per_part p USING (l_partkey)
+  WHERE w.win_qty * p.n_supp > 3 * p.total_qty)
+ORDER BY s_suppkey
+"""
+
+
+def q117_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (VERDICT r6 "Next round" #6) adapted to this
+    schema (no c_phone — the country-code bucket becomes the last two
+    digits of c_name; and since nearly every customer here holds SOME
+    order, "never ordered" becomes "no order since 2000-01-01", i.e.
+    lapsed): above-average-balance customers with no recent order,
+    bucketed by code. Exercises the LAST classic
+    decorrelation pattern missing after q96/q111/q112/q115/q116: an
+    anti join (NOT EXISTS against orders) combined with GLOBAL
+    scalar-aggregate subqueries as a filter threshold plus substring
+    bucketing.
+
+    The balance threshold ("above the average positive balance of the
+    bucketed population") compares in exact integers via the q115
+    cross-multiply — cents × COUNT > SUM(cents) — two uncorrelated
+    scalar subqueries Catalyst evaluates once and broadcasts, never
+    per row. Plan-pinned: one LeftAnti equi-join on o_custkey, no
+    nested loop over scalar results beyond Spark's single-row
+    subquery reuse. At 100 TB the anti join shuffles on custkey (or
+    broadcasts the aggregated order-holder set) and the scalar
+    thresholds are O(1) state."""
+    from sif_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT cntrycode,
+               COUNT(*) AS numcust,
+               SUM(acctbal_cents) AS totacctbal_cents
+        FROM (
+          SELECT RIGHT(c_name, 2) AS cntrycode,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                 c_custkey
+          FROM customer
+          WHERE RIGHT(c_name, 2) IN ('13','31','23','29','30','18','17')
+            AND CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                * (SELECT COUNT(*) FROM customer c2
+                   WHERE c2.c_acctbal > 0
+                     AND RIGHT(c2.c_name, 2)
+                         IN ('13','31','23','29','30','18','17'))
+                > (SELECT SUM(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT))
+                   FROM customer c2
+                   WHERE c2.c_acctbal > 0
+                     AND RIGHT(c2.c_name, 2)
+                         IN ('13','31','23','29','30','18','17'))
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c_custkey
+                              AND o.o_orderdate >= DATE '2000-01-01')
+        )
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+        """
+    )
+
+
+ORACLE_Q117 = """
+WITH pop AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s
+  FROM customer
+  WHERE c_acctbal > 0
+    AND RIGHT(c_name, 2) IN ('13','31','23','29','30','18','17')
+)
+SELECT RIGHT(c_name, 2) AS cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer, pop
+WHERE RIGHT(c_name, 2) IN ('13','31','23','29','30','18','17')
+  AND CAST(ROUND(c_acctbal * 100) AS BIGINT) * pop.n > pop.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1570,6 +1726,8 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q113_approx_percentiles": q113_approx_percentiles,
     "q114_stream_enrich": q114_stream_enrich,
     "q115_correlated_scalar_subqueries": q115_correlated_scalar_subqueries,
+    "q116_dominant_part_suppliers": q116_dominant_part_suppliers,
+    "q117_rich_idle_customers": q117_rich_idle_customers,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1604,4 +1762,6 @@ EXT2_ORACLES: dict[str, str] = {
     "q113_approx_percentiles": ORACLE_Q113,
     "q114_stream_enrich": ORACLE_Q114,
     "q115_correlated_scalar_subqueries": ORACLE_Q115,
+    "q116_dominant_part_suppliers": ORACLE_Q116,
+    "q117_rich_idle_customers": ORACLE_Q117,
 }

@@ -615,6 +615,31 @@ def test_q112_double_exists_decorrelates(spark):
     assert "CartesianProduct" not in text
 
 
+def test_q116_nested_in_correlated_having_decorrelates(spark):
+    """Q20 shape: the nested IN chain plus TWO correlated scalar
+    aggregates in the HAVING must land as left-semi equi-joins over
+    per-partkey aggregates — never per-row subquery execution."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q116_dominant_part_suppliers"](spark, SF), "formatted")
+    assert "LeftSemi" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "HashAggregate" in text
+
+
+def test_q117_anti_join_scalar_threshold(spark):
+    """Q22 shape: NOT EXISTS must land as one LeftAnti equi-join on
+    custkey and the two global scalar-aggregate thresholds as
+    subquery reuse — no nested loop anywhere."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q117_rich_idle_customers"](spark, SF), "formatted")
+    assert "LeftAnti" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
 def test_q115_correlated_scalars_decorrelate(spark):
     """TWO correlated scalar subqueries must decorrelate into
     aggregate equi-joins on l_partkey — never per-row subquery

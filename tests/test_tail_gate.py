@@ -85,6 +85,8 @@ TAIL = [
     "q113_approx_percentiles",
     "q114_stream_enrich",
     "q115_correlated_scalar_subqueries",
+    "q116_dominant_part_suppliers",
+    "q117_rich_idle_customers",
 ]
 
 
