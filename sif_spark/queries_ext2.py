@@ -1698,6 +1698,88 @@ ORDER BY cntrycode
 """
 
 
+def q118_salted_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING arm of the salting rule (VERDICT r6 "Next round"
+    #4): a stateful streaming aggregation over a deliberately skewed
+    key (event_id % 10 < 9 → 90% of events collapse onto hot key 0)
+    runs SALTED — groupBy(key, hash(event_id) % 16) partials in the
+    stream, stateless `combine_salted` rollup on the sink — and the
+    oracle replays the UNSALTED semantics (plain GROUP BY over the
+    same staged rows) in DuckDB, proving the two-level decomposition
+    is exact, not approximately right. Counts and cent-sums are
+    algebraic, so partials combine losslessly.
+
+    Why this exists: AQE's skew handling cannot touch a streaming
+    stateful exchange (state-store partitioning is fixed for the
+    query's lifetime), so the batch rule "don't salt under AQE"
+    (operators/joins.py, measured round 6) does not carry over — but
+    the round-7 probe sharpened WHERE salt matters: built-in agg
+    shapes like this one are partial-agg-protected (max-task share
+    0.043 unsalted), while custom stateful operators
+    (applyInPandasWithState) carry the full hot-key share (0.902
+    unsalted → 0.088 salted/64 buckets). This entry is the EXACTNESS
+    witness for the decomposition both cases rely on; the skew
+    measurement lives in tools/stream_skew_probe.py + SCALE.md."""
+    from sif_spark.queries_ext import _io_dir
+    from sif_spark.streaming.stream import combine_salted, salted_stream_agg
+
+    src = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skew_uid"),
+        F.when(
+            F.col("value").isNotNull(),
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(0)
+        .alias("value_cents"),
+    )
+    stage = _io_dir(sf_dir, "events_salted_src")
+    src.coalesce(1).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema(
+        "event_id long, skew_uid long, value_cents long"
+    ).parquet(stage)
+    partials = salted_stream_agg(
+        stream, "skew_uid", "value_cents", "event_id", buckets=16
+    )
+    name = f"cat_salted_agg_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        partials.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        combine_salted(spark.table(name), "skew_uid")
+        .withColumn("value_sum", F.col("value_sum").cast("long"))
+        .orderBy("skew_uid")
+    )
+
+
+# the UNSALTED semantics — equality proves the salted two-level
+# streaming decomposition is exact
+ORACLE_Q118 = """
+SELECT skew_uid,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS value_sum
+FROM (
+  SELECT CASE WHEN event_id % 10 < 9 THEN 0 ELSE user_id END AS skew_uid,
+         CASE WHEN value IS NOT NULL
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS value_cents
+  FROM events
+)
+GROUP BY skew_uid
+ORDER BY skew_uid
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1728,6 +1810,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q115_correlated_scalar_subqueries": q115_correlated_scalar_subqueries,
     "q116_dominant_part_suppliers": q116_dominant_part_suppliers,
     "q117_rich_idle_customers": q117_rich_idle_customers,
+    "q118_salted_stream_agg": q118_salted_stream_agg,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1764,4 +1847,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q115_correlated_scalar_subqueries": ORACLE_Q115,
     "q116_dominant_part_suppliers": ORACLE_Q116,
     "q117_rich_idle_customers": ORACLE_Q117,
+    "q118_salted_stream_agg": ORACLE_Q118,
 }

@@ -351,6 +351,71 @@ def running_zscore(
     )
 
 
+def salted_stream_agg(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    salt_source_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-level SALTED streaming aggregation — the stateful-streaming
+    arm of the salting rule (operators/joins.py docstring; SCALE.md).
+
+    The full measured salting rule (tools/stream_skew_probe.py,
+    SCALE.md round-7 row; batch arm measured round 6 in
+    operators/joins.py):
+
+    - BATCH shuffle joins: never salt under AQE (AQE's skew split
+      handles them; salting measured slower).
+    - STREAMING built-in aggregations (this function's groupBy+agg
+      shape): map-side PARTIAL aggregation runs before the state
+      exchange, so the shuffle carries one partial row per (key, map
+      partition) and even a 90%-hot key barely skews it (measured
+      max-task share 0.043 UNSALTED). Salting is usually unnecessary
+      — this helper exists for the state-SIZE lever (complete-mode
+      sinks, many-distinct-agg states) and as the oracle-gated
+      witness (q118) that the two-level decomposition is exact.
+    - STREAMING custom stateful operators (applyInPandasWithState /
+      transformWithState — `running_reduce` here): NO partial step
+      exists; every raw row shuffles to the key's owner task, state
+      partitioning is fixed for the query's lifetime, and AQE cannot
+      re-plan it. THIS is the shape that needs salt: measured on a
+      90%-hot-key stream, max-task record share 0.902 unsalted →
+      0.227 with 16 salt buckets (bucket-to-task collisions at 32
+      shuffle partitions) → 0.088 with 64 buckets. Key the state on
+      (key, salt) and roll up the emitted partials batch-side.
+
+    The rollup (`combine_salted` on the sink contents) restores
+    per-key totals exactly — count and sum are algebraic, partials
+    combine losslessly; q118 gates this against unsalted DuckDB SQL.
+
+    ``salt_source_col`` must be a HIGH-CARDINALITY column (an event
+    id, not the key itself — salting on the key is a no-op). Choose
+    buckets ≈ 2× shuffle partitions for near-uniform spread (the
+    0.227 → 0.088 step above is purely collision relief); state per
+    key grows from 1 row to ≤ ``buckets`` rows. Emits
+    (key_col, __salt, n_partial, sum_partial)."""
+    salted = stream.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_source_col)), F.lit(buckets))
+    )
+    return salted.groupBy(key_col, "__salt").agg(
+        F.count(F.lit(1)).alias("n_partial"),
+        F.sum(value_col).alias("sum_partial"),
+    )
+
+
+def combine_salted(partials: DataFrame, key_col: str) -> DataFrame:
+    """Roll salted partials back up to per-key totals (batch-side, on
+    the sink contents — structured streaming does not allow chaining a
+    second stateful aggregation after the first in the same query).
+    Exact for algebraic aggregates: Σ n_partial and Σ sum_partial over
+    the salt buckets equal the unsalted count/sum by associativity."""
+    return partials.groupBy(key_col).agg(
+        F.sum("n_partial").alias("n_events"),
+        F.sum("sum_partial").alias("value_sum"),
+    )
+
+
 def enrich_stream(
     stream: DataFrame,
     dim: DataFrame,

@@ -626,3 +626,53 @@ def test_running_zscore_null_values_safe(spark, tmp_path):
     assert got == want
     assert got[10] is True and got[11] is False and got[12] is False
     assert sum(got.values()) == 1
+
+
+def test_salted_state_op_matches_unsalted(spark, tmp_path):
+    """The exactness half of the streaming salting rule (SCALE.md
+    round-7 probe): a hot-key stream through a SALTED custom stateful
+    operator (state keyed on (key, salt)) plus the stateless rollup
+    must equal the plain unsalted batch aggregation bit-for-bit —
+    salting may only move WHERE state lives, never what it sums."""
+    from pyspark.sql import functions as F
+
+    from sif_spark.streaming.stream import read_parquet_stream, running_reduce
+
+    src = str(tmp_path / "salted_src")
+    rows = spark.range(2000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 7).alias("k"),
+        (F.col("id") % 100).cast("double").alias("v"),
+    )
+    rows.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = read_parquet_stream(
+        spark, src, rows.schema
+    ).withColumn("__salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+    agg = running_reduce(stream, ["k", "__salt"], count_col="n", sum_col="v")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory").queryName("salted_state").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["k"], r["n"], r["v_sum"])
+            for r in spark.table("salted_state")
+            .groupBy("k")
+            .agg(F.sum("n").alias("n"), F.sum("v_sum").alias("v_sum"))
+            .collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["k"], r["n"], r["v_sum"])
+        for r in rows.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_sum"))
+        .collect()
+    }
+    assert got == want
+    # the salted state genuinely spread: the hot key occupies >1 bucket
+    n_buckets = (
+        spark.table("salted_state").filter(F.col("k") == 0).select("__salt").distinct().count()
+    )
+    assert n_buckets > 1
