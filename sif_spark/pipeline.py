@@ -326,6 +326,138 @@ class CorpusPipeline:
         return df
 
 
+def _list_committed_epochs(spark, store_dir: str) -> list[str]:
+    """Epoch directories under ``store_dir`` whose survivors write
+    committed (_SUCCESS) — via the Hadoop FS API so local/HDFS/object
+    stores behave alike. A crashed epoch (partial files, no marker)
+    is invisible to history, so a retry recomputes it instead of
+    deduping tonight's batch against half-written state."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("epoch_"):
+            d = f"{store_dir}/{name}"
+            if _has_success_marker(spark, f"{d}/survivors"):
+                out.append(d)
+    return sorted(out)
+
+
+def daily_ingest(
+    batch: DataFrame,
+    store_dir: str,
+    epoch_token: str,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    decontaminate_k: int = 4,
+    min_hits: int = 1,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """ONE epoch of the production training-data refresh (VERDICT r6
+    "Next round" #5) — the end-to-end composition of the incremental
+    pieces that previously existed only separately (q83 exact
+    incremental, q85 MinHash incremental, q76 decontamination,
+    pipeline input_token resume):
+
+      1. decontaminate tonight's batch against the benchmark
+         (``decontaminate`` drop mode — eval-leakage rows never enter
+         the corpus or the stores),
+      2. exact-dedup it against the persisted fingerprint store of
+         ALL prior committed epochs, then within itself
+         (`exact_dedup_incremental`),
+      3. near-dup-dedup the remainder against the persisted MinHash
+         signature store, then within itself
+         (`minhash_dedup_incremental`),
+      4. write this epoch's outputs under
+         ``store_dir/epoch_<fingerprint>/``: ``fingerprints`` (exact
+         survivors' md5s), ``sigs`` (near-dup survivors' signatures),
+         and ``survivors`` LAST — its _SUCCESS marker is the epoch's
+         commit point.
+
+    Resume contract (the pipeline ``input_token`` semantics): the
+    epoch directory name fingerprints ``epoch_token`` plus every
+    dedup parameter. If the epoch is already committed, the call
+    returns the stored survivors WITHOUT touching ``batch`` at all —
+    day-1 stages are not re-run when day-2 arrives (pinned by
+    tests/test_pipeline.py, which deletes day-1's input and re-runs).
+    Change a parameter or the token and the fingerprint changes, so
+    stale state is never silently reused. History = every committed
+    epoch's stores, so epochs must be ingested in order.
+
+    Scale: identical to its parts — the stores carry 16 bytes
+    (fingerprint) / ``num_hashes`` longs (signature) per historical
+    doc, never historical text; all joins key on uniform hashes; the
+    benchmark side broadcasts. The nightly cost is O(batch + stores),
+    not O(corpus)."""
+    import hashlib
+
+    from sif_spark.operators.dedup import (
+        decontaminate,
+        exact_dedup_incremental,
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+    spark = batch.sparkSession
+    params = (
+        f"{epoch_token}|k={decontaminate_k}|hits={min_hits}|h={num_hashes}"
+        f"|b={num_bands}|t={threshold}|sk={shingle_k}|fn={hash_fn}"
+    )
+    fp = hashlib.md5(params.encode()).hexdigest()[:12]
+    epoch_dir = f"{store_dir}/epoch_{fp}"
+    if _has_success_marker(spark, f"{epoch_dir}/survivors"):
+        return spark.read.parquet(f"{epoch_dir}/survivors")
+
+    history = [d for d in _list_committed_epochs(spark, store_dir) if d != epoch_dir]
+    if history:
+        hist_fps = spark.read.parquet(*[f"{d}/fingerprints" for d in history])
+        hist_sigs = spark.read.parquet(*[f"{d}/sigs" for d in history])
+    else:
+        hist_fps = spark.createDataFrame([], "fingerprint string")
+        hist_sigs = minhash_signatures(
+            batch.limit(0), text_col, id_col, num_hashes, shingle_k, hash_fn
+        )
+
+    clean = (
+        decontaminate(
+            batch, benchmark, text_col, id_col, k=decontaminate_k,
+            min_hits=min_hits, mode="drop",
+        )
+        if benchmark is not None
+        else batch
+    )
+    fresh = exact_dedup_incremental(
+        clean, hist_fps, text_col, id_col
+    ).localCheckpoint(eager=False)
+    survivors = minhash_dedup_incremental(
+        fresh,
+        hist_sigs,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_k=shingle_k,
+        num_bands=num_bands,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    ).localCheckpoint(eager=False)
+    fresh.select("fingerprint").write.mode("overwrite").parquet(
+        f"{epoch_dir}/fingerprints"
+    )
+    survivors.filter(F.col("sig").isNotNull()).select(id_col, "sig").write.mode(
+        "overwrite"
+    ).parquet(f"{epoch_dir}/sigs")
+    survivors.drop("sig").write.mode("overwrite").parquet(f"{epoch_dir}/survivors")
+    return spark.read.parquet(f"{epoch_dir}/survivors")
+
+
 _CONFIG_STAGES = {
     "quality_filter": "quality_filter",
     "language_filter": "language_filter",

@@ -1780,6 +1780,184 @@ ORDER BY skew_uid
 """
 
 
+def q119_daily_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-EPOCH daily ingest end-to-end (VERDICT r6 "Next round"
+    #5) — the actual production shape of a training-data refresh,
+    composing the incremental pieces that previously shipped only
+    separately: day-1 (doc_id < 250) is decontaminated against a
+    held-out benchmark (doc_id % 20 == 19), exact-deduped, near-dup-
+    deduped, and COMMITS its fingerprint + MinHash-signature stores;
+    day-2 (doc_id ≥ 250) then ingests against those stores — its
+    duplicates of day-1 CONTENT are dropped by store lookups (16
+    bytes / 32 longs per historical doc), never by re-reading day-1
+    text — and emits the day-2 survivors plus the updated store.
+
+    Resume is part of the shape: each `pipeline.daily_ingest` epoch is
+    committed under a parameter+token fingerprint directory, so
+    re-running the entry resumes BOTH days from their committed
+    survivors without recomputing (and tests/test_pipeline.py proves
+    day-1's input is not even touched on resume by deleting it). The
+    store directory embeds a data token (documents.parquet
+    mtime+size), so regenerated testdata invalidates the store rather
+    than silently resuming against stale epochs.
+
+    The oracle replays BOTH days from scratch in DuckDB — benchmark
+    grams, both days' decontamination, fingerprint store semantics,
+    the md5-mode MinHash signatures, history banding + verification,
+    and the within-batch survivor rule — so the gate proves the
+    incremental two-epoch composition equals the full recomputation."""
+    import os as _os
+
+    from sif_spark.pipeline import daily_ingest
+    from sif_spark.queries_ext import _io_dir
+
+    d = read_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 19)
+    not_bench = F.col("doc_id") % 20 != 19
+    day1 = d.filter((F.col("doc_id") < 250) & not_bench)
+    day2 = d.filter((F.col("doc_id") >= 250) & not_bench)
+    src = f"{sf_dir}/documents.parquet"
+    try:
+        tok = f"{int(_os.path.getmtime(src))}_{_os.path.getsize(src)}"
+    except OSError:
+        tok = "unknown"
+    store = _io_dir(sf_dir, f"daily_ingest_store_{tok}")
+    daily_ingest(day1, store, "day1", benchmark=bench, hash_fn="md5")
+    s2 = daily_ingest(day2, store, "day2", benchmark=bench, hash_fn="md5")
+    return s2.select("doc_id", "lang").orderBy("doc_id")
+
+
+# Replays both epochs from scratch: q76's decontamination grams
+# (k=4), q83's fingerprint semantics, q85's md5-mode signatures +
+# banding + verify, composed across the day boundary.
+ORACLE_Q119 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+),
+grams4 AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 2),
+                               i -> array_to_string(list_slice(w, i, i + 3), ' ')))
+           AS g
+  FROM toks WHERE len(w) >= 4
+),
+bench_g AS (
+  SELECT DISTINCT g FROM grams4 WHERE doc_id % 20 = 19
+),
+contaminated AS (
+  SELECT DISTINCT grams4.doc_id FROM grams4 JOIN bench_g USING (g)
+  WHERE doc_id % 20 <> 19
+),
+fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+),
+day1_clean AS (
+  SELECT fp.* FROM fp
+  WHERE doc_id < 250 AND doc_id % 20 <> 19
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+fresh1 AS (
+  SELECT MIN(doc_id) AS doc_id, fingerprint
+  FROM day1_clean GROUP BY fingerprint
+),
+sh3 AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(w) - 1, 1)),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM toks WHERE len(w) >= 3
+  )
+),
+based AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 2147483647 AS base
+  FROM sh3
+),
+sig AS (
+  SELECT doc_id, j,
+         MIN((((j * 2654435761 + 1) % 2147483647) * base
+              + ((j * 40503 + 7) % 2147483647)) % 2147483647) AS h
+  FROM based CROSS JOIN (SELECT unnest(range(32)) AS j) js
+  GROUP BY doc_id, j
+),
+bandsig AS (
+  SELECT doc_id, CAST(j // 4 AS INT) AS band, list(h ORDER BY j) AS bsig
+  FROM sig GROUP BY 1, 2
+),
+d1_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM fresh1)
+    AND b.doc_id IN (SELECT doc_id FROM fresh1)
+),
+d1_dropped AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM d1_cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY c.id_a, c.id_b
+  HAVING SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) * 2 >= 32
+),
+surv1 AS (
+  SELECT doc_id FROM fresh1
+  WHERE doc_id NOT IN (SELECT doc_id FROM d1_dropped)
+),
+hist_fp AS (SELECT DISTINCT fingerprint FROM fresh1),
+day2_clean AS (
+  SELECT fp.* FROM fp
+  WHERE doc_id >= 250 AND doc_id % 20 <> 19
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+fresh2 AS (
+  SELECT MIN(doc_id) AS doc_id, fingerprint
+  FROM day2_clean
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM hist_fp)
+  GROUP BY fingerprint
+),
+cross_cand AS (
+  SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+  FROM bandsig b JOIN bandsig h ON b.band = h.band AND b.bsig = h.bsig
+  WHERE b.doc_id IN (SELECT doc_id FROM fresh2)
+    AND h.doc_id IN (SELECT doc_id FROM surv1)
+),
+hist_dropped2 AS (
+  SELECT DISTINCT c.bid AS doc_id
+  FROM cross_cand c
+  JOIN sig sb ON sb.doc_id = c.bid
+  JOIN sig sh2 ON sh2.doc_id = c.hid AND sh2.j = sb.j
+  GROUP BY c.bid, c.hid
+  HAVING SUM(CASE WHEN sb.h = sh2.h THEN 1 ELSE 0 END) * 2 >= 32
+),
+d2_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM fresh2)
+    AND b.doc_id IN (SELECT doc_id FROM fresh2)
+    AND a.doc_id NOT IN (SELECT doc_id FROM hist_dropped2)
+    AND b.doc_id NOT IN (SELECT doc_id FROM hist_dropped2)
+),
+d2_dropped AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM d2_cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+  GROUP BY c.id_a, c.id_b
+  HAVING SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) * 2 >= 32
+)
+SELECT f.doc_id, fp.lang
+FROM fresh2 f JOIN fp ON fp.doc_id = f.doc_id
+WHERE f.doc_id NOT IN (SELECT doc_id FROM hist_dropped2)
+  AND f.doc_id NOT IN (SELECT doc_id FROM d2_dropped)
+ORDER BY f.doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -1811,6 +1989,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_dominant_part_suppliers": q116_dominant_part_suppliers,
     "q117_rich_idle_customers": q117_rich_idle_customers,
     "q118_salted_stream_agg": q118_salted_stream_agg,
+    "q119_daily_ingest": q119_daily_ingest,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -1848,4 +2027,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q116_dominant_part_suppliers": ORACLE_Q116,
     "q117_rich_idle_customers": ORACLE_Q117,
     "q118_salted_stream_agg": ORACLE_Q118,
+    "q119_daily_ingest": ORACLE_Q119,
 }

@@ -206,3 +206,52 @@ def test_checkpoint_input_token_invalidates(spark, tmp_path):
     # the documented single-snapshot contract)
     out3 = p.run(d2, checkpoint_dir=ckpt, input_token="snap=2026-08-13")
     assert out3.count() == 3
+
+
+def test_daily_ingest_two_epochs_and_resume(spark, tmp_path):
+    """The two-epoch refresh contract (q119's unit shape): day-2
+    ingest drops duplicates of day-1 CONTENT via the committed stores,
+    and a committed epoch resumes WITHOUT touching its input at all —
+    proven by deleting day-1's input files before the re-run."""
+    import shutil
+
+    from sif_spark.pipeline import daily_ingest
+
+    day1_src = str(tmp_path / "day1")
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # exact dup -> keep 1
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(day1_src)
+    day1 = spark.read.parquet(day1_src)
+    s1 = daily_ingest(day1, store, "day1", hash_fn="md5")
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 3]
+
+    # epoch committed -> resume must not read the input: delete it
+    lazy_day1 = spark.read.parquet(day1_src)
+    shutil.rmtree(day1_src)
+    resumed = daily_ingest(lazy_day1, store, "day1", hash_fn="md5")
+    assert sorted(r["doc_id"] for r in resumed.collect()) == [1, 3]
+
+    day2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # dup of day-1 -> dropped
+            (11, "totally new content with different words entirely"),
+            (12, "totally new content with different words entirely"),  # within-day2 dup -> keep 11
+            (13, "one two three four five six seven eight nine TEN"),  # near-dup of 3
+        ],
+        "doc_id long, text string",
+    )
+    s2 = daily_ingest(day2, store, "day2", hash_fn="md5")
+    got = sorted(r["doc_id"] for r in s2.collect())
+    assert 10 not in got          # exact store lookup dropped day-1 content
+    assert 11 in got and 12 not in got  # within-day2 exact keep-min
+    # doc 13 shares 7/10 trigram shingles with day-1 doc 3 (J = 0.54
+    # over the union): above the 0.5 threshold -> dropped by the
+    # SIGNATURE store (day-1 text no longer even exists on disk)
+    assert 13 not in got
+    assert got == [11]

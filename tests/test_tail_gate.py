@@ -87,6 +87,8 @@ TAIL = [
     "q115_correlated_scalar_subqueries",
     "q116_dominant_part_suppliers",
     "q117_rich_idle_customers",
+    "q118_salted_stream_agg",
+    "q119_daily_ingest",
 ]
 
 
