@@ -103,9 +103,6 @@ def _ship_package(spark: SparkSession) -> None:
     which could silently swallow a genuine shipping failure and
     reintroduce the very ModuleNotFoundError this code prevents), and
     any addPyFile error now propagates."""
-    import tempfile
-    import zipfile
-
     sc = spark.sparkContext
     try:
         already = any("sif_spark_pyfiles" in f for f in sc.listFiles)
@@ -113,6 +110,15 @@ def _ship_package(spark: SparkSession) -> None:
         already = False  # listFiles unavailable on this master — ship anyway
     if already:
         return
+    sc.addPyFile(_build_pkg_zip())
+
+
+def _build_pkg_zip() -> str:
+    """Zip the sif_spark package (arcnames rooted at sif_spark/ — the
+    layout addPyFile must see) into a per-process unique temp file."""
+    import tempfile
+    import zipfile
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     fd, zpath = tempfile.mkstemp(prefix="sif_spark_pyfiles_", suffix=".zip")
     os.close(fd)
@@ -123,7 +129,7 @@ def _ship_package(spark: SparkSession) -> None:
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
-    sc.addPyFile(zpath)
+    return zpath
 
 
 def stop_session() -> None:

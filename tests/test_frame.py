@@ -216,21 +216,29 @@ def test_to_chain(spark):
     assert sorted(r["sq"] for r in out) == [0, 4, 16, 36, 64]
 
 
-def test_ship_package_zip_contents(spark, tmp_path, monkeypatch):
+def test_ship_package_zip_contents(tmp_path, monkeypatch):
     """The executor-shipping zip (CLUSTER.md fix) must contain the
     whole package rooted at sif_spark/ — a wrong arcname would ship a
     zip that unpacks to the wrong sys.path layout and reintroduce the
-    local-cluster ModuleNotFoundError silently."""
+    local-cluster ModuleNotFoundError silently. The zip name is a
+    per-process unique temp file (ADVICE r6: a fixed path was racy
+    across concurrent sessions)."""
+    import os
     import tempfile
     import zipfile
 
     from sif_spark import session as sess
 
-    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
-    sess._ship_package(spark)  # addPyFile on a local master is harmless
-    with zipfile.ZipFile(tmp_path / "sif_spark_pyfiles.zip") as z:
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    zpath = sess._build_pkg_zip()
+    base = os.path.basename(zpath)
+    assert base.startswith("sif_spark_pyfiles_") and base.endswith(".zip")
+    assert os.path.dirname(zpath) == str(tmp_path)
+    with zipfile.ZipFile(zpath) as z:
         names = z.namelist()
     assert "sif_spark/session.py" in names
     assert "sif_spark/operators/multimodal.py" in names
     assert "sif_spark/sources/custom.py" in names
     assert all(n.startswith("sif_spark/") for n in names)
+    # unique per call — two sessions never race on one path
+    assert sess._build_pkg_zip() != zpath
