@@ -17,11 +17,27 @@ to adjudicate flagged ratios against. Execution is forced through the
 driver-side collect overhead. The headline value is the sum of
 per-query medians.
 
+Calibration lesson (round 7, measured twice): the frozen scan-agg
+probe (VERDICT r4 ask #4) is kept ONLY as a coarse cross-round
+host-speed indicator, captured at one fixed lifecycle point (fresh
+session, before the first entry) — it CANNOT normalize per-entry
+regressions. Two failure modes were measured this round: (a) host
+weather drifts WITHIN a run (the probe swung 0.385 s → 0.704 s in
+back-to-back runs the same afternoon, flagging 13 phantom
+regressions whose raw times were stable), and (b) an interleaved
+probe measures its own JIT/page-cache progression, not host speed
+(probe samples decayed 0.435 → 0.14 s across 15 blocks while entry
+times held flat — the probe executes 60×/run, entries 4×).
+tools/bench_compare.py therefore detects regressions by
+SELF-NORMALIZATION: each entry's raw ratio is divided by the median
+ratio over all shared entries (the bulk of the catalog is unchanged
+in any round, so the median IS the host drift), and only
+drift-corrected outliers beyond the entry's own noise bound flag.
+
 Output schema: `queries` maps entry → MEDIAN seconds (the field the
 driver and bench_compare consume); `queries_detail` maps entry →
 {median, min, spread}; `calibration`/`calibration_detail` get the
-same treatment (kept FROZEN — the fixed scan-agg that normalizes
-cross-round host drift, VERDICT r4 ask #4).
+same treatment.
 """
 
 from __future__ import annotations
@@ -83,8 +99,9 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_session("bench")
 
-    # Calibration first (stable position: before any catalog entry has
-    # touched caches/checkpoints), same warmup + median-of-N protocol.
+    # One calibration capture at a FIXED lifecycle point (fresh
+    # session, before any entry) — comparable round-to-round, and
+    # explicitly NOT used for per-entry normalization (module doc).
     calib_detail = timed_runs(
         lambda: calibration_query(spark, sf_dir)
         .write.format("noop")

@@ -1,19 +1,23 @@
-"""Compare two bench captures with host-drift normalization and
-noise-bounded regression flagging (VERDICT r6 "Next round" #1).
+"""Compare two bench captures with SELF-NORMALIZED regression
+flagging (VERDICT r6 "Next round" #1, protocol hardened twice within
+round 7 — see bench.py's module doc for the measured history).
 
-Each entry's seconds are divided by its run's `calibration` value
-(the fixed scan-agg bench.py times first — VERDICT r4 ask #4), so
-cross-round comparisons measure PLAN changes, not host weather (this
-host has shown 1.4-2× round-to-round drift; see ROUND4/ROUND5 bench
-notes).
+Why not calibration-normalized: the fixed scan-agg probe cannot
+normalize per-entry regressions on this host — its start-of-run
+sample swings ±80% with host weather between back-to-back runs, and
+an interleaved probe measures its own JIT/page-cache progression
+(samples decayed 0.435 → 0.14 s across one run while entry times
+held flat). Both variants flagged double-digit PHANTOM regressions
+on entries whose raw times were stable.
 
-Regression rule: an entry is flagged when its normalized median
-ratio (new/old) exceeds BOTH
+What works instead: in any round, the bulk of the catalog is
+untouched, so the MEDIAN of per-entry raw ratios (new/old) IS the
+host drift between the two captures. Each entry's drift-corrected
+ratio = raw ratio / median ratio. An entry flags as a regression when
+its corrected ratio exceeds BOTH
   - 1.25 (the judge's materiality threshold), and
-  - 1 + spread_old + spread_new (the entry's own measured noise
-    bound; spread = (max-min)/median over that capture's N timed
-    runs — an entry whose two captures each wobble ±20% can't
-    support a 1.3× verdict).
+  - 1 + spread_old + spread_new (its own measured noise bound;
+    spread = (max-min)/median over that capture's N timed runs).
 Captures from rounds before the median protocol (r6 and earlier:
 min-of-2, no `queries_detail`) carry no spread; comparisons against
 them use a default 0.30 spread on the detail-less side — the ±30%
@@ -22,16 +26,21 @@ Statistic comparability: when exactly one capture has detail, the
 detailed side uses its MIN (min vs min — comparing an old min
 against a new median would bias every ratio upward).
 
+The run-level `calibration` fields are reported as a coarse
+host-speed indicator only.
+
 Usage: python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
-Prints per-entry normalized ratios (new/old), worst first, then a
-summary line. Entries present in only one capture are listed
+Prints per-entry drift-corrected ratios (new/old), worst first, then
+a summary line. Entries present in only one capture are listed
 separately. Sub-100ms entries are noise — marked, never flagged.
+Exits nonzero when any entry flags.
 """
 
 from __future__ import annotations
 
 import json
 import re
+import statistics
 import sys
 
 LEGACY_SPREAD = 0.30  # measured r6 capture-to-capture disagreement
@@ -90,11 +99,13 @@ def main() -> None:
                 side[q] = d["min"]
     shared = sorted(q for q in set(old_q) & set(new_q)
                     if old_q[q] >= 0 and new_q[q] >= 0)
+    raw = {q: (new_q[q] / old_q[q] if old_q[q] > 0 else float("inf"))
+           for q in shared}
+    drift = statistics.median(raw.values()) if raw else 1.0
     rows = []
     flagged = 0
     for q in shared:
-        o, n = old_q[q] / old_cal, new_q[q] / new_cal
-        ratio = n / o if o > 0 else float("inf")
+        ratio = raw[q] / drift
         s_old = old_d.get(q, {}).get("spread", LEGACY_SPREAD)
         s_new = new_d.get(q, {}).get("spread", LEGACY_SPREAD)
         noise = 1.0 + s_old + s_new
@@ -102,9 +113,9 @@ def main() -> None:
         flagged += is_flag
         rows.append((ratio, q, old_q[q], new_q[q], noise, is_flag))
     rows.sort(reverse=True)
-    print(f"statistic: {stat}; calibration: old={old_cal:.3f}s new={new_cal:.3f}s "
-          f"(host speed ratio {new_cal/old_cal:.2f}x)")
-    print(f"{'entry':38s} {'old_s':>7s} {'new_s':>7s} {'norm_ratio':>10s} {'noise_bound':>11s}")
+    print(f"statistic: {stat}; host drift (median raw ratio): {drift:.2f}x; "
+          f"calibration (coarse): old={old_cal:.3f}s new={new_cal:.3f}s")
+    print(f"{'entry':38s} {'old_s':>7s} {'new_s':>7s} {'corr_ratio':>10s} {'noise_bound':>11s}")
     for ratio, q, o_s, n_s, noise, is_flag in rows:
         mark = " <-- REGRESSION" if is_flag else ""
         if max(o_s, n_s) < 0.1:
@@ -116,12 +127,12 @@ def main() -> None:
         print("removed:", ", ".join(only_old))
     if only_new:
         print("added:", ", ".join(f"{q} ({new_q[q]:.2f}s)" for q in only_new))
-    norm_old = sum(old_q[q] for q in shared) / old_cal
-    norm_new = sum(new_q[q] for q in shared) / new_cal
+    tot_old = sum(old_q[q] for q in shared)
+    tot_new = sum(new_q[q] for q in shared)
     print(
-        f"shared-entry normalized total: old {norm_old:.1f} "
-        f"new {norm_new:.1f} (ratio {norm_new/norm_old:.2f}); "
-        f"flagged regressions: {flagged}"
+        f"shared-entry raw total: old {tot_old:.1f}s new {tot_new:.1f}s "
+        f"(raw ratio {tot_new/tot_old:.2f}, drift-corrected "
+        f"{tot_new/tot_old/drift:.2f}); flagged regressions: {flagged}"
     )
     sys.exit(1 if flagged else 0)
 
