@@ -421,13 +421,237 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW → palette indices. Variable code width 3-12
+    bits, LSB-first bit packing, clear/EOI codes, dictionary grows by
+    one entry per emitted code. Raises on malformed streams."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = {i: (i,) for i in range(clear)}
+    table = dict(base)
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = dict(base)
+                next_code = eoi + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]  # first code after clear must exist
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)  # the KwKwK case
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                # bump AFTER the add, on the decoder's own counter —
+                # the encoder simulates exactly this counter (one add
+                # per data code read beyond the first per segment) for
+                # its width schedule, so both sides change width at
+                # the same code position even though the encoder's
+                # TABLE counter runs one ahead mid-stream
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    raise ValueError("GIF LZW stream ended without EOI")
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """Pure-stdlib GIF decoder (GIF87a/89a): first frame → (H, W, 3)
+    RGB uint8 via the active palette. Handles global and local color
+    tables, the 4-pass interlace row order, extension-block skipping,
+    and the full variable-width LZW code stream (clear/EOI, KwKwK,
+    12-bit cap). Animation frames beyond the first, and transparency
+    compositing, are out of scope — the first image descriptor is
+    decoded exactly and the rest of the stream ignored."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF blob (magic {blob[:6]!r})")
+    sw = int.from_bytes(blob[6:8], "little")
+    sh = int.from_bytes(blob[8:10], "little")
+    packed = blob[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        block = blob[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(blob[pos + 4 : pos + 6], "little")
+            h = int.from_bytes(blob[pos + 6 : pos + 8], "little")
+            ipacked = blob[pos + 8]
+            pos += 9
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data short of width*height")
+            arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = []
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows.extend(range(start, h, step))
+                deinter = np.empty_like(arr)
+                deinter[rows] = arr
+                arr = deinter
+            if arr.max() >= len(pal):
+                raise ValueError("GIF index exceeds palette size")
+            return pal[arr]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError(f"GIF ({sw}x{sh}) contains no image descriptor")
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) RGB uint8 with ≤ 256 distinct colors → single-frame
+    GIF89a (exact palette from the image — no quantization; more
+    colors raise). ``interlace=True`` writes the 4-pass row order to
+    exercise the decoder's deinterlace path."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H,W,3), got {a.shape}")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    pal, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"{len(pal)} distinct colors; GIF allows 256")
+    bits = max(2, int(len(pal) - 1).bit_length())
+    pal_full = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal_full[: len(pal)] = pal
+    idx = inverse.reshape(h, w)
+    if interlace:
+        rows = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            rows.extend(range(start, h, step))
+        idx = idx[rows]
+    # -- LZW encode (variable width, LSB-first) --
+    # Width bookkeeping subtlety: the DECODER adds one table entry per
+    # data code read beyond the first in each clear segment, so its
+    # counter lags the encoder's table counter by one mid-stream and
+    # catches up on the final (flush) code, which adds nothing encoder-
+    # side. Widths must follow the DECODER's schedule, so the encoder
+    # tracks `dec_next` — a simulation of the decoder's counter — and
+    # bumps width from it, keeping `next_code` purely for table
+    # content / 4096-full detection. (Deriving width from next_code
+    # desyncs the EOI width whenever the flush lands on a power-of-two
+    # boundary — found by the Hypothesis sweep at exactly 6- and
+    # 14-pixel images with a 5-color palette.)
+    min_code = bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    dec_next = eoi + 1
+    width = min_code + 1
+    first_in_segment = True
+    codes: list[tuple[int, int]] = [(clear, width)]
+
+    def emit_data(code: int) -> None:
+        nonlocal dec_next, width, first_in_segment
+        codes.append((code, width))
+        if first_in_segment:
+            first_in_segment = False
+            return
+        if dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
+
+    seq: tuple[int, ...] = ()
+    for v in idx.ravel().tolist():
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+            continue
+        emit_data(table[seq])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            codes.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            dec_next = eoi + 1
+            width = min_code + 1
+            first_in_segment = True
+        seq = (v,)
+    if seq:
+        emit_data(table[seq])
+    codes.append((eoi, width))
+    acc = nbits = 0
+    payload = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        payload.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size
+    out += pal_full.tobytes()
+    out += bytes([0x2C, 0, 0, 0, 0])
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00, min_code])
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0x00, 0x3B])
+    return bytes(out)
+
+
 def media_decoder(blob: bytes) -> np.ndarray:
     """Format-sniffed decode dispatch — the default decoder for
     `decode_features`. Covers the dependency-free formats (PPM/PGM,
-    24-bpp BMP, PCM WAV) plus 8-bit non-interlaced PNG (stdlib zlib);
-    anything else raises NotImplementedError naming the sniffed
-    format so the remaining compressed media (jpeg/gif/mp3/video)
-    still gates loudly behind an injected codec."""
+    24-bpp BMP, PCM WAV) plus the two compressed formats
+    implementable from the stdlib: 8-bit non-interlaced PNG (zlib)
+    and GIF87a/89a first-frame (pure-Python LZW); anything else
+    raises NotImplementedError naming the sniffed format so the
+    remaining compressed media (jpeg/mp3/video) still gates loudly
+    behind an injected codec."""
     if blob[:2] in (b"P6", b"P5"):
         return decode_ppm(blob)
     if blob[:2] == b"BM":
@@ -436,13 +660,15 @@ def media_decoder(blob: bytes) -> np.ndarray:
         return decode_wav(blob)
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(blob)
     sniffed = next(
         (name for name, magic in _MAGIC.items() if blob[: len(magic)] == magic),
         "unknown",
     )
     raise NotImplementedError(
         f"no built-in codec for format {sniffed!r}: built-ins cover "
-        "ppm/pgm/bmp/wav/png; pass decoder= with a real codec for "
+        "ppm/pgm/bmp/wav/png/gif; pass decoder= with a real codec for "
         "compressed media"
     )
 

@@ -265,3 +265,27 @@ def test_sample_frames_default_wav(spark):
     assert [r["frame_idx"] for r in rows] == [0, 1]
     got = np.frombuffer(rows[0]["frame"], dtype="<i2")
     assert np.array_equal(got, pcm[: mm.WAV_FRAME_SAMPLES])
+
+
+def test_gif_dict_reset_and_rejections():
+    """A 300×301 random 256-color image forces the LZW dictionary to
+    the 4096-entry cap and through the clear-code reset path; exact
+    identity proves the reset stays synchronized. Rejections are
+    loud: >256 distinct colors (no silent quantization), truncated
+    streams, missing image descriptor."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, size=(300, 301))]
+    for interlace in (False, True):
+        assert np.array_equal(
+            mm.decode_gif(mm.encode_gif(img, interlace=interlace)), img
+        )
+    with pytest.raises(ValueError, match="distinct colors"):
+        mm.encode_gif(rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="GIF"):
+        mm.decode_gif(b"GIF89a" + bytes(20))
+    blob = bytearray(mm.encode_gif(img))
+    with pytest.raises(ValueError):
+        mm.decode_gif(bytes(blob[:200]))  # truncated mid-stream

@@ -434,6 +434,35 @@ def test_png_roundtrip_property(h, w, seed, channels, filter_type):
 
 
 @given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ncolors=st.sampled_from([2, 3, 5, 16, 100, 256]),
+    seed=st.integers(0, 2**31 - 1),
+    interlace=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(h, w, ncolors, seed, interlace):
+    """encode→decode identity across palette sizes (2 → 256 colors,
+    i.e. every LZW starting code width), both interlace modes, and
+    1-pixel / single-row/column shapes. The LZW variable-width
+    synchronization (the decoder's one-entry lag / 'early change'
+    bump) is exactly the class of bug this sweeps for — a width
+    desync produces garbage indices, never an off-by-one."""
+    import numpy as np
+
+    from sif_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncolors, size=(h, w))]
+    blob = mm.encode_gif(img, interlace=interlace)
+    out = mm.decode_gif(blob)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+    assert np.array_equal(mm.media_decoder(blob), img)
+
+
+@given(
     samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
     channels=st.integers(1, 4),
 )
