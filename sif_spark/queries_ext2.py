@@ -1134,13 +1134,15 @@ def q109_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end (VERDICT r5 #2; PNG added per
-    VERDICT r6 #2): 48 docs each get a generated blob in a real
-    on-disk format by doc_id % 4 — P6 PPM (16×16 RGB), 24-bpp BMP
-    (9×15 — odd width so every row carries 4-byte padding), 16-bit
-    stereo PCM WAV (500 frames), or 8-bit RGBA PNG (11×13, encoded
-    with MIXED scanline filters — row r uses filter r % 5, so the
-    zlib inflate AND all five unfilter paths sit in the oracle-gated
-    pipeline) — with element values a closed-form function of
+    VERDICT r6 #2; GIF added round 7): 48 docs each get a generated
+    blob in a real on-disk format by doc_id % 5 — P6 PPM (16×16
+    RGB), 24-bpp BMP (9×15 — odd width so every row carries 4-byte
+    padding), 16-bit stereo PCM WAV (500 frames), 8-bit RGBA PNG
+    (11×13, encoded with MIXED scanline filters — row r uses filter
+    r % 5, so the zlib inflate AND all five unfilter paths sit in
+    the oracle-gated pipeline), or INTERLACED 32-color GIF (10×12 —
+    LZW decode + 4-pass deinterlace + palette lookup all under the
+    gate) — with element values a closed-form function of
     (doc_id, position). Each blob then goes through
     `multimodal.media_decoder`, the format-sniffed DEFAULT decode
     path (no injected codec anywhere), and the decoded array is
@@ -1148,13 +1150,14 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The weighting is what makes the gate strong: a decoder that
     mis-handles BMP's bottom-up row order, its row padding, BGR→RGB,
-    the PPM header offset, WAV channel interleave, or any PNG
-    unfilter's left/up dependency produces the same multiset of
-    values but different positions — the plain sum would still match;
-    the weighted digest cannot. The oracle recomputes the digest in
-    closed form from the generation function (pure SQL over range()
-    grids — DuckDB never needs a codec), so Spark-side encode→decode
-    must be an exact identity for all four formats.
+    the PPM header offset, WAV channel interleave, any PNG unfilter's
+    left/up dependency, or GIF's interlace row order produces the
+    same multiset of values but different positions — the plain sum
+    would still match; the weighted digest cannot. The oracle
+    recomputes the digest in closed form from the generation function
+    (pure SQL over range() grids — DuckDB never needs a codec), so
+    Spark-side encode→decode must be an exact identity for all five
+    formats.
 
     Scale shape: generation+decode+digest ride ONE mapInPandas over
     the doc_id projection — no shuffle at all until the final orderBy
@@ -1175,7 +1178,7 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             recs = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                m = did % 4
+                m = did % 5
                 if m in (0, 1):
                     h, w = (16, 16) if m == 0 else (9, 15)
                     y, x, c = np.meshgrid(
@@ -1191,6 +1194,19 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     v = ((did + 3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
                     blob = mm.encode_png(v, filter_type="mixed")
                     fmt = "png"
+                elif m == 4:
+                    pal = np.stack(
+                        [
+                            np.arange(32),
+                            (3 * np.arange(32)) % 256,
+                            (7 * np.arange(32)) % 256,
+                        ],
+                        axis=1,
+                    ).astype(np.uint8)
+                    y, x = np.meshgrid(np.arange(10), np.arange(12), indexing="ij")
+                    idx = (did + 5 * y + 3 * x) % 32
+                    blob = mm.encode_gif(pal[idx], interlace=True)
+                    fmt = "gif"
                 else:
                     i, ch = np.meshgrid(np.arange(500), np.arange(2), indexing="ij")
                     s = ((did * 7 + 13 * i + 11 * ch) % 4001 - 2000).astype(np.int16)
@@ -1229,31 +1245,42 @@ ppm AS (
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(16) AS y(j), range(16) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 4 = 0 GROUP BY doc_id
+  WHERE doc_id % 5 = 0 GROUP BY doc_id
 ),
 bmp AS (
   SELECT doc_id, 'bmp' AS fmt, CAST(9*15*3 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(9) AS y(j), range(15) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 4 = 1 GROUP BY doc_id
+  WHERE doc_id % 5 = 1 GROUP BY doc_id
 ),
 wav AS (
   SELECT doc_id, 'wav' AS fmt, CAST(500*2 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id*7 + 13*i.n + 11*ch.m) % 4001 - 2000)
                   * (1 + (i.n % 31) + 2*ch.m)) AS BIGINT) AS digest
   FROM d, range(500) AS i(n), range(2) AS ch(m)
-  WHERE doc_id % 4 = 2 GROUP BY doc_id
+  WHERE doc_id % 5 = 2 GROUP BY doc_id
 ),
 png AS (
   SELECT doc_id, 'png' AS fmt, CAST(11*13*4 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(11) AS y(j), range(13) AS x(i), range(4) AS c(k)
-  WHERE doc_id % 4 = 3 GROUP BY doc_id
+  WHERE doc_id % 5 = 3 GROUP BY doc_id
+),
+gif AS (
+  SELECT doc_id, 'gif' AS fmt, CAST(10*12*3 AS BIGINT) AS n_elems,
+         CAST(SUM(
+           (CASE c.k WHEN 0 THEN (doc_id + 5*y.j + 3*x.i) % 32
+                     WHEN 1 THEN (3*((doc_id + 5*y.j + 3*x.i) % 32)) % 256
+                     ELSE (7*((doc_id + 5*y.j + 3*x.i) % 32)) % 256 END)
+           * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
+  FROM d, range(10) AS y(j), range(12) AS x(i), range(3) AS c(k)
+  WHERE doc_id % 5 = 4 GROUP BY doc_id
 )
 SELECT * FROM ppm UNION ALL SELECT * FROM bmp
 UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM png
+UNION ALL SELECT * FROM gif
 ORDER BY doc_id
 """
 
