@@ -43,6 +43,9 @@ _MAGIC = {
     "jpeg": b"\xff\xd8\xff",
     "gif": b"GIF8",
     "riff": b"RIFF",  # wav/avi container
+    "gzip": b"\x1f\x8b",
+    "tiff": b"II*\x00",
+    "tiff_be": b"MM\x00*",
     "mp3": b"ID3",
     "pdf": b"%PDF",
     "parquet": b"PAR1",
@@ -643,15 +646,151 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "samples",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def decode_tiff(blob: bytes) -> np.ndarray:
+    """Uncompressed baseline TIFF decoder, BOTH byte orders ("II"
+    little- and "MM" big-endian — the classic portability trap is
+    that inline IFD values are left-justified in the 4-byte field
+    under MM): 8-bit grayscale (PhotometricInterpretation 1) →
+    (H, W), RGB (2) → (H, W, 3), chunky planar config, any strip
+    layout. Compressed TIFF (LZW/PackBits/JPEG), palette, tiles, and
+    non-8-bit depths raise with the reason named."""
+    if blob[:4] == b"II*\x00":
+        bo = "little"
+    elif blob[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError(f"not a TIFF blob (magic {blob[:4]!r})")
+
+    def num(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    ifd_off = num(blob[4:8])
+    n_entries = num(blob[ifd_off : ifd_off + 2])
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag = num(blob[e : e + 2])
+        typ = num(blob[e + 2 : e + 4])
+        cnt = num(blob[e + 4 : e + 8])
+        name = _TIFF_TAGS.get(tag)
+        if name is None or typ not in _TIFF_TYPE_SIZE:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            raw = blob[e + 8 : e + 8 + size]  # inline, left-justified
+        else:
+            off = num(blob[e + 8 : e + 12])
+            raw = blob[off : off + size]
+        step = _TIFF_TYPE_SIZE[typ]
+        tags[name] = [num(raw[j : j + step]) for j in range(0, size, step)]
+
+    def one(name: str, default: int | None = None) -> int:
+        if name in tags:
+            return tags[name][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {name}")
+        return default
+
+    if one("compression", 1) != 1:
+        raise ValueError(
+            f"unsupported TIFF compression {one('compression')}; built-in "
+            "codec covers uncompressed (1) only"
+        )
+    if one("planar", 1) != 1:
+        raise ValueError("unsupported TIFF planar configuration (chunky only)")
+    photo = one("photometric")
+    if photo not in (1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photo} (gray=1/RGB=2 only)")
+    samples = one("samples", 1)
+    if any(b != 8 for b in tags.get("bits", [8])):
+        raise ValueError(f"unsupported TIFF bit depth {tags['bits']} (8-bit only)")
+    w, h = one("width"), one("height")
+    offs = tags["strip_offsets"]
+    cnts = tags.get("strip_counts", [w * h * samples])
+    data = b"".join(blob[o : o + c] for o, c in zip(offs, cnts))
+    if len(data) < w * h * samples:
+        raise ValueError("TIFF strip data short of width*height*samples")
+    arr = np.frombuffer(data, np.uint8, w * h * samples).reshape(h, w, samples)
+    return arr[:, :, 0].copy() if photo == 1 else arr.copy()
+
+
+def encode_tiff(arr: np.ndarray, byte_order: str = "<") -> bytes:
+    """(H, W) gray / (H, W, 3) RGB uint8 → uncompressed single-strip
+    baseline TIFF in either byte order ("<" → II, ">" → MM) — the MM
+    mode exists to exercise the decoder's big-endian/IFD-justification
+    path in round-trip tests."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        samples, photo = 1, 1
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        samples, photo = 3, 2
+        h, w = a.shape[:2]
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    bo = "little" if byte_order == "<" else "big"
+    magic = b"II*\x00" if bo == "little" else b"MM\x00*"
+    pix = a.tobytes()
+
+    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, raw)
+
+    def short(v: int) -> bytes:
+        return v.to_bytes(2, bo)
+
+    def long(v: int) -> bytes:
+        return v.to_bytes(4, bo)
+
+    # layout: header(8) + pixel data + [bits array if RGB] + IFD
+    pix_off = 8
+    extra_off = pix_off + len(pix)
+    extra = b""
+    if samples == 3:
+        bits_raw = long(extra_off)
+        extra = short(8) * 3
+    else:
+        bits_raw = short(8) + b"\x00\x00"
+    ifd_off = extra_off + len(extra)
+    entries = [
+        (256, 4, 1, long(w)),
+        (257, 4, 1, long(h)),
+        (258, 3, 3 if samples == 3 else 1, bits_raw),
+        (259, 3, 1, short(1) + b"\x00\x00"),
+        (262, 3, 1, short(photo) + b"\x00\x00"),
+        (273, 4, 1, long(pix_off)),
+        (277, 3, 1, short(samples) + b"\x00\x00"),
+        (278, 4, 1, long(h)),
+        (279, 4, 1, long(len(pix))),
+        (284, 3, 1, short(1) + b"\x00\x00"),
+    ]
+    ifd = short(len(entries))
+    for tag, typ, cnt, raw in entries:
+        # inline values are LEFT-justified in the 4-byte field: under
+        # MM a SHORT must sit in the HIGH bytes — achieved here by
+        # building `raw` as value-bytes-then-padding in file order
+        ifd += short(tag) + short(typ) + long(cnt) + raw.ljust(4, b"\x00")
+    ifd += long(0)  # no next IFD
+    return magic + long(ifd_off) + pix + extra + ifd
+
+
 def media_decoder(blob: bytes) -> np.ndarray:
     """Format-sniffed decode dispatch — the default decoder for
     `decode_features`. Covers the dependency-free formats (PPM/PGM,
-    24-bpp BMP, PCM WAV) plus the two compressed formats
-    implementable from the stdlib: 8-bit non-interlaced PNG (zlib)
-    and GIF87a/89a first-frame (pure-Python LZW); anything else
-    raises NotImplementedError naming the sniffed format so the
-    remaining compressed media (jpeg/mp3/video) still gates loudly
-    behind an injected codec."""
+    24-bpp BMP, PCM WAV, uncompressed TIFF in both byte orders) plus
+    the two compressed formats implementable from the stdlib: 8-bit
+    non-interlaced PNG (zlib) and GIF87a/89a first-frame (pure-Python
+    LZW). A gzip wrapper is transparently unwrapped and re-dispatched
+    (corpora store media gzipped at rest). Anything else raises
+    NotImplementedError naming the sniffed format so the remaining
+    compressed media (jpeg/mp3/video) still gates loudly behind an
+    injected codec."""
     if blob[:2] in (b"P6", b"P5"):
         return decode_ppm(blob)
     if blob[:2] == b"BM":
@@ -662,13 +801,23 @@ def media_decoder(blob: bytes) -> np.ndarray:
         return decode_png(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(blob)
+    if blob[:2] == b"\x1f\x8b":
+        # gzip wrapper — corpora routinely store media gzip-compressed
+        # at rest; unwrap (stdlib) and re-dispatch on the inner bytes.
+        # A gzipped JPEG still raises the inner format's loud gate.
+        import gzip
+
+        return media_decoder(gzip.decompress(blob))
     sniffed = next(
         (name for name, magic in _MAGIC.items() if blob[: len(magic)] == magic),
         "unknown",
     )
     raise NotImplementedError(
         f"no built-in codec for format {sniffed!r}: built-ins cover "
-        "ppm/pgm/bmp/wav/png/gif; pass decoder= with a real codec for "
+        "ppm/pgm/bmp/wav/png/gif/tiff (+gzip unwrap); pass decoder= with a "
+        "real codec for "
         "compressed media"
     )
 

@@ -1135,14 +1135,16 @@ def q109_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end (VERDICT r5 #2; PNG added per
     VERDICT r6 #2; GIF added round 7): 48 docs each get a generated
-    blob in a real on-disk format by doc_id % 5 — P6 PPM (16×16
+    blob in a real on-disk format by doc_id % 6 — P6 PPM (16×16
     RGB), 24-bpp BMP (9×15 — odd width so every row carries 4-byte
     padding), 16-bit stereo PCM WAV (500 frames), 8-bit RGBA PNG
     (11×13, encoded with MIXED scanline filters — row r uses filter
     r % 5, so the zlib inflate AND all five unfilter paths sit in
-    the oracle-gated pipeline), or INTERLACED 32-color GIF (10×12 —
+    the oracle-gated pipeline), INTERLACED 32-color GIF (10×12 —
     LZW decode + 4-pass deinterlace + palette lookup all under the
-    gate) — with element values a closed-form function of
+    gate), or BIG-ENDIAN grayscale TIFF (14×11 — MM byte order, so
+    the IFD endianness/justification path is gated too) — with
+    element values a closed-form function of
     (doc_id, position). Each blob then goes through
     `multimodal.media_decoder`, the format-sniffed DEFAULT decode
     path (no injected codec anywhere), and the decoded array is
@@ -1151,13 +1153,13 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The weighting is what makes the gate strong: a decoder that
     mis-handles BMP's bottom-up row order, its row padding, BGR→RGB,
     the PPM header offset, WAV channel interleave, any PNG unfilter's
-    left/up dependency, or GIF's interlace row order produces the
-    same multiset of values but different positions — the plain sum
-    would still match; the weighted digest cannot. The oracle
-    recomputes the digest in closed form from the generation function
-    (pure SQL over range() grids — DuckDB never needs a codec), so
-    Spark-side encode→decode must be an exact identity for all five
-    formats.
+    left/up dependency, GIF's interlace row order, or TIFF's byte
+    order produces the same multiset of values but different
+    positions — the plain sum would still match; the weighted digest
+    cannot. The oracle recomputes the digest in closed form from the
+    generation function (pure SQL over range() grids — DuckDB never
+    needs a codec), so Spark-side encode→decode must be an exact
+    identity for all six formats.
 
     Scale shape: generation+decode+digest ride ONE mapInPandas over
     the doc_id projection — no shuffle at all until the final orderBy
@@ -1178,7 +1180,7 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             recs = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                m = did % 5
+                m = did % 6
                 if m in (0, 1):
                     h, w = (16, 16) if m == 0 else (9, 15)
                     y, x, c = np.meshgrid(
@@ -1194,6 +1196,11 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     v = ((did + 3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
                     blob = mm.encode_png(v, filter_type="mixed")
                     fmt = "png"
+                elif m == 5:
+                    y, x = np.meshgrid(np.arange(14), np.arange(11), indexing="ij")
+                    v = ((did + 9 * y + 2 * x) % 256).astype(np.uint8)
+                    blob = mm.encode_tiff(v, byte_order=">")
+                    fmt = "tiff"
                 elif m == 4:
                     pal = np.stack(
                         [
@@ -1219,6 +1226,12 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.arange(arr.shape[0]), np.arange(arr.shape[1]), indexing="ij"
                     )
                     wgt = 1 + (i2 % 31) + 2 * c2
+                elif arr.ndim == 2:  # grayscale (tiff): no channel axis
+                    vals = arr.astype(np.int64)
+                    y2, x2 = np.meshgrid(
+                        np.arange(arr.shape[0]), np.arange(arr.shape[1]), indexing="ij"
+                    )
+                    wgt = 1 + x2 + 2 * y2
                 else:
                     vals = arr.astype(np.int64)
                     y2, x2, c2 = np.meshgrid(
@@ -1245,28 +1258,28 @@ ppm AS (
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(16) AS y(j), range(16) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 5 = 0 GROUP BY doc_id
+  WHERE doc_id % 6 = 0 GROUP BY doc_id
 ),
 bmp AS (
   SELECT doc_id, 'bmp' AS fmt, CAST(9*15*3 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(9) AS y(j), range(15) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 5 = 1 GROUP BY doc_id
+  WHERE doc_id % 6 = 1 GROUP BY doc_id
 ),
 wav AS (
   SELECT doc_id, 'wav' AS fmt, CAST(500*2 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id*7 + 13*i.n + 11*ch.m) % 4001 - 2000)
                   * (1 + (i.n % 31) + 2*ch.m)) AS BIGINT) AS digest
   FROM d, range(500) AS i(n), range(2) AS ch(m)
-  WHERE doc_id % 5 = 2 GROUP BY doc_id
+  WHERE doc_id % 6 = 2 GROUP BY doc_id
 ),
 png AS (
   SELECT doc_id, 'png' AS fmt, CAST(11*13*4 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(11) AS y(j), range(13) AS x(i), range(4) AS c(k)
-  WHERE doc_id % 5 = 3 GROUP BY doc_id
+  WHERE doc_id % 6 = 3 GROUP BY doc_id
 ),
 gif AS (
   SELECT doc_id, 'gif' AS fmt, CAST(10*12*3 AS BIGINT) AS n_elems,
@@ -1276,11 +1289,18 @@ gif AS (
                      ELSE (7*((doc_id + 5*y.j + 3*x.i) % 32)) % 256 END)
            * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(10) AS y(j), range(12) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 5 = 4 GROUP BY doc_id
+  WHERE doc_id % 6 = 4 GROUP BY doc_id
+),
+tiff AS (
+  SELECT doc_id, 'tiff' AS fmt, CAST(14*11 AS BIGINT) AS n_elems,
+         CAST(SUM(((doc_id + 9*y.j + 2*x.i) % 256)
+                  * (1 + x.i + 2*y.j)) AS BIGINT) AS digest
+  FROM d, range(14) AS y(j), range(11) AS x(i)
+  WHERE doc_id % 6 = 5 GROUP BY doc_id
 )
 SELECT * FROM ppm UNION ALL SELECT * FROM bmp
 UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM png
-UNION ALL SELECT * FROM gif
+UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM tiff
 ORDER BY doc_id
 """
 

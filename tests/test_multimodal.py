@@ -289,3 +289,48 @@ def test_gif_dict_reset_and_rejections():
     blob = bytearray(mm.encode_gif(img))
     with pytest.raises(ValueError):
         mm.decode_gif(bytes(blob[:200]))  # truncated mid-stream
+
+
+def test_tiff_roundtrip_both_byte_orders_and_rejections():
+    """Exact identity for gray and RGB in BOTH byte orders — the MM
+    (big-endian) path exercises the IFD inline-value justification
+    trap. Compressed/paletted/16-bit variants raise with the reason
+    named."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for shape in [(1, 1), (5, 7), (9, 15, 3), (1, 300, 3), (300, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for bo in ("<", ">"):
+            blob = mm.encode_tiff(img, byte_order=bo)
+            assert np.array_equal(mm.decode_tiff(blob), img)
+            assert np.array_equal(mm.media_decoder(blob), img)
+    # compression rejection: patch tag 259's inline value to 5 (LZW)
+    blob = bytearray(mm.encode_tiff(rng.integers(0, 256, (4, 4), dtype=np.uint8)))
+    img_bytes = 16
+    ifd_off = int.from_bytes(blob[4:8], "little")
+    n = int.from_bytes(blob[ifd_off : ifd_off + 2], "little")
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if int.from_bytes(blob[e : e + 2], "little") == 259:
+            blob[e + 8 : e + 10] = (5).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="compression 5"):
+        mm.decode_tiff(bytes(blob))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        mm.decode_tiff(b"XX" + bytes(20))
+
+
+def test_gzip_unwrap_redispatch():
+    """A gzip wrapper around any decodable blob is transparently
+    unwrapped (corpora store media gzipped at rest); a gzipped
+    format WITHOUT a built-in codec still raises the inner gate."""
+    import gzip
+
+    import numpy as np
+
+    img = _grid(6, 6)
+    for enc in (mm.encode_png, mm.encode_bmp, lambda a: mm.encode_tiff(a, ">")):
+        wrapped = gzip.compress(enc(img))
+        assert np.array_equal(mm.media_decoder(wrapped), img)
+    with pytest.raises(NotImplementedError, match="'jpeg'"):
+        mm.media_decoder(gzip.compress(JPG))
