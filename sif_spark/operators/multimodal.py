@@ -56,12 +56,16 @@ _MAGIC = {
 
 
 def sniff_format(blob: Column | str) -> Column:
-    """Magic-byte format detection — pure JVM expressions, no Python."""
+    """Magic-byte format detection — pure JVM expressions, no Python.
+    Multi-magic formats (tiff's II/MM byte orders) collapse to one
+    user-facing label: the `_be` key suffix marks an alternate magic,
+    never a distinct format."""
     c = F.col(blob) if isinstance(blob, str) else blob
     out = F.lit("unknown")
     for name, magic in _MAGIC.items():
+        label = name.removesuffix("_be")
         prefix = F.substring(c, 1, len(magic))
-        out = F.when(prefix == F.lit(bytearray(magic)), F.lit(name)).otherwise(out)
+        out = F.when(prefix == F.lit(bytearray(magic)), F.lit(label)).otherwise(out)
     return out
 
 

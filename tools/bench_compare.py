@@ -12,7 +12,10 @@ on entries whose raw times were stable.
 
 What works instead: in any round, the bulk of the catalog is
 untouched, so the MEDIAN of per-entry raw ratios (new/old) IS the
-host drift between the two captures. Each entry's drift-corrected
+host drift between the two captures. (Stated assumption: if a round
+deliberately changed MOST entries' plans, the median would absorb
+part of the real change — compare against an older capture or a
+subset of known-untouched entries in that case.) Each entry's drift-corrected
 ratio = raw ratio / median ratio. An entry flags as a regression when
 its corrected ratio exceeds BOTH
   - 1.25 (the judge's materiality threshold), and
