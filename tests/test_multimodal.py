@@ -334,3 +334,41 @@ def test_gzip_unwrap_redispatch():
         assert np.array_equal(mm.media_decoder(wrapped), img)
     with pytest.raises(NotImplementedError, match="'jpeg'"):
         mm.media_decoder(gzip.compress(JPG))
+
+
+def test_codec_known_answer_external_blobs():
+    """Known-answer tests on EXTERNALLY authored bytes — the check the
+    encode→decode round-trips structurally cannot provide: a bug
+    implemented symmetrically in this repo's encoder and decoder
+    cancels in a round-trip, but cannot reproduce a third party's
+    byte stream. The PNG is the ubiquitous 1×1 data-URI blob (RGBA,
+    SUB-filtered scanline — ground truth re-derived in-test from a
+    manual chunk walk + stdlib zlib, independent of decode_png); the
+    GIF is the canonical 35-byte 1×1 white-pixel GIF89a."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhf"
+        "DwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    # independent ground truth: manual IHDR + inflate (no decode_png)
+    assert png[16:20] == (1).to_bytes(4, "big") and png[20:24] == (1).to_bytes(4, "big")
+    assert png[24] == 8 and png[25] == 6  # 8-bit RGBA
+    i = png.index(b"IDAT")
+    ln = int.from_bytes(png[i - 4 : i], "big")
+    raw = zlib.decompress(png[i + 4 : i + 4 + ln])
+    assert list(raw) == [1, 0, 0, 255, 127]  # SUB filter, pixel (0,0,255,127)
+    out = mm.decode_png(png)
+    assert out.shape == (1, 1, 4)
+    assert out.ravel().tolist() == [0, 0, 255, 127]
+
+    gif = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    out = mm.decode_gif(gif)
+    assert out.shape == (1, 1, 3)
+    assert out.ravel().tolist() == [255, 255, 255]
