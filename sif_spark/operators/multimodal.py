@@ -483,14 +483,15 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif(blob: bytes) -> np.ndarray:
-    """Pure-stdlib GIF decoder (GIF87a/89a): first frame → (H, W, 3)
-    RGB uint8 via the active palette. Handles global and local color
-    tables, the 4-pass interlace row order, extension-block skipping,
-    and the full variable-width LZW code stream (clear/EOI, KwKwK,
-    12-bit cap). Animation frames beyond the first, and transparency
-    compositing, are out of scope — the first image descriptor is
-    decoded exactly and the rest of the stream ignored."""
+def _iter_gif_frames(blob: bytes):
+    """Yield each image descriptor of a GIF87a/89a stream as an
+    (H, W, 3) RGB uint8 array. Handles global and local color tables,
+    the 4-pass interlace row order, extension-block skipping (GCE,
+    comments, application blocks), and the full variable-width LZW
+    code stream (clear/EOI, KwKwK, 12-bit cap). Frames must be
+    FULL-SIZE at origin — partial frames (animation deltas needing
+    disposal-method compositing) raise rather than yielding a
+    misleading sub-image."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF blob (magic {blob[:6]!r})")
     sw = int.from_bytes(blob[6:8], "little")
@@ -511,10 +512,17 @@ def decode_gif(blob: bytes) -> np.ndarray:
                 pos += 1 + blob[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
+            left = int.from_bytes(blob[pos : pos + 2], "little")
+            top = int.from_bytes(blob[pos + 2 : pos + 4], "little")
             w = int.from_bytes(blob[pos + 4 : pos + 6], "little")
             h = int.from_bytes(blob[pos + 6 : pos + 8], "little")
             ipacked = blob[pos + 8]
             pos += 9
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise ValueError(
+                    "partial GIF frame (delta animation needing disposal "
+                    "compositing) — only full-size frames are supported"
+                )
             pal = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
@@ -529,6 +537,7 @@ def decode_gif(blob: bytes) -> np.ndarray:
                 ln = blob[pos]
                 data += blob[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # the terminating 0-length sub-block
             idx = _gif_lzw_decode(bytes(data), min_code)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data short of width*height")
@@ -542,22 +551,28 @@ def decode_gif(blob: bytes) -> np.ndarray:
                 arr = deinter
             if arr.max() >= len(pal):
                 raise ValueError("GIF index exceeds palette size")
-            return pal[arr]
+            yield pal[arr]
         elif block == 0x3B:  # trailer
-            break
+            return
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    raise ValueError(f"GIF ({sw}x{sh}) contains no image descriptor")
 
 
-def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
-    """(H, W, 3) RGB uint8 with ≤ 256 distinct colors → single-frame
-    GIF89a (exact palette from the image — no quantization; more
-    colors raise). ``interlace=True`` writes the 4-pass row order to
-    exercise the decoder's deinterlace path."""
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"expected (H,W,3), got {a.shape}")
+def decode_gif(blob: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a stream → (H, W, 3) RGB uint8 (see
+    `_iter_gif_frames` for the supported surface; `gif_frame_decoder`
+    exposes ALL frames of an animation to `sample_frames`)."""
+    for frame in _iter_gif_frames(blob):
+        return frame
+    raise ValueError("GIF contains no image descriptor")
+
+
+def _gif_image_block(a: np.ndarray, interlace: bool, local_ct: bool) -> tuple[bytes, bytes, int]:
+    """One image's worth of GIF stream pieces: returns (palette_bytes,
+    image_block_bytes, palette_bits). With ``local_ct`` the palette
+    rides inside the image block as a LOCAL color table (the animation
+    shape — each frame carries its own exact palette); otherwise the
+    caller writes it as the GLOBAL table."""
     h, w = a.shape[:2]
     flat = a.reshape(-1, 3)
     pal, inverse = np.unique(flat, axis=0, return_inverse=True)
@@ -636,18 +651,72 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
             nbits -= 8
     if nbits:
         payload.append(acc & 0xFF)
+    block = bytearray(bytes([0x2C, 0, 0, 0, 0]))
+    block += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    ipacked = (0x40 if interlace else 0x00) | (0x80 | (bits - 1) if local_ct else 0x00)
+    block += bytes([ipacked])
+    if local_ct:
+        block += pal_full.tobytes()
+    block += bytes([min_code])
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        block += bytes([len(chunk)]) + chunk
+    block += bytes([0x00])
+    return pal_full.tobytes(), bytes(block), bits
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) RGB uint8 with ≤ 256 distinct colors → single-frame
+    GIF89a (exact palette from the image — no quantization; more
+    colors raise). ``interlace=True`` writes the 4-pass row order to
+    exercise the decoder's deinterlace path."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H,W,3), got {a.shape}")
+    h, w = a.shape[:2]
+    pal_bytes, block, bits = _gif_image_block(a, interlace, local_ct=False)
     out = bytearray(b"GIF89a")
     out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     out += bytes([0x80 | (bits - 1), 0, 0])  # GCT flag + size
-    out += pal_full.tobytes()
-    out += bytes([0x2C, 0, 0, 0, 0])
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += bytes([0x40 if interlace else 0x00, min_code])
-    for i in range(0, len(payload), 255):
-        chunk = payload[i : i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += bytes([0x00, 0x3B])
+    out += pal_bytes
+    out += block
+    out += bytes([0x3B])
     return bytes(out)
+
+
+def encode_gif_animation(frames, interlace: bool = False) -> bytes:
+    """List of same-shape (H, W, 3) RGB uint8 frames → multi-frame
+    GIF89a where every frame carries its own exact LOCAL color table
+    (so frames need not share a palette) and a minimal graphic control
+    extension — the shape `gif_frame_decoder`/`sample_frames` consume.
+    No inter-frame delta encoding: every frame is full-size, which is
+    exactly what the decoder supports (partial frames raise)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    if any(f.ndim != 3 or f.shape[2] != 3 or f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must be same-shape (H,W,3) uint8")
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x00, 0, 0])  # no global color table
+    for f in frames:
+        # graphic control extension (no transparency, no disposal) —
+        # exercises the decoder's extension-skipping path per frame
+        out += bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+        _, block, _ = _gif_image_block(f, interlace, local_ct=True)
+        out += block
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def gif_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
+    """Real VIDEO-shaped frame sampling for `sample_frames`: decode an
+    animated GIF's frames, keep every_n-th, and return each as a
+    standalone P6 PPM blob (independently decodable downstream — the
+    same contract as `wav_frame_decoder`'s raw PCM windows)."""
+    frames = [encode_ppm(f) for f in _iter_gif_frames(blob)]
+    return frames[::every_n] if frames else []
 
 
 _TIFF_TAGS = {
@@ -976,11 +1045,15 @@ def wav_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
 
 
 def media_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
-    """Sniffed dispatch for `sample_frames`: WAV is real; video
+    """Sniffed dispatch for `sample_frames`: WAV (audio windows) and
+    animated GIF (full frames as PPM blobs) are real; other video
     containers need an injected codec."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return wav_frame_decoder(blob, every_n)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_frame_decoder(blob, every_n)
     raise NotImplementedError(
-        "no built-in frame decoder for this format (built-in covers "
-        "PCM WAV): pass frame_decoder= with a real video codec"
+        "no built-in frame decoder for this format (built-ins cover "
+        "PCM WAV and animated GIF): pass frame_decoder= with a real "
+        "video codec"
     )

@@ -372,3 +372,39 @@ def test_codec_known_answer_external_blobs():
     out = mm.decode_gif(gif)
     assert out.shape == (1, 1, 3)
     assert out.ravel().tolist() == [255, 255, 255]
+
+
+def test_gif_animation_frames_and_sample_frames(spark):
+    """Animated GIF is the REAL video-shaped path for `sample_frames`:
+    every frame carries its own LOCAL color table and a graphic
+    control extension (exercising per-frame extension skipping), each
+    sampled frame comes back as a standalone PPM blob, and every_n
+    selects frames [0, n, 2n, ...]. Partial (delta) frames raise
+    rather than silently yielding a sub-image."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    frames = []
+    for k in range(5):
+        pal = rng.integers(0, 256, size=(20 + k, 3), dtype=np.uint8)
+        frames.append(pal[rng.integers(0, len(pal), size=(9, 13))])
+    blob = mm.encode_gif_animation(frames)
+    # decode_gif = first frame; frame decoder = every_n-th as PPM
+    assert np.array_equal(mm.decode_gif(blob), frames[0])
+    ppms = mm.gif_frame_decoder(blob, 2)
+    assert [
+        np.array_equal(mm.decode_ppm(p), frames[i]) for p, i in zip(ppms, [0, 2, 4])
+    ] == [True, True, True]
+    # end-to-end through the Spark operator with the DEFAULT dispatch
+    df = spark.createDataFrame([(1, blob)], "id long, blob binary")
+    rows = mm.sample_frames(df, "blob", "id", every_n=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    got = [mm.decode_ppm(bytes(r["frame"])) for r in rows]
+    assert all(np.array_equal(g, frames[i]) for g, i in zip(got, [0, 2, 4]))
+    # a partial frame (nonzero left offset) must raise, not composite
+    single = bytearray(mm.encode_gif(frames[0]))
+    desc = 13 + (2 << ((single[10] & 0x07))) * 3  # header + GCT
+    assert single[desc] == 0x2C
+    single[desc + 1] = 1  # left := 1
+    with pytest.raises(ValueError, match="partial GIF frame"):
+        mm.decode_gif(bytes(single))
