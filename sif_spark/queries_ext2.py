@@ -2005,6 +2005,97 @@ ORDER BY f.doc_id
 """
 
 
+def q120_gif_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-shaped frame sampling under the oracle (round 7): 30
+    docs each get a 4-frame animated GIF (8×10 RGB, per-frame LOCAL
+    color tables, pixel values a closed-form function of
+    (doc_id, frame, position)), `sample_frames` with the DEFAULT
+    sniffed frame decoder keeps every 2nd frame (originals 0 and 2)
+    as standalone PPM blobs, and each sampled frame is decoded and
+    reduced to the position-weighted digest. The oracle recomputes
+    both kept frames' digests in closed form — so the gate covers the
+    animation container walk (GCE skipping, LCT per frame), the LZW
+    decode of every kept frame, the every_n selection arithmetic, AND
+    the PPM re-encode/decode of the frame hand-off.
+
+    Scale shape: generate → sample_frames → digest ride Arrow-batched
+    mapInPandas stages over the doc projection; the only shuffle is
+    the final orderBy of 60 rows. Frames never leave their executor."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import multimodal as mm
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 30)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for k in range(4):
+                    y, x = np.meshgrid(np.arange(8), np.arange(10), indexing="ij")
+                    base = (did + 7 * k + 5 * y + 3 * x) % 24
+                    img = np.stack(
+                        [base, (5 * base) % 256, (11 * base) % 256], axis=2
+                    ).astype(np.uint8)
+                    frames.append(img)
+                recs.append((did, mm.encode_gif_animation(frames)))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    sampled = mm.sample_frames(blobs, "blob", "doc_id", every_n=2)
+
+    def digest(batches):
+        for pdf in batches:
+            recs = []
+            for did, fidx, fr in zip(pdf["doc_id"], pdf["frame_idx"], pdf["frame"]):
+                arr = mm.decode_ppm(bytes(fr)).astype(np.int64)
+                y, x, c = np.meshgrid(
+                    np.arange(arr.shape[0]),
+                    np.arange(arr.shape[1]),
+                    np.arange(arr.shape[2]),
+                    indexing="ij",
+                )
+                recs.append(
+                    (
+                        int(did),
+                        int(fidx),
+                        int((arr * (1 + x + 2 * y + 4 * c)).sum()),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=["doc_id", "frame_idx", "digest"])
+
+    return sampled.mapInPandas(
+        digest, "doc_id long, frame_idx int, digest long"
+    ).orderBy("doc_id", "frame_idx")
+
+
+# sampled frame_idx j corresponds to ORIGINAL frame 2j; the digest is
+# recomputed in closed form from the generation function
+ORACLE_Q120 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+f AS (SELECT unnest(range(2)) AS j),
+cell AS (
+  SELECT d.doc_id, f.j, y.r, x.i,
+         (d.doc_id + 7*(2*f.j) + 5*y.r + 3*x.i) % 24 AS base
+  FROM d, f, range(8) AS y(r), range(10) AS x(i)
+)
+SELECT doc_id, CAST(j AS INT) AS frame_idx,
+       CAST(SUM(  base            * (1 + i + 2*r)
+                + ((5*base) % 256)  * (1 + i + 2*r + 4)
+                + ((11*base) % 256) * (1 + i + 2*r + 8)) AS BIGINT) AS digest
+FROM cell
+GROUP BY doc_id, j
+ORDER BY doc_id, frame_idx
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2037,6 +2128,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q117_rich_idle_customers": q117_rich_idle_customers,
     "q118_salted_stream_agg": q118_salted_stream_agg,
     "q119_daily_ingest": q119_daily_ingest,
+    "q120_gif_frame_sampling": q120_gif_frame_sampling,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2075,4 +2167,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q117_rich_idle_customers": ORACLE_Q117,
     "q118_salted_stream_agg": ORACLE_Q118,
     "q119_daily_ingest": ORACLE_Q119,
+    "q120_gif_frame_sampling": ORACLE_Q120,
 }

@@ -89,6 +89,7 @@ TAIL = [
     "q117_rich_idle_customers",
     "q118_salted_stream_agg",
     "q119_daily_ingest",
+    "q120_gif_frame_sampling",
 ]
 
 
