@@ -255,3 +255,27 @@ def test_daily_ingest_two_epochs_and_resume(spark, tmp_path):
     # SIGNATURE store (day-1 text no longer even exists on disk)
     assert 13 not in got
     assert got == [11]
+
+
+def test_daily_ingest_third_epoch_unions_all_history(spark, tmp_path):
+    """Epoch 3 must dedup against the UNION of epochs 1+2's stores
+    (the multi-epoch history read path): content first seen on day 1
+    AND content first seen on day 2 are both dropped on day 3."""
+    from sif_spark.pipeline import daily_ingest
+
+    store = str(tmp_path / "store3")
+    day = "doc_id long, text string"
+    d1 = spark.createDataFrame([(1, "aa bb cc dd ee ff")], day)
+    d2 = spark.createDataFrame([(10, "gg hh ii jj kk ll")], day)
+    d3 = spark.createDataFrame(
+        [
+            (20, "aa bb cc dd ee ff"),   # dup of day-1 content
+            (21, "gg hh ii jj kk ll"),   # dup of day-2 content
+            (22, "mm nn oo pp qq rr"),   # genuinely new
+        ],
+        day,
+    )
+    daily_ingest(d1, store, "e1", hash_fn="md5")
+    daily_ingest(d2, store, "e2", hash_fn="md5")
+    s3 = daily_ingest(d3, store, "e3", hash_fn="md5")
+    assert sorted(r["doc_id"] for r in s3.collect()) == [22]

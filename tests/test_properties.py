@@ -519,3 +519,28 @@ def test_simhash_banding_finds_all_pairs_property(spark, docs, max_hamming):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    seed=st.integers(0, 255),
+    rgb=st.booleans(),
+    big_endian=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(h, w, seed, rgb, big_endian):
+    """encode→decode identity for gray/RGB × II/MM byte orders across
+    degenerate shapes — the MM path sweeps the IFD inline-value
+    justification handling."""
+    import numpy as np
+
+    from sif_spark.operators import multimodal as mm
+
+    shape = (h, w, 3) if rgb else (h, w)
+    img = ((seed + 11 * np.arange(int(np.prod(shape)))) % 256).astype(np.uint8).reshape(shape)
+    blob = mm.encode_tiff(img, byte_order=">" if big_endian else "<")
+    out = mm.decode_tiff(blob)
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+    assert np.array_equal(mm.media_decoder(blob), img)
