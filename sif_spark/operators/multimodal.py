@@ -19,6 +19,16 @@ keeps metadata-only queries from ever reading the bytes; hot paths
 (sniff/hash/size) are JVM expressions; decode batches are bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` — size it so
 batch_rows × max_blob_bytes fits executor memory.
+
+Built-in codec throughput boundary: the PPM/BMP/WAV/TIFF paths are
+fully NumPy-vectorized (memory-bandwidth-bound), but PNG's
+Average/Paeth unfilter and GIF's LZW are serial per-byte Python loops
+by the nature of their data dependencies — fine for the
+thumbnail-to-screenshot sizes a metadata/dedup pipeline touches, and
+for correctness oracles, but for BULK decode of large photographic
+corpora inject a native codec via ``decoder=`` (the same boundary as
+jpeg). The injected codec reuses all the Arrow batching, schema, and
+null plumbing unchanged.
 """
 
 from __future__ import annotations
