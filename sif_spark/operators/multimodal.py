@@ -441,7 +441,16 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     """GIF-variant LZW → palette indices. Variable code width 3-12
     bits, LSB-first bit packing, clear/EOI codes, dictionary grows by
-    one entry per emitted code. Raises on malformed streams."""
+    one entry per emitted code. Raises on malformed streams.
+
+    ``min_code_size`` is validated against the spec bound (2-11 — a
+    256-color palette needs 8; codes cap at 12 bits) BEFORE any
+    allocation: the field is attacker-controlled bytes, and a
+    corrupted value like 200 would otherwise size the root table at
+    2^200 entries — a one-byte denial-of-service the malformed-input
+    fuzz caught (round 7)."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1
     base = {i: (i,) for i in range(clear)}
@@ -467,7 +476,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             if code == eoi:
                 return out
             if prev is None:
-                entry = table[code]  # first code after clear must exist
+                if code not in table:  # first code after clear must be a root
+                    raise ValueError(f"corrupt GIF LZW stream (first code {code})")
+                entry = table[code]
             elif code in table:
                 entry = table[code]
             elif code == next_code:
@@ -504,6 +515,8 @@ def _iter_gif_frames(blob: bytes):
     misleading sub-image."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF blob (magic {blob[:6]!r})")
+    if len(blob) < 13:
+        raise ValueError("truncated GIF header")
     sw = int.from_bytes(blob[6:8], "little")
     sh = int.from_bytes(blob[8:10], "little")
     packed = blob[10]
@@ -513,6 +526,16 @@ def _iter_gif_frames(blob: bytes):
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    try:
+        yield from _walk_gif_blocks(blob, pos, sw, sh, gct)
+    except IndexError:
+        # every byte index here is attacker-controlled; a truncated
+        # stream must fail as a typed decode error, not a bare
+        # IndexError (malformed-input fuzz, round 7)
+        raise ValueError("truncated GIF stream") from None
+
+
+def _walk_gif_blocks(blob: bytes, pos: int, sw: int, sh: int, gct):
     while pos < len(blob):
         block = blob[pos]
         pos += 1
@@ -772,11 +795,17 @@ def decode_tiff(blob: bytes) -> np.ndarray:
         else:
             off = num(blob[e + 8 : e + 12])
             raw = blob[off : off + size]
+        # the count/offset are attacker-controlled: a corrupted count
+        # must raise, not iterate range(0, 2^31) over an empty slice
+        # (int.from_bytes(b"") is 0 — a hang the malformed-input fuzz
+        # caught, round 7)
+        if len(raw) < size:
+            raise ValueError(f"truncated TIFF tag {tag} (count {cnt})")
         step = _TIFF_TYPE_SIZE[typ]
         tags[name] = [num(raw[j : j + step]) for j in range(0, size, step)]
 
     def one(name: str, default: int | None = None) -> int:
-        if name in tags:
+        if tags.get(name):
             return tags[name][0]
         if default is None:
             raise ValueError(f"TIFF missing required tag {name}")
@@ -796,6 +825,8 @@ def decode_tiff(blob: bytes) -> np.ndarray:
     if any(b != 8 for b in tags.get("bits", [8])):
         raise ValueError(f"unsupported TIFF bit depth {tags['bits']} (8-bit only)")
     w, h = one("width"), one("height")
+    if not tags.get("strip_offsets"):
+        raise ValueError("TIFF missing required tag strip_offsets")
     offs = tags["strip_offsets"]
     cnts = tags.get("strip_counts", [w * h * samples])
     data = b"".join(blob[o : o + c] for o, c in zip(offs, cnts))

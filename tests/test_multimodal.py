@@ -408,3 +408,61 @@ def test_gif_animation_frames_and_sample_frames(spark):
     single[desc + 1] = 1  # left := 1
     with pytest.raises(ValueError, match="partial GIF frame"):
         mm.decode_gif(bytes(single))
+
+
+def test_decoders_fail_typed_on_malformed_input():
+    """Decode robustness contract (round-7 malformed-input fuzz):
+    mutated/truncated/spliced blobs must raise ValueError /
+    NotImplementedError — never hang and never leak a bare
+    IndexError/KeyError. The fuzz that established this (6,400 cases,
+    0 hangs, 0 untyped) found three real bugs now pinned here: a GIF
+    LZW min-code-size byte of 200 sized the root table at 2^200
+    entries, a corrupted TIFF tag count iterated range(0, 2^31) over
+    an empty slice (int.from_bytes(b'') == 0), and truncated GIF
+    headers/streams leaked IndexError."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    gif = bytearray(mm.encode_gif(pal[rng.integers(0, 16, size=(8, 9))]))
+    # pinned case 1: absurd LZW min code size must raise, not allocate
+    with pytest.raises(ValueError, match="minimum code size"):
+        mm._gif_lzw_decode(b"\x00\x01", 200)
+    # pinned case 2: TIFF tag count pointing past the blob
+    tif = bytearray(mm.encode_tiff(img))
+    ifd = int.from_bytes(tif[4:8], "little")
+    n = int.from_bytes(tif[ifd : ifd + 2], "little")
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if int.from_bytes(tif[e : e + 2], "little") == 273:  # strip offsets
+            tif[e + 4 : e + 8] = (2**30).to_bytes(4, "little")  # huge count
+    with pytest.raises(ValueError, match="truncated TIFF tag"):
+        mm.decode_tiff(bytes(tif))
+    # pinned case 3: truncated GIF header / stream → typed error
+    with pytest.raises(ValueError, match="truncated GIF"):
+        mm.decode_gif(b"GIF89a\x01\x00")
+    with pytest.raises(ValueError):
+        mm.decode_gif(bytes(gif[:20]))
+    # randomized sweep: every failure typed, nothing else escapes
+    blobs = [bytes(gif), mm.encode_png(img), mm.encode_tiff(img, ">"),
+             mm.encode_bmp(img), mm.encode_ppm(img),
+             mm.encode_wav(np.arange(32, dtype=np.int16))]
+    for blob in blobs:
+        for trial in range(60):
+            b = bytearray(blob)
+            mode = trial % 3
+            if mode == 0:
+                j = int(rng.integers(0, len(b))); b[j] ^= int(rng.integers(1, 256))
+            elif mode == 1:
+                b = b[: int(rng.integers(1, len(b)))]
+            else:
+                j = int(rng.integers(0, len(b)))
+                b[j : j + int(rng.integers(1, 8))] = bytes(
+                    rng.integers(0, 256, size=int(rng.integers(0, 8))).tolist()
+                )
+            try:
+                out = mm.media_decoder(bytes(b))
+                assert isinstance(out, __import__("numpy").ndarray)
+            except (ValueError, NotImplementedError):
+                pass  # the typed contract
