@@ -983,8 +983,20 @@ def decode_features(
     id_col: str,
     decoder: Decoder | None = None,
     embedder: Callable[[np.ndarray], np.ndarray] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, features: array<float>) via Arrow-batched mapInPandas.
+
+    ``on_error`` is the reference's IgnoreRowErrors lever
+    (internal/util/operation.go:10-27) at the DECODE boundary:
+    ``"raise"`` (default) fails the task on the first bad blob —
+    right for oracle pipelines and curated corpora; ``"null"`` emits
+    NULL features for blobs whose decode/embed raises
+    (ValueError/NotImplementedError — the decoders' typed-error
+    contract) and keeps going — right for a 100 TB crawl where one
+    corrupt image in a billion must not kill the job. Distinguish
+    dropped-because-corrupt from was-NULL-input upstream if needed:
+    filter ``blob IS NOT NULL AND features IS NULL`` afterwards.
 
     The default decoder is `media_decoder` — real, dependency-free
     decode for PPM/PGM, 24-bpp BMP, and PCM WAV (format-sniffed per
@@ -1001,6 +1013,8 @@ def decode_features(
     `default_embedder` mean-pool — so an honestly-decoded 8×8 PGM
     thumbnail gets the same feature semantics as any other image
     (ADVICE r6)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     decoder = decoder or media_decoder
     emb = embedder or (fake_embedder if decoder is fake_decoder else default_embedder)
 
@@ -1011,12 +1025,19 @@ def decode_features(
         ]
     )
 
+    def one(b) -> list | None:
+        if b is None:
+            return None
+        if on_error == "null":
+            try:
+                return emb(decoder(bytes(b))).tolist()
+            except (ValueError, NotImplementedError):
+                return None
+        return emb(decoder(bytes(b))).tolist()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                None if b is None else emb(decoder(bytes(b))).tolist()
-                for b in pdf[blob_col]
-            ]
+            feats = [one(b) for b in pdf[blob_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, blob_col).mapInPandas(run, out_schema)
@@ -1028,15 +1049,23 @@ def sample_frames(
     id_col: str,
     every_n: int = 10,
     frame_decoder: Callable[[bytes, int], list[bytes]] | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, frame_idx, frame: binary) — frame sampling, 1 row per
     sampled frame (FlatMap shape). The default frame decoder is
     `media_frame_decoder`: real for PCM WAV (every_n-th 1024-sample
-    audio frame, raw PCM bytes); video containers still raise
-    NotImplementedError from inside the dispatch until a real codec is
-    passed as ``frame_decoder(blob, every_n) -> list[frame_bytes]``
-    (no video codec ships in this environment — see
-    fake_frame_decoder for the deterministic stand-in)."""
+    audio frame, raw PCM bytes) and animated GIF (full frames as PPM
+    blobs); other video containers still raise NotImplementedError
+    from inside the dispatch until a real codec is passed as
+    ``frame_decoder(blob, every_n) -> list[frame_bytes]`` (see
+    fake_frame_decoder for the deterministic stand-in).
+
+    ``on_error="null"`` skips blobs whose frame decode raises a typed
+    error instead of failing the task (zero frames emitted for that
+    blob) — the IgnoreRowErrors lever for crawl-scale corpora, same
+    contract as `decode_features`."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     frame_decoder = frame_decoder or media_frame_decoder
 
     out_schema = T.StructType(
@@ -1053,7 +1082,13 @@ def sample_frames(
             for i, b in zip(pdf[id_col], pdf[blob_col]):
                 if b is None:
                     continue
-                for j, fr in enumerate(frame_decoder(bytes(b), every_n)):
+                try:
+                    decoded = frame_decoder(bytes(b), every_n)
+                except (ValueError, NotImplementedError):
+                    if on_error == "null":
+                        continue
+                    raise
+                for j, fr in enumerate(decoded):
                     ids.append(i)
                     idxs.append(j)
                     frames.append(fr)

@@ -466,3 +466,43 @@ def test_decoders_fail_typed_on_malformed_input():
                 assert isinstance(out, __import__("numpy").ndarray)
             except (ValueError, NotImplementedError):
                 pass  # the typed contract
+
+
+def test_decode_features_on_error_null(spark):
+    """The IgnoreRowErrors lever at the decode boundary: one corrupt
+    blob in a batch must not kill the job under on_error='null' —
+    it yields NULL features while good rows decode normally (and the
+    default stays loudly 'raise')."""
+    import numpy as np
+
+    good = mm.encode_png(_grid(4, 4))
+    corrupt = bytearray(good)
+    corrupt[-20] ^= 1  # CRC break
+    rows = [(0, good), (1, bytes(corrupt)), (2, JPG), (3, None)]
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = {
+        r["id"]: r["features"]
+        for r in mm.decode_features(df, "blob", "id", on_error="null").collect()
+    }
+    assert out[0] is not None and len(out[0]) == 16
+    assert out[1] is None     # corrupt -> null, job survives
+    assert out[2] is None     # no codec (jpeg) -> null under tolerance
+    assert out[3] is None     # null input stays null
+    with pytest.raises(Exception, match="CRC"):
+        mm.decode_features(df.filter("id = 1"), "blob", "id").collect()
+    with pytest.raises(ValueError, match="on_error"):
+        mm.decode_features(df, "blob", "id", on_error="skip")
+
+
+def test_sample_frames_on_error_null(spark):
+    import numpy as np
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    anim = mm.encode_gif_animation([pal[np.arange(72).reshape(8, 9) % 16]] * 2)
+    rows = [(0, anim), (1, anim[:30]), (2, JPG)]  # truncated + no-codec
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    out = mm.sample_frames(df, "blob", "id", every_n=1, on_error="null").collect()
+    assert sorted({r["id"] for r in out}) == [0]  # bad blobs emit zero frames
+    assert len(out) == 2
+    with pytest.raises(Exception, match="(truncated|no built-in)"):
+        mm.sample_frames(df, "blob", "id", every_n=1).collect()
