@@ -108,6 +108,28 @@ def dedup_blobs(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Largest image the built-in decoders will materialize (pixels).
+#: 2^27 ≈ 134 MP ≈ 512 MB as RGBA float-free uint8 — far past any web
+#: image, small enough that a forged header can't OOM an executor
+#: before a single data byte is validated. Raise it process-wide for a
+#: genuine gigapixel corpus.
+MAX_DECODE_PIXELS = 1 << 27
+
+
+def _check_pixel_budget(w: int, h: int) -> None:
+    """Typed guard on attacker-controlled declared dimensions: every
+    decoder allocates O(w*h) from header fields before data bytes
+    prove themselves, so the header alone must not buy a giant
+    allocation (ADVICE r7 decompression-bomb findings)."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid image dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"declared image size {w}x{h} exceeds MAX_DECODE_PIXELS "
+            f"({MAX_DECODE_PIXELS}) — refusing pre-data allocation"
+        )
+
+
 def _ppm_header_tokens(blob: bytes, n_tokens: int) -> tuple[list[int], int]:
     """Parse n whitespace-separated numeric tokens after the PNM magic,
     honoring '#' comments; returns (tokens, offset_after_single_ws)."""
@@ -338,9 +360,17 @@ def decode_png(blob: bytes) -> np.ndarray:
     channels = _PNG_CHANNELS.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype} (palette?)")
+    _check_pixel_budget(w, h)
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    # IHDR fixes the exact inflated size, so inflate with a hard
+    # max_length instead of zlib.decompress: a small IDAT declaring a
+    # tiny image but inflating to gigabytes (decompression bomb —
+    # ADVICE r7) stops at expected+1 bytes and raises, never
+    # materializing the payload.
+    expected = h * (stride + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG scanline data length mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     bpp = channels  # bytes per pixel at 8-bit depth
@@ -438,7 +468,9 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
     )
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_symbols: int | None = None
+) -> list[int]:
     """GIF-variant LZW → palette indices. Variable code width 3-12
     bits, LSB-first bit packing, clear/EOI codes, dictionary grows by
     one entry per emitted code. Raises on malformed streams.
@@ -448,7 +480,13 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     allocation: the field is attacker-controlled bytes, and a
     corrupted value like 200 would otherwise size the root table at
     2^200 entries — a one-byte denial-of-service the malformed-input
-    fuzz caught (round 7)."""
+    fuzz caught (round 7).
+
+    ``max_symbols`` caps the OUTPUT: LZW amplifies ~1800× (a crafted
+    8 KB stream yields ~15M symbols ≈ 120 MB of list — ADVICE r7), so
+    the caller passes the image's declared width*height and the decode
+    raises the moment the stream produces more pixels than the image
+    it claims to be — before the memory is spent, not after."""
     if not 2 <= min_code_size <= 11:
         raise ValueError(f"invalid GIF LZW minimum code size {min_code_size}")
     clear = 1 << min_code_size
@@ -486,6 +524,12 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
             else:
                 raise ValueError(f"corrupt GIF LZW stream (code {code})")
             out.extend(entry)
+            if max_symbols is not None and len(out) > max_symbols:
+                raise ValueError(
+                    f"GIF LZW stream decodes past the declared image size "
+                    f"({max_symbols} pixels) — decompression bomb or corrupt "
+                    "stream"
+                )
             if prev is not None and next_code < 4096:
                 table[next_code] = prev + (entry[0],)
                 next_code += 1
@@ -571,7 +615,8 @@ def _walk_gif_blocks(blob: bytes, pos: int, sw: int, sh: int, gct):
                 data += blob[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1  # the terminating 0-length sub-block
-            idx = _gif_lzw_decode(bytes(data), min_code)
+            _check_pixel_budget(w, h)
+            idx = _gif_lzw_decode(bytes(data), min_code, max_symbols=w * h)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data short of width*height")
             arr = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
@@ -894,17 +939,41 @@ def encode_tiff(arr: np.ndarray, byte_order: str = "<") -> bytes:
     return magic + long(ifd_off) + pix + extra + ifd
 
 
-def media_decoder(blob: bytes) -> np.ndarray:
+#: Hard cap on a gzip wrapper's inflated size. Media blobs at rest are
+#: single files, not archives — 256 MiB is generous for any image/audio
+#: blob while bounding the 1 KB → ∞ amplification a crafted member buys
+#: (ADVICE r7). Raise process-wide for a genuinely huge-blob corpus.
+MAX_GZIP_BYTES = 256 << 20
+
+
+def _gunzip_bounded(blob: bytes) -> bytes:
+    """Inflate ONE gzip member with a hard output cap (streaming
+    decompressobj, so the cap is enforced before the memory is spent,
+    not after)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)  # 31 = gzip header + window
+    out = d.decompress(blob, MAX_GZIP_BYTES + 1)
+    if len(out) > MAX_GZIP_BYTES:
+        raise ValueError(
+            f"gzip member inflates past MAX_GZIP_BYTES ({MAX_GZIP_BYTES}) — "
+            "decompression bomb or not a media blob"
+        )
+    return out
+
+
+def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
     """Format-sniffed decode dispatch — the default decoder for
     `decode_features`. Covers the dependency-free formats (PPM/PGM,
     24-bpp BMP, PCM WAV, uncompressed TIFF in both byte orders) plus
     the two compressed formats implementable from the stdlib: 8-bit
     non-interlaced PNG (zlib) and GIF87a/89a first-frame (pure-Python
     LZW). A gzip wrapper is transparently unwrapped and re-dispatched
-    (corpora store media gzipped at rest). Anything else raises
-    NotImplementedError naming the sniffed format so the remaining
-    compressed media (jpeg/mp3/video) still gates loudly behind an
-    injected codec."""
+    (corpora store media gzipped at rest) — output-capped and at most
+    2 levels deep, so nested members can't chain 1 KB → 1 MB → 1 GB
+    (ADVICE r7). Anything else raises NotImplementedError naming the
+    sniffed format so the remaining compressed media (jpeg/mp3/video)
+    still gates loudly behind an injected codec."""
     if blob[:2] in (b"P6", b"P5"):
         return decode_ppm(blob)
     if blob[:2] == b"BM":
@@ -919,11 +988,14 @@ def media_decoder(blob: bytes) -> np.ndarray:
         return decode_tiff(blob)
     if blob[:2] == b"\x1f\x8b":
         # gzip wrapper — corpora routinely store media gzip-compressed
-        # at rest; unwrap (stdlib) and re-dispatch on the inner bytes.
+        # at rest; unwrap (bounded) and re-dispatch on the inner bytes.
         # A gzipped JPEG still raises the inner format's loud gate.
-        import gzip
-
-        return media_decoder(gzip.decompress(blob))
+        if _gzip_depth >= 2:
+            raise ValueError(
+                "gzip nested more than 2 levels deep — media blobs are "
+                "stored at most double-wrapped; refusing further inflation"
+            )
+        return media_decoder(_gunzip_bounded(blob), _gzip_depth + 1)
     sniffed = next(
         (name for name, magic in _MAGIC.items() if blob[: len(magic)] == magic),
         "unknown",

@@ -506,3 +506,82 @@ def test_sample_frames_on_error_null(spark):
     assert len(out) == 2
     with pytest.raises(Exception, match="(truncated|no built-in)"):
         mm.sample_frames(df, "blob", "id", every_n=1).collect()
+
+
+def test_decompression_bomb_bounds(monkeypatch):
+    """ADVICE r7: attacker-controlled compressed payloads must stop at
+    a typed error BEFORE the memory is spent. Three bounded paths:
+    GIF LZW output capped at declared w*h, PNG IDAT inflated with
+    max_length = declared scanline bytes + 1, gzip unwrap capped and
+    depth-limited. Plus the declared-dimensions budget: a forged
+    header alone must not buy a giant allocation."""
+    import gzip
+    import zlib
+
+    import numpy as np
+
+    # -- GIF: stream decoding past declared w*h raises immediately --
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    big = mm.encode_gif(pal[rng.integers(0, 8, size=(64, 64))])
+    patched = bytearray(big)
+    desc = patched.index(bytes([0x2C, 0, 0, 0, 0]))
+    for off in (6, 8):  # logical screen w/h
+        patched[off : off + 2] = (4).to_bytes(2, "little")
+    patched[desc + 5 : desc + 7] = (4).to_bytes(2, "little")  # image w
+    patched[desc + 7 : desc + 9] = (4).to_bytes(2, "little")  # image h
+    with pytest.raises(ValueError, match="past the declared image size"):
+        mm.decode_gif(bytes(patched))
+    # direct kernel check: the cap fires mid-stream, not post-hoc —
+    # extract the real LZW stream (deframe the data sub-blocks after
+    # the 10-byte image descriptor + min-code-size byte) and cap it
+    # far below the 64*64 symbols it actually encodes.
+    pos = desc + 10
+    min_code = big[pos]
+    pos += 1
+    lzw = bytearray()
+    while big[pos]:
+        ln = big[pos]
+        lzw += big[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    with pytest.raises(ValueError, match="past the declared"):
+        mm._gif_lzw_decode(bytes(lzw), min_code, max_symbols=3)
+
+    # -- GIF: forged giant dimensions refuse before any decode --
+    huge = bytearray(big)
+    for off in (6, 8):
+        huge[off : off + 2] = (65535).to_bytes(2, "little")
+    huge[desc + 5 : desc + 7] = (65535).to_bytes(2, "little")
+    huge[desc + 7 : desc + 9] = (65535).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="MAX_DECODE_PIXELS"):
+        mm.decode_gif(bytes(huge))
+
+    # -- PNG: small declared image, huge inflated IDAT -> capped --
+    good = mm.encode_png(np.zeros((4, 4), dtype=np.uint8))
+    sig, rest = good[:8], good[8:]
+    chunks = []
+    pos = 0
+    while pos < len(rest):
+        ln = int.from_bytes(rest[pos : pos + 4], "big")
+        typ = rest[pos + 4 : pos + 8]
+        body = rest[pos + 8 : pos + 8 + ln]
+        chunks.append((typ, body))
+        pos += 12 + ln
+    bomb_body = zlib.compress(b"\x00" * (32 << 20), 9)  # 32 MB of zeros
+    out = bytearray(sig)
+    for typ, body in chunks:
+        if typ == b"IDAT":
+            body = bomb_body
+        out += len(body).to_bytes(4, "big") + typ + body
+        out += (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="scanline data length mismatch"):
+        mm.decode_png(bytes(out))
+
+    # -- gzip: output cap and nesting depth --
+    ppm = mm.encode_ppm(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert mm.media_decoder(gzip.compress(gzip.compress(ppm))).shape == (2, 2, 3)
+    with pytest.raises(ValueError, match="nested more than 2"):
+        mm.media_decoder(gzip.compress(gzip.compress(gzip.compress(ppm))))
+    monkeypatch.setattr(mm, "MAX_GZIP_BYTES", 64)
+    with pytest.raises(ValueError, match="MAX_GZIP_BYTES"):
+        mm.media_decoder(gzip.compress(ppm + b"\x00" * 1024))
