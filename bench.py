@@ -36,8 +36,14 @@ drift-corrected outliers beyond the entry's own noise bound flag.
 
 Output schema: `queries` maps entry → MEDIAN seconds (the field the
 driver and bench_compare consume); `queries_detail` maps entry →
-{median, min, spread}; `calibration`/`calibration_detail` get the
-same treatment.
+{median, min, spread, plan_fp}; `calibration`/`calibration_detail`
+get the same treatment. `plan_fp` (round 8) is the normalized
+physical-plan hash (sif_spark/plans/audit.py:plan_fingerprint) that
+lets bench_compare auto-adjudicate a timing flag: fingerprints differ
+→ the plan really changed (true regression suspect); identical → the
+code path is byte-for-byte the same plan and the flag is host
+weather, confirmed or cleared by a standalone re-measure
+(tools/bench_single.py) instead of human argument.
 """
 
 from __future__ import annotations
@@ -109,6 +115,8 @@ def main() -> None:
         .save()
     )
 
+    from sif_spark.plans.audit import plan_fingerprint
+
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in QUERIES:
@@ -119,6 +127,15 @@ def main() -> None:
                 .mode("overwrite")
                 .save()
             )
+            # Normalized physical-plan hash (VERDICT r7 ask #1): lets
+            # bench_compare split a timing flag into "plan changed"
+            # (real suspect) vs "plan identical" (host weather →
+            # standalone re-measure) mechanically. Captured AFTER the
+            # timed runs so one more build is the only extra cost.
+            try:
+                d["plan_fp"] = plan_fingerprint(QUERIES[name](spark, sf_dir))
+            except Exception:
+                d["plan_fp"] = None
             timings[name] = d["median"]
             detail[name] = d
         except Exception as e:  # a failing query records -1, not a crash

@@ -139,6 +139,54 @@ def global_windows(df: DataFrame) -> list[str]:
     return out
 
 
+#: Volatile tokens stripped before hashing a plan. Everything else in
+#: a formatted explain is a function of the plan shape itself:
+#: - expression IDs (#123) come from a session-global monotonic
+#:   counter — differ between builds of the SAME query
+#: - plan_id / ReusedExchange ids — same counter family
+#: - RDD numbers (ExistingRDD/MapPartitionsRDD[123]) — run-scoped,
+#:   shown when a query materializes via localCheckpoint / memory sink
+#: - absolute temp/checkpoint paths (file:/tmp/...) — random per run
+#: - cached-plan storage levels / InMemoryRelation serialized stats
+_VOLATILE = [
+    (re.compile(r"#\d+"), "#"),
+    (re.compile(r"plan_id=\d+"), "plan_id="),
+    (re.compile(r"RDD\[\d+\]"), "RDD[]"),
+    (re.compile(r"file:/tmp/\S+"), "file:/tmp/..."),
+    (re.compile(r"\[file:[^\]]*/(\w+\.parquet)[^\]]*\]"), r"[\1]"),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
+    # nondeterministic-expression seeds are drawn fresh per build
+    # (salted operators use rand() for bucket assignment)
+    (re.compile(r"\b(rand|randn|uuid|shuffle)\(-?\d+"), r"\1("),
+]
+
+
+def normalized_plan(df: DataFrame) -> str:
+    """Formatted physical plan with run-volatile tokens stripped —
+    two builds of the same logical query (same session or not)
+    normalize to the same string; any real plan change (different
+    join strategy, lost pushdown, extra exchange) does not."""
+    text = plan_string(df)
+    for pat, repl in _VOLATILE:
+        text = pat.sub(repl, text)
+    # drop blank lines + trailing whitespace so formatting-only
+    # differences between Spark patch versions don't churn the hash
+    return "\n".join(
+        line.rstrip() for line in text.splitlines() if line.strip()
+    )
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """16-hex-char hash of the normalized physical plan. Recorded per
+    entry in the bench artifact (bench.py) so tools/bench_compare.py
+    can split a timing flag into 'plan changed' (real regression
+    suspect) vs 'plan identical' (host weather — auto re-measure)
+    without a human diffing plans by eye (VERDICT r7 ask #1)."""
+    import hashlib
+
+    return hashlib.sha256(normalized_plan(df).encode()).hexdigest()[:16]
+
+
 def audit(df: DataFrame) -> dict:
     """One-call plan summary for logging/regression tests."""
     return {

@@ -652,3 +652,111 @@ def test_q115_correlated_scalars_decorrelate(spark):
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
     assert "HashAggregate" in text
+
+
+# ---------------------------------------------------------------------
+# Plan fingerprint (round 8, VERDICT r7 ask #1): the bench artifact's
+# auto-adjudication hinges on two properties — rebuilds of the same
+# query hash identically (expression IDs, RDD numbers, rand() seeds
+# are session-volatile and must be normalized away), and any REAL plan
+# change flips the hash.
+# ---------------------------------------------------------------------
+
+
+def test_plan_fingerprint_stable_across_rebuilds(spark):
+    from sif_spark.plans import plan_fingerprint
+
+    a = plan_fingerprint(QUERIES["q03_revenue_by_nation"](spark, SF))
+    b = plan_fingerprint(QUERIES["q03_revenue_by_nation"](spark, SF))
+    assert a == b and len(a) == 16
+
+
+def test_plan_fingerprint_normalizes_rand_seed(spark):
+    """Salted operators embed rand(seed); the seed is drawn fresh per
+    build and must not churn the fingerprint."""
+    from sif_spark.plans import plan_fingerprint
+
+    a = plan_fingerprint(QUERIES["q55_salted_agg"](spark, SF))
+    b = plan_fingerprint(QUERIES["q55_salted_agg"](spark, SF))
+    assert a == b
+
+
+def test_plan_fingerprint_trips_on_altered_plan(spark):
+    """A deliberately altered physical plan (broadcast join forced to
+    sort-merge) must change the fingerprint — this is the 'plan
+    changed' side of bench_compare's adjudication."""
+    from sif_spark.plans import plan_fingerprint
+
+    baseline = plan_fingerprint(QUERIES["q03_revenue_by_nation"](spark, SF))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        altered = plan_fingerprint(QUERIES["q03_revenue_by_nation"](spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert altered != baseline
+    # and a lighter alteration — an extra filter node — also trips it
+    df = QUERIES["q03_revenue_by_nation"](spark, SF)
+    assert plan_fingerprint(df.filter("revenue_e4 > 0")) != baseline
+
+
+def test_bench_compare_adjudicates_by_fingerprint(tmp_path, monkeypatch):
+    """Offline check of the three flag outcomes: plan-changed flags
+    hard; plan-identical re-measures (stubbed) and clears on a fast
+    re-run or confirms on a slow one."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_compare as bc
+
+    def capture(vals, fps, path):
+        detail = {
+            q: {"median": v, "min": v, "spread": 0.05, "plan_fp": fps[q]}
+            for q, v in vals.items()
+        }
+        artifact = {
+            "queries": vals,
+            "queries_detail": detail,
+            "calibration": 0.4,
+        }
+        p = tmp_path / path
+        p.write_text(json.dumps(artifact))
+        return str(p)
+
+    # 10 stable entries anchor the drift median at 1.0; q_changed
+    # doubles with a DIFFERENT fp; q_weather doubles with the SAME fp
+    base = {f"q{i:02d}_stable": 1.0 for i in range(10)}
+    old = capture(
+        {**base, "q90_changed": 1.0, "q91_weather": 1.0},
+        {**{q: "aaaa" for q in base}, "q90_changed": "fp_old", "q91_weather": "fp_same"},
+        "old.json",
+    )
+    new = capture(
+        {**base, "q90_changed": 2.0, "q91_weather": 2.0},
+        {**{q: "aaaa" for q in base}, "q90_changed": "fp_new", "q91_weather": "fp_same"},
+        "new.json",
+    )
+
+    remeasured = {}
+
+    def fake_remeasure(entry, sf_dir, runs=5):
+        remeasured[entry] = True
+        return {"median": 1.02, "min": 1.0, "spread": 0.05, "plan_fp": "fp_same"}
+
+    monkeypatch.setattr(bc, "remeasure", fake_remeasure)
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", old, new])
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        bc.main()
+    # q90 flags (plan changed); q91 was re-measured and cleared
+    assert exc.value.code == 1
+    assert remeasured == {"q91_weather": True}
+
+    # same captures, --no-remeasure: q91 is UNRESOLVED -> also flags
+    remeasured.clear()
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", old, new, "--no-remeasure"])
+    with _pytest.raises(SystemExit) as exc:
+        bc.main()
+    assert exc.value.code == 1 and not remeasured

@@ -32,18 +32,38 @@ against a new median would bias every ratio upward).
 The run-level `calibration` fields are reported as a coarse
 host-speed indicator only.
 
-Usage: python tools/bench_compare.py BENCH_r06.json BENCH_r07.json
+Flag adjudication (round 8, VERDICT r7 ask #1): captures carry a
+normalized physical-plan fingerprint per entry (`plan_fp` in
+queries_detail — bench.py / sif_spark/plans/audit.py). A timing flag
+splits mechanically:
+  - fingerprints DIFFER  → the plan really changed: REGRESSION
+    (plan changed), exits nonzero, no re-measure can clear it.
+  - fingerprints MATCH   → same plan byte-for-byte; the flag is host
+    weather or a same-plan slowdown. The entry is RE-MEASURED
+    standalone (tools/bench_single.py, fresh process/JVM, N=5) and
+    flags only if the re-measure's drift-corrected ratio vs the old
+    capture still exceeds the bounds. `--no-remeasure` skips the
+    re-run (offline mode) and reports such flags as UNRESOLVED
+    (exit nonzero, conservatively).
+  - fingerprint missing on either side → legacy capture; flagged as
+    before (no adjudication possible).
+Plan changes WITHOUT a timing flag are listed informationally.
+
+Usage: python tools/bench_compare.py BENCH_r07.json BENCH_r08.json \
+           [--no-remeasure] [--sf-dir /root/testdata/sf0.1]
 Prints per-entry drift-corrected ratios (new/old), worst first, then
 a summary line. Entries present in only one capture are listed
 separately. Sub-100ms entries are noise — marked, never flagged.
-Exits nonzero when any entry flags.
+Exits nonzero when any entry flags after adjudication.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import re
 import statistics
+import subprocess
 import sys
 
 LEGACY_SPREAD = 0.30  # measured r6 capture-to-capture disagreement
@@ -86,12 +106,40 @@ def load(path: str) -> tuple[dict[str, float], float, dict[str, dict]]:
     return queries, float(cal), detail
 
 
+def remeasure(entry: str, sf_dir: str, runs: int = 5) -> dict | None:
+    """Fresh-process N-run re-measure of one entry; None on failure."""
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_single.py"),
+        entry,
+        "--runs",
+        str(runs),
+        "--sf-dir",
+        sf_dir,
+    ]
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=1800, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    except Exception as e:
+        print(f"re-measure of {entry} failed: {e}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
-    if len(sys.argv) != 3:
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    no_remeasure = "--no-remeasure" in sys.argv
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf-dir" in sys.argv:
+        i = sys.argv.index("--sf-dir")
+        sf_dir = sys.argv[i + 1]
+        argv = [a for a in argv if a != sf_dir]
+    if len(argv) != 2:
         print(__doc__)
         sys.exit(2)
-    old_q, old_cal, old_d = load(sys.argv[1])
-    new_q, new_cal, new_d = load(sys.argv[2])
+    old_q, old_cal, old_d = load(argv[0])
+    new_q, new_cal, new_d = load(argv[1])
     # min-vs-min when exactly one side carries detail (see module doc)
     stat = "median"
     if bool(old_d) != bool(new_d):
@@ -107,23 +155,59 @@ def main() -> None:
     drift = statistics.median(raw.values()) if raw else 1.0
     rows = []
     flagged = 0
+    plan_changes_quiet = []  # plan changed, timing fine — informational
     for q in shared:
         ratio = raw[q] / drift
         s_old = old_d.get(q, {}).get("spread", LEGACY_SPREAD)
         s_new = new_d.get(q, {}).get("spread", LEGACY_SPREAD)
         noise = 1.0 + s_old + s_new
         is_flag = ratio > 1.25 and ratio > noise and max(old_q[q], new_q[q]) >= 0.1
+        fp_old = old_d.get(q, {}).get("plan_fp")
+        fp_new = new_d.get(q, {}).get("plan_fp")
+        verdict = ""
+        if is_flag:
+            if fp_old and fp_new and fp_old != fp_new:
+                verdict = "PLAN CHANGED"
+            elif fp_old and fp_new:  # identical plans — adjudicate
+                if no_remeasure:
+                    verdict = "plan identical, UNRESOLVED (--no-remeasure)"
+                else:
+                    rm = remeasure(q, sf_dir)
+                    if rm is None:
+                        verdict = "plan identical, re-measure FAILED"
+                    else:
+                        re_ratio = (rm["median"] / old_q[q]) / drift if old_q[q] > 0 else float("inf")
+                        re_noise = 1.0 + s_old + rm.get("spread", 0.0)
+                        if re_ratio > 1.25 and re_ratio > re_noise:
+                            verdict = (
+                                f"plan identical, re-measure CONFIRMS "
+                                f"({rm['median']:.2f}s, corr {re_ratio:.2f})"
+                            )
+                        else:
+                            is_flag = False
+                            verdict = (
+                                f"plan identical, re-measure clears: weather "
+                                f"({rm['median']:.2f}s, corr {re_ratio:.2f})"
+                            )
+            else:
+                verdict = "no fingerprint (legacy capture)"
+        elif fp_old and fp_new and fp_old != fp_new:
+            plan_changes_quiet.append(q)
         flagged += is_flag
-        rows.append((ratio, q, old_q[q], new_q[q], noise, is_flag))
+        rows.append((ratio, q, old_q[q], new_q[q], noise, is_flag, verdict))
     rows.sort(reverse=True)
     print(f"statistic: {stat}; host drift (median raw ratio): {drift:.2f}x; "
           f"calibration (coarse): old={old_cal:.3f}s new={new_cal:.3f}s")
     print(f"{'entry':38s} {'old_s':>7s} {'new_s':>7s} {'corr_ratio':>10s} {'noise_bound':>11s}")
-    for ratio, q, o_s, n_s, noise, is_flag in rows:
-        mark = " <-- REGRESSION" if is_flag else ""
+    for ratio, q, o_s, n_s, noise, is_flag, verdict in rows:
+        mark = f" <-- REGRESSION [{verdict}]" if is_flag else (
+            f"  [{verdict}]" if verdict else "")
         if max(o_s, n_s) < 0.1:
             mark = "  (sub-100ms: noise)"
         print(f"{q:38s} {o_s:7.2f} {n_s:7.2f} {ratio:10.2f} {noise:11.2f}{mark}")
+    if plan_changes_quiet:
+        print("plan changed, timing unflagged (informational):",
+              ", ".join(plan_changes_quiet))
     only_old = sorted(set(old_q) - set(new_q))
     only_new = sorted(set(new_q) - set(old_q))
     if only_old:
