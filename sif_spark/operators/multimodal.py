@@ -22,13 +22,14 @@ batch_rows × max_blob_bytes fits executor memory.
 
 Built-in codec throughput boundary: the PPM/BMP/WAV/TIFF paths are
 fully NumPy-vectorized (memory-bandwidth-bound), but PNG's
-Average/Paeth unfilter and GIF's LZW are serial per-byte Python loops
-by the nature of their data dependencies — fine for the
-thumbnail-to-screenshot sizes a metadata/dedup pipeline touches, and
-for correctness oracles, but for BULK decode of large photographic
-corpora inject a native codec via ``decoder=`` (the same boundary as
-jpeg). The injected codec reuses all the Arrow batching, schema, and
-null plumbing unchanged.
+Average/Paeth unfilter, GIF's LZW, and JPEG's Huffman entropy decode
+are serial per-symbol Python loops by the nature of their data
+dependencies — fine for the thumbnail-to-screenshot sizes a
+metadata/dedup pipeline touches, and for correctness oracles, but for
+BULK decode of large photographic corpora inject a native codec via
+``decoder=`` (the same boundary as mp3/video). The injected codec
+reuses all the Arrow batching, schema, and null plumbing unchanged.
+Measured numbers per format/path: SCALE.md codec-throughput table.
 """
 
 from __future__ import annotations
@@ -966,14 +967,16 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
     """Format-sniffed decode dispatch — the default decoder for
     `decode_features`. Covers the dependency-free formats (PPM/PGM,
     24-bpp BMP, PCM WAV, uncompressed TIFF in both byte orders) plus
-    the two compressed formats implementable from the stdlib: 8-bit
-    non-interlaced PNG (zlib) and GIF87a/89a first-frame (pure-Python
-    LZW). A gzip wrapper is transparently unwrapped and re-dispatched
+    the compressed formats implementable from stdlib+NumPy: 8-bit
+    non-interlaced PNG (zlib), GIF87a/89a first-frame (pure-Python
+    LZW), and baseline JPEG (jpeg.py: Huffman + NumPy IDCT,
+    4:4:4/4:2:2/4:2:0; progressive raises its own typed gate). A gzip
+    wrapper is transparently unwrapped and re-dispatched
     (corpora store media gzipped at rest) — output-capped and at most
     2 levels deep, so nested members can't chain 1 KB → 1 MB → 1 GB
     (ADVICE r7). Anything else raises NotImplementedError naming the
-    sniffed format so the remaining compressed media (jpeg/mp3/video)
-    still gates loudly behind an injected codec."""
+    sniffed format so the remaining compressed media (mp3/video
+    containers) still gates loudly behind an injected codec."""
     if blob[:2] in (b"P6", b"P5"):
         return decode_ppm(blob)
     if blob[:2] == b"BM":
@@ -986,6 +989,10 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
         return decode_gif(blob)
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(blob)
+    if blob[:3] == b"\xff\xd8\xff":
+        from sif_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     if blob[:2] == b"\x1f\x8b":
         # gzip wrapper — corpora routinely store media gzip-compressed
         # at rest; unwrap (bounded) and re-dispatch on the inner bytes.
@@ -1002,8 +1009,8 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
     )
     raise NotImplementedError(
         f"no built-in codec for format {sniffed!r}: built-ins cover "
-        "ppm/pgm/bmp/wav/png/gif/tiff (+gzip unwrap); pass decoder= with a "
-        "real codec for "
+        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg (+gzip unwrap); pass decoder= "
+        "with a real codec for "
         "compressed media"
     )
 

@@ -1134,17 +1134,21 @@ def q109_pq_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end (VERDICT r5 #2; PNG added per
-    VERDICT r6 #2; GIF added round 7): 48 docs each get a generated
-    blob in a real on-disk format by doc_id % 6 — P6 PPM (16×16
-    RGB), 24-bpp BMP (9×15 — odd width so every row carries 4-byte
-    padding), 16-bit stereo PCM WAV (500 frames), 8-bit RGBA PNG
-    (11×13, encoded with MIXED scanline filters — row r uses filter
-    r % 5, so the zlib inflate AND all five unfilter paths sit in
-    the oracle-gated pipeline), INTERLACED 32-color GIF (10×12 —
+    VERDICT r6 #2; GIF added round 7; JPEG round 8): 48 docs each get
+    a generated blob in a real on-disk format by doc_id % 7 — P6 PPM
+    (16×16 RGB), 24-bpp BMP (9×15 — odd width so every row carries
+    4-byte padding), 16-bit stereo PCM WAV (500 frames), 8-bit RGBA
+    PNG (11×13, encoded with MIXED scanline filters — row r uses
+    filter r % 5, so the zlib inflate AND all five unfilter paths sit
+    in the oracle-gated pipeline), INTERLACED 32-color GIF (10×12 —
     LZW decode + 4-pass deinterlace + palette lookup all under the
-    gate), or BIG-ENDIAN grayscale TIFF (14×11 — MM byte order, so
-    the IFD endianness/justification path is gated too) — with
-    element values a closed-form function of
+    gate), BIG-ENDIAN grayscale TIFF (14×11 — MM byte order, so
+    the IFD endianness/justification path is gated too), or baseline
+    grayscale JPEG (24×16, 8×8-block-constant values so quant=1
+    decode is an EXACT identity — Huffman entropy decode, dequantize,
+    NumPy IDCT all under the gate — encoded with restart_interval=2
+    so DRI/RSTn segmentation and per-segment DC-predictor resets are
+    gated too) — with element values a closed-form function of
     (doc_id, position). Each blob then goes through
     `multimodal.media_decoder`, the format-sniffed DEFAULT decode
     path (no injected codec anywhere), and the decoded array is
@@ -1153,13 +1157,14 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The weighting is what makes the gate strong: a decoder that
     mis-handles BMP's bottom-up row order, its row padding, BGR→RGB,
     the PPM header offset, WAV channel interleave, any PNG unfilter's
-    left/up dependency, GIF's interlace row order, or TIFF's byte
-    order produces the same multiset of values but different
+    left/up dependency, GIF's interlace row order, TIFF's byte
+    order, or JPEG's MCU raster order / restart-segment predictor
+    reset produces the same multiset of values but different
     positions — the plain sum would still match; the weighted digest
     cannot. The oracle recomputes the digest in closed form from the
     generation function (pure SQL over range() grids — DuckDB never
     needs a codec), so Spark-side encode→decode must be an exact
-    identity for all six formats.
+    identity for all seven formats.
 
     Scale shape: generation+decode+digest ride ONE mapInPandas over
     the doc_id projection — no shuffle at all until the final orderBy
@@ -1180,7 +1185,7 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             recs = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                m = did % 6
+                m = did % 7
                 if m in (0, 1):
                     h, w = (16, 16) if m == 0 else (9, 15)
                     y, x, c = np.meshgrid(
@@ -1214,6 +1219,14 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     idx = (did + 5 * y + 3 * x) % 32
                     blob = mm.encode_gif(pal[idx], interlace=True)
                     fmt = "gif"
+                elif m == 6:
+                    from sif_spark.operators.jpeg import encode_jpeg
+
+                    by, bx = np.meshgrid(np.arange(3), np.arange(2), indexing="ij")
+                    bvals = ((did + 11 * by + 4 * bx) % 256).astype(np.uint8)
+                    v = np.repeat(np.repeat(bvals, 8, axis=0), 8, axis=1)
+                    blob = encode_jpeg(v, quant=1, restart_interval=2)
+                    fmt = "jpeg"
                 else:
                     i, ch = np.meshgrid(np.arange(500), np.arange(2), indexing="ij")
                     s = ((did * 7 + 13 * i + 11 * ch) % 4001 - 2000).astype(np.int16)
@@ -1258,28 +1271,28 @@ ppm AS (
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(16) AS y(j), range(16) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 6 = 0 GROUP BY doc_id
+  WHERE doc_id % 7 = 0 GROUP BY doc_id
 ),
 bmp AS (
   SELECT doc_id, 'bmp' AS fmt, CAST(9*15*3 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(9) AS y(j), range(15) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 6 = 1 GROUP BY doc_id
+  WHERE doc_id % 7 = 1 GROUP BY doc_id
 ),
 wav AS (
   SELECT doc_id, 'wav' AS fmt, CAST(500*2 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id*7 + 13*i.n + 11*ch.m) % 4001 - 2000)
                   * (1 + (i.n % 31) + 2*ch.m)) AS BIGINT) AS digest
   FROM d, range(500) AS i(n), range(2) AS ch(m)
-  WHERE doc_id % 6 = 2 GROUP BY doc_id
+  WHERE doc_id % 7 = 2 GROUP BY doc_id
 ),
 png AS (
   SELECT doc_id, 'png' AS fmt, CAST(11*13*4 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
                   * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(11) AS y(j), range(13) AS x(i), range(4) AS c(k)
-  WHERE doc_id % 6 = 3 GROUP BY doc_id
+  WHERE doc_id % 7 = 3 GROUP BY doc_id
 ),
 gif AS (
   SELECT doc_id, 'gif' AS fmt, CAST(10*12*3 AS BIGINT) AS n_elems,
@@ -1289,18 +1302,27 @@ gif AS (
                      ELSE (7*((doc_id + 5*y.j + 3*x.i) % 32)) % 256 END)
            * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
   FROM d, range(10) AS y(j), range(12) AS x(i), range(3) AS c(k)
-  WHERE doc_id % 6 = 4 GROUP BY doc_id
+  WHERE doc_id % 7 = 4 GROUP BY doc_id
 ),
 tiff AS (
   SELECT doc_id, 'tiff' AS fmt, CAST(14*11 AS BIGINT) AS n_elems,
          CAST(SUM(((doc_id + 9*y.j + 2*x.i) % 256)
                   * (1 + x.i + 2*y.j)) AS BIGINT) AS digest
   FROM d, range(14) AS y(j), range(11) AS x(i)
-  WHERE doc_id % 6 = 5 GROUP BY doc_id
+  WHERE doc_id % 7 = 5 GROUP BY doc_id
+),
+jpg AS (
+  SELECT doc_id, 'jpeg' AS fmt, CAST(24*16 AS BIGINT) AS n_elems,
+         CAST(SUM(((doc_id + 11*by.b + 4*bx.a) % 256)
+                  * (1 + (8*bx.a + xx.u) + 2*(8*by.b + yy.v))) AS BIGINT) AS digest
+  FROM d, range(3) AS by(b), range(2) AS bx(a),
+       range(8) AS yy(v), range(8) AS xx(u)
+  WHERE doc_id % 7 = 6 GROUP BY doc_id
 )
 SELECT * FROM ppm UNION ALL SELECT * FROM bmp
 UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM png
 UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM tiff
+UNION ALL SELECT * FROM jpg
 ORDER BY doc_id
 """
 

@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 from sif_spark.operators import multimodal as mm
 
 PNG = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
-JPG = b"\xff\xd8\xff\xe0" + bytes(100)
+JPG = b"\xff\xd8\xff\xe0" + bytes(100)  # sniffs as jpeg, malformed
+MP3 = b"ID3" + bytes(100)  # a format with NO built-in codec
 RAW = b"not-a-known-format" * 4
 
 
@@ -41,8 +42,12 @@ def test_dedup_blobs(spark, blobs):
 def test_decode_features_stub_gate(spark, blobs):
     # the gate moved INSIDE the sniffed dispatch (r6): compressed
     # formats without a built-in codec raise at execution time with
-    # the format named (jpeg here — PNG gained a real decoder in r7)
+    # the format named (mp3 here — PNG gained a real decoder in r7,
+    # JPEG in r8); a malformed jpeg fails loudly in the real decoder
+    mp3_df = spark.createDataFrame([(9, MP3)], "id long, blob binary")
     with pytest.raises(Exception, match="no built-in codec"):
+        mm.decode_features(mp3_df, "blob", "id").collect()
+    with pytest.raises(Exception, match="JPEG"):
         mm.decode_features(blobs.filter("id = 1"), "blob", "id").collect()
     # a corrupt PNG (valid signature, garbage chunks) fails LOUDLY in
     # the real decoder, never silently produces features
@@ -176,8 +181,10 @@ def test_media_decoder_dispatch():
     assert np.array_equal(mm.media_decoder(mm.encode_bmp(img)), img)
     assert mm.media_decoder(mm.encode_wav(np.arange(4, dtype=np.int16))).shape == (4, 1)
     assert np.array_equal(mm.media_decoder(mm.encode_png(img, "mixed")), img)
-    with pytest.raises(NotImplementedError, match="'jpeg'"):
-        mm.media_decoder(JPG)
+    with pytest.raises(NotImplementedError, match="'mp3'"):
+        mm.media_decoder(MP3)
+    with pytest.raises(ValueError, match="JPEG"):
+        mm.media_decoder(JPG)  # valid jpeg signature, garbage body
     with pytest.raises(ValueError, match="PNG"):
         mm.media_decoder(PNG)  # valid signature, garbage chunks
 
@@ -332,8 +339,8 @@ def test_gzip_unwrap_redispatch():
     for enc in (mm.encode_png, mm.encode_bmp, lambda a: mm.encode_tiff(a, ">")):
         wrapped = gzip.compress(enc(img))
         assert np.array_equal(mm.media_decoder(wrapped), img)
-    with pytest.raises(NotImplementedError, match="'jpeg'"):
-        mm.media_decoder(gzip.compress(JPG))
+    with pytest.raises(NotImplementedError, match="'mp3'"):
+        mm.media_decoder(gzip.compress(MP3))
 
 
 def test_codec_known_answer_external_blobs():
@@ -445,9 +452,12 @@ def test_decoders_fail_typed_on_malformed_input():
     with pytest.raises(ValueError):
         mm.decode_gif(bytes(gif[:20]))
     # randomized sweep: every failure typed, nothing else escapes
+    from sif_spark.operators.jpeg import encode_jpeg
+
     blobs = [bytes(gif), mm.encode_png(img), mm.encode_tiff(img, ">"),
              mm.encode_bmp(img), mm.encode_ppm(img),
-             mm.encode_wav(np.arange(32, dtype=np.int16))]
+             mm.encode_wav(np.arange(32, dtype=np.int16)),
+             encode_jpeg(img, subsampling="4:2:0", restart_interval=1)]
     for blob in blobs:
         for trial in range(60):
             b = bytearray(blob)
@@ -486,7 +496,7 @@ def test_decode_features_on_error_null(spark):
     }
     assert out[0] is not None and len(out[0]) == 16
     assert out[1] is None     # corrupt -> null, job survives
-    assert out[2] is None     # no codec (jpeg) -> null under tolerance
+    assert out[2] is None     # malformed jpeg -> null under tolerance
     assert out[3] is None     # null input stays null
     with pytest.raises(Exception, match="CRC"):
         mm.decode_features(df.filter("id = 1"), "blob", "id").collect()
