@@ -324,15 +324,17 @@ def decode_png(blob: bytes) -> np.ndarray:
     VERDICT r6 "Next round" #2, the one compressed format reachable
     without third-party codecs). Supports 8-bit depth, color types
     0/2/4/6 (gray → (H,W), gray+alpha → (H,W,2), RGB → (H,W,3),
-    RGBA → (H,W,4)), non-interlaced, all five scanline filters
-    (None/Sub/Up/Average/Paeth). Chunk CRCs are verified. Palette
-    (color type 3), 16-bit, and Adam7 raise ValueError — decode must
+    RGBA → (H,W,4)) and — round 8 — color type 3 (PLTE palette →
+    (H,W,3), or (H,W,4) when a tRNS chunk carries per-entry alpha),
+    non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth). Chunk CRCs are verified. 16-bit and
+    Adam7 raise ValueError — decode must
     be exact or loud, never approximate."""
     import zlib
 
     if blob[:8] != _PNG_SIG:
         raise ValueError(f"not a PNG blob (signature {blob[:8]!r})")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte, trns = 8, None, bytearray(), None, None
     while pos + 12 <= len(blob):
         ln = int.from_bytes(blob[pos : pos + 4], "big")
         typ = blob[pos + 4 : pos + 8]
@@ -344,6 +346,12 @@ def decode_png(blob: bytes) -> np.ndarray:
             ihdr = body
         elif typ == b"IDAT":
             idat += body
+        elif typ == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError("malformed PNG PLTE chunk")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif typ == b"IEND":
             break
         pos += 12 + ln
@@ -358,9 +366,14 @@ def decode_png(blob: bytes) -> np.ndarray:
             f"filter_method={filt} interlace={interlace}); built-in codec "
             "covers 8-bit non-interlaced only"
         )
-    channels = _PNG_CHANNELS.get(ctype)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {ctype} (palette?)")
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        channels = 1  # one index byte per pixel on the wire
+    else:
+        channels = _PNG_CHANNELS.get(ctype)
+        if channels is None:
+            raise ValueError(f"unsupported PNG color type {ctype}")
     _check_pixel_budget(w, h)
     stride = w * channels
     # IHDR fixes the exact inflated size, so inflate with a hard
@@ -407,6 +420,18 @@ def decode_png(blob: bytes) -> np.ndarray:
         else:
             raise ValueError(f"invalid PNG filter type {ft} on row {r}")
     out = recon.astype(np.uint8)
+    if ctype == 3:
+        idx = out.reshape(h, w)
+        if idx.size and idx.max() >= len(plte):
+            raise ValueError("PNG palette index exceeds PLTE size")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        # tRNS lists alpha for the first len(trns) palette entries;
+        # later entries are fully opaque (PNG spec 11.3.2.1)
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
     return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
 
 
@@ -467,6 +492,49 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_png_indexed(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    filter_type: int | str = 0,
+) -> bytes:
+    """(H, W) uint8 palette indices + (N, 3) uint8 palette → color
+    type 3 PNG (PLTE, optional tRNS with per-entry alpha). Test
+    support for the palette decode path, sharing encode_png's
+    vectorized filter machinery by post-editing the IHDR color type
+    (index bytes filter identically to a 1-channel gray plane)."""
+    import zlib
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("want (H,W) indices and (N,3) palette")
+    if len(palette) > 256 or (idx.size and idx.max() >= len(palette)):
+        raise ValueError("palette must hold every index, max 256 entries")
+    gray = encode_png(idx, filter_type)
+    # rewrite IHDR (fixed offset: sig 8 + len 4 + type 4 + body 13):
+    # color type byte sits at body offset 9
+    body = bytearray(gray[16:29])
+    body[9] = 3
+    out = bytearray(_PNG_SIG)
+    out += (13).to_bytes(4, "big") + b"IHDR" + body
+    out += (zlib.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF).to_bytes(4, "big")
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(4, "big")
+            + typ
+            + payload
+            + (zlib.crc32(typ + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    out += chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+    out += gray[33:]  # IDAT + IEND unchanged (33 = 8 sig + 25 IHDR chunk)
+    return bytes(out)
 
 
 def _gif_lzw_decode(
@@ -550,14 +618,18 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def _iter_gif_frames(blob: bytes):
-    """Yield each image descriptor of a GIF87a/89a stream as an
-    (H, W, 3) RGB uint8 array. Handles global and local color tables,
-    the 4-pass interlace row order, extension-block skipping (GCE,
-    comments, application blocks), and the full variable-width LZW
-    code stream (clear/EOI, KwKwK, 12-bit cap). Frames must be
-    FULL-SIZE at origin — partial frames (animation deltas needing
-    disposal-method compositing) raise rather than yielding a
-    misleading sub-image."""
+    """Yield each frame of a GIF87a/89a stream as the full logical
+    screen, an (SH, SW, 3) RGB uint8 array. Handles global and local
+    color tables, the 4-pass interlace row order, the full
+    variable-width LZW code stream (clear/EOI, KwKwK, 12-bit cap),
+    and — round 8 — animation COMPOSITING per the GIF89a spec §23:
+    partial (delta) frames draw at their (left, top) offset onto a
+    persistent canvas; the graphic control extension's transparency
+    index leaves underlying canvas pixels untouched; disposal methods
+    0/1 (leave), 2 (restore region to background color) and 3
+    (restore region to the pre-frame canvas) are applied after each
+    yielded frame. The canvas starts as the background color (GCT
+    entry named by the header's background index, else black)."""
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF blob (magic {blob[:6]!r})")
     if len(blob) < 13:
@@ -565,6 +637,7 @@ def _iter_gif_frames(blob: bytes):
     sw = int.from_bytes(blob[6:8], "little")
     sh = int.from_bytes(blob[8:10], "little")
     packed = blob[10]
+    bg_index = blob[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -572,7 +645,7 @@ def _iter_gif_frames(blob: bytes):
         gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
     try:
-        yield from _walk_gif_blocks(blob, pos, sw, sh, gct)
+        yield from _walk_gif_blocks(blob, pos, sw, sh, gct, bg_index)
     except IndexError:
         # every byte index here is attacker-controlled; a truncated
         # stream must fail as a typed decode error, not a bare
@@ -580,12 +653,26 @@ def _iter_gif_frames(blob: bytes):
         raise ValueError("truncated GIF stream") from None
 
 
-def _walk_gif_blocks(blob: bytes, pos: int, sw: int, sh: int, gct):
+def _walk_gif_blocks(blob: bytes, pos: int, sw: int, sh: int, gct, bg_index=0):
+    _check_pixel_budget(max(sw, 1), max(sh, 1))
+    bg = (
+        gct[bg_index].copy()
+        if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg
+    gce: tuple[int, int | None] | None = None  # (disposal, transparent_idx)
     while pos < len(blob):
         block = blob[pos]
         pos += 1
         if block == 0x21:  # extension: label + sub-blocks
+            label = blob[pos]
             pos += 1
+            if label == 0xF9 and blob[pos] >= 4:  # graphic control
+                gpacked = blob[pos + 1]
+                tidx = blob[pos + 4] if (gpacked & 0x01) else None
+                gce = ((gpacked >> 2) & 0x07, tidx)
             while blob[pos] != 0:
                 pos += 1 + blob[pos]
             pos += 1
@@ -596,10 +683,9 @@ def _walk_gif_blocks(blob: bytes, pos: int, sw: int, sh: int, gct):
             h = int.from_bytes(blob[pos + 6 : pos + 8], "little")
             ipacked = blob[pos + 8]
             pos += 9
-            if (left, top, w, h) != (0, 0, sw, sh):
+            if w == 0 or h == 0 or left + w > sw or top + h > sh:
                 raise ValueError(
-                    "partial GIF frame (delta animation needing disposal "
-                    "compositing) — only full-size frames are supported"
+                    "GIF frame rectangle exceeds the logical screen"
                 )
             pal = gct
             if ipacked & 0x80:
@@ -630,7 +716,21 @@ def _walk_gif_blocks(blob: bytes, pos: int, sw: int, sh: int, gct):
                 arr = deinter
             if arr.max() >= len(pal):
                 raise ValueError("GIF index exceeds palette size")
-            yield pal[arr]
+            disposal, tidx = gce if gce is not None else (0, None)
+            gce = None
+            region = canvas[top : top + h, left : left + w]
+            before = region.copy() if disposal == 3 else None
+            rgb = pal[arr]
+            if tidx is not None:
+                mask = arr != tidx
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            yield canvas.copy()
+            if disposal == 2:
+                region[:] = bg
+            elif disposal == 3:
+                region[:] = before
         elif block == 0x3B:  # trailer
             return
         else:
@@ -646,12 +746,19 @@ def decode_gif(blob: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image descriptor")
 
 
-def _gif_image_block(a: np.ndarray, interlace: bool, local_ct: bool) -> tuple[bytes, bytes, int]:
+def _gif_image_block(
+    a: np.ndarray,
+    interlace: bool,
+    local_ct: bool,
+    left: int = 0,
+    top: int = 0,
+) -> tuple[bytes, bytes, int]:
     """One image's worth of GIF stream pieces: returns (palette_bytes,
     image_block_bytes, palette_bits). With ``local_ct`` the palette
     rides inside the image block as a LOCAL color table (the animation
     shape — each frame carries its own exact palette); otherwise the
-    caller writes it as the GLOBAL table."""
+    caller writes it as the GLOBAL table. ``left``/``top`` place the
+    frame inside the logical screen (delta animations)."""
     h, w = a.shape[:2]
     flat = a.reshape(-1, 3)
     pal, inverse = np.unique(flat, axis=0, return_inverse=True)
@@ -730,7 +837,8 @@ def _gif_image_block(a: np.ndarray, interlace: bool, local_ct: bool) -> tuple[by
             nbits -= 8
     if nbits:
         payload.append(acc & 0xFF)
-    block = bytearray(bytes([0x2C, 0, 0, 0, 0]))
+    block = bytearray(bytes([0x2C]))
+    block += left.to_bytes(2, "little") + top.to_bytes(2, "little")
     block += w.to_bytes(2, "little") + h.to_bytes(2, "little")
     ipacked = (0x40 if interlace else 0x00) | (0x80 | (bits - 1) if local_ct else 0x00)
     block += bytes([ipacked])
@@ -763,27 +871,51 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
-def encode_gif_animation(frames, interlace: bool = False) -> bytes:
-    """List of same-shape (H, W, 3) RGB uint8 frames → multi-frame
-    GIF89a where every frame carries its own exact LOCAL color table
-    (so frames need not share a palette) and a minimal graphic control
-    extension — the shape `gif_frame_decoder`/`sample_frames` consume.
-    No inter-frame delta encoding: every frame is full-size, which is
-    exactly what the decoder supports (partial frames raise)."""
+def encode_gif_animation(
+    frames,
+    interlace: bool = False,
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    screen: tuple[int, int] | None = None,
+) -> bytes:
+    """List of (H, W, 3) RGB uint8 frames → multi-frame GIF89a where
+    every frame carries its own exact LOCAL color table (so frames
+    need not share a palette) and a graphic control extension — the
+    shape `gif_frame_decoder`/`sample_frames` consume.
+
+    Round 8 (delta animations): ``offsets`` places each frame at
+    (left, top) on the logical screen, ``disposals`` writes each
+    frame's disposal method into its GCE (0/1 leave, 2 restore to
+    background, 3 restore to previous), and ``screen`` sets the
+    logical screen (W, H) explicitly (default: frame 0's size, which
+    then must contain every offset frame). Without these, frames must
+    be same-shape full-size — the pre-round-8 behavior."""
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
     if not frames:
         raise ValueError("animation needs at least one frame")
-    if any(f.ndim != 3 or f.shape[2] != 3 or f.shape != frames[0].shape for f in frames):
-        raise ValueError("all frames must be same-shape (H,W,3) uint8")
-    h, w = frames[0].shape[:2]
+    if any(f.ndim != 3 or f.shape[2] != 3 for f in frames):
+        raise ValueError("frames must be (H,W,3) uint8")
+    offsets = offsets or [(0, 0)] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    if len(offsets) != len(frames) or len(disposals) != len(frames):
+        raise ValueError("offsets/disposals must match frame count")
+    if screen is None:
+        if offsets != [(0, 0)] * len(frames) or any(
+            f.shape != frames[0].shape for f in frames
+        ):
+            raise ValueError("offset/mixed-size frames need explicit screen=")
+        screen = (frames[0].shape[1], frames[0].shape[0])
+    sw, sh = screen
+    for f, (lf, tp) in zip(frames, offsets):
+        if lf + f.shape[1] > sw or tp + f.shape[0] > sh:
+            raise ValueError("frame rectangle exceeds the logical screen")
     out = bytearray(b"GIF89a")
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
     out += bytes([0x00, 0, 0])  # no global color table
-    for f in frames:
-        # graphic control extension (no transparency, no disposal) —
-        # exercises the decoder's extension-skipping path per frame
-        out += bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
-        _, block, _ = _gif_image_block(f, interlace, local_ct=True)
+    for f, (lf, tp), dm in zip(frames, offsets, disposals):
+        # graphic control extension: disposal in bits 2-4
+        out += bytes([0x21, 0xF9, 0x04, (dm & 0x07) << 2, 0x00, 0x00, 0x00, 0x00])
+        _, block, _ = _gif_image_block(f, interlace, local_ct=True, left=lf, top=tp)
         out += block
     out += bytes([0x3B])
     return bytes(out)

@@ -221,8 +221,8 @@ def test_png_rejects_unsupported_variants():
             + chunk(b"IEND", b"")
         )
 
-    with pytest.raises(ValueError, match="color type 3"):
-        mm.decode_png(variant(ctype=3))
+    with pytest.raises(ValueError, match="missing PLTE"):
+        mm.decode_png(variant(ctype=3))  # palette declared, no PLTE
     with pytest.raises(ValueError, match="depth=16"):
         mm.decode_png(variant(depth=16))
     with pytest.raises(ValueError, match="interlace=1"):
@@ -408,13 +408,124 @@ def test_gif_animation_frames_and_sample_frames(spark):
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
     got = [mm.decode_ppm(bytes(r["frame"])) for r in rows]
     assert all(np.array_equal(g, frames[i]) for g, i in zip(got, [0, 2, 4]))
-    # a partial frame (nonzero left offset) must raise, not composite
+    # a frame rectangle past the logical screen must raise (a nonzero
+    # left offset makes a full-width frame overflow the screen)
     single = bytearray(mm.encode_gif(frames[0]))
     desc = 13 + (2 << ((single[10] & 0x07))) * 3  # header + GCT
     assert single[desc] == 0x2C
     single[desc + 1] = 1  # left := 1
-    with pytest.raises(ValueError, match="partial GIF frame"):
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
         mm.decode_gif(bytes(single))
+
+
+def test_gif_delta_frame_compositing():
+    """GIF89a spec §23 animation compositing (VERDICT r7 ask #4):
+    delta frames draw at their offset onto the persistent canvas;
+    disposal 2 restores the frame region to the background color,
+    disposal 3 restores it to the pre-frame canvas, and a GCE
+    transparency index leaves underlying pixels untouched."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(23, 3), dtype=np.uint8)
+    base = pal[rng.integers(0, 23, size=(10, 12))]
+    patch = pal[rng.integers(0, 23, size=(4, 5))]
+
+    blob = mm.encode_gif_animation(
+        [base, patch], offsets=[(0, 0), (3, 2)], screen=(12, 10)
+    )
+    f0, f1 = mm._iter_gif_frames(blob)
+    exp = base.copy()
+    exp[2:6, 3:8] = patch
+    assert np.array_equal(f0, base) and np.array_equal(f1, exp)
+
+    # disposal 2: the patch region resets to background (no GCT -> black)
+    blob = mm.encode_gif_animation(
+        [base, patch, patch],
+        offsets=[(0, 0), (3, 2), (0, 0)],
+        disposals=[0, 2, 0],
+        screen=(12, 10),
+    )
+    last = list(mm._iter_gif_frames(blob))[2]
+    exp = base.copy()
+    exp[2:6, 3:8] = 0
+    exp[0:4, 0:5] = patch
+    assert np.array_equal(last, exp)
+
+    # disposal 3: the patch region restores to the pre-frame canvas
+    blob = mm.encode_gif_animation(
+        [base, patch, patch],
+        offsets=[(0, 0), (3, 2), (0, 0)],
+        disposals=[0, 3, 0],
+        screen=(12, 10),
+    )
+    last = list(mm._iter_gif_frames(blob))[2]
+    exp = base.copy()
+    exp[0:4, 0:5] = patch
+    assert np.array_equal(last, exp)
+
+    # transparency: hand-patch frame 2's GCE to transparent-index and
+    # verify masked pixels keep the canvas values. The patch's palette
+    # is np.unique-sorted, so index 0 is its lexicographically first
+    # color; mark that index transparent.
+    blob = bytearray(
+        mm.encode_gif_animation(
+            [base, patch], offsets=[(0, 0), (3, 2)], screen=(12, 10)
+        )
+    )
+    gces = [i for i in range(len(blob) - 1) if blob[i] == 0x21 and blob[i + 1] == 0xF9]
+    blob[gces[1] + 3] |= 0x01  # transparency flag
+    blob[gces[1] + 6] = 0      # transparent index 0
+    f0, f1 = mm._iter_gif_frames(bytes(blob))
+    pal_sorted = np.unique(patch.reshape(-1, 3), axis=0)
+    mask = (patch == pal_sorted[0]).all(axis=-1)
+    exp = base.copy()
+    region = exp[2:6, 3:8]
+    region[~mask] = patch[~mask]
+    assert np.array_equal(f1, exp)
+    # sample_frames consumes composited deltas end-to-end
+    ppms = mm.gif_frame_decoder(bytes(blob), 1)
+    assert np.array_equal(mm.decode_ppm(ppms[1]), exp)
+
+
+def test_png_palette_roundtrip():
+    """Color type 3 decode (VERDICT r7 ask #4): PLTE lookup, optional
+    tRNS alpha (entries past the tRNS length are opaque), index
+    validation, and every scanline filter via filter_type='mixed'."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    pal = rng.integers(0, 256, size=(37, 3), dtype=np.uint8)
+    idx = rng.integers(0, 37, size=(13, 11), dtype=np.uint8)
+    out = mm.decode_png(mm.encode_png_indexed(idx, pal, filter_type="mixed"))
+    assert np.array_equal(out, pal[idx])
+    # media_decoder dispatch covers palette PNGs too
+    assert np.array_equal(
+        mm.media_decoder(mm.encode_png_indexed(idx, pal)), pal[idx]
+    )
+    trns = rng.integers(0, 256, size=20, dtype=np.uint8)
+    out = mm.decode_png(mm.encode_png_indexed(idx, pal, trns=trns))
+    alpha = np.full(37, 255, dtype=np.uint8)
+    alpha[:20] = trns
+    assert np.array_equal(
+        out, np.concatenate([pal[idx], alpha[idx][..., None]], axis=-1)
+    )
+    # an index past the palette raises rather than wrapping
+    small_pal = pal[:8]
+    blob = mm.encode_png_indexed(idx % 8, small_pal)
+    import zlib
+
+    i = blob.index(b"IDAT")
+    ln = int.from_bytes(blob[i - 4 : i], "big")
+    raw = bytearray(zlib.decompress(blob[i + 4 : i + 4 + ln]))
+    raw[1] = 200  # index 200 > 7, on a type-0 filtered row
+    body = zlib.compress(bytes(raw))
+    patched = bytearray(blob[: i - 4])
+    patched += len(body).to_bytes(4, "big") + b"IDAT" + body
+    patched += (zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    patched += blob[i + 8 + ln :]
+    with pytest.raises(ValueError, match="exceeds PLTE"):
+        mm.decode_png(bytes(patched))
 
 
 def test_decoders_fail_typed_on_malformed_input():
