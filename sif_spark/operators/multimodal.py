@@ -20,16 +20,20 @@ keeps metadata-only queries from ever reading the bytes; hot paths
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` — size it so
 batch_rows × max_blob_bytes fits executor memory.
 
-Built-in codec throughput boundary: the PPM/BMP/WAV/TIFF paths are
-fully NumPy-vectorized (memory-bandwidth-bound), but PNG's
-Average/Paeth unfilter, GIF's LZW, and JPEG's Huffman entropy decode
-are serial per-symbol Python loops by the nature of their data
-dependencies — fine for the thumbnail-to-screenshot sizes a
-metadata/dedup pipeline touches, and for correctness oracles, but for
-BULK decode of large photographic corpora inject a native codec via
-``decoder=`` (the same boundary as mp3/video). The injected codec
-reuses all the Arrow batching, schema, and null plumbing unchanged.
-Measured numbers per format/path: SCALE.md codec-throughput table.
+Built-in codec throughput boundary — MEASURED (round 8,
+tools/codec_throughput_probe.py; full table in SCALE.md): the
+PPM/BMP/WAV/TIFF paths are fully NumPy-vectorized at 0.5-13 GB/s/core
+— never a reason to inject a codec. PNG none/up filters ride zlib at
+170-400 MB/s/core. The SERIAL paths — PNG average/paeth unfilter
+(~0.6 MB/s/core), GIF LZW (~5 MB/s/core), JPEG Huffman (~0.4-0.9
+MB/s/core) — are per-symbol Python loops by the nature of their data
+dependencies: fine for validation, digests, and modest corpora, but
+BULK decode of a photographic corpus (real PNGs are mostly
+paeth-filtered; crawls are mostly JPEG) should inject a native codec
+via ``decoder=`` whenever such formats exceed ~1% of corpus bytes —
+native decoders are 200-1000x faster on exactly these paths. The
+injected codec reuses all the Arrow batching, schema, and null
+plumbing unchanged.
 """
 
 from __future__ import annotations
