@@ -676,3 +676,98 @@ def test_salted_state_op_matches_unsalted(spark, tmp_path):
         spark.table("salted_state").filter(F.col("k") == 0).select("__salt").distinct().count()
     )
     assert n_buckets > 1
+
+
+@pytest.mark.parametrize(
+    "provider",
+    [
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs", "rocksdb"],
+)
+def test_state_store_provider_parity(spark, tmp_path, provider):
+    """VERDICT r7 ask #6: at 100 TB, streaming state must live
+    off-heap — Spark 4 ships the RocksDB state store natively. Run
+    both stateful shapes (the custom applyInPandasWithState
+    running_reduce, i.e. the q106/q114 state shape, AND the built-in
+    salted agg + rollup, the q118 shape) under each provider and
+    assert results are identical to the batch truth — the provider
+    may only change WHERE state lives, never its content. The
+    RocksDB leg also asserts the provider actually engaged (state
+    operator progress reports rocksdb custom metrics)."""
+    from sif_spark.streaming.stream import (
+        combine_salted,
+        running_reduce,
+        salted_stream_agg,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        src = str(tmp_path / "src")
+        rows = spark.range(3000).select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 7)
+            .alias("k"),
+            (F.col("id") % 100).cast("double").alias("v"),
+        )
+        rows.coalesce(2).write.mode("overwrite").parquet(src)
+        want = {
+            (r["k"], r["n"], r["v"])
+            for r in rows.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v"))
+            .collect()
+        }
+
+        # custom stateful operator (applyInPandasWithState)
+        stream = read_parquet_stream(spark, src, rows.schema)
+        rr = running_reduce(stream, ["k"], count_col="n", sum_col="v")
+        name = f"ssp_rr_{abs(hash(provider)) % 10_000}"
+        q = (
+            rr.writeStream.outputMode("update")
+            .format("memory").queryName(name).start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        final = {}
+        for r in spark.table(name).collect():
+            final[r["k"]] = (r["k"], r["n"], r["v_sum"])
+        assert set(final.values()) == want
+
+        # built-in stateful aggregation (salted partials + rollup)
+        stream2 = read_parquet_stream(spark, src, rows.schema)
+        partials = salted_stream_agg(stream2, "k", "v", "event_id", buckets=8)
+        name2 = f"ssp_sa_{abs(hash(provider)) % 10_000}"
+        q2 = (
+            partials.writeStream.outputMode("complete")
+            .format("memory").queryName(name2).start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+            q2.awaitTermination(30)
+        got = {
+            (r["k"], r["n_events"], float(r["value_sum"]))
+            for r in combine_salted(spark.table(name2), "k").collect()
+        }
+        assert got == want
+
+        # the RocksDB leg must actually be RocksDB, not a silent
+        # fallback: its state operator progress carries rocksdb metrics
+        if "RocksDB" in provider and progress is not None:
+            ops = progress.get("stateOperators") or []
+            assert ops, "stateful query reported no state operators"
+            metrics = ops[0].get("customMetrics") or {}
+            assert any("rocksdb" in k.lower() for k in metrics), metrics
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
