@@ -347,7 +347,19 @@ class SifFrame:
     def collect(self, partition_limit: int | None = None) -> list:
         """Collect (operations/util/collect.go:68-84). The reference's limit
         is in *partitions*, not rows (SURVEY.md §7 hard-part c): emulate by
-        filtering on ``spark_partition_id() < limit``."""
+        filtering on ``spark_partition_id() < limit``.
+
+        Rejected at PLAN TIME on streaming frames, mirroring the
+        reference's IsStreaming gate (operations/util/collect.go:72-74
+        — "cannot collect() from a streaming DataFrame"): a streaming
+        plan must terminate in a sink (streaming/stream.py), never a
+        driver collect."""
+        if self.df.isStreaming:
+            raise ValueError(
+                "cannot collect() from a streaming SifFrame — attach a "
+                "sink via sif_spark.streaming (run_sif_stream / "
+                "writeStream) instead"
+            )
         if partition_limit is None:
             return self.df.collect()
         return (

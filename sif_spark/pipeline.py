@@ -418,6 +418,32 @@ def daily_ingest(
 
     history = [d for d in _list_committed_epochs(spark, store_dir) if d != epoch_dir]
     if history:
+        # Signature compatibility gate (ADVICE r7): signatures are only
+        # band-joinable when built with the same (num_hashes, shingle_k,
+        # hash_fn) — a history epoch ingested with different sig params
+        # would silently never match tonight's batch, degrading near-dup
+        # history dedup to a no-op. Every epoch persists its sig params;
+        # mismatches (or a pre-r8 epoch missing them) fail loudly.
+        want = (num_hashes, shingle_k, hash_fn)
+        for d in history:
+            try:
+                row = spark.read.parquet(f"{d}/sig_params").collect()[0]
+                got = (row["num_hashes"], row["shingle_k"], row["hash_fn"])
+            except Exception:
+                raise ValueError(
+                    f"history epoch {d} has no sig_params record — rebuild "
+                    "the store (pre-round-8 epochs cannot prove signature "
+                    "compatibility)"
+                ) from None
+            if got != want:
+                raise ValueError(
+                    f"history epoch {d} was ingested with sig params "
+                    f"(num_hashes={got[0]}, shingle_k={got[1]}, "
+                    f"hash_fn={got[2]!r}) incompatible with this call's "
+                    f"(num_hashes={want[0]}, shingle_k={want[1]}, "
+                    f"hash_fn={want[2]!r}) — its signatures would never "
+                    "band-match; re-ingest history or match the params"
+                )
         hist_fps = spark.read.parquet(*[f"{d}/fingerprints" for d in history])
         hist_sigs = spark.read.parquet(*[f"{d}/sigs" for d in history])
     else:
@@ -454,6 +480,12 @@ def daily_ingest(
     survivors.filter(F.col("sig").isNotNull()).select(id_col, "sig").write.mode(
         "overwrite"
     ).parquet(f"{epoch_dir}/sigs")
+    # params record BEFORE the survivors commit marker, so every
+    # committed epoch can prove signature compatibility (ADVICE r7)
+    spark.createDataFrame(
+        [(num_hashes, shingle_k, hash_fn)],
+        "num_hashes int, shingle_k int, hash_fn string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{epoch_dir}/sig_params")
     survivors.drop("sig").write.mode("overwrite").parquet(f"{epoch_dir}/survivors")
     return spark.read.parquet(f"{epoch_dir}/survivors")
 

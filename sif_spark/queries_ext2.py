@@ -2118,6 +2118,96 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q121_tolerant_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-error tolerance UNDER THE ORACLE (VERDICT r7 ask #7):
+    60 docs get a blob each — a valid 8×8 PPM with closed-form pixel
+    values, EXCEPT doc_id % 5 == 3 (a PPM whose pixel payload is
+    truncated to half — typed ValueError in decode) and
+    doc_id % 5 == 4 (an ID3/mp3 blob — typed NotImplementedError, no
+    built-in codec). The whole corpus rides the REAL operator surface:
+    `decode_features(..., on_error="null")` with the default sniffed
+    `media_decoder` and an injected digest embedder (the position-
+    weighted digest as a single float32 feature — exact below 2^24).
+    The oracle emits one row per doc with the digest NULL exactly at
+    the planted corrupt positions, so both the drop COUNT and the
+    drop POSITIONS are hash-gated: a decoder that silently decodes
+    garbage, or a tolerance path that drops a healthy neighbor,
+    cannot pass.
+
+    Scale shape: generate → decode_features are two chained
+    Arrow-batched mapInPandas over the doc projection; the only
+    shuffle is the final orderBy of 60 rows — the exact crawl-decode
+    shape where one corrupt blob in a billion must not kill the job
+    (reference parity: IgnoreRowErrors, internal/util/operation.go:
+    10-27, pushed to the decode boundary)."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import multimodal as mm
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 5
+                if m == 4:
+                    blob = b"ID3" + bytes(64)  # no built-in codec
+                else:
+                    y, x, c = np.meshgrid(
+                        np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+                    )
+                    v = ((did + 3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
+                    blob = mm.encode_ppm(v)
+                    if m == 3:  # truncate the pixel payload: corrupt
+                        blob = blob[: len(blob) - 96]
+                recs.append((did, blob))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+
+    def digest_embedder(arr: np.ndarray) -> np.ndarray:
+        a = arr.astype(np.int64)
+        y, x, c = np.meshgrid(
+            np.arange(a.shape[0]),
+            np.arange(a.shape[1]),
+            np.arange(a.shape[2]),
+            indexing="ij",
+        )
+        return np.array([(a * (1 + x + 2 * y + 4 * c)).sum()], dtype=np.float32)
+
+    feats = mm.decode_features(
+        blobs, "blob", "doc_id", embedder=digest_embedder, on_error="null"
+    )
+    return feats.select(
+        "doc_id", F.col("features")[0].cast("long").alias("digest")
+    ).orderBy("doc_id")
+
+
+# NULL digest exactly at the planted corrupt positions; closed-form
+# digest everywhere else
+ORACLE_Q121 = """
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 5 IN (3, 4) THEN NULL ELSE v.digest END AS digest
+FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+LEFT JOIN (
+  SELECT doc_id,
+         CAST(SUM(((doc_id + 3*y.j + 5*x.i + 7*c.k) % 256)
+                  * (1 + x.i + 2*y.j + 4*c.k)) AS BIGINT) AS digest
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 60),
+       range(8) AS y(j), range(8) AS x(i), range(3) AS c(k)
+  GROUP BY doc_id
+) v USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2151,6 +2241,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q118_salted_stream_agg": q118_salted_stream_agg,
     "q119_daily_ingest": q119_daily_ingest,
     "q120_gif_frame_sampling": q120_gif_frame_sampling,
+    "q121_tolerant_decode": q121_tolerant_decode,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2190,4 +2281,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q118_salted_stream_agg": ORACLE_Q118,
     "q119_daily_ingest": ORACLE_Q119,
     "q120_gif_frame_sampling": ORACLE_Q120,
+    "q121_tolerant_decode": ORACLE_Q121,
 }

@@ -115,13 +115,22 @@ def _ship_package(spark: SparkSession) -> None:
 
 def _build_pkg_zip() -> str:
     """Zip the sif_spark package (arcnames rooted at sif_spark/ — the
-    layout addPyFile must see) into a per-process unique temp file."""
+    layout addPyFile must see) into a per-process unique temp file.
+
+    The zip is registered for atexit removal (ADVICE r7: repeated
+    get_session calls across bench/test processes otherwise accumulate
+    unbounded multi-MB zips in the temp dir). atexit — not eager
+    unlink — because executors fetch the file lazily on first task;
+    the path must outlive the SparkContext, and process exit is the
+    one point that's guaranteed after every context stop."""
+    import atexit
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     fd, zpath = tempfile.mkstemp(prefix="sif_spark_pyfiles_", suffix=".zip")
     os.close(fd)
+    atexit.register(lambda p=zpath: os.path.exists(p) and os.unlink(p))
     with zipfile.ZipFile(zpath, "w") as z:
         for root, _, files in os.walk(pkg_dir):
             for f in sorted(files):

@@ -242,3 +242,19 @@ def test_ship_package_zip_contents(tmp_path, monkeypatch):
     assert all(n.startswith("sif_spark/") for n in names)
     # unique per call — two sessions never race on one path
     assert sess._build_pkg_zip() != zpath
+
+
+def test_collect_rejects_streaming_frame(spark):
+    """Reference parity (operations/util/collect.go:72-74): Collect on
+    a streaming frame is rejected at PLAN time with a typed error —
+    before any execution — matching the reference's IsStreaming gate."""
+    import pytest
+
+    from sif_spark.frame import SifFrame
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    sf = SifFrame(stream)
+    with pytest.raises(ValueError, match="streaming SifFrame"):
+        sf.collect()
+    with pytest.raises(ValueError, match="streaming SifFrame"):
+        sf.collect(partition_limit=1)

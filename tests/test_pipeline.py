@@ -279,3 +279,43 @@ def test_daily_ingest_third_epoch_unions_all_history(spark, tmp_path):
     daily_ingest(d2, store, "e2", hash_fn="md5")
     s3 = daily_ingest(d3, store, "e3", hash_fn="md5")
     assert sorted(r["doc_id"] for r in s3.collect()) == [22]
+
+
+def test_daily_ingest_rejects_incompatible_history_params(spark, tmp_path):
+    """ADVICE r7: a history epoch built with different signature
+    params (num_hashes/shingle_k/hash_fn) would silently never
+    band-match tonight's batch — near-dup history dedup degrading to
+    a no-op. Every epoch persists its sig params; an incompatible (or
+    param-less) history epoch fails loudly."""
+    import pytest
+
+    from sif_spark.pipeline import daily_ingest
+
+    store = str(tmp_path / "store")
+    d1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    daily_ingest(d1, store, "e1", hash_fn="md5", num_hashes=32)
+    d2 = spark.createDataFrame(
+        [(2, "an entirely different document about ships")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        daily_ingest(d2, store, "e2", hash_fn="md5", num_hashes=16)
+    with pytest.raises(ValueError, match="incompatible"):
+        daily_ingest(d2, store, "e2", hash_fn="md5", shingle_k=5)
+    # matching params proceed normally
+    out = daily_ingest(d2, store, "e2", hash_fn="md5", num_hashes=32)
+    assert out.count() == 1
+    # an epoch with its params record deleted is unprovable -> loud
+    import glob
+    import shutil
+
+    for p in glob.glob(f"{store}/epoch_*/sig_params"):
+        shutil.rmtree(p)
+    with pytest.raises(ValueError, match="no sig_params"):
+        daily_ingest(
+            spark.createDataFrame([(3, "third doc")], "doc_id long, text string"),
+            store, "e3", hash_fn="md5", num_hashes=32,
+        )
