@@ -168,29 +168,35 @@ def main() -> None:
         if is_flag:
             if fp_old and fp_new and fp_old != fp_new:
                 verdict = "PLAN CHANGED"
-            elif fp_old and fp_new:  # identical plans — adjudicate
+            else:
+                # plans identical, or not comparable (legacy capture on
+                # one side): the standalone re-measure arm still
+                # adjudicates the TIMING mechanically
+                tag = (
+                    "plan identical"
+                    if fp_old and fp_new
+                    else "no fingerprint on one side"
+                )
                 if no_remeasure:
-                    verdict = "plan identical, UNRESOLVED (--no-remeasure)"
+                    verdict = f"{tag}, UNRESOLVED (--no-remeasure)"
                 else:
                     rm = remeasure(q, sf_dir)
                     if rm is None:
-                        verdict = "plan identical, re-measure FAILED"
+                        verdict = f"{tag}, re-measure FAILED"
                     else:
                         re_ratio = (rm["median"] / old_q[q]) / drift if old_q[q] > 0 else float("inf")
                         re_noise = 1.0 + s_old + rm.get("spread", 0.0)
                         if re_ratio > 1.25 and re_ratio > re_noise:
                             verdict = (
-                                f"plan identical, re-measure CONFIRMS "
+                                f"{tag}, re-measure CONFIRMS "
                                 f"({rm['median']:.2f}s, corr {re_ratio:.2f})"
                             )
                         else:
                             is_flag = False
                             verdict = (
-                                f"plan identical, re-measure clears: weather "
+                                f"{tag}, re-measure clears: weather "
                                 f"({rm['median']:.2f}s, corr {re_ratio:.2f})"
                             )
-            else:
-                verdict = "no fingerprint (legacy capture)"
         elif fp_old and fp_new and fp_old != fp_new:
             plan_changes_quiet.append(q)
         flagged += is_flag
