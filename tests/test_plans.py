@@ -740,9 +740,21 @@ def test_bench_compare_adjudicates_by_fingerprint(tmp_path, monkeypatch):
 
     remeasured = {}
 
-    def fake_remeasure(entry, sf_dir, runs=5):
-        remeasured[entry] = True
-        return {"median": 1.02, "min": 1.0, "spread": 0.05, "plan_fp": "fp_same"}
+    def fake_remeasure(entries, sf_dir, runs=5):
+        # one batch call: flagged entry interleaved with >= 1 stable
+        # reference entries, all measured in one session. Simulate a
+        # fresh session running everything 1.6x slower than the old
+        # capture — the reference bundle must absorb that offset so
+        # the flagged entry (true time back at ~old) clears.
+        remeasured["entries"] = list(entries)
+        return {
+            "entries": {
+                e: {"median": 1.6 * 1.0, "min": 1.5, "spread": 0.05,
+                    "plan_fp": "x"}
+                for e in entries
+            },
+            "runs": runs,
+        }
 
     monkeypatch.setattr(bc, "remeasure", fake_remeasure)
     monkeypatch.setattr(sys, "argv", ["bench_compare.py", old, new])
@@ -750,9 +762,12 @@ def test_bench_compare_adjudicates_by_fingerprint(tmp_path, monkeypatch):
 
     with _pytest.raises(SystemExit) as exc:
         bc.main()
-    # q90 flags (plan changed); q91 was re-measured and cleared
+    # q90 flags (plan changed); q91 was re-measured in a batch with
+    # reference entries and cleared by freshness normalization
     assert exc.value.code == 1
-    assert remeasured == {"q91_weather": True}
+    called = remeasured["entries"]
+    assert "q91_weather" in called and "q90_changed" not in called
+    assert any(e.endswith("_stable") for e in called)
 
     # same captures, --no-remeasure: q91 is UNRESOLVED -> also flags
     remeasured.clear()

@@ -90,6 +90,7 @@ TAIL = [
     "q118_salted_stream_agg",
     "q119_daily_ingest",
     "q120_gif_frame_sampling",
+    "q121_tolerant_decode",
 ]
 
 

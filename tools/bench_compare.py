@@ -38,15 +38,18 @@ queries_detail — bench.py / sif_spark/plans/audit.py). A timing flag
 splits mechanically:
   - fingerprints DIFFER  → the plan really changed: REGRESSION
     (plan changed), exits nonzero, no re-measure can clear it.
-  - fingerprints MATCH   → same plan byte-for-byte; the flag is host
-    weather or a same-plan slowdown. The entry is RE-MEASURED
-    standalone (tools/bench_single.py, fresh process/JVM, N=5) and
-    flags only if the re-measure's drift-corrected ratio vs the old
-    capture still exceeds the bounds. `--no-remeasure` skips the
-    re-run (offline mode) and reports such flags as UNRESOLVED
-    (exit nonzero, conservatively).
-  - fingerprint missing on either side → legacy capture; flagged as
-    before (no adjudication possible).
+  - fingerprints MATCH (or aren't comparable — legacy capture on one
+    side) → the flag is host weather or a same-plan slowdown. The
+    flagged entries are RE-MEASURED in ONE fresh session
+    (tools/bench_single.py, N=5 each), INTERLEAVED with a reference
+    bundle of ~6 known-stable entries; the bundle's median ratio vs
+    the old capture is the session's freshness offset (a fresh JVM
+    runs small entries 1.5-2x slower than mid-catalog — measured
+    round 8, so raw standalone times must NOT be compared to capture
+    times), and a flagged entry confirms only if its
+    freshness-normalized ratio still exceeds both bounds.
+    `--no-remeasure` skips the re-run (offline mode) and reports such
+    flags as UNRESOLVED (exit nonzero, conservatively).
 Plan changes WITHOUT a timing flag are listed informationally.
 
 Usage: python tools/bench_compare.py BENCH_r07.json BENCH_r08.json \
@@ -106,12 +109,16 @@ def load(path: str) -> tuple[dict[str, float], float, dict[str, dict]]:
     return queries, float(cal), detail
 
 
-def remeasure(entry: str, sf_dir: str, runs: int = 5) -> dict | None:
-    """Fresh-process N-run re-measure of one entry; None on failure."""
+def remeasure(entries: list[str], sf_dir: str, runs: int = 5) -> dict | None:
+    """Fresh-process N-run re-measure of a batch of entries in ONE
+    session (flagged entries interleaved with the reference bundle —
+    see bench_single.py's module doc for why raw standalone times
+    cannot be compared to in-catalog times directly); None on
+    failure. Returns bench_single's parsed JSON."""
     cmd = [
         sys.executable,
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_single.py"),
-        entry,
+        *entries,
         "--runs",
         str(runs),
         "--sf-dir",
@@ -119,11 +126,11 @@ def remeasure(entry: str, sf_dir: str, runs: int = 5) -> dict | None:
     ]
     try:
         out = subprocess.run(
-            cmd, capture_output=True, text=True, timeout=1800, check=True
+            cmd, capture_output=True, text=True, timeout=3600, check=True
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
     except Exception as e:
-        print(f"re-measure of {entry} failed: {e}", file=sys.stderr)
+        print(f"re-measure failed: {e}", file=sys.stderr)
         return None
 
 
@@ -154,11 +161,12 @@ def main() -> None:
            for q in shared}
     drift = statistics.median(raw.values()) if raw else 1.0
     rows = []
-    flagged = 0
     plan_changes_quiet = []  # plan changed, timing fine — informational
+    pending: list[tuple[str, str]] = []  # (entry, tag) awaiting re-measure
+    spreads_old = {q: old_d.get(q, {}).get("spread", LEGACY_SPREAD) for q in shared}
     for q in shared:
         ratio = raw[q] / drift
-        s_old = old_d.get(q, {}).get("spread", LEGACY_SPREAD)
+        s_old = spreads_old[q]
         s_new = new_d.get(q, {}).get("spread", LEGACY_SPREAD)
         noise = 1.0 + s_old + s_new
         is_flag = ratio > 1.25 and ratio > noise and max(old_q[q], new_q[q]) >= 0.1
@@ -170,8 +178,8 @@ def main() -> None:
                 verdict = "PLAN CHANGED"
             else:
                 # plans identical, or not comparable (legacy capture on
-                # one side): the standalone re-measure arm still
-                # adjudicates the TIMING mechanically
+                # one side): the batch re-measure arm adjudicates the
+                # TIMING mechanically (resolved below)
                 tag = (
                     "plan identical"
                     if fp_old and fp_new
@@ -180,27 +188,81 @@ def main() -> None:
                 if no_remeasure:
                     verdict = f"{tag}, UNRESOLVED (--no-remeasure)"
                 else:
-                    rm = remeasure(q, sf_dir)
-                    if rm is None:
-                        verdict = f"{tag}, re-measure FAILED"
-                    else:
-                        re_ratio = (rm["median"] / old_q[q]) / drift if old_q[q] > 0 else float("inf")
-                        re_noise = 1.0 + s_old + rm.get("spread", 0.0)
-                        if re_ratio > 1.25 and re_ratio > re_noise:
-                            verdict = (
-                                f"{tag}, re-measure CONFIRMS "
-                                f"({rm['median']:.2f}s, corr {re_ratio:.2f})"
-                            )
-                        else:
-                            is_flag = False
-                            verdict = (
-                                f"{tag}, re-measure clears: weather "
-                                f"({rm['median']:.2f}s, corr {re_ratio:.2f})"
-                            )
+                    pending.append((q, tag))
+                    verdict = f"{tag}, re-measure pending"
         elif fp_old and fp_new and fp_old != fp_new:
             plan_changes_quiet.append(q)
-        flagged += is_flag
-        rows.append((ratio, q, old_q[q], new_q[q], noise, is_flag, verdict))
+        rows.append([ratio, q, old_q[q], new_q[q], noise, is_flag, verdict])
+
+    if pending:
+        # Reference bundle: unflagged shared entries whose drift-
+        # corrected ratio sits closest to 1.0, re-measured in the SAME
+        # fresh session as the flagged entries — their ratio vs the old
+        # capture IS the session's freshness+weather offset, cancelling
+        # the fresh-JVM bias raw standalone times carry. The bias is
+        # SIZE-DEPENDENT (measured round 8: a 0.28 s driver-IO-heavy
+        # entry runs ~1.7x slower standalone while 1-3 s scan entries
+        # run ~1.2x slower — a single global re-drift confirmed a
+        # phantom flag on q119 whose code A/B-tested identical), so the
+        # bundle spans size bands and each flagged entry normalizes by
+        # refs within 3x of its own old time.
+        flagged_names = {q for q, _ in pending}
+        stable = sorted(
+            (
+                q
+                for q in shared
+                if q not in flagged_names
+                and min(old_q[q], new_q[q]) >= 0.1
+                and raw[q] / drift <= 1.15
+            ),
+            key=lambda q: abs(raw[q] / drift - 1.0),
+        )
+        refs: list[str] = []
+        for lo, hi in ((0.0, 0.6), (0.6, 3.0), (3.0, float("inf"))):
+            refs += [q for q in stable if lo <= old_q[q] < hi][:3]
+        order: list[str] = []
+        fl = [q for q, _ in pending]
+        for i in range(max(len(refs), len(fl))):  # interleave ref/flagged
+            if i < len(refs):
+                order.append(refs[i])
+            if i < len(fl):
+                order.append(fl[i])
+        rm = remeasure(order, sf_dir)
+        ents = (rm or {}).get("entries", {})
+        ref_ratio = {
+            r: ents[r]["median"] / old_q[r] for r in refs if r in ents and old_q[r] > 0
+        }
+        global_drift = (
+            statistics.median(ref_ratio.values()) if ref_ratio else drift
+        )
+        by_name = {r[1]: r for r in rows}
+        for q, tag in pending:
+            row = by_name[q]
+            if q not in ents:
+                row[6] = f"{tag}, re-measure FAILED"
+                continue
+            med = ents[q]["median"]
+            banded = [
+                v
+                for r, v in ref_ratio.items()
+                if old_q[q] / 3 <= old_q[r] <= old_q[q] * 3
+            ]
+            re_drift = statistics.median(banded) if banded else global_drift
+            re_ratio_q = (med / old_q[q]) / re_drift if old_q[q] > 0 else float("inf")
+            re_noise = 1.0 + spreads_old[q] + ents[q].get("spread", 0.0)
+            if re_ratio_q > 1.25 and re_ratio_q > re_noise:
+                row[6] = (
+                    f"{tag}, re-measure CONFIRMS "
+                    f"({med:.2f}s, re-drift {re_drift:.2f}, corr {re_ratio_q:.2f})"
+                )
+            else:
+                row[5] = False
+                row[6] = (
+                    f"{tag}, re-measure clears: weather "
+                    f"({med:.2f}s, re-drift {re_drift:.2f}, corr {re_ratio_q:.2f})"
+                )
+
+    flagged = sum(r[5] for r in rows)
     rows.sort(reverse=True)
     print(f"statistic: {stat}; host drift (median raw ratio): {drift:.2f}x; "
           f"calibration (coarse): old={old_cal:.3f}s new={new_cal:.3f}s")
