@@ -310,8 +310,16 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type → channel count (3 = palette, unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type → channel count (3 = palette: 1 index sample per pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# color type → legal bit depths (PNG spec 11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 interlace passes: (x0, y0, dx, dy) per spec 8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
@@ -323,17 +331,88 @@ def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: ``raw`` is (h, stride+1) uint8
+    (filter byte + filtered bytes per row), ``bpp`` the filter's
+    byte distance (channels × bytes-per-sample; 1 for sub-byte
+    depths). Returns (h, stride) uint8. None/Sub/Up are vectorized;
+    Average/Paeth carry the serial left-dependency (SCALE.md codec
+    table measures the cost)."""
+    recon = np.zeros((h, stride), dtype=np.int32)
+    for r in range(h):
+        ft = int(raw[r, 0])
+        line = raw[r, 1:].astype(np.int32)
+        prev = recon[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
+        if ft == 0:  # None
+            recon[r] = line
+        elif ft == 1:  # Sub: per-lane running sum; cumsum is exact
+            # because addition mod 256 is associative
+            for k in range(bpp):
+                recon[r, k::bpp] = np.cumsum(line[k::bpp], dtype=np.int64) & 0xFF
+        elif ft == 2:  # Up
+            recon[r] = (line + prev) & 0xFF
+        elif ft == 3:  # Average: sequential left-dependency per lane
+            row = recon[r]
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth: sequential left/up-left dependency
+            row = recon[r]
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft} on row {r}")
+    return recon.astype(np.uint8)
+
+
+def _png_rows_to_samples(
+    recon: np.ndarray, w: int, depth: int, channels: int
+) -> np.ndarray:
+    """(h, stride) unfiltered bytes → (h, w, channels) samples
+    (uint16 for depth 16, uint8 otherwise; sub-byte depths unpack
+    MSB-first per spec 7.2)."""
+    h = recon.shape[0]
+    if depth == 8:
+        return recon.reshape(h, w, channels) if w else recon.reshape(h, 0, channels)
+    if depth == 16:
+        flat = recon.reshape(h, -1)
+        u16 = flat.view(np.uint8).reshape(h, -1, 2)
+        vals = (u16[:, :, 0].astype(np.uint16) << 8) | u16[:, :, 1]
+        return vals.reshape(h, w, channels)
+    # sub-byte: one channel by spec (gray or palette indices)
+    bits = np.unpackbits(recon, axis=1)[:, : w * depth]
+    grouped = bits.reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8).reshape(
+        h, w, 1
+    )
+
+
 def decode_png(blob: bytes) -> np.ndarray:
     """Pure-stdlib PNG decoder (zlib inflate + NumPy unfiltering —
     VERDICT r6 "Next round" #2, the one compressed format reachable
-    without third-party codecs). Supports 8-bit depth, color types
-    0/2/4/6 (gray → (H,W), gray+alpha → (H,W,2), RGB → (H,W,3),
-    RGBA → (H,W,4)) and — round 8 — color type 3 (PLTE palette →
-    (H,W,3), or (H,W,4) when a tRNS chunk carries per-entry alpha),
-    non-interlaced, all five scanline filters
-    (None/Sub/Up/Average/Paeth). Chunk CRCs are verified. 16-bit and
-    Adam7 raise ValueError — decode must
-    be exact or loud, never approximate."""
+    without third-party codecs). Round 8 closes the format surface:
+
+    - color types 0/2/4/6 (gray → (H,W), gray+alpha → (H,W,2),
+      RGB → (H,W,3), RGBA → (H,W,4)) and type 3 palette (PLTE →
+      (H,W,3), or (H,W,4) when a tRNS chunk carries per-entry alpha)
+    - bit depths 1/2/4/8/16 per the spec's type×depth matrix
+      (sub-byte gray scales to 8-bit via the exact 255/(2^d−1)
+      factors 255/85/17; depth 16 returns uint16 arrays)
+    - non-interlaced AND Adam7 interlaced (seven sub-images, each
+      independently filtered, scattered on the 8×8 pattern grid)
+    - all five scanline filters (None/Sub/Up/Average/Paeth)
+
+    Chunk CRCs are verified; IDAT inflates under a hard expected-size
+    cap (decompression bombs stop before the memory is spent); any
+    malformed structure raises ValueError — decode is exact or loud,
+    never approximate."""
     import zlib
 
     if blob[:8] != _PNG_SIG:
@@ -364,66 +443,56 @@ def decode_png(blob: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, comp, filt, interlace = ihdr[8], ihdr[9], ihdr[10], ihdr[11], ihdr[12]
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
-            f"unsupported PNG (depth={depth} compression={comp} "
-            f"filter_method={filt} interlace={interlace}); built-in codec "
-            "covers 8-bit non-interlaced only"
+            f"unsupported PNG (compression={comp} filter_method={filt} "
+            f"interlace={interlace})"
         )
-    if ctype == 3:
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE chunk")
-        channels = 1  # one index byte per pixel on the wire
-    else:
-        channels = _PNG_CHANNELS.get(ctype)
-        if channels is None:
-            raise ValueError(f"unsupported PNG color type {ctype}")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(f"illegal PNG depth {depth} for color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = _PNG_CHANNELS[ctype]
     _check_pixel_budget(w, h)
-    stride = w * channels
-    # IHDR fixes the exact inflated size, so inflate with a hard
-    # max_length instead of zlib.decompress: a small IDAT declaring a
-    # tiny image but inflating to gigabytes (decompression bomb —
-    # ADVICE r7) stops at expected+1 bytes and raises, never
-    # materializing the payload.
-    expected = h * (stride + 1)
+
+    def pstride(pw: int) -> int:  # filtered bytes per scanline
+        return (pw * channels * depth + 7) // 8
+
+    passes = (
+        [(0, 0, 1, 1, w, h)]
+        if interlace == 0
+        else [
+            (x0, y0, dx, dy, -(-(w - x0) // dx), -(-(h - y0) // dy))
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    )
+    passes = [(x0, y0, dx, dy, pw, ph) for x0, y0, dx, dy, pw, ph in passes
+              if pw > 0 and ph > 0]
+    # IHDR fixes the exact inflated size (summed over interlace
+    # passes), so inflate with a hard max_length instead of
+    # zlib.decompress: a small IDAT declaring a tiny image but
+    # inflating to gigabytes (decompression bomb — ADVICE r7) stops
+    # at expected+1 bytes and raises, never materializing the payload.
+    expected = sum(ph * (pstride(pw) + 1) for *_, pw, ph in passes)
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected + 1)
     if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG scanline data length mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    bpp = channels  # bytes per pixel at 8-bit depth
-    recon = np.zeros((h, stride), dtype=np.int32)
-    for r in range(h):
-        ft = int(raw[r, 0])
-        line = raw[r, 1:].astype(np.int32)
-        prev = recon[r - 1] if r > 0 else np.zeros(stride, dtype=np.int32)
-        if ft == 0:  # None
-            recon[r] = line
-        elif ft == 1:  # Sub: recon[i] = line[i] + recon[i-bpp] — a
-            # per-lane running sum; cumsum in a wide dtype then mask
-            # is exact because addition mod 256 is associative.
-            for k in range(bpp):
-                recon[r, k::bpp] = np.cumsum(line[k::bpp], dtype=np.int64) & 0xFF
-        elif ft == 2:  # Up
-            recon[r] = (line + prev) & 0xFF
-        elif ft == 3:  # Average: sequential left-dependency per lane
-            row = recon[r]
-            for i in range(stride):
-                left = row[i - bpp] if i >= bpp else 0
-                row[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth: sequential left/up-left dependency
-            row = recon[r]
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                row[i] = (line[i] + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ft} on row {r}")
-    out = recon.astype(np.uint8)
+
+    sample_dtype = np.uint16 if depth == 16 else np.uint8
+    out = np.zeros((h, w, channels), dtype=sample_dtype)
+    bpp = max(1, channels * depth // 8)  # filter byte distance
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        st = pstride(pw)
+        nbytes = ph * (st + 1)
+        block = np.frombuffer(raw, np.uint8, nbytes, pos).reshape(ph, st + 1)
+        pos += nbytes
+        recon = _png_unfilter(block, ph, st, bpp)
+        out[y0::dy, x0::dx] = _png_rows_to_samples(recon, pw, depth, channels)
+
     if ctype == 3:
         idx = out.reshape(h, w)
         if idx.size and idx.max() >= len(plte):
@@ -436,33 +505,20 @@ def decode_png(blob: bytes) -> np.ndarray:
         alpha = np.full(len(plte), 255, dtype=np.uint8)
         alpha[: min(len(trns), len(plte))] = trns[: len(plte)]
         return np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
+    if ctype == 0 and depth < 8:
+        # exact display scaling: 255/(2^d-1) is integral for 1/2/4
+        out = out * np.uint8(255 // ((1 << depth) - 1))
     return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
 
 
-def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
-    """(H,W) gray / (H,W,2) gray+alpha / (H,W,3) RGB / (H,W,4) RGBA
-    uint8 → 8-bit non-interlaced PNG. ``filter_type`` selects the
-    scanline filter: 0-4 apply one filter to every row; "mixed"
-    cycles row r through filter r % 5, which the Hypothesis
-    round-trip test uses to exercise every unfilter path in one blob.
-    Filtering is fully vectorized (it predicts from ORIGINAL
-    neighbors, so unlike unfiltering it has no sequential
-    dependency)."""
-    import zlib
-
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        channels, (h, w) = 1, a.shape
-    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
-        h, w, channels = a.shape
-    else:
-        raise ValueError(f"expected (H,W[,2|3|4]) uint8, got {a.shape}")
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = w * channels
-    pix = a.reshape(h, stride).astype(np.int32)
+def _png_filter_scanlines(pix: np.ndarray, bpp: int, filter_type) -> bytearray:
+    """Forward-filter one (sub-)image's (h, stride) byte matrix.
+    Fully vectorized (filtering predicts from ORIGINAL neighbors, so
+    unlike unfiltering it has no sequential dependency)."""
+    h, stride = pix.shape
     prev = np.vstack([np.zeros((1, stride), dtype=np.int32), pix[:-1]])
     left = np.zeros_like(pix)
-    left[:, channels:] = pix[:, :-channels]
+    left[:, bpp:] = pix[:, :-bpp]
     upleft = np.vstack([np.zeros((1, stride), dtype=np.int32), left[:-1]])
     filtered_by_type = {
         0: pix,
@@ -476,6 +532,82 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
         ft = (r % 5) if filter_type == "mixed" else int(filter_type)
         lines.append(ft)
         lines += filtered_by_type[ft][r].astype(np.uint8).tobytes()
+    return lines
+
+
+def _pack_subbyte(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) samples in [0, 2^depth) → (h, stride) packed bytes,
+    MSB-first per PNG spec 7.2."""
+    h, w = vals.shape
+    bits = (
+        (vals[:, :, None].astype(np.uint8) >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8).reshape(h, w * depth)
+    return np.packbits(bits, axis=1)
+
+
+def encode_png(
+    arr: np.ndarray,
+    filter_type: int | str = 0,
+    interlace: bool = False,
+    depth: int | None = None,
+) -> bytes:
+    """(H,W) gray / (H,W,2) gray+alpha / (H,W,3) RGB / (H,W,4) RGBA
+    → PNG. uint8 input writes depth 8; uint16 input writes depth 16
+    (big-endian samples); ``depth`` of 1/2/4 packs a 2-D array of
+    RAW samples in [0, 2^depth) sub-byte (grayscale — the decoder
+    scales them by the exact 255/(2^d−1) on read). ``filter_type``
+    selects the scanline filter: 0-4 apply one filter to every row;
+    "mixed" cycles row r through filter r % 5, which the Hypothesis
+    round-trip test uses to exercise every unfilter path in one blob.
+    ``interlace=True`` writes Adam7 (each of the seven sub-images
+    filtered independently)."""
+    import zlib
+
+    a = np.asarray(arr)
+    if a.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16)):
+        raise ValueError(f"expected uint8/uint16 samples, got {a.dtype}")
+    if depth is None:
+        depth = 16 if a.dtype == np.uint16 else 8
+    if a.ndim == 2:
+        channels, (h, w) = 1, a.shape
+    elif a.ndim == 3 and a.shape[2] in (2, 3, 4):
+        h, w, channels = a.shape
+    else:
+        raise ValueError(f"expected (H,W[,2|3|4]), got {a.shape}")
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if depth not in _PNG_DEPTHS[ctype] or (depth < 8 and channels != 1):
+        raise ValueError(f"illegal depth {depth} for color type {ctype}")
+    if depth < 8 and a.max(initial=0) >= (1 << depth):
+        raise ValueError(f"sample exceeds depth-{depth} range")
+    if (depth == 16) != (a.dtype == np.uint16):
+        raise ValueError("depth 16 wants uint16 samples (and vice versa)")
+
+    bpp = max(1, channels * depth // 8)
+
+    def to_bytes(sub: np.ndarray) -> np.ndarray:
+        ph = sub.shape[0]
+        if depth == 8:
+            return sub.reshape(ph, -1)
+        if depth == 16:
+            return np.ascontiguousarray(
+                sub.reshape(ph, -1).astype(">u2")
+            ).view(np.uint8).reshape(ph, -1)
+        return _pack_subbyte(sub.reshape(ph, -1), depth)
+
+    subs = (
+        [a]
+        if not interlace
+        else [
+            a[y0::dy, x0::dx]
+            for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].shape[0] and a[y0::dy, x0::dx].shape[1]
+        ]
+    )
+    lines = bytearray()
+    for sub in subs:
+        lines += _png_filter_scanlines(
+            to_bytes(sub).astype(np.int32), bpp, filter_type
+        )
 
     def chunk(typ: bytes, body: bytes) -> bytes:
         return (
@@ -488,7 +620,7 @@ def encode_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, ctype, 0, 0, 0])
+        + bytes([depth, ctype, 0, 0, 1 if interlace else 0])
     )
     return (
         _PNG_SIG
@@ -503,12 +635,15 @@ def encode_png_indexed(
     palette: np.ndarray,
     trns: np.ndarray | None = None,
     filter_type: int | str = 0,
+    depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """(H, W) uint8 palette indices + (N, 3) uint8 palette → color
-    type 3 PNG (PLTE, optional tRNS with per-entry alpha). Test
-    support for the palette decode path, sharing encode_png's
-    vectorized filter machinery by post-editing the IHDR color type
-    (index bytes filter identically to a 1-channel gray plane)."""
+    type 3 PNG (PLTE, optional tRNS with per-entry alpha; ``depth``
+    of 1/2/4 packs indices sub-byte). Test support for the palette
+    decode path, sharing encode_png's filter/pack/interlace machinery
+    by post-editing the IHDR color type (index samples filter
+    identically to a 1-channel gray plane)."""
     import zlib
 
     idx = np.asarray(idx, dtype=np.uint8)
@@ -517,7 +652,7 @@ def encode_png_indexed(
         raise ValueError("want (H,W) indices and (N,3) palette")
     if len(palette) > 256 or (idx.size and idx.max() >= len(palette)):
         raise ValueError("palette must hold every index, max 256 entries")
-    gray = encode_png(idx, filter_type)
+    gray = encode_png(idx, filter_type, interlace=interlace, depth=depth)
     # rewrite IHDR (fixed offset: sig 8 + len 4 + type 4 + body 13):
     # color type byte sits at body offset 9
     body = bytearray(gray[16:29])

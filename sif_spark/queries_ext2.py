@@ -1138,8 +1138,9 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a generated blob in a real on-disk format by doc_id % 7 — P6 PPM
     (16×16 RGB), 24-bpp BMP (9×15 — odd width so every row carries
     4-byte padding), 16-bit stereo PCM WAV (500 frames), 8-bit RGBA
-    PNG (11×13, encoded with MIXED scanline filters — row r uses
-    filter r % 5, so the zlib inflate AND all five unfilter paths sit
+    PNG (11×13, ADAM7-interlaced and encoded with MIXED scanline
+    filters — row r uses filter r % 5, so the zlib inflate, the
+    seven-pass deinterlace scatter, AND all five unfilter paths sit
     in the oracle-gated pipeline), INTERLACED 32-color GIF (10×12 —
     LZW decode + 4-pass deinterlace + palette lookup all under the
     gate), BIG-ENDIAN grayscale TIFF (14×11 — MM byte order, so
@@ -1199,7 +1200,7 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         np.arange(11), np.arange(13), np.arange(4), indexing="ij"
                     )
                     v = ((did + 3 * y + 5 * x + 7 * c) % 256).astype(np.uint8)
-                    blob = mm.encode_png(v, filter_type="mixed")
+                    blob = mm.encode_png(v, filter_type="mixed", interlace=True)
                     fmt = "png"
                 elif m == 5:
                     y, x = np.meshgrid(np.arange(14), np.arange(11), indexing="ij")

@@ -190,9 +190,10 @@ def test_media_decoder_dispatch():
 
 
 def test_png_rejects_unsupported_variants():
-    """The decoder is exact-or-loud: palette, 16-bit, interlaced, and
-    corrupted-CRC blobs all raise with the reason named rather than
-    decoding approximately."""
+    """The decoder is exact-or-loud: corrupted-CRC blobs, illegal
+    type x depth combinations, PLTE-less palettes, and wrong-size
+    payloads raise with the reason named rather than decoding
+    approximately."""
     import zlib
 
     import numpy as np
@@ -223,10 +224,17 @@ def test_png_rejects_unsupported_variants():
 
     with pytest.raises(ValueError, match="missing PLTE"):
         mm.decode_png(variant(ctype=3))  # palette declared, no PLTE
-    with pytest.raises(ValueError, match="depth=16"):
+    # illegal type x depth combos per the spec matrix (depth 16 and
+    # Adam7 are SUPPORTED since round 8 — only illegal combos raise)
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        mm.decode_png(variant(depth=3))
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        mm.decode_png(variant(depth=4, ctype=2))  # sub-byte RGB
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        mm.decode_png(variant(depth=16, ctype=3))  # 16-bit palette
+    # legal-looking header with wrong payload size still raises
+    with pytest.raises(ValueError, match="length mismatch"):
         mm.decode_png(variant(depth=16))
-    with pytest.raises(ValueError, match="interlace=1"):
-        mm.decode_png(variant(interlace=1))
 
 
 def test_wav_frame_decoder_real():
@@ -706,3 +714,78 @@ def test_decompression_bomb_bounds(monkeypatch):
     monkeypatch.setattr(mm, "MAX_GZIP_BYTES", 64)
     with pytest.raises(ValueError, match="MAX_GZIP_BYTES"):
         mm.media_decoder(gzip.compress(ppm + b"\x00" * 1024))
+
+
+def test_png_depth_interlace_matrix():
+    """Round 8 PNG surface completion: every legal color-type x depth
+    combination round-trips, interlaced and not, through mixed
+    scanline filters — 16-bit returns uint16, sub-byte gray scales by
+    the exact 255/(2^d-1), sub-byte palettes pack indices MSB-first."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    for shape in [(13, 11), (13, 11, 2), (13, 11, 3), (13, 11, 4), (1, 1)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        for il in (False, True):
+            assert np.array_equal(
+                mm.decode_png(mm.encode_png(img, "mixed", interlace=il)), img
+            )
+    for shape in [(9, 7), (6, 5, 3), (4, 4, 4)]:
+        img = rng.integers(0, 65536, shape).astype(np.uint16)
+        for il in (False, True):
+            out = mm.decode_png(mm.encode_png(img, "mixed", interlace=il))
+            assert out.dtype == np.uint16 and np.array_equal(out, img)
+    for d in (1, 2, 4):
+        v = rng.integers(0, 1 << d, (11, 13), np.uint8)
+        scale = 255 // ((1 << d) - 1)
+        for il in (False, True):
+            out = mm.decode_png(mm.encode_png(v, "mixed", depth=d, interlace=il))
+            assert np.array_equal(out, v * scale)
+        pal = rng.integers(0, 256, (1 << d, 3), np.uint8)
+        idx = rng.integers(0, 1 << d, (10, 15), np.uint8)
+        blob = mm.encode_png_indexed(idx, pal, depth=d, interlace=il, filter_type="mixed")
+        assert np.array_equal(mm.decode_png(blob), pal[idx])
+
+
+def test_png_adam7_known_answer_hand_built():
+    """Adam7 pass ORDER verified against a hand-assembled stream —
+    an encoder and decoder sharing one pass table would cancel a
+    wrong table; this test derives the seven passes of an 8x8
+    grayscale image BY HAND from spec 8.2 (pixel value = 10*y + x,
+    filter 0 on every scanline) and asserts the decode."""
+    import zlib
+
+    import numpy as np
+
+    grid = np.add.outer(10 * np.arange(8), np.arange(8)).astype(np.uint8)
+    v = lambda y, x: bytes([10 * y + x])
+    # seven passes, scanlines written top-to-bottom, filter byte 0:
+    raw = (
+        b"\x00" + v(0, 0)                                       # pass 1
+        + b"\x00" + v(0, 4)                                     # pass 2
+        + b"\x00" + v(4, 0) + v(4, 4)                           # pass 3
+        + b"\x00" + v(0, 2) + v(0, 6)                           # pass 4 row y=0
+        + b"\x00" + v(4, 2) + v(4, 6)                           # pass 4 row y=4
+        + b"\x00" + v(2, 0) + v(2, 2) + v(2, 4) + v(2, 6)       # pass 5 y=2
+        + b"\x00" + v(6, 0) + v(6, 2) + v(6, 4) + v(6, 6)       # pass 5 y=6
+        + b"".join(                                              # pass 6
+            b"\x00" + v(y, 1) + v(y, 3) + v(y, 5) + v(y, 7)
+            for y in (0, 2, 4, 6)
+        )
+        + b"".join(                                              # pass 7
+            b"\x00" + bytes(10 * y + x for x in range(8)) for y in (1, 3, 5, 7)
+        )
+    )
+
+    def chunk(typ, body):
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (8).to_bytes(4, "big") + (8).to_bytes(4, "big") + bytes([8, 0, 0, 0, 1])
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_png(blob), grid)
