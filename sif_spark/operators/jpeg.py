@@ -11,14 +11,16 @@ byte streams (round-trips alone can't catch symmetric bugs — the
 known-answer tests use independently hand-assembled spec bytes).
 
 Scope (typed errors beyond it):
-  decode: baseline DCT (SOF0) and extended sequential (SOF1), 8-bit,
+  decode: baseline DCT (SOF0), extended sequential (SOF1), AND
+  progressive (SOF2 — T.81 Annex G: spectral selection, successive
+  approximation with DC/AC refinement scans, EOBn runs), 8-bit,
   Huffman, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling,
   restart markers (DRI/RSTn), multiple DQT/DHT segments.
-  NotImplementedError for progressive (SOF2) and arithmetic coding
-  (SOF9-11); ValueError for malformed/truncated streams — never a
-  hang, never an unbounded allocation (the entropy decode is bounded
-  by the declared MCU count, and declared dimensions go through the
-  same pixel budget as every other decoder).
+  NotImplementedError for arithmetic coding and hierarchical
+  (SOF3/5-7/9-15); ValueError for malformed/truncated streams —
+  never a hang, never an unbounded allocation (the entropy decode is
+  bounded by the declared MCU count, and declared dimensions go
+  through the same pixel budget as every other decoder).
 
 Performance boundary: Huffman entropy decode is a serial Python loop
 over symbols (a 16-bit prefix LUT makes each symbol one table hit);
@@ -210,6 +212,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     hufftables: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
     restart_interval = 0
+    progressive = False
+    coef_state: dict[int, np.ndarray] = {}  # cid -> (BH, BW, 64) zigzag coefs
     n = len(blob)
 
     while pos < n:
@@ -222,6 +226,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         marker = blob[pos]
         pos += 1
         if marker == 0xD9:  # EOI
+            if progressive and coef_state:
+                return _reconstruct_progressive(coef_state, frame, qtables)
             raise ValueError("JPEG has no scan (EOI before SOS)")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RST: no payload
             continue
@@ -268,7 +274,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(seg[i : i + nvals])
                 i += nvals
                 hufftables[(tc, th)] = _build_lut(bits, vals)
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if len(seg) < 6 or len(seg) < 6 + 3 * seg[5]:
                 raise ValueError("truncated JPEG SOF")
             if seg[0] != 8:
@@ -287,18 +293,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     raise ValueError("invalid JPEG sampling factors")
                 comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2): built-in codec covers baseline only "
-                "— inject a native codec via decoder="
-            )
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG coding process (SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker == 0xDA:  # SOS — single-scan baseline
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
@@ -308,6 +310,9 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_comps.append((cs, tdta >> 4, tdta & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             # entropy data runs to the next non-RST non-stuffing marker
             end = pos
             while end < n - 1:
@@ -316,14 +321,25 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 ):
                     break
                 end += 1
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    blob[pos:end],
+                    frame,
+                    scan_comps,
+                    qtables,
+                    hufftables,
+                    restart_interval,
+                )
+            _progressive_scan(
                 blob[pos:end],
                 frame,
                 scan_comps,
-                qtables,
+                (ss, se, ah, al),
                 hufftables,
                 restart_interval,
+                coef_state,
             )
+            pos = end
         # else: APPn/COM/unknown — skipped
 
     raise ValueError("truncated JPEG (no SOS)")
@@ -431,6 +447,227 @@ def _decode_scan(data, frame, scan_comps, qtables, hufftables, ri) -> np.ndarray
 
 
 # --------------------------------------------------------------------------
+# Progressive (SOF2) decoding — ITU T.81 Annex G. Scans refine a
+# per-component coefficient buffer; reconstruction happens at EOI.
+# --------------------------------------------------------------------------
+
+
+def _frame_geometry(frame):
+    """(hmax, vmax, mcux, mcuy, per-comp dict cid -> (hs, vs, tq,
+    padded BH, padded BW, effective bh, effective bw)). Padded dims
+    cover the interleaved-MCU grid; effective dims are the
+    non-interleaved data-unit counts (T.81 A.2.2: ceil(comp
+    samples / 8), NO MCU padding)."""
+    h, w, comps = frame
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    geo = {}
+    for cid, hs, vs, tq in comps:
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        geo[cid] = (hs, vs, tq, mcuy * vs, mcux * hs, -(-ch // 8), -(-cw // 8))
+    return hmax, vmax, mcux, mcuy, geo
+
+
+def _split_segments(data: bytes) -> list[bytes]:
+    import re as _re
+
+    return [
+        s.replace(b"\xff\x00", b"\xff")
+        for s in _re.split(rb"\xff[\xd0-\xd7]", data)
+    ]
+
+
+def _refine_ac_block(br, block, k, se, p1):
+    """Correction-bit refinement of the nonzero coefficients in
+    [k, se] (T.81 G.2.2 / the jdphuff EOB-run tail)."""
+    while k <= se:
+        c = int(block[k])
+        if c != 0 and br.take(1) and (c & p1) == 0:
+            block[k] = c + (p1 if c >= 0 else -p1)
+        k += 1
+
+
+def _progressive_scan(data, frame, scan_comps, band, hufftables, ri, state):
+    ss, se, ah, al = band
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy, geo = _frame_geometry(frame)
+    for cid, *_ in comps:
+        if cid not in state:
+            _, _, _, bh, bw, _, _ = geo[cid]
+            state[cid] = np.zeros((bh, bw, 64), dtype=np.int32)
+    for cs, td, ta in scan_comps:
+        if cs not in geo:
+            raise ValueError("JPEG scan references unknown component")
+    if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+        raise ValueError("invalid JPEG progressive scan band")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC")
+    if ss > 0 and len(scan_comps) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+
+    readers = [_BitReader(s) for s in _split_segments(data)]
+    seg_i = 0
+    br = readers[0]
+    eobrun = 0
+    pred = {cs: 0 for cs, _, _ in scan_comps}
+    units_done = 0
+
+    def next_segment():
+        nonlocal seg_i, br, eobrun, pred, units_done
+        seg_i += 1
+        if seg_i >= len(readers):
+            raise ValueError("truncated JPEG (missing restart segment)")
+        br = readers[seg_i]
+        eobrun = 0
+        pred = {cs: 0 for cs, _, _ in scan_comps}
+        units_done = 0
+
+    if ss == 0:  # DC scan (interleaved or single-component)
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            _, _, _, _, _, ebh, ebw = geo[scan_comps[0][0]]
+            n_units = ebh * ebw
+        for u in range(n_units):
+            if ri and units_done == ri:
+                next_segment()
+            for cs, td, ta in scan_comps:
+                hs, vs, _, _, bw_pad, _, ebw = geo[cs]
+                grid = state[cs]
+                if interleaved:
+                    my, mx = divmod(u, mcux)
+                    blocks = [
+                        (my * vs + by, mx * hs + bx)
+                        for by in range(vs)
+                        for bx in range(hs)
+                    ]
+                else:
+                    blocks = [divmod(u, ebw)]
+                for by, bx in blocks:
+                    if ah == 0:  # DC initial
+                        if (0, td) not in hufftables:
+                            raise ValueError("undefined JPEG DC table")
+                        t = _huff(br, hufftables[(0, td)])
+                        if t > 11:
+                            raise ValueError("invalid JPEG DC category")
+                        diff = _extend(br.take(t), t) if t else 0
+                        pred[cs] += diff
+                        grid[by, bx, 0] = pred[cs] << al
+                    else:  # DC refinement: one bit per block
+                        if br.take(1):
+                            grid[by, bx, 0] = int(grid[by, bx, 0]) | (1 << al)
+            units_done += 1
+        return
+
+    # AC scan: single component, non-interleaved block order
+    cs, td, ta = scan_comps[0]
+    if (1, ta) not in hufftables:
+        raise ValueError("undefined JPEG AC table")
+    ac_lut = hufftables[(1, ta)]
+    _, _, _, _, _, ebh, ebw = geo[cs]
+    grid = state[cs]
+    p1 = 1 << al
+    for u in range(ebh * ebw):
+        if ri and units_done == ri:
+            next_segment()
+        units_done += 1
+        by, bx = divmod(u, ebw)
+        block = grid[by, bx]
+        if ah == 0:  # AC initial (G.2.1)
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff(br, ac_lut)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.take(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run past band end")
+                block[k] = _extend(br.take(s), s) << al
+                k += 1
+        else:  # AC refinement (G.2.2, the jdphuff algorithm)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff(br, ac_lut)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.take(r)
+                            break
+                        val = 0  # ZRL: 16 zero-history positions
+                    elif s == 1:
+                        val = p1 if br.take(1) else -p1
+                    else:
+                        raise ValueError(
+                            "JPEG AC refinement magnitude must be 1"
+                        )
+                    while k <= se:
+                        c = int(block[k])
+                        if c != 0:
+                            if br.take(1) and (c & p1) == 0:
+                                block[k] = c + (p1 if c >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        block[k] = val
+                    k += 1
+            if eobrun > 0:
+                _refine_ac_block(br, block, k, se, p1)
+                eobrun -= 1
+
+
+def _reconstruct_progressive(state, frame, qtables) -> np.ndarray:
+    h, w, comps = frame
+    hmax, vmax, _, _, geo = _frame_geometry(frame)
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if tq not in qtables:
+            raise ValueError("JPEG frame references undefined quant table")
+        grid = state[cid]
+        bh, bw = grid.shape[:2]
+        arr = grid.reshape(-1, 64) * qtables[tq][None, :]
+        blocks = np.zeros((len(arr), 64), dtype=np.float64)
+        blocks[:, ZIGZAG] = arr
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _C, blocks, _C, optimize=True)
+        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        if hs < hmax or vs < vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes[cid] = plane[:h, :w]
+    if len(comps) == 1:
+        return planes[comps[0][0]]
+    y, cb, cr = (planes[cid].astype(np.float64) for cid, _, _, _ in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
 # Encoder (test support: authors real baseline streams so the decoder
 # can be exercised on every sampling mode, restart intervals included)
 # --------------------------------------------------------------------------
@@ -509,18 +746,10 @@ def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - hh), (0, pw - ww)), mode="edge")
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quant: int | np.ndarray = 1,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF bytes for (h, w) grayscale or (h, w, 3) RGB uint8.
-
-    ``quant`` is a scalar (flat table — 1 gives near-lossless, the
-    round-trip-testable setting) or a 64-entry zigzag table applied to
-    every component. ``subsampling``: '4:4:4', '4:2:2' or '4:2:0'
-    (color only). ``restart_interval`` > 0 emits DRI + RSTn markers."""
+def _prepare_components(arr, quant, subsampling):
+    """Shared encoder front half: color transform, chroma
+    downsampling, edge padding, FDCT+quantize. Returns
+    (h, w, q, planes, samp, comp_blocks)."""
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_jpeg wants (h,w) or (h,w,3) uint8")
     color = arr.ndim == 3
@@ -555,14 +784,29 @@ def encode_jpeg(
     else:
         planes = [_pad_edge(arr, 8, 8)]
         samp = [(1, 1)]
+    comp_blocks = [_fdct_quant(p, q) for p in planes]
+    return h, w, q, planes, samp, comp_blocks
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: int | np.ndarray = 1,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF bytes for (h, w) grayscale or (h, w, 3) RGB uint8.
+
+    ``quant`` is a scalar (flat table — 1 gives near-lossless, the
+    round-trip-testable setting) or a 64-entry zigzag table applied to
+    every component. ``subsampling``: '4:4:4', '4:2:2' or '4:2:0'
+    (color only). ``restart_interval`` > 0 emits DRI + RSTn markers."""
+    h, w, q, planes, samp, comp_blocks = _prepare_components(arr, quant, subsampling)
 
     dc_lum = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_lum = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
     dc_chr = _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
     ac_chr = _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
 
-    # per-component quantized blocks in raster order + MCU addressing
-    comp_blocks = [_fdct_quant(p, q) for p in planes]
     mcux = planes[0].shape[1] // (8 * samp[0][0])
     mcuy = planes[0].shape[0] // (8 * samp[0][1])
 
@@ -623,4 +867,206 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += body
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant: int | np.ndarray = 1,
+    subsampling: str = "4:4:4",
+    al: int = 1,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Progressive (SOF2) JFIF bytes — test support exercising every
+    scan type the decoder implements (T.81 Annex G): an interleaved
+    DC-initial scan at successive-approximation Al=``al``, DC
+    refinement scans down to 0, then per component and spectral band
+    an AC-initial scan at Al=``al`` followed by AC refinement scans
+    down to 0. EOB runs are flushed at length 1 (plain EOB) so the
+    Annex K tables suffice — the decoder handles general EOBn runs.
+
+    Point transforms per spec: DC uses arithmetic shift (floor), AC
+    shifts magnitude toward zero; refinement reconstruction is
+    bit-exact, so decode(progressive) == decode(baseline) for the
+    same quantized coefficients."""
+    h, w, q, planes, samp, comp_blocks = _prepare_components(arr, quant, subsampling)
+    ncomp = len(planes)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = planes[0].shape[1] // (8 * samp[0][0])
+    mcuy = planes[0].shape[0] // (8 * samp[0][1])
+
+    dc_codes = [
+        _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+        if ci == 0
+        else _canonical_codes(DC_CHR_BITS, DC_CHR_VALS)
+        for ci in range(ncomp)
+    ]
+    ac_codes = [
+        _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+        if ci == 0
+        else _canonical_codes(AC_CHR_BITS, AC_CHR_VALS)
+        for ci in range(ncomp)
+    ]
+
+    def pt_ac(v: int, a: int) -> int:
+        return v >> a if v >= 0 else -((-v) >> a)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def sos(scan_comps: list[tuple[int, int, int]], ss, se, ah, a) -> bytes:
+        body = bytes([len(scan_comps)])
+        for cs, td, ta in scan_comps:
+            body += bytes([cs, (td << 4) | ta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | a]))
+
+    def mcu_blocks(ci):
+        """(block_index, ) per MCU-interleaved order for component ci."""
+        chs, cvs = samp[ci]
+        cols = planes[ci].shape[1] // 8
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(cvs):
+                    for bx in range(chs):
+                        yield ci, (my * cvs + by) * cols + (mx * chs + bx)
+
+    def interleaved_order():
+        chs_cols = [(samp[ci], planes[ci].shape[1] // 8) for ci in range(ncomp)]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, ((chs, cvs), cols) in enumerate(chs_cols):
+                    for by in range(cvs):
+                        for bx in range(chs):
+                            yield ci, (my * cvs + by) * cols + (mx * chs + bx)
+
+    def effective_blocks(ci):
+        """Raster order over the NON-interleaved data-unit grid
+        (ceil of component sample dims / 8 — no MCU padding)."""
+        chs, cvs = samp[ci]
+        cols = planes[ci].shape[1] // 8
+        cw = -(-w * chs // hmax)
+        ch = -(-h * cvs // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield by * cols + bx
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) & 0xFF for v in q))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += seg(0xC2, sof)
+
+    def dht(tc, th, bits, vals):
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    if ncomp == 3:
+        out += dht(0, 1, DC_CHR_BITS, DC_CHR_VALS)
+        out += dht(1, 1, AC_CHR_BITS, AC_CHR_VALS)
+
+    # --- scan 1: DC initial, interleaved, Ah=0, Al=al ---
+    bw_ = _BitWriter()
+    pred = [0] * ncomp
+    for ci, bi in interleaved_order():
+        dc = int(comp_blocks[ci][bi][0]) >> al  # arithmetic shift (G.1.2.1)
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t = abs(diff).bit_length()
+        code, ln = dc_codes[ci][t]
+        bw_.put(code, ln)
+        if t:
+            bw_.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    out += sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)], 0, 0, 0, al)
+    out += bw_.flush()
+
+    # --- DC refinement scans: Ah=a+1 -> Al=a, one bit per block ---
+    for a in range(al - 1, -1, -1):
+        bw_ = _BitWriter()
+        for ci, bi in interleaved_order():
+            bw_.put((int(comp_blocks[ci][bi][0]) >> a) & 1, 1)
+        out += sos([(ci + 1, 0, 0) for ci in range(ncomp)], 0, 0, a + 1, a)
+        out += bw_.flush()
+
+    # --- AC scans: per component, per band; initial then refinements ---
+    for ci in range(ncomp):
+        ta = 0 if ci == 0 else 1
+        codes = ac_codes[ci]
+        for ss, se in bands:
+            # initial at Al=al
+            bw_ = _BitWriter()
+            for bi in effective_blocks(ci):
+                block = comp_blocks[ci][bi]
+                vals = [pt_ac(int(block[k]), al) for k in range(ss, se + 1)]
+                if not any(vals):
+                    code, ln = codes[0x00]  # EOB run of 1
+                    bw_.put(code, ln)
+                    continue
+                r = 0
+                for v in vals:
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = codes[0xF0]
+                        bw_.put(code, ln)
+                        r -= 16
+                    s = abs(v).bit_length()
+                    code, ln = codes[(r << 4) | s]
+                    bw_.put(code, ln)
+                    bw_.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if r > 0:
+                    code, ln = codes[0x00]
+                    bw_.put(code, ln)
+            out += sos([(ci + 1, 0, ta)], ss, se, 0, al)
+            out += bw_.flush()
+
+            # refinements: Ah=a+1 -> Al=a (jcphuff encode_mcu_AC_refine,
+            # EOB runs flushed at 1)
+            for a in range(al - 1, -1, -1):
+                bw_ = _BitWriter()
+                for bi in effective_blocks(ci):
+                    block = comp_blocks[ci][bi]
+                    vals = [pt_ac(int(block[k]), a) for k in range(ss, se + 1)]
+                    absv = [abs(v) for v in vals]
+                    eobpos = max(
+                        (i for i, t in enumerate(absv) if t == 1), default=-1
+                    )
+                    r = 0
+                    br: list[int] = []
+                    for i, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eobpos:
+                            code, ln = codes[0xF0]
+                            bw_.put(code, ln)
+                            r -= 16
+                            for bit in br:
+                                bw_.put(bit, 1)
+                            br = []
+                        if t > 1:  # history: correction bit
+                            br.append(t & 1)
+                            continue
+                        # newly nonzero (magnitude exactly 1 here)
+                        code, ln = codes[(r << 4) | 1]
+                        bw_.put(code, ln)
+                        bw_.put(1 if vals[i] > 0 else 0, 1)
+                        for bit in br:
+                            bw_.put(bit, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        code, ln = codes[0x00]  # EOB run of 1
+                        bw_.put(code, ln)
+                        for bit in br:
+                            bw_.put(bit, 1)
+                out += sos([(ci + 1, 0, ta)], ss, se, a + 1, a)
+                out += bw_.flush()
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -1241,7 +1241,7 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
     the compressed formats implementable from stdlib+NumPy: 8-bit
     non-interlaced PNG (zlib), GIF87a/89a first-frame (pure-Python
     LZW), and baseline JPEG (jpeg.py: Huffman + NumPy IDCT,
-    4:4:4/4:2:2/4:2:0; progressive raises its own typed gate). A gzip
+    4:4:4/4:2:2/4:2:0, baseline AND progressive). A gzip
     wrapper is transparently unwrapped and re-dispatched
     (corpora store media gzipped at rest) — output-capped and at most
     2 levels deep, so nested members can't chain 1 KB → 1 MB → 1 GB

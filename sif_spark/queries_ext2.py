@@ -1147,9 +1147,11 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IFD endianness/justification path is gated too), or baseline
     grayscale JPEG (24×16, 8×8-block-constant values so quant=1
     decode is an EXACT identity — Huffman entropy decode, dequantize,
-    NumPy IDCT all under the gate — encoded with restart_interval=2
-    so DRI/RSTn segmentation and per-segment DC-predictor resets are
-    gated too) — with element values a closed-form function of
+    NumPy IDCT all under the gate; docs alternate BASELINE with
+    restart_interval=2 (DRI/RSTn segmentation, per-segment
+    DC-predictor resets) and PROGRESSIVE SOF2 (DC+AC spectral scans
+    with successive approximation), so both entropy decoders sit
+    under one closed form) — with element values a closed-form function of
     (doc_id, position). Each blob then goes through
     `multimodal.media_decoder`, the format-sniffed DEFAULT decode
     path (no injected codec anywhere), and the decoded array is
@@ -1221,12 +1223,23 @@ def q110_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     blob = mm.encode_gif(pal[idx], interlace=True)
                     fmt = "gif"
                 elif m == 6:
-                    from sif_spark.operators.jpeg import encode_jpeg
+                    from sif_spark.operators.jpeg import (
+                        encode_jpeg,
+                        encode_jpeg_progressive,
+                    )
 
                     by, bx = np.meshgrid(np.arange(3), np.arange(2), indexing="ij")
                     bvals = ((did + 11 * by + 4 * bx) % 256).astype(np.uint8)
                     v = np.repeat(np.repeat(bvals, 8, axis=0), 8, axis=1)
-                    blob = encode_jpeg(v, quant=1, restart_interval=2)
+                    # alternate coding processes under the same oracle:
+                    # baseline+DRI/RST vs progressive (DC+AC scans with
+                    # successive approximation) — block-constant values
+                    # decode exactly under both, so one closed form
+                    # gates both entropy decoders
+                    if (did // 7) % 2 == 0:
+                        blob = encode_jpeg(v, quant=1, restart_interval=2)
+                    else:
+                        blob = encode_jpeg_progressive(v, quant=1, al=1)
                     fmt = "jpeg"
                 else:
                     i, ch = np.meshgrid(np.arange(500), np.arange(2), indexing="ij")

@@ -192,15 +192,74 @@ def test_known_answer_color_solid():
 # -------------------------------------------------------------------
 
 
-def test_progressive_and_arithmetic_gate():
+def test_arithmetic_and_malformed_progressive_gate():
     blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = blob.index(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(bytes(blob))
     blob[i + 1] = 0xC9  # arithmetic sequential
     with pytest.raises(NotImplementedError, match="coding process"):
         decode_jpeg(bytes(blob))
+    # a baseline stream whose SOF is flipped to SOF2 is MALFORMED
+    # progressive (its single scan spans 0-63, mixing DC and AC) —
+    # typed ValueError, not a silent wrong decode
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="mixes DC and AC"):
+        decode_jpeg(bytes(blob))
+
+
+# -------------------------------------------------------------------
+# Progressive (SOF2): decode must reproduce the baseline decode
+# bit-for-bit for the same quantized coefficients — the refinement
+# reconstruction (Annex G successive approximation) is exact.
+# -------------------------------------------------------------------
+
+
+def test_progressive_equals_baseline_gray():
+    from sif_spark.operators.jpeg import encode_jpeg_progressive
+
+    a = RNG.integers(0, 256, (24, 17), np.uint8)
+    base = decode_jpeg(encode_jpeg(a))
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(a)), base)
+    # no successive approximation (al=0: initial scans only)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(a, al=0)), base)
+
+
+def test_progressive_equals_baseline_color_all_samplings():
+    from sif_spark.operators.jpeg import encode_jpeg_progressive
+
+    c = RNG.integers(0, 256, (19, 21, 3), np.uint8)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        base = decode_jpeg(encode_jpeg(c, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(c, subsampling=sub))
+        assert np.array_equal(prog, base), sub
+
+
+def test_progressive_deep_approximation_and_bands():
+    """Three spectral bands, successive approximation from Al=3: the
+    decoder runs 1 DC-initial + 3 DC-refine + per-band AC-initial +
+    3 per-band AC-refine scans per component and must still land on
+    the exact baseline reconstruction."""
+    from sif_spark.operators.jpeg import encode_jpeg_progressive
+
+    c = RNG.integers(0, 256, (19, 21, 3), np.uint8)
+    base = decode_jpeg(encode_jpeg(c, quant=16, subsampling="4:2:0"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            c, quant=16, subsampling="4:2:0", al=3,
+            bands=((1, 2), (3, 9), (10, 63)),
+        )
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_media_decoder_dispatch():
+    import sif_spark.operators.multimodal as mm
+    from sif_spark.operators.jpeg import encode_jpeg_progressive
+
+    a = RNG.integers(0, 256, (2, 3), np.uint8)
+    img = np.repeat(np.repeat(a, 8, axis=0), 8, axis=1)
+    blob = encode_jpeg_progressive(img)
+    assert blob[:3] == b"\xff\xd8\xff"
+    assert np.array_equal(mm.media_decoder(blob), img)
 
 
 def test_malformed_typed_errors():
