@@ -1073,17 +1073,72 @@ _TIFF_TAGS = {
     256: "width", 257: "height", 258: "bits", 259: "compression",
     262: "photometric", 273: "strip_offsets", 277: "samples",
     278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+    320: "colormap",
 }
 _TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
 
 
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 copies n+1 literals,
+    n in 129..255 repeats the next byte 257-n times, 128 is a noop.
+    Output hard-capped at ``max_out`` (attacker-controlled runs must
+    not materialize past the declared image size)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError("truncated TIFF PackBits literal run")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError("truncated TIFF PackBits repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        if len(out) > max_out:
+            raise ValueError(
+                "TIFF PackBits output exceeds the declared image size"
+            )
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (runs of >= 2 become repeat packets; literal
+    packets otherwise, broken at 3-byte run starts)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 (2..128) identical bytes
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    return bytes(out)
+
+
 def decode_tiff(blob: bytes) -> np.ndarray:
-    """Uncompressed baseline TIFF decoder, BOTH byte orders ("II"
-    little- and "MM" big-endian — the classic portability trap is
-    that inline IFD values are left-justified in the 4-byte field
-    under MM): 8-bit grayscale (PhotometricInterpretation 1) →
-    (H, W), RGB (2) → (H, W, 3), chunky planar config, any strip
-    layout. Compressed TIFF (LZW/PackBits/JPEG), palette, tiles, and
+    """Baseline TIFF decoder, BOTH byte orders ("II" little- and "MM"
+    big-endian — the classic portability trap is that inline IFD
+    values are left-justified in the 4-byte field under MM): 8-bit
+    white-is-zero (PhotometricInterpretation 0, inverted on read) and
+    grayscale (1) → (H, W), RGB (2) → (H, W, 3), palette (3, ColorMap
+    high bytes) → (H, W, 3), chunky planar config, any strip layout,
+    uncompressed or PackBits (32773, output-capped per the
+    decompression-bomb contract). LZW/JPEG compression, tiles, and
     non-8-bit depths raise with the reason named."""
     if blob[:4] == b"II*\x00":
         bo = "little"
@@ -1128,38 +1183,98 @@ def decode_tiff(blob: bytes) -> np.ndarray:
             raise ValueError(f"TIFF missing required tag {name}")
         return default
 
-    if one("compression", 1) != 1:
+    compression = one("compression", 1)
+    if compression not in (1, 32773):
         raise ValueError(
-            f"unsupported TIFF compression {one('compression')}; built-in "
-            "codec covers uncompressed (1) only"
+            f"unsupported TIFF compression {compression}; built-in "
+            "codec covers uncompressed (1) and PackBits (32773)"
         )
     if one("planar", 1) != 1:
         raise ValueError("unsupported TIFF planar configuration (chunky only)")
     photo = one("photometric")
-    if photo not in (1, 2):
-        raise ValueError(f"unsupported TIFF photometric {photo} (gray=1/RGB=2 only)")
+    if photo not in (0, 1, 2, 3):
+        raise ValueError(
+            f"unsupported TIFF photometric {photo} "
+            "(white-is-zero/gray/RGB/palette only)"
+        )
     samples = one("samples", 1)
+    if photo == 3 and samples != 1:
+        raise ValueError("palette TIFF must have 1 sample per pixel")
     if any(b != 8 for b in tags.get("bits", [8])):
         raise ValueError(f"unsupported TIFF bit depth {tags['bits']} (8-bit only)")
     w, h = one("width"), one("height")
+    _check_pixel_budget(w, h)
     if not tags.get("strip_offsets"):
         raise ValueError("TIFF missing required tag strip_offsets")
     offs = tags["strip_offsets"]
     cnts = tags.get("strip_counts", [w * h * samples])
-    data = b"".join(blob[o : o + c] for o, c in zip(offs, cnts))
-    if len(data) < w * h * samples:
+    expected = w * h * samples
+    if compression == 32773:
+        # PackBits decompresses per strip, output-capped at the
+        # declared image size (decompression-bomb guard: a crafted
+        # run stream cannot materialize past expected bytes)
+        parts = []
+        got = 0
+        for o, c in zip(offs, cnts):
+            strip = blob[o : o + c]
+            if len(strip) < c:
+                raise ValueError("truncated TIFF PackBits strip")
+            part = _packbits_decode(strip, expected - got)
+            parts.append(part)
+            got += len(part)
+        data = b"".join(parts)
+    else:
+        data = b"".join(blob[o : o + c] for o, c in zip(offs, cnts))
+    if len(data) < expected:
         raise ValueError("TIFF strip data short of width*height*samples")
-    arr = np.frombuffer(data, np.uint8, w * h * samples).reshape(h, w, samples)
+    arr = np.frombuffer(data, np.uint8, expected).reshape(h, w, samples)
+    if photo == 3:
+        cmap = tags.get("colormap")
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("palette TIFF missing/short ColorMap")
+        # ColorMap is 3 planes of 2^bits 16-bit values (R..G..B);
+        # scale to 8-bit by the high byte (v * 255 // 65535 == v >> 8
+        # for the 257-multiple values writers emit)
+        pal = (
+            np.asarray(cmap[: 3 * 256], dtype=np.uint32)
+            .reshape(3, 256)
+            .T
+            >> 8
+        ).astype(np.uint8)
+        return pal[arr[:, :, 0]]
+    if photo == 0:  # white-is-zero: invert to the gray convention
+        return (255 - arr[:, :, 0]).astype(np.uint8)
     return arr[:, :, 0].copy() if photo == 1 else arr.copy()
 
 
-def encode_tiff(arr: np.ndarray, byte_order: str = "<") -> bytes:
-    """(H, W) gray / (H, W, 3) RGB uint8 → uncompressed single-strip
-    baseline TIFF in either byte order ("<" → II, ">" → MM) — the MM
-    mode exists to exercise the decoder's big-endian/IFD-justification
-    path in round-trip tests."""
+def encode_tiff(
+    arr: np.ndarray,
+    byte_order: str = "<",
+    compression: str = "none",
+    rows_per_strip: int | None = None,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """(H, W) gray / (H, W, 3) RGB uint8 → baseline TIFF in either
+    byte order ("<" → II, ">" → MM — the MM mode exercises the
+    decoder's big-endian/IFD-justification path). Round 8 additions
+    for the decoder's wider surface: ``compression="packbits"``
+    writes PackBits strips, ``rows_per_strip`` splits the image into
+    multiple strips (offset/count ARRAYS in the IFD), and
+    ``palette`` (N<=256, 3) uint8 with a 2-D ``arr`` of indices
+    writes a photometric-3 palette TIFF (ColorMap shorts as
+    v*257)."""
     a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
+    if palette is not None:
+        if a.ndim != 2:
+            raise ValueError("palette TIFF wants (H,W) indices")
+        palette = np.asarray(palette, dtype=np.uint8)
+        if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+            raise ValueError("palette must be (N<=256, 3) uint8")
+        if a.size and a.max() >= len(palette):
+            raise ValueError("palette index out of range")
+        samples, photo = 1, 3
+        h, w = a.shape
+    elif a.ndim == 2:
         samples, photo = 1, 1
         h, w = a.shape
     elif a.ndim == 3 and a.shape[2] == 3:
@@ -1167,11 +1282,20 @@ def encode_tiff(arr: np.ndarray, byte_order: str = "<") -> bytes:
         h, w = a.shape[:2]
     else:
         raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    if compression not in ("none", "packbits"):
+        raise ValueError("compression must be 'none' or 'packbits'")
     bo = "little" if byte_order == "<" else "big"
     magic = b"II*\x00" if bo == "little" else b"MM\x00*"
-    pix = a.tobytes()
 
-    entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, raw)
+    rps = rows_per_strip or h
+    rows = a.reshape(h, w * samples) if h else a.reshape(0, w * samples)
+    strips = []
+    for r0 in range(0, max(h, 1), rps):
+        raw = rows[r0 : r0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if compression == "packbits" else raw)
+    n_strips = max(len(strips), 1)
+    if not strips:
+        strips = [b""]
 
     def short(v: int) -> bytes:
         return v.to_bytes(2, bo)
@@ -1179,28 +1303,56 @@ def encode_tiff(arr: np.ndarray, byte_order: str = "<") -> bytes:
     def long(v: int) -> bytes:
         return v.to_bytes(4, bo)
 
-    # layout: header(8) + pixel data + [bits array if RGB] + IFD
+    # layout: header(8) + strip data + out-of-line arrays + IFD
     pix_off = 8
-    extra_off = pix_off + len(pix)
-    extra = b""
+    strip_offs = []
+    off = pix_off
+    for s in strips:
+        strip_offs.append(off)
+        off += len(s)
+    extra = bytearray()
+    extra_base = off
+
+    def outline(raw: bytes) -> bytes:
+        """place raw out-of-line, return its offset as LONG bytes."""
+        nonlocal extra
+        at = extra_base + len(extra)
+        extra += raw
+        return long(at)
+
     if samples == 3:
-        bits_raw = long(extra_off)
-        extra = short(8) * 3
+        bits_raw = outline(short(8) * 3)
+        bits_cnt = 3
     else:
         bits_raw = short(8) + b"\x00\x00"
-    ifd_off = extra_off + len(extra)
+        bits_cnt = 1
+    if n_strips > 1:
+        offs_raw = outline(b"".join(long(o) for o in strip_offs))
+        cnts_raw = outline(b"".join(long(len(s)) for s in strips))
+    else:
+        offs_raw = long(strip_offs[0])
+        cnts_raw = long(len(strips[0]))
     entries = [
         (256, 4, 1, long(w)),
         (257, 4, 1, long(h)),
-        (258, 3, 3 if samples == 3 else 1, bits_raw),
-        (259, 3, 1, short(1) + b"\x00\x00"),
+        (258, 3, bits_cnt, bits_raw),
+        (259, 3, 1, short(1 if compression == "none" else 32773) + b"\x00\x00"),
         (262, 3, 1, short(photo) + b"\x00\x00"),
-        (273, 4, 1, long(pix_off)),
+        (273, 4, n_strips, offs_raw),
         (277, 3, 1, short(samples) + b"\x00\x00"),
-        (278, 4, 1, long(h)),
-        (279, 4, 1, long(len(pix))),
+        (278, 4, 1, long(rps)),
+        (279, 4, n_strips, cnts_raw),
         (284, 3, 1, short(1) + b"\x00\x00"),
     ]
+    if palette is not None:
+        cmap = np.zeros((3, 256), dtype=np.uint32)
+        cmap[:, : len(palette)] = palette.T
+        cmap = cmap * 257  # 8-bit -> the conventional 16-bit ramp
+        entries.append(
+            (320, 3, 3 * 256, outline(b"".join(short(int(v)) for v in cmap.ravel())))
+        )
+        entries.sort()
+    ifd_off = extra_base + len(extra)
     ifd = short(len(entries))
     for tag, typ, cnt, raw in entries:
         # inline values are LEFT-justified in the 4-byte field: under
@@ -1208,7 +1360,7 @@ def encode_tiff(arr: np.ndarray, byte_order: str = "<") -> bytes:
         # building `raw` as value-bytes-then-padding in file order
         ifd += short(tag) + short(typ) + long(cnt) + raw.ljust(4, b"\x00")
     ifd += long(0)  # no next IFD
-    return magic + long(ifd_off) + pix + extra + ifd
+    return magic + long(ifd_off) + b"".join(strips) + bytes(extra) + ifd
 
 
 #: Hard cap on a gzip wrapper's inflated size. Media blobs at rest are

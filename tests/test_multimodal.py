@@ -789,3 +789,67 @@ def test_png_adam7_known_answer_hand_built():
         + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     )
     assert np.array_equal(mm.decode_png(blob), grid)
+
+
+def test_tiff_packbits_multistrip_palette():
+    """Round 8 TIFF surface: PackBits strips (output-capped RLE),
+    multi-strip layouts (offset/count ARRAYS in the IFD), palette
+    (photometric 3, ColorMap high bytes), and white-is-zero
+    (photometric 0, inverted on read) — both byte orders."""
+    import numpy as np
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (23, 17, 3), np.uint8)
+    gray = rng.integers(0, 256, (23, 17), np.uint8)
+    pal = rng.integers(0, 256, (37, 3), np.uint8)
+    idx = rng.integers(0, 37, (9, 14), np.uint8)
+    for bo in ("<", ">"):
+        assert np.array_equal(
+            mm.decode_tiff(mm.encode_tiff(img, bo, rows_per_strip=5)), img
+        )
+        assert np.array_equal(
+            mm.decode_tiff(mm.encode_tiff(img, bo, compression="packbits")), img
+        )
+        assert np.array_equal(
+            mm.decode_tiff(
+                mm.encode_tiff(gray, bo, compression="packbits", rows_per_strip=4)
+            ),
+            gray,
+        )
+        out = mm.decode_tiff(
+            mm.encode_tiff(idx, bo, palette=pal, compression="packbits",
+                           rows_per_strip=3)
+        )
+        assert np.array_equal(out, pal[idx])
+    # packbits genuinely compresses runs
+    runny = np.zeros((16, 16), np.uint8)
+    assert len(mm.encode_tiff(runny, compression="packbits")) < len(
+        mm.encode_tiff(runny)
+    )
+    # white-is-zero: patch photometric to 0 -> inverted gray
+    blob = bytearray(mm.encode_tiff(gray))
+    ifd = int.from_bytes(blob[4:8], "little")
+    n = int.from_bytes(blob[ifd : ifd + 2], "little")
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if int.from_bytes(blob[e : e + 2], "little") == 262:
+            blob[e + 8 : e + 10] = (0).to_bytes(2, "little")
+    assert np.array_equal(mm.decode_tiff(bytes(blob)), 255 - gray)
+    # media_decoder dispatch covers the new variants
+    assert np.array_equal(
+        mm.media_decoder(mm.encode_tiff(img, ">", compression="packbits")), img
+    )
+    # a PackBits stream trying to decode past the declared size raises
+    import pytest as _pytest
+
+    small = bytearray(mm.encode_tiff(np.zeros((4, 4), np.uint8),
+                                     compression="packbits"))
+    ifd = int.from_bytes(small[4:8], "little")
+    n = int.from_bytes(small[ifd : ifd + 2], "little")
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        tag = int.from_bytes(small[e : e + 2], "little")
+        if tag in (256, 257):  # shrink declared dims under the data
+            small[e + 8 : e + 12] = (2).to_bytes(4, "little")
+    with _pytest.raises(ValueError, match="exceeds the declared"):
+        mm.decode_tiff(bytes(small))
