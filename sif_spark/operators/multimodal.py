@@ -195,8 +195,11 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(blob: bytes) -> np.ndarray:
-    """Uncompressed 24-bpp BMP (BITMAPINFOHEADER, BI_RGB) → (H, W, 3)
-    RGB uint8. Handles the two spec quirks a naive reader gets wrong:
+    """Uncompressed BMP (BITMAPINFOHEADER+, BI_RGB) → (H, W, 3) RGB
+    uint8: 24-bpp BGR, 32-bpp BGRX (round 8 — the padding byte is
+    dropped; BI_BITFIELDS alpha needs the V4/V5 masks and raises),
+    and 8-bpp palette (round 8 — BGRX color table after the DIB
+    header). Handles the two spec quirks a naive reader gets wrong:
     rows are stored BOTTOM-UP (top-down iff height < 0) and padded to
     4-byte multiples, and pixels are BGR. Pure NumPy."""
     if blob[:2] != b"BM":
@@ -209,42 +212,96 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     h = int.from_bytes(blob[22:26], "little", signed=True)
     bpp = int.from_bytes(blob[28:30], "little")
     compression = int.from_bytes(blob[30:34], "little")
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"only 24-bpp BI_RGB supported, got bpp={bpp} comp={compression}")
+    if bpp not in (8, 24, 32) or compression != 0:
+        raise ValueError(
+            f"only 8/24/32-bpp BI_RGB supported, got bpp={bpp} comp={compression}"
+        )
     top_down = h < 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3
+    _check_pixel_budget(max(w, 1), max(h, 1))
+    stride = (w * (bpp // 8) + 3) & ~3
+    if data_off + h * stride > len(blob):
+        raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(blob, dtype=np.uint8, count=h * stride, offset=data_off)
-    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rows = rows.reshape(h, stride)[:, : w * (bpp // 8)]
+    if bpp == 8:
+        n_colors = int.from_bytes(blob[46:50], "little") or 256
+        pal_off = 14 + dib_size
+        if pal_off + n_colors * 4 > len(blob):
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+        idx = rows.reshape(h, w)
+        if idx.size and idx.max() >= n_colors:
+            raise ValueError("BMP palette index exceeds color table")
+        out = pal[idx]
+    else:
+        ch = bpp // 8
+        out = rows.reshape(h, w, ch)[:, :, 2::-1]  # BGR(X) -> RGB
     if not top_down:
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR → RGB
+        out = out[::-1]
+    return np.ascontiguousarray(out)
 
 
-def encode_bmp(arr: np.ndarray) -> bytes:
-    """(H, W, 3) RGB uint8 → 24-bpp bottom-up BI_RGB BMP."""
+def encode_bmp(
+    arr: np.ndarray,
+    bpp: int = 24,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """(H, W, 3) RGB uint8 → bottom-up BI_RGB BMP at 24 or 32 bpp
+    (32 writes a zero X byte per pixel); with ``palette`` (N<=256, 3)
+    and a 2-D ``arr`` of indices, an 8-bpp palette BMP (BGRX color
+    table)."""
     a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError(f"expected (H,W,3), got {a.shape}")
-    h, w = a.shape[:2]
-    stride = (w * 3 + 3) & ~3
+    color_table = b""
+    if palette is not None:
+        palette = np.asarray(palette, dtype=np.uint8)
+        if a.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+            raise ValueError("palette BMP wants (H,W) indices + (N,3) palette")
+        if len(palette) > 256 or (a.size and a.max() >= len(palette)):
+            raise ValueError("palette must hold every index, max 256 entries")
+        bpp = 8
+        h, w = a.shape
+        n_colors = len(palette)
+        bgrx = np.zeros((n_colors, 4), dtype=np.uint8)
+        bgrx[:, :3] = palette[:, ::-1]
+        color_table = bgrx.tobytes()
+        row_bytes = a[::-1].reshape(h, w)
+    else:
+        if a.ndim != 3 or a.shape[2] != 3 or bpp not in (24, 32):
+            raise ValueError(f"expected (H,W,3) at 24/32 bpp, got {a.shape}")
+        h, w = a.shape[:2]
+        n_colors = 0
+        bgr = a[::-1, :, ::-1]  # flip + RGB→BGR
+        if bpp == 32:
+            bgrx = np.zeros((h, w, 4), dtype=np.uint8)
+            bgrx[:, :, :3] = bgr
+            row_bytes = bgrx.reshape(h, w * 4)
+        else:
+            row_bytes = bgr.reshape(h, w * 3)
+    stride = (w * (bpp // 8) + 3) & ~3
     body = np.zeros((h, stride), dtype=np.uint8)
-    body[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    body[:, : w * (bpp // 8)] = row_bytes
     pixels = body.tobytes()
     dib = (
         (40).to_bytes(4, "little")
         + w.to_bytes(4, "little", signed=True)
         + h.to_bytes(4, "little", signed=True)
         + (1).to_bytes(2, "little")
-        + (24).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
         + (0).to_bytes(4, "little")  # BI_RGB
         + len(pixels).to_bytes(4, "little")
         + (2835).to_bytes(4, "little") * 2  # 72 dpi
-        + (0).to_bytes(4, "little") * 2
+        + n_colors.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
     )
-    off = 14 + len(dib)
-    header = b"BM" + (off + len(pixels)).to_bytes(4, "little") + b"\0\0\0\0" + off.to_bytes(4, "little")
-    return header + dib + pixels
+    off = 14 + len(dib) + len(color_table)
+    header = (
+        b"BM" + (off + len(pixels)).to_bytes(4, "little")
+        + b"\0\0\0\0" + off.to_bytes(4, "little")
+    )
+    return header + dib + color_table + pixels
 
 
 def decode_wav(blob: bytes) -> np.ndarray:

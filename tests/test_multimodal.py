@@ -853,3 +853,25 @@ def test_tiff_packbits_multistrip_palette():
             small[e + 8 : e + 12] = (2).to_bytes(4, "little")
     with _pytest.raises(ValueError, match="exceeds the declared"):
         mm.decode_tiff(bytes(small))
+
+
+def test_bmp_32bpp_and_palette():
+    """Round 8 BMP surface: 32-bpp BGRX (X byte dropped) and 8-bpp
+    palette (BGRX color table, bottom-up rows, index validation)."""
+    import numpy as np
+
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, (9, 15, 3), np.uint8)
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(img, bpp=32)), img)
+    pal = rng.integers(0, 256, (37, 3), np.uint8)
+    idx = rng.integers(0, 37, (11, 13), np.uint8)
+    for p, x in ((pal, idx), (pal[:5], idx % 5)):  # full + short table
+        blob = mm.encode_bmp(x, palette=p)
+        assert np.array_equal(mm.decode_bmp(blob), p[x])
+        assert np.array_equal(mm.media_decoder(blob), p[x])
+    # an index past the color table raises rather than wrapping
+    blob = bytearray(mm.encode_bmp(idx % 5, palette=pal[:5]))
+    data_off = int.from_bytes(blob[10:14], "little")
+    blob[data_off] = 200  # first stored pixel (not a stride pad byte)
+    with pytest.raises(ValueError, match="exceeds color table"):
+        mm.decode_bmp(bytes(blob))
