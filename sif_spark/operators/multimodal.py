@@ -81,6 +81,16 @@ def sniff_format(blob: Column | str) -> Column:
         label = name.removesuffix("_be")
         prefix = F.substring(c, 1, len(magic))
         out = F.when(prefix == F.lit(bytearray(magic)), F.lit(label)).otherwise(out)
+    # the RIFF container family discriminates on the form-type fourcc
+    # at offset 8: WAVE → wav, AVI  → avi, anything else keeps the
+    # generic 'riff' label
+    form = F.substring(c, 9, 4)
+    out = (
+        F.when(out != "riff", out)
+        .when(form == F.lit(bytearray(b"WAVE")), F.lit("wav"))
+        .when(form == F.lit(bytearray(b"AVI ")), F.lit("avi"))
+        .otherwise(out)
+    )
     return out
 
 
@@ -1454,15 +1464,21 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
     wrapper is transparently unwrapped and re-dispatched
     (corpora store media gzipped at rest) — output-capped and at most
     2 levels deep, so nested members can't chain 1 KB → 1 MB → 1 GB
-    (ADVICE r7). Anything else raises NotImplementedError naming the
-    sniffed format so the remaining compressed media (mp3/video
-    containers) still gates loudly behind an injected codec."""
+    (ADVICE r7). AVI containers decode their first frame when the video
+    codec is MJPG or uncompressed DIB (operators/video.py). Anything
+    else raises NotImplementedError naming the sniffed format so the
+    remaining compressed media (mp3 audio; modern video codecs) still
+    gates loudly behind an injected codec."""
     if blob[:2] in (b"P6", b"P5"):
         return decode_ppm(blob)
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return decode_wav(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        from sif_spark.operators.video import decode_avi
+
+        return decode_avi(blob)
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
@@ -1489,8 +1505,8 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
     )
     raise NotImplementedError(
         f"no built-in codec for format {sniffed!r}: built-ins cover "
-        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg (+gzip unwrap); pass decoder= "
-        "with a real codec for "
+        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi (+gzip unwrap); pass "
+        "decoder= with a real codec for "
         "compressed media"
     )
 
@@ -1685,10 +1701,14 @@ def media_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
     containers need an injected codec."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return wav_frame_decoder(blob, every_n)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        from sif_spark.operators.video import avi_frame_decoder
+
+        return avi_frame_decoder(blob, every_n)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return gif_frame_decoder(blob, every_n)
     raise NotImplementedError(
         "no built-in frame decoder for this format (built-ins cover "
-        "PCM WAV and animated GIF): pass frame_decoder= with a real "
-        "video codec"
+        "PCM WAV, animated GIF, and AVI MJPG/DIB): pass frame_decoder= "
+        "with a real video codec"
     )
