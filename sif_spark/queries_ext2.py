@@ -2222,6 +2222,129 @@ ORDER BY d.doc_id
 """
 
 
+def q122_avi_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVI video-container frame sampling under the oracle (round 8):
+    30 docs each get a 6-frame AVI — even doc_ids an uncompressed-DIB
+    stream (8×13, odd width so the 4-byte row stride is live), odd
+    doc_ids an MJPG stream (16×24 gray-valued 8×8-block-constant at
+    quant=1, so JPEG decode is an exact identity) — with frame 3
+    written as a ZERO-LENGTH drop chunk holding frame 2.
+    `sample_frames` with the DEFAULT sniffed frame decoder keeps every
+    3rd frame (originals 0 and 3), so the gate covers the RIFF chunk
+    walk, BOTH built-in AVI codecs, the hold-previous drop-frame
+    semantics (sampled frame 1's pixels must equal original frame 2's),
+    the stride-padded DIB row layout, AND the PPM frame hand-off.
+    The oracle recomputes both kept frames' digests in closed form.
+
+    Scale shape: generate → sample_frames → digest are three chained
+    Arrow-batched mapInPandas stages over the doc projection; the only
+    shuffle is the final orderBy of 60 rows. Video bytes never leave
+    their executor."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import multimodal as mm
+    from sif_spark.operators import video as vv
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 30)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for k in range(6):
+                    ke = 2 if k == 3 else k  # frame 3 is the drop frame
+                    if did % 2 == 0:
+                        y, x = np.meshgrid(
+                            np.arange(8), np.arange(13), indexing="ij"
+                        )
+                        base = (did + 7 * ke + 5 * y + 3 * x) % 256
+                        img = np.stack(
+                            [base, (5 * base) % 256, (11 * base) % 256], axis=2
+                        ).astype(np.uint8)
+                    else:
+                        by, bx = np.meshgrid(
+                            np.arange(2), np.arange(3), indexing="ij"
+                        )
+                        g = ((did + 7 * ke + 5 * by + 3 * bx) % 256).astype(
+                            np.uint8
+                        )
+                        big = np.kron(g, np.ones((8, 8), np.uint8))
+                        img = np.repeat(big[:, :, None], 3, axis=2)
+                    frames.append(img)
+                codec = "DIB " if did % 2 == 0 else "MJPG"
+                recs.append(
+                    (did, vv.encode_avi(frames, codec=codec, drop_frames=[3]))
+                )
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    sampled = mm.sample_frames(blobs, "blob", "doc_id", every_n=3)
+
+    def digest(batches):
+        for pdf in batches:
+            recs = []
+            for did, fidx, fr in zip(pdf["doc_id"], pdf["frame_idx"], pdf["frame"]):
+                arr = mm.decode_ppm(bytes(fr)).astype(np.int64)
+                y, x, c = np.meshgrid(
+                    np.arange(arr.shape[0]),
+                    np.arange(arr.shape[1]),
+                    np.arange(arr.shape[2]),
+                    indexing="ij",
+                )
+                recs.append(
+                    (
+                        int(did),
+                        int(fidx),
+                        int((arr * (1 + x + 2 * y + 4 * c)).sum()),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=["doc_id", "frame_idx", "digest"])
+
+    return sampled.mapInPandas(
+        digest, "doc_id long, frame_idx int, digest long"
+    ).orderBy("doc_id", "frame_idx")
+
+
+# sampled frame_idx j maps to content frame ke: j=0 -> ke=0; j=1 is
+# ORIGINAL frame 3, a zero-length drop chunk holding frame 2 -> ke=2.
+# Even docs: DIB pixels base/(5*base)%256/(11*base)%256 at 8x13; odd
+# docs: MJPG gray 8x8-block-constant at 16x24 (all 3 channels equal g,
+# so the channel sum collapses to g*(3*(1+i+2*r)+12)).
+ORACLE_Q122 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+ke AS (SELECT 0 AS j, 0 AS k UNION ALL SELECT 1, 2),
+even_dig AS (
+  SELECT d.doc_id, ke.j,
+         SUM(  ((d.doc_id + 7*ke.k + 5*y.r + 3*x.i) % 256)        * (1 + x.i + 2*y.r)
+             + ((5*((d.doc_id + 7*ke.k + 5*y.r + 3*x.i) % 256)) % 256)  * (1 + x.i + 2*y.r + 4)
+             + ((11*((d.doc_id + 7*ke.k + 5*y.r + 3*x.i) % 256)) % 256) * (1 + x.i + 2*y.r + 8)
+         ) AS dg
+  FROM d, ke, range(8) AS y(r), range(13) AS x(i)
+  WHERE d.doc_id % 2 = 0
+  GROUP BY d.doc_id, ke.j
+),
+odd_dig AS (
+  SELECT d.doc_id, ke.j,
+         SUM(((d.doc_id + 7*ke.k + 5*(y.r // 8) + 3*(x.i // 8)) % 256)
+             * (3*(1 + x.i + 2*y.r) + 12)) AS dg
+  FROM d, ke, range(16) AS y(r), range(24) AS x(i)
+  WHERE d.doc_id % 2 = 1
+  GROUP BY d.doc_id, ke.j
+),
+u AS (SELECT * FROM even_dig UNION ALL SELECT * FROM odd_dig)
+SELECT doc_id, CAST(j AS INT) AS frame_idx, CAST(dg AS BIGINT) AS digest
+FROM u
+ORDER BY doc_id, frame_idx
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2256,6 +2379,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_daily_ingest": q119_daily_ingest,
     "q120_gif_frame_sampling": q120_gif_frame_sampling,
     "q121_tolerant_decode": q121_tolerant_decode,
+    "q122_avi_frame_sampling": q122_avi_frame_sampling,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2296,4 +2420,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q119_daily_ingest": ORACLE_Q119,
     "q120_gif_frame_sampling": ORACLE_Q120,
     "q121_tolerant_decode": ORACLE_Q121,
+    "q122_avi_frame_sampling": ORACLE_Q122,
 }

@@ -91,6 +91,7 @@ TAIL = [
     "q119_daily_ingest",
     "q120_gif_frame_sampling",
     "q121_tolerant_decode",
+    "q122_avi_frame_sampling",
 ]
 
 
