@@ -1,0 +1,171 @@
+"""Header-only media probe: per-format field correctness,
+hand-assembled spec bytes for the two gated formats (mp3/mp4), the
+typed-error contract, and the Spark attach_probe plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sif_spark.operators import multimodal as mm
+from sif_spark.operators import probe as pb
+from sif_spark.operators import video as vv
+from sif_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
+
+
+def test_probe_every_builtin_format():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (9, 14, 3), np.uint8)
+    cases = {
+        "ppm": (mm.encode_ppm(img), {"width": 14, "height": 9, "channels": 3}),
+        "bmp": (mm.encode_bmp(img), {"width": 14, "height": 9}),
+        "png": (mm.encode_png(img), {"width": 14, "height": 9}),
+        "gif": (mm.encode_gif_animation([img] * 3), {"n_frames": 3, "width": 14}),
+        "tiff": (mm.encode_tiff(img), {"width": 14, "height": 9}),
+        "jpeg": (encode_jpeg(img), {"width": 14, "height": 9, "codec": "baseline"}),
+    }
+    for fmt, (blob, want) in cases.items():
+        got = pb.probe_media(blob)
+        assert got["format"] == fmt, fmt
+        for k, v in want.items():
+            assert got[k] == v, (fmt, k)
+
+    wav = mm.encode_wav(np.zeros((500, 2), np.float32), sample_rate=8000)
+    got = pb.probe_media(wav)
+    assert (got["n_frames"], got["sample_rate"], got["channels"]) == (500, 8000, 2)
+    assert got["duration_s"] == 500 / 8000
+
+    avi = vv.encode_avi([img] * 4, codec="DIB ", fps=8)
+    got = pb.probe_media(avi)
+    assert (got["width"], got["n_frames"], got["codec"]) == (14, 4, "DIB ")
+    assert got["duration_s"] == pytest.approx(0.5)
+
+    prog = encode_jpeg_progressive(np.repeat(img[:, :, :1], 3, 2))
+    assert pb.probe_media(prog)["codec"] == "progressive"
+
+
+def test_probe_mp3_walk_and_id3_skip():
+    blob = pb.encode_mp3_frames(7, 128, 44100, 2, id3_bytes=40)
+    got = pb.probe_media(blob)
+    assert got["format"] == "mp3" and got["n_frames"] == 7
+    assert got["sample_rate"] == 44100 and got["channels"] == 2
+    assert got["duration_s"] == 7 * 1152 / 44100
+
+    mono = pb.probe_media(pb.encode_mp3_frames(3, 160, 32000, 1))
+    assert (mono["channels"], mono["sample_rate"]) == (1, 32000)
+
+    # one lone sync pattern must NOT probe as audio
+    with pytest.raises(ValueError, match="fewer than 2"):
+        pb.probe_mp3(pb.encode_mp3_frames(2, 128, 44100)[:300])
+    # ID3 size bytes are syncsafe: a set high bit is a typed error
+    bad = bytearray(pb.encode_mp3_frames(3, id3_bytes=10))
+    bad[6] = 0x80
+    with pytest.raises(ValueError, match="sync bit"):
+        pb.probe_mp3(bytes(bad))
+
+
+def test_probe_mp3_hand_assembled_spec_bytes():
+    """Independent of encode_mp3_frames: MPEG-1 Layer III header built
+    from ISO 11172-3 field by field — sync FFE, version 11 (MPEG-1),
+    layer 01 (III), bitrate index 9 (128k), samplerate index 0
+    (44100), no padding, mono. Frame length 144*128000/44100 = 417."""
+    hdr = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0xC0])
+    frame = hdr + bytes(417 - 4)
+    got = pb.probe_mp3(frame * 3)
+    assert got["n_frames"] == 3 and got["sample_rate"] == 44100
+    assert got["channels"] == 1 and got["duration_s"] == 3 * 1152 / 44100
+
+    # MPEG-2 Layer III (LSF): version bits 10, 576 samples/frame,
+    # bitrate index 5 = 40k at 16 kHz (samplerate index 2):
+    # 576/8*40000/16000 = 180 bytes
+    hdr2 = bytes([0xFF, 0xF3, (5 << 4) | (2 << 2), 0x00])
+    got2 = pb.probe_mp3((hdr2 + bytes(180 - 4)) * 2)
+    assert got2["sample_rate"] == 16000 and got2["channels"] == 2
+    assert got2["duration_s"] == 2 * 576 / 16000
+
+
+def test_probe_mp4_hand_assembled_v1_boxes():
+    """Version-1 mvhd/tkhd offsets (64-bit times) derived from ISO
+    14496-12 §8.2.2/§8.3.2 in-test — independent of encode_mp4_stub,
+    which authors version 0."""
+
+    def box(t, p):
+        return (8 + len(p)).to_bytes(4, "big") + t + p
+
+    mvhd = box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + bytes(16)  # v1 + creation/modification (8+8)
+        + (90000).to_bytes(4, "big") + (45000).to_bytes(8, "big") + bytes(80),
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes([1, 0, 0, 0]) + bytes(16) + (1).to_bytes(4, "big") + bytes(4)
+        + (45000).to_bytes(8, "big")  # v1 64-bit duration
+        + bytes(52)  # reserved + layer block + matrix
+        + (320 << 16).to_bytes(4, "big") + (240 << 16).to_bytes(4, "big"),
+    )
+    blob = box(b"ftyp", b"mp42\x00\x00\x00\x00") + box(b"moov", mvhd + box(b"trak", tkhd))
+    got = pb.probe_media(blob)
+    assert got["duration_s"] == 45000 / 90000
+    assert (got["width"], got["height"]) == (320, 240)
+
+    # largesize (size==1) box is walked correctly
+    big = (1).to_bytes(4, "big") + b"mdat" + (16).to_bytes(8, "big")
+    got2 = pb.probe_media(blob + big)
+    assert got2["width"] == 320
+
+
+def test_probe_mp4_stub_and_typed_errors():
+    got = pb.probe_media(pb.encode_mp4_stub(640, 360, 2500, 1000, b"vp09"))
+    assert (got["width"], got["height"], got["codec"]) == (640, 360, "vp09")
+    assert got["duration_s"] == 2.5
+
+    with pytest.raises(ValueError, match="runs past"):
+        pb.probe_mp4((100).to_bytes(4, "big") + b"moov" + bytes(8))
+    with pytest.raises(ValueError, match="smaller than"):
+        pb.probe_mp4((3).to_bytes(4, "big") + b"free" + bytes(20))
+    with pytest.raises(NotImplementedError):
+        pb.probe_media(b"garbage-bytes-here!!")
+
+
+def test_probe_mutation_fuzz_never_hangs():
+    rng = np.random.default_rng(32)
+    bases = [
+        pb.encode_mp3_frames(4, id3_bytes=20),
+        pb.encode_mp4_stub(64, 48, 1000),
+        mm.encode_gif_animation(
+            [rng.integers(0, 256, (6, 7, 3), np.uint8) for _ in range(2)]
+        ),
+    ]
+    for base in bases:
+        base = bytearray(base)
+        for _ in range(200):
+            b = bytearray(base)
+            for _ in range(rng.integers(1, 6)):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            try:
+                pb.probe_media(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_attach_probe_spark_plumbing(spark):
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    rows = [
+        (1, pb.encode_mp3_frames(5, 128, 44100, 2)),
+        (2, vv.encode_avi([img] * 3, codec="MJPG", fps=6)),
+        (3, b"not-media-at-all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {
+        r["doc_id"]: r["probe"]
+        for r in pb.attach_probe(df, "blob", "doc_id").collect()
+    }
+    assert out[1]["format"] == "mp3" and out[1]["n_frames"] == 5
+    assert out[2]["format"] == "avi" and out[2]["codec"] == "MJPG"
+    assert out[2]["duration_s"] == 3 * (1_000_000 // 6) / 1e6
+    assert out[3] is None and out[4] is None
+    with pytest.raises(Exception):
+        pb.attach_probe(df, "blob", "doc_id", on_error="raise").collect()
