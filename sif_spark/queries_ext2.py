@@ -2345,6 +2345,100 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q123_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media probe under the oracle (round 8): 40 docs get
+    a blob by doc_id % 4 — PCM WAV (closed-form rate/channels/length),
+    an animated GIF (closed-form dims/frame count), an MPEG-1 Layer
+    III frame sequence (the mp3 header walk: frame counting, bitrate/
+    samplerate tables, duration arithmetic), and an MP4 moov tree (box
+    walk: tkhd dims, mvhd duration, stsd codec fourcc). `attach_probe`
+    surveys all four without decoding a single payload byte — the
+    gate proves every per-format header parser AND the typed struct
+    plumbing. Float parity: each duration is a single int/int → double
+    division, bit-identical across engines (module docstring rule).
+
+    Scale shape: generate → probe are two chained Arrow-batched
+    mapInPandas stages; the probe reads O(header) bytes per blob, so
+    a 100 TB survey is scan-bound. Only shuffle: the 40-row orderBy."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import multimodal as mm
+    from sif_spark.operators import probe as pb
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 4
+                if kind == 0:
+                    n, rate, ch = 200 + 10 * did, 8000 + 100 * did, 1 + did % 2
+                    samples = np.zeros((n, ch), np.float32)
+                    blob = mm.encode_wav(samples, sample_rate=rate)
+                elif kind == 1:
+                    w, h, nf = 5 + did % 7, 6 + did % 5, 2 + did % 3
+                    blob = mm.encode_gif_animation(
+                        [np.zeros((h, w, 3), np.uint8)] * nf
+                    )
+                elif kind == 2:
+                    rate = [44100, 48000, 32000][did % 3]
+                    blob = pb.encode_mp3_frames(
+                        3 + did % 5, 128, rate, 1 + did % 2
+                    )
+                else:
+                    blob = pb.encode_mp4_stub(
+                        100 + did, 50 + did, 1000 + did, 1000
+                    )
+                recs.append((did, blob))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    probed = pb.attach_probe(blobs, "blob", "doc_id", on_error="raise")
+    return probed.select(
+        "doc_id",
+        F.col("probe.format").alias("format"),
+        F.col("probe.width").alias("width"),
+        F.col("probe.height").alias("height"),
+        F.col("probe.n_frames").alias("n_frames"),
+        F.col("probe.duration_s").alias("duration_s"),
+        F.col("probe.sample_rate").alias("sample_rate"),
+        F.col("probe.channels").alias("channels"),
+        F.col("probe.codec").alias("codec"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q123 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+m AS (
+  SELECT doc_id, doc_id % 4 AS kind,
+         CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS mp3_rate
+  FROM d
+)
+SELECT doc_id,
+  CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'gif' WHEN 2 THEN 'mp3' ELSE 'mp4' END AS format,
+  CAST(CASE kind WHEN 1 THEN 5 + doc_id % 7 WHEN 3 THEN 100 + doc_id END AS INT) AS width,
+  CAST(CASE kind WHEN 1 THEN 6 + doc_id % 5 WHEN 3 THEN 50 + doc_id END AS INT) AS height,
+  CAST(CASE kind WHEN 0 THEN 200 + 10*doc_id
+                 WHEN 1 THEN 2 + doc_id % 3
+                 WHEN 2 THEN 3 + doc_id % 5 END AS INT) AS n_frames,
+  CAST(CASE kind WHEN 0 THEN (200 + 10*doc_id) / CAST(8000 + 100*doc_id AS DOUBLE)
+                 WHEN 2 THEN ((3 + doc_id % 5) * 1152) / CAST(mp3_rate AS DOUBLE)
+                 WHEN 3 THEN (1000 + doc_id) / CAST(1000 AS DOUBLE) END AS DOUBLE) AS duration_s,
+  CAST(CASE kind WHEN 0 THEN 8000 + 100*doc_id WHEN 2 THEN mp3_rate END AS INT) AS sample_rate,
+  CAST(CASE kind WHEN 0 THEN 1 + doc_id % 2 WHEN 2 THEN 1 + doc_id % 2 END AS INT) AS channels,
+  CASE kind WHEN 0 THEN 'pcm' WHEN 2 THEN 'mpeg_audio' WHEN 3 THEN 'avc1' END AS codec
+FROM m
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2380,6 +2474,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120_gif_frame_sampling": q120_gif_frame_sampling,
     "q121_tolerant_decode": q121_tolerant_decode,
     "q122_avi_frame_sampling": q122_avi_frame_sampling,
+    "q123_media_probe": q123_media_probe,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2421,4 +2516,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q120_gif_frame_sampling": ORACLE_Q120,
     "q121_tolerant_decode": ORACLE_Q121,
     "q122_avi_frame_sampling": ORACLE_Q122,
+    "q123_media_probe": ORACLE_Q123,
 }

@@ -92,6 +92,7 @@ TAIL = [
     "q120_gif_frame_sampling",
     "q121_tolerant_decode",
     "q122_avi_frame_sampling",
+    "q123_media_probe",
 ]
 
 
