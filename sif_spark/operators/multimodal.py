@@ -62,6 +62,7 @@ _MAGIC = {
     "tiff": b"II*\x00",
     "tiff_be": b"MM\x00*",
     "mp3": b"ID3",
+    "flac": b"fLaC",
     "pdf": b"%PDF",
     "parquet": b"PAR1",
     "ppm": b"P6",
@@ -1479,6 +1480,10 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
         from sif_spark.operators.video import decode_avi
 
         return decode_avi(blob)
+    if blob[:4] == b"fLaC":
+        from sif_spark.operators.flac import decode_flac
+
+        return decode_flac(blob)
     if blob[:8] == _PNG_SIG:
         return decode_png(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
@@ -1681,18 +1686,32 @@ def fake_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
 WAV_FRAME_SAMPLES = 1024
 
 
-def wav_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
-    """Real audio frame sampling: decode the PCM stream, window it
-    into 1024-sample frames, keep every_n-th — each returned frame is
-    that window's RAW int16-LE PCM bytes (decodable on its own), the
-    shape a downstream ASR/audio-embedding stage consumes."""
-    x = decode_wav(blob)  # (n, ch) float32 in [-1, 1)
+def _pcm_frame_windows(x: np.ndarray, every_n: int) -> list[bytes]:
+    """(n, ch) float32 in [-1, 1) → every_n-th 1024-sample window as
+    raw int16-LE PCM bytes (each decodable on its own)."""
     pcm = np.clip(np.rint(x.astype(np.float64) * 32768.0), -32768, 32767).astype("<i2")
     frames = [
         pcm[i : i + WAV_FRAME_SAMPLES].tobytes()
         for i in range(0, pcm.shape[0], WAV_FRAME_SAMPLES)
     ]
     return frames[::every_n] if frames else []
+
+
+def wav_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
+    """Real audio frame sampling: decode the PCM stream, window it
+    into 1024-sample frames, keep every_n-th — each returned frame is
+    that window's RAW int16-LE PCM bytes (decodable on its own), the
+    shape a downstream ASR/audio-embedding stage consumes."""
+    return _pcm_frame_windows(decode_wav(blob), every_n)
+
+
+def flac_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
+    """FLAC audio frame sampling: full lossless decode (operators/
+    flac.py), then the same int16-PCM windowing contract as
+    wav_frame_decoder."""
+    from sif_spark.operators.flac import decode_flac
+
+    return _pcm_frame_windows(decode_flac(blob), every_n)
 
 
 def media_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
@@ -1705,10 +1724,12 @@ def media_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
         from sif_spark.operators.video import avi_frame_decoder
 
         return avi_frame_decoder(blob, every_n)
+    if blob[:4] == b"fLaC":
+        return flac_frame_decoder(blob, every_n)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return gif_frame_decoder(blob, every_n)
     raise NotImplementedError(
         "no built-in frame decoder for this format (built-ins cover "
-        "PCM WAV, animated GIF, and AVI MJPG/DIB): pass frame_decoder= "
-        "with a real video codec"
+        "PCM WAV, FLAC, animated GIF, and AVI MJPG/DIB): pass "
+        "frame_decoder= with a real video codec"
     )

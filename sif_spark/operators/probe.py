@@ -473,6 +473,20 @@ def probe_media(blob: bytes) -> dict:
         }
     if blob[:3] == b"\xff\xd8\xff":
         return _probe_jpeg(blob)
+    if blob[:4] == b"fLaC":
+        from sif_spark.operators.flac import parse_flac_header
+
+        info, _ = parse_flac_header(blob)
+        return {
+            "format": "flac",
+            "n_frames": info["total_samples"],
+            "duration_s": info["total_samples"] / info["sample_rate"]
+            if info["total_samples"]
+            else None,
+            "sample_rate": info["sample_rate"],
+            "channels": info["channels"],
+            "codec": "flac",
+        }
     if blob[:3] == b"ID3" or (
         len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
     ):
@@ -481,7 +495,7 @@ def probe_media(blob: bytes) -> dict:
         return probe_mp4(blob)
     raise NotImplementedError(
         "no header probe for this format: built-ins cover "
-        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi/mp3/mp4"
+        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi/flac/mp3/mp4"
     )
 
 
