@@ -2439,6 +2439,108 @@ ORDER BY doc_id
 """
 
 
+def q124_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC lossless audio under the oracle (round 8): 40 docs get
+    closed-form int16 PCM — odd docs mono sawtooth, even docs stereo
+    with the stereo decorrelation mode cycling independent/left_side/
+    mid_side by doc_id % 3 — encoded with the FLAC test encoder and
+    decoded back through `media_decoder`'s sniffed dispatch (the
+    normalized-float contract, re-quantized exactly at 16 bits). The
+    digest is position-weighted over every sample and channel, so the
+    gate covers rice residuals, fixed predictors, all three stereo
+    modes, CRC framing, and the float normalize/requantize round trip
+    — bit-exactness is the whole claim of a lossless codec.
+
+    Scale shape: generate → encode/decode/digest ride two chained
+    Arrow-batched mapInPandas stages; only shuffle is the 40-row
+    orderBy. Entropy decode is the documented serial-Python boundary
+    (SCALE.md) — per-blob, executor-local, inject a native codec for
+    bulk corpora."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import flac as fl
+    from sif_spark.operators import multimodal as mm
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def pcm_for(did: int) -> np.ndarray:
+        n = 400 + 10 * did
+        i = np.arange(n, dtype=np.int64)
+        s0 = (did * 31 + i * 7) % 4001 - 2000
+        if did % 2 == 0:
+            s1 = (did * 17 + i * 13) % 3001 - 1500
+            return np.stack([s0, s1], axis=1)
+        return s0[:, None]
+
+    def gen(batches):
+        modes = ["independent", "left_side", "mid_side"]
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pcm = pcm_for(did)
+                mode = modes[did % 3] if did % 2 == 0 else "independent"
+                recs.append(
+                    (
+                        did,
+                        fl.encode_flac(
+                            pcm, 16000, 16, block_size=256, stereo_mode=mode
+                        ),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+
+    def digest(batches):
+        for pdf in batches:
+            recs = []
+            for did, b in zip(pdf["doc_id"], pdf["blob"]):
+                x = mm.media_decoder(bytes(b))  # (n, ch) float32
+                pcm = np.rint(x.astype(np.float64) * 32768.0).astype(np.int64)
+                n, ch = pcm.shape
+                i = np.arange(n, dtype=np.int64)[:, None]
+                c = np.arange(ch, dtype=np.int64)[None, :]
+                recs.append(
+                    (int(did), int((pcm * (1 + i % 97 + 3 * c)).sum()), n, ch)
+                )
+            yield pd.DataFrame(
+                recs, columns=["doc_id", "digest", "n_samples", "channels"]
+            )
+
+    return blobs.mapInPandas(
+        digest, "doc_id long, digest long, n_samples int, channels int"
+    ).orderBy("doc_id")
+
+
+# closed-form replay of the generated PCM: s0 mono always, s1 only on
+# even docs; weight (1 + i%97 + 3*ch)
+ORACLE_Q124 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+cell AS (
+  SELECT d.doc_id, i.i,
+         (d.doc_id * 31 + i.i * 7) % 4001 - 2000 AS s0,
+         (d.doc_id * 17 + i.i * 13) % 3001 - 1500 AS s1
+  FROM d, range(800) AS i(i)
+  WHERE i.i < 400 + 10 * d.doc_id
+)
+SELECT doc_id,
+       CAST(SUM(s0 * (1 + i % 97)
+                + CASE WHEN doc_id % 2 = 0 THEN s1 * (4 + i % 97) ELSE 0 END)
+            AS BIGINT) AS digest,
+       CAST(400 + 10 * doc_id AS INT) AS n_samples,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT) AS channels
+FROM cell
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2475,6 +2577,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q121_tolerant_decode": q121_tolerant_decode,
     "q122_avi_frame_sampling": q122_avi_frame_sampling,
     "q123_media_probe": q123_media_probe,
+    "q124_flac_roundtrip": q124_flac_roundtrip,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2517,4 +2620,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q121_tolerant_decode": ORACLE_Q121,
     "q122_avi_frame_sampling": ORACLE_Q122,
     "q123_media_probe": ORACLE_Q123,
+    "q124_flac_roundtrip": ORACLE_Q124,
 }

@@ -93,6 +93,7 @@ TAIL = [
     "q121_tolerant_decode",
     "q122_avi_frame_sampling",
     "q123_media_probe",
+    "q124_flac_roundtrip",
 ]
 
 
