@@ -26,7 +26,9 @@ PPM/BMP/WAV/TIFF paths are fully NumPy-vectorized at 0.5-13 GB/s/core
 — never a reason to inject a codec. PNG none/up filters ride zlib at
 170-400 MB/s/core. The SERIAL paths — PNG average/paeth unfilter
 (~0.6 MB/s/core), GIF LZW (~5 MB/s/core), JPEG Huffman (~0.4-0.9
-MB/s/core) — are per-symbol Python loops by the nature of their data
+MB/s/core), FLAC rice/predictor (~1 MB/s/core; the AVI RIFF walk
+itself is free — MJPG-AVI throughput is the JPEG row) — are
+per-symbol Python loops by the nature of their data
 dependencies: fine for validation, digests, and modest corpora, but
 BULK decode of a photographic corpus (real PNGs are mostly
 paeth-filtered; crawls are mostly JPEG) should inject a native codec

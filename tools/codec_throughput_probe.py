@@ -88,6 +88,32 @@ def main() -> None:
         rows.append(("wav (vectorized)", f"{n}x2 s16",
                      *bench(mm.decode_wav, mm.encode_wav(pcm), n * 2 * 2)))
 
+    # FLAC (round 8): rice/predictor bit walk — the audio analog of
+    # the GIF-LZW serial boundary. Smooth signal = the favorable case.
+    from sif_spark.operators.flac import decode_flac_pcm, encode_flac
+
+    for mult in (1, 4):
+        n = 16000 * mult
+        t = np.arange(n)
+        smooth = np.stack(
+            [(2000 * np.sin(t / 50)).astype(np.int32),
+             (1500 * np.sin(t / 37 + 1)).astype(np.int32)], axis=1)
+        rows.append(("flac (rice bit walk)", f"{n}x2 s16",
+                     *bench(decode_flac_pcm,
+                            encode_flac(smooth, 16000, 16), n * 2 * 2)))
+
+    # AVI container walk (round 8): per-frame overhead on top of the
+    # frame codec — measured with DIB frames so the container cost is
+    # isolated from entropy decode.
+    from sif_spark.operators.video import encode_avi, iter_avi_frames
+
+    for h, w in ([(64, 64), (256, 256)] if QUICK else SIZES):
+        frames = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(8)]
+        avi = encode_avi(frames, codec="DIB ")
+        rows.append(("avi DIB (container walk)", f"8x{h}x{w}",
+                     *bench(lambda b: list(iter_avi_frames(b)), avi,
+                            8 * h * w * 3)))
+
     print(f"| format/path | size | decoded MB/s | decodes/s |")
     print(f"|---|---|---|---|")
     for name, size, mbs, ips in rows:
