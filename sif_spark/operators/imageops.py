@@ -1,0 +1,195 @@
+"""Image preprocessing transforms: resize / crop / grayscale / flip
+over decoded arrays, and the Spark stage that applies them to blob
+columns.
+
+This is the preprocessing half of the multimodal story (decode /
+feature-extract / RESIZE / frame-sample): a training-data pipeline
+rarely embeds raw decoded pixels — it resizes to a model's input
+geometry, crops, and normalizes first. Transforms here are pure
+NumPy over the decoded (H, W[, C]) arrays that `media_decoder`
+produces, composable with `compose`, and applied at scale by
+`transform_blobs` (Arrow-batched mapInPandas, blob → transformed
+blob) so the output is again an opaque binary column chainable into
+`decode_features` / `dedup_blobs` — the reference's custom column
+types stay opaque end to end (column_type.go:16-23).
+
+Determinism contract: `resize_nearest`, `center_crop` and
+`to_grayscale` are pure INTEGER arithmetic (half-pixel-center index
+mapping; BT.601 with a fixed rounding), so their outputs are exactly
+reproducible in ANSI SQL — the q125 oracle replays the whole
+pipeline in closed form. `resize_bilinear` is float internally
+(property-tested instead: identity at same size, constant and ramp
+preservation).
+
+Scale notes: one mapInPandas stage, vectorized per image, no
+shuffle; images never leave their executor. Output PPM blobs are
+dimensioned by the TRANSFORM (usually smaller than the input), so a
+resize-early pipeline also shrinks every downstream Arrow batch —
+resize before embed, always, at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+from sif_spark.operators import multimodal as mm
+
+ImageOp = Callable[[np.ndarray], np.ndarray]
+
+
+def _require_image(arr: np.ndarray) -> np.ndarray:
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        return a
+    if a.ndim == 3 and a.shape[2] in (1, 2, 3, 4):
+        return a
+    raise ValueError(f"expected (H, W) or (H, W, C<=4) image, got {a.shape}")
+
+
+def _nearest_index(out_n: int, in_n: int) -> np.ndarray:
+    """Half-pixel-center nearest mapping in pure integer arithmetic:
+    src = floor((dst + 0.5) * in/out) = ((2*dst + 1) * in) // (2*out).
+    Always in [0, in_n)."""
+    d = np.arange(out_n, dtype=np.int64)
+    return (2 * d + 1) * in_n // (2 * out_n)
+
+
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize with half-pixel centers — integer-exact
+    (SQL-reproducible) and dtype-preserving."""
+    a = _require_image(arr)
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"invalid output size {out_h}x{out_w}")
+    mm._check_pixel_budget(out_w, out_h)
+    return np.ascontiguousarray(
+        a[_nearest_index(out_h, a.shape[0])][:, _nearest_index(out_w, a.shape[1])]
+    )
+
+
+def resize_bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize, half-pixel centers, edges clamped (the
+    torchvision/PIL `align_corners=False` convention). uint8 in →
+    uint8 out (round-half-up); other dtypes return float32."""
+    a = _require_image(arr)
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError(f"invalid output size {out_h}x{out_w}")
+    mm._check_pixel_budget(out_w, out_h)
+    in_h, in_w = a.shape[:2]
+    sy = (np.arange(out_h, dtype=np.float64) + 0.5) * in_h / out_h - 0.5
+    sx = (np.arange(out_w, dtype=np.float64) + 0.5) * in_w / out_w - 0.5
+    y0 = np.clip(np.floor(sy), 0, in_h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(sx), 0, in_w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = np.clip(sy - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(sx - x0, 0.0, 1.0)[None, :]
+    if a.ndim == 3:
+        wy = wy[:, :, None]
+        wx = wx[:, :, None]
+    f = a.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if a.dtype == np.uint8:
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return out.astype(np.float32)
+
+
+def center_crop(arr: np.ndarray, crop_h: int, crop_w: int) -> np.ndarray:
+    """Centered crop with the floor((in-out)/2) offset convention;
+    raises (typed) if the crop exceeds the image."""
+    a = _require_image(arr)
+    in_h, in_w = a.shape[:2]
+    if crop_h > in_h or crop_w > in_w or crop_h <= 0 or crop_w <= 0:
+        raise ValueError(f"crop {crop_h}x{crop_w} invalid for {in_h}x{in_w}")
+    oy = (in_h - crop_h) // 2
+    ox = (in_w - crop_w) // 2
+    return np.ascontiguousarray(a[oy : oy + crop_h, ox : ox + crop_w])
+
+
+def to_grayscale(arr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) → (H, W) luma via integer BT.601 with round-half-up:
+    (299 R + 587 G + 114 B + 500) // 1000 — exactly SQL-reproducible."""
+    a = _require_image(arr)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"grayscale wants (H, W, 3), got {a.shape}")
+    x = a.astype(np.int64)
+    return (
+        (299 * x[:, :, 0] + 587 * x[:, :, 1] + 114 * x[:, :, 2] + 500) // 1000
+    ).astype(a.dtype)
+
+
+def hflip(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(_require_image(arr)[:, ::-1])
+
+
+def vflip(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(_require_image(arr)[::-1])
+
+
+def compose(*ops: ImageOp) -> ImageOp:
+    """Left-to-right composition: compose(f, g)(x) == g(f(x))."""
+
+    def run(arr: np.ndarray) -> np.ndarray:
+        for op in ops:
+            arr = op(arr)
+        return arr
+
+    return run
+
+
+def transform_blobs(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    transform: ImageOp,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, blob) → (id, blob) with each image decoded (sniffed
+    `media_decoder` by default), transformed, and re-encoded as a P6
+    PPM (P5 for 2-D results) — an opaque binary column again, so the
+    stage chains into decode_features / dedup_blobs / sample_frames.
+    ``on_error="null"`` emits NULL blobs on typed decode/transform
+    errors (the IgnoreRowErrors lever, internal/util/operation.go:
+    10-27), keeping a 100 TB preprocessing pass alive over corrupt
+    inputs."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    decoder = decoder or mm.media_decoder
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("blob", T.BinaryType(), True),
+        ]
+    )
+
+    def one(b):
+        if b is None:
+            return None
+        try:
+            arr = transform(decoder(bytes(b)))
+            a = np.asarray(arr)
+            if a.dtype != np.uint8:
+                raise ValueError(
+                    f"transform produced dtype {a.dtype}; PPM re-encode "
+                    "needs uint8 — clip/round inside the transform"
+                )
+            return mm.encode_ppm(a)
+        except (ValueError, NotImplementedError):
+            if on_error == "null":
+                return None
+            raise
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "blob": [one(b) for b in pdf[blob_col]]}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, out_schema)
