@@ -2541,6 +2541,96 @@ ORDER BY doc_id
 """
 
 
+def q125_image_preprocess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image preprocessing pipeline under the oracle (round 8): 40
+    docs get a closed-form 16×20 RGB PPM; `transform_blobs` applies
+    resize_nearest(8×10) → center_crop(6×6) → to_grayscale — all
+    INTEGER-exact by contract (half-pixel-center index mapping,
+    floor((in-out)/2) crop offsets, BT.601 with +500//1000 rounding) —
+    and the transformed blob is decoded back to a position-weighted
+    digest. The oracle replays every index computation and the luma
+    arithmetic in SQL, so the whole preprocessing chain (the
+    resize-before-embed shape every training pipeline runs) is gated
+    end to end, including the PPM re-encode hand-off.
+
+    Scale shape: generate → transform → digest are chained
+    Arrow-batched mapInPandas stages over the doc projection; only
+    shuffle is the 40-row orderBy."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import imageops as iops
+    from sif_spark.operators import multimodal as mm
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y, x = np.meshgrid(np.arange(16), np.arange(20), indexing="ij")
+                base = (did * 13 + 7 * y + 3 * x) % 256
+                img = np.stack(
+                    [base, (3 * base + 50) % 256, (9 * base + 11) % 256], axis=2
+                ).astype(np.uint8)
+                recs.append((did, mm.encode_ppm(img)))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    pipe = iops.compose(
+        lambda a: iops.resize_nearest(a, 8, 10),
+        lambda a: iops.center_crop(a, 6, 6),
+        iops.to_grayscale,
+    )
+    transformed = iops.transform_blobs(blobs, "blob", "doc_id", pipe)
+
+    def digest(batches):
+        for pdf in batches:
+            recs = []
+            for did, b in zip(pdf["doc_id"], pdf["blob"]):
+                g = mm.decode_ppm(bytes(b)).astype(np.int64)  # (6, 6) P5
+                y, x = np.meshgrid(np.arange(6), np.arange(6), indexing="ij")
+                recs.append((int(did), int((g * (1 + x + 7 * y)).sum())))
+            yield pd.DataFrame(recs, columns=["doc_id", "digest"])
+
+    return transformed.mapInPandas(digest, "doc_id long, digest long").orderBy(
+        "doc_id"
+    )
+
+
+# SQL replay of the integer pipeline: crop offset (8-6)//2 = 1 row /
+# (10-6)//2 = 2 cols; resize src index ((2*(o+off)+1)*in)//(2*out);
+# then the same BT.601 luma and digest weights
+ORACLE_Q125 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+cell AS (
+  SELECT d.doc_id, oy.r AS r, ox.i AS i,
+         ((2*(oy.r + 1) + 1) * 16) // (2*8)  AS sy,
+         ((2*(ox.i + 2) + 1) * 20) // (2*10) AS sx
+  FROM d, range(6) AS oy(r), range(6) AS ox(i)
+),
+px AS (
+  SELECT doc_id, r, i,
+         (doc_id * 13 + 7*sy + 3*sx) % 256 AS base
+  FROM cell
+),
+luma AS (
+  SELECT doc_id, r, i,
+         (299*base + 587*((3*base + 50) % 256) + 114*((9*base + 11) % 256) + 500) // 1000 AS g
+  FROM px
+)
+SELECT doc_id, CAST(SUM(g * (1 + i + 7*r)) AS BIGINT) AS digest
+FROM luma
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2578,6 +2668,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_avi_frame_sampling": q122_avi_frame_sampling,
     "q123_media_probe": q123_media_probe,
     "q124_flac_roundtrip": q124_flac_roundtrip,
+    "q125_image_preprocess": q125_image_preprocess,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2621,4 +2712,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q122_avi_frame_sampling": ORACLE_Q122,
     "q123_media_probe": ORACLE_Q123,
     "q124_flac_roundtrip": ORACLE_Q124,
+    "q125_image_preprocess": ORACLE_Q125,
 }

@@ -94,6 +94,7 @@ TAIL = [
     "q122_avi_frame_sampling",
     "q123_media_probe",
     "q124_flac_roundtrip",
+    "q125_image_preprocess",
 ]
 
 
