@@ -317,12 +317,39 @@ def encode_bmp(
     return header + dib + color_table + pixels
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """G.711 µ-law byte → int16, derived from the spec formula (no
+    tabulated constants): complement, split sign/exponent/mantissa,
+    magnitude = ((mantissa<<3) + 0x84) << exponent, minus the 0x84
+    bias."""
+    u = ~np.arange(256, dtype=np.int64) & 0xFF
+    sign = u >> 7
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """G.711 A-law byte → int16 from the spec formula: XOR 0x55, then
+    exponent 0 is linear ((mant<<4)+8), exponent e>=1 adds the leading
+    1 bit and shifts ((mant<<4)+0x108) << (e-1)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = a >> 7
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
 def decode_wav(blob: bytes) -> np.ndarray:
     """RIFF/WAVE PCM decoder → (n_frames, channels) float32 in
-    [-1, 1): uint8 → (v−128)/128, int16 → v/2¹⁵, int32 → v/2³¹,
-    float32 passthrough. Walks the chunk list (fmt /data can be
-    preceded by LIST/fact/etc.; odd-sized chunks carry a pad byte).
-    Pure NumPy."""
+    [-1, 1): uint8 → (v−128)/128, int16 → v/2¹⁵, int24 → v/2²³,
+    int32 → v/2³¹, float32 passthrough, and the G.711 telephony
+    companders (format 7 µ-law, format 6 A-law — tables derived from
+    the spec formulas, not tabulated). Walks the chunk list (fmt /
+    data can be preceded by LIST/fact/etc.; odd-sized chunks carry a
+    pad byte). Pure NumPy."""
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
     pos, fmt, data = 12, None, None
@@ -351,6 +378,18 @@ def decode_wav(blob: bytes) -> np.ndarray:
         x = x.astype(np.float32)
     elif audio_format == 1 and bits == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 24:
+        b3 = np.frombuffer(data[: len(data) - len(data) % 3], dtype=np.uint8)
+        b3 = b3.reshape(-1, 3).astype(np.int64)
+        v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        v -= (v >> 23) << 24  # sign-extend 24-bit two's complement
+        x = (v.astype(np.float64) / 8388608.0).astype(np.float32)
+    elif audio_format == 7 and bits == 8:  # G.711 µ-law
+        x = _g711_ulaw_table()[np.frombuffer(data, np.uint8)].astype(np.float32)
+        x /= 32768.0
+    elif audio_format == 6 and bits == 8:  # G.711 A-law
+        x = _g711_alaw_table()[np.frombuffer(data, np.uint8)].astype(np.float32)
+        x /= 32768.0
     else:
         raise ValueError(f"unsupported WAVE format {audio_format}/{bits}-bit")
     if channels < 1:

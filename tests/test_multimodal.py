@@ -875,3 +875,48 @@ def test_bmp_32bpp_and_palette():
     blob[data_off] = 200  # first stored pixel (not a stride pad byte)
     with pytest.raises(ValueError, match="exceeds color table"):
         mm.decode_bmp(bytes(blob))
+
+
+def _wav_blob(fmt_code: int, bits: int, channels: int, data: bytes) -> bytes:
+    """Hand-built RIFF/WAVE container, independent of encode_wav."""
+    fmt = (
+        fmt_code.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (8000 * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_24bit_and_g711_companders():
+    """Round 8 WAV surface: 24-bit PCM sign extension and the G.711
+    mu-law/A-law tables against spec known answers (mu-law 0xFF -> 0,
+    0x80 -> +32124; A-law 0x55 -> +8, 0xAA -> -32256)."""
+    import numpy as np
+
+    # 24-bit: +0x123456 and -0x123456, little-endian triplets
+    pos, neg = 0x123456, (1 << 24) - 0x123456
+    data = pos.to_bytes(3, "little") + neg.to_bytes(3, "little")
+    x = mm.decode_wav(_wav_blob(1, 24, 1, data))
+    assert x.shape == (2, 1)
+    assert x[0, 0] == np.float32(0x123456 / 8388608.0)
+    assert x[1, 0] == np.float32(-0x123456 / 8388608.0)
+
+    ulaw = mm.decode_wav(_wav_blob(7, 8, 1, bytes([0xFF, 0x7F, 0x80, 0x00])))
+    assert (ulaw[:, 0] * 32768).tolist() == [0, 0, 32124, -32124]
+    alaw = mm.decode_wav(_wav_blob(6, 8, 2, bytes([0x55, 0xD5, 0xAA, 0x2A])))
+    assert (alaw * 32768).ravel().tolist() == [8, -8, -32256, 32256]
+
+    # full-table spec replay, independent arithmetic
+    tab = mm._g711_ulaw_table()
+    for b in range(256):
+        u = ~b & 0xFF
+        mag = ((((u & 15) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        assert tab[b] == (-mag if u & 0x80 else mag), b
+
+    with pytest.raises(ValueError, match="unsupported WAVE"):
+        mm.decode_wav(_wav_blob(7, 16, 1, bytes(4)))
