@@ -65,6 +65,7 @@ _MAGIC = {
     "tiff_be": b"MM\x00*",
     "mp3": b"ID3",
     "flac": b"fLaC",
+    "ogg": b"OggS",
     "pdf": b"%PDF",
     "parquet": b"PAR1",
     "ppm": b"P6",

@@ -322,6 +322,129 @@ def encode_mp4_stub(
 
 
 # ---------------------------------------------------------------------------
+# Ogg container (RFC 3533): page walk + the Opus/Vorbis id headers.
+# Payload decode stays behind the injected-codec gate; the container
+# and id packets are pure public-spec arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def probe_ogg(blob: bytes) -> dict:
+    """Walk every Ogg page: codec from the BOS page's id packet
+    (OpusHead / \\x01vorbis), duration from the last page's granule
+    position (Opus granules tick at 48 kHz regardless of the input
+    rate, minus pre-skip; Vorbis at the stream rate)."""
+    pos = 0
+    codec = None
+    channels = rate = None
+    granule_rate = None
+    pre_skip = 0
+    last_granule = None
+    npages = 0
+    while pos + 27 <= len(blob):
+        if blob[pos : pos + 4] != b"OggS":
+            raise ValueError(f"bad Ogg page magic at offset {pos}")
+        header_type = blob[pos + 5]
+        granule = int.from_bytes(blob[pos + 6 : pos + 14], "little", signed=True)
+        nseg = blob[pos + 26]
+        seg_table = blob[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            raise ValueError("truncated Ogg segment table")
+        body = pos + 27 + nseg
+        body_len = sum(seg_table)
+        if body + body_len > len(blob):
+            raise ValueError("Ogg page body runs past the buffer")
+        if header_type & 0x02 and codec is None:  # BOS page: id packet
+            pkt = blob[body : body + body_len]
+            if pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+                codec = "opus"
+                channels = pkt[9]
+                pre_skip = int.from_bytes(pkt[10:12], "little")
+                rate = int.from_bytes(pkt[12:16], "little")
+                granule_rate = 48000
+            elif pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+                codec = "vorbis"
+                channels = pkt[11]
+                rate = int.from_bytes(pkt[12:16], "little")
+                granule_rate = rate
+        if granule >= 0:
+            last_granule = granule
+        npages += 1
+        pos = body + body_len
+    if npages == 0:
+        raise ValueError("no Ogg pages found")
+    if pos != len(blob):
+        raise ValueError("trailing bytes after the last Ogg page")
+    out: dict = {"format": "ogg", "codec": codec or "unknown"}
+    if channels is not None:
+        out["channels"] = channels
+    if rate is not None:
+        out["sample_rate"] = rate
+    if last_granule is not None and granule_rate:
+        n = max(0, last_granule - pre_skip)
+        out["n_frames"] = n
+        out["duration_s"] = n / granule_rate
+    return out
+
+
+def encode_ogg_stub(
+    codec: str = "opus",
+    channels: int = 2,
+    sample_rate: int = 48000,
+    total_samples: int = 9600,
+    pre_skip: int = 312,
+) -> bytes:
+    """Test author for probe_ogg: a BOS page carrying the real id
+    packet layout, one zero-payload data page, and an EOS page whose
+    granule encodes ``total_samples`` (+pre_skip for Opus, matching
+    the granule convention). CRCs are zeroed — the probe is
+    bounds-checked, not CRC-checked, like real scanners that survive
+    streamed/abridged files."""
+
+    def page(header_type: int, granule: int, seq: int, payload: bytes) -> bytes:
+        segs = []
+        rem = len(payload)
+        while rem >= 255:
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        return (
+            b"OggS\x00"
+            + bytes([header_type])
+            + granule.to_bytes(8, "little", signed=True)
+            + (7).to_bytes(4, "little")  # serial
+            + seq.to_bytes(4, "little")
+            + bytes(4)  # crc zeroed
+            + bytes([len(segs)])
+            + bytes(segs)
+            + payload
+        )
+
+    if codec == "opus":
+        ident = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + pre_skip.to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + bytes(3)
+        )
+        final_granule = total_samples + pre_skip
+    elif codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + bytes(4) + bytes([channels])
+            + sample_rate.to_bytes(4, "little") + bytes(13)
+        )
+        final_granule = total_samples
+        pre_skip = 0
+    else:
+        raise ValueError("codec must be opus or vorbis")
+    return (
+        page(0x02, 0, 0, ident)
+        + page(0x00, final_granule // 2, 1, bytes(10))
+        + page(0x04, final_granule, 2, b"")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Header-only probes for the formats with built-in codecs
 # ---------------------------------------------------------------------------
 
@@ -491,11 +614,13 @@ def probe_media(blob: bytes) -> dict:
         len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
     ):
         return probe_mp3(blob)
+    if blob[:4] == b"OggS":
+        return probe_ogg(blob)
     if blob[4:8] in (b"ftyp", b"moov"):
         return probe_mp4(blob)
     raise NotImplementedError(
         "no header probe for this format: built-ins cover "
-        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi/flac/mp3/mp4"
+        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi/flac/mp3/mp4/ogg"
     )
 
 

@@ -169,3 +169,36 @@ def test_attach_probe_spark_plumbing(spark):
     assert out[3] is None and out[4] is None
     with pytest.raises(Exception):
         pb.attach_probe(df, "blob", "doc_id", on_error="raise").collect()
+
+
+def test_probe_ogg_opus_and_vorbis():
+    got = pb.probe_media(pb.encode_ogg_stub("opus", 2, 44100, 9600, pre_skip=312))
+    assert got["format"] == "ogg" and got["codec"] == "opus"
+    assert (got["channels"], got["sample_rate"]) == (2, 44100)
+    # Opus granules tick at 48 kHz regardless of the input rate
+    assert got["n_frames"] == 9600 and got["duration_s"] == 9600 / 48000
+
+    v = pb.probe_media(pb.encode_ogg_stub("vorbis", 1, 22050, 44100))
+    assert v["codec"] == "vorbis" and v["sample_rate"] == 22050
+    assert v["duration_s"] == 44100 / 22050
+
+    with pytest.raises(ValueError, match="bad Ogg page magic"):
+        pb.probe_ogg(b"OggS" + bytes(23) + bytes([1, 5]) + bytes(5) + b"XXXX" + bytes(30))
+    with pytest.raises(ValueError, match="runs past"):
+        pb.probe_ogg(pb.encode_ogg_stub()[:40])
+
+
+def test_probe_ogg_hand_assembled_page():
+    """One EOS-only page assembled field-by-field from RFC 3533: magic,
+    version 0, header_type 0x06 (BOS|EOS), granule 1234, one 3-byte
+    segment — unknown codec but a well-formed container."""
+    page = (
+        b"OggS" + bytes([0])
+        + bytes([0x06])
+        + (1234).to_bytes(8, "little")
+        + (9).to_bytes(4, "little") + (0).to_bytes(4, "little") + bytes(4)
+        + bytes([1, 3]) + b"xyz"
+    )
+    got = pb.probe_ogg(page)
+    assert got["format"] == "ogg" and got["codec"] == "unknown"
+    assert "duration_s" not in got  # no id header -> no granule rate
