@@ -2631,6 +2631,73 @@ ORDER BY doc_id
 """
 
 
+def q126_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features under the oracle (round 8): 40 docs get
+    closed-form int16 mono PCM (a ±1000 sawtooth, so sign flips and
+    energies are nontrivial), WAV-encoded, and `audio_frame_features`
+    emits (frame_idx, energy, zcr, peak) per 256-sample window — all
+    INTEGER by contract (Σv², strict sign-flip count between
+    consecutive in-window samples, max |v|). The oracle regenerates
+    every sample and replays the same window arithmetic in SQL,
+    including the partial last window — gating the decode → int16
+    grid → windowing → FlatMap row explosion end to end.
+
+    Scale shape: generate → features are chained Arrow-batched
+    mapInPandas stages; one row per window (the FlatMap shape); only
+    shuffle is the final orderBy."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import audio as au
+    from sif_spark.operators import multimodal as mm
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 600 + 20 * did
+                i = np.arange(n, dtype=np.int64)
+                v = ((did * 37 + i * 11) % 2001 - 1000).astype(np.int16)
+                recs.append((did, mm.encode_wav(v, sample_rate=8000)))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return au.audio_frame_features(
+        blobs, "blob", "doc_id", frame_samples=256
+    ).orderBy("doc_id", "frame_idx")
+
+
+# same sample generator and window arithmetic in SQL; zcr pairs are
+# (i-1, i) with i % 256 != 0 (window-local), prev sample regenerated
+# in closed form
+ORACLE_Q126 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+s AS (
+  SELECT d.doc_id, i.i,
+         CAST(i.i // 256 AS INT) AS frame_idx,
+         (d.doc_id * 37 + i.i * 11) % 2001 - 1000 AS v,
+         CASE WHEN i.i % 256 <> 0
+              THEN (d.doc_id * 37 + (i.i - 1) * 11) % 2001 - 1000 END AS pv
+  FROM d, range(1400) AS i(i)
+  WHERE i.i < 600 + 20 * d.doc_id
+)
+SELECT doc_id, frame_idx,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END) AS INT) AS zcr,
+       CAST(MAX(ABS(v)) AS INT) AS peak
+FROM s
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2669,6 +2736,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q123_media_probe": q123_media_probe,
     "q124_flac_roundtrip": q124_flac_roundtrip,
     "q125_image_preprocess": q125_image_preprocess,
+    "q126_audio_frame_features": q126_audio_frame_features,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2713,4 +2781,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q123_media_probe": ORACLE_Q123,
     "q124_flac_roundtrip": ORACLE_Q124,
     "q125_image_preprocess": ORACLE_Q125,
+    "q126_audio_frame_features": ORACLE_Q126,
 }

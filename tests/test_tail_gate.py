@@ -95,6 +95,7 @@ TAIL = [
     "q123_media_probe",
     "q124_flac_roundtrip",
     "q125_image_preprocess",
+    "q126_audio_frame_features",
 ]
 
 
