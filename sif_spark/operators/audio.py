@@ -183,7 +183,12 @@ def trim_silence(
                 {
                     id_col: pdf[id_col],
                     "blob": [p[0] for p in pairs],
-                    "kept_samples": [p[1] for p in pairs],
+                    # nullable Int64: a None mixed into a plain list
+                    # would infer float64 (the 53-bit rounding trap
+                    # caught in image_dhash)
+                    "kept_samples": pd.array(
+                        [p[1] for p in pairs], dtype="Int64"
+                    ),
                 }
             )
 

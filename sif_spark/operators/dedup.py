@@ -467,20 +467,38 @@ def simhash_near_dup_pairs(
     callers trading recall for cost at huge corpus sizes pass
     ``bands=4`` (16-bit chunks, uniform buckets, skew-free join)."""
     n_bits = simhash_bits(hash_fn)
+    # materialize signatures once: the band self-join references this
+    # subtree twice, and it contains a Python (Arrow) stage
+    sh = simhash(df, text_col, id_col, hash_fn).localCheckpoint(eager=False)
+    return banded_hamming_pairs(
+        sh, id_col, "simhash", n_bits, max_hamming, bands
+    )
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bits: int,
+    max_hamming: int,
+    bands: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) from a (id, signature)
+    frame — the bit-banded self-join shared by SimHash text near-dup
+    and dHash image near-dup (round 8): join on any equal band,
+    verify with bit_count(xor). Pigeonhole-exact at the default
+    max_hamming + 1 bands; fewer bands = cheaper candidate filter."""
     n_bands = bands if bands is not None else min(max_hamming + 1, 16)
     layout = simhash_band_layout(n_bits, n_bands)
     widths = [w for _, _, w in layout]
     offsets = [o for _, o, _ in layout]
-    # materialize signatures once: the band self-join references this
-    # subtree twice, and it contains a Python (Arrow) stage
-    sh = simhash(df, text_col, id_col, hash_fn).localCheckpoint(eager=False)
-    chunks = sh.select(
+    chunks = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("__sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                    F.shiftright(F.col(sig_col), offsets[i]).bitwiseAND(
                         F.lit((1 << widths[i]) - 1)
                     )
                     for i in range(n_bands)
@@ -500,7 +518,7 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias("hamming"),
         )
         # filter BEFORE dedup: the Hamming test is a codegen'd bit op
         # over every candidate row, while a distinct is a shuffle —

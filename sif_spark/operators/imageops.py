@@ -34,7 +34,7 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from sif_spark.operators import multimodal as mm
 
@@ -140,6 +140,100 @@ def compose(*ops: ImageOp) -> ImageOp:
         return arr
 
     return run
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash: grayscale (BT.601 integer) → nearest
+    resize to 8×9 → bit (y, x) set iff G[y, x] > G[y, x+1], bit index
+    y*8 + x. Every step is the integer-exact contract, so the hash is
+    SQL-reproducible; gradients make it invariant to uniform
+    brightness shifts, the classic re-encode/levels-tweak robustness
+    that byte-hash dedup misses. Returned as a SIGNED 64-bit value
+    (bit 63 → negative), matching Spark's LongType."""
+    a = _require_image(arr)
+    g = to_grayscale(a) if a.ndim == 3 else a
+    small = resize_nearest(g.astype(np.int64), 8, 9)
+    bits = small[:, :-1] > small[:, 1:]
+    h = 0
+    for y in range(8):
+        for x in range(8):
+            if bits[y, x]:
+                h |= 1 << (y * 8 + x)
+    return h - (1 << 64) if h >> 63 else h
+
+
+def image_dhash(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, dhash: long) via Arrow-batched mapInPandas — the image
+    analog of dedup.simhash's (id, signature) contract."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    decoder = decoder or mm.media_decoder
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("dhash", T.LongType(), True),
+        ]
+    )
+
+    def one(b):
+        if b is None:
+            return None
+        try:
+            return dhash64(decoder(bytes(b)))
+        except (ValueError, NotImplementedError):
+            if on_error == "null":
+                return None
+            raise
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # nullable Int64, NOT a plain list: a batch mixing ints
+            # with a None (tolerated decode failure) would otherwise
+            # infer float64 and silently round the 64-bit hash to 53
+            # mantissa bits — found by the banded-pairs equality test
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "dhash": pd.array(
+                        [one(b) for b in pdf[blob_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, out_schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+    bands: int | None = None,
+    decoder: Callable[[bytes], np.ndarray] | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id_a, id_b, hamming) — perceptual image near-dup pairs:
+    per-blob dHash, then the SAME bit-banded Hamming self-join as
+    text SimHash (dedup.banded_hamming_pairs — pigeonhole-exact at
+    the default max_hamming + 1 bands, never all-pairs). Extends the
+    dedup pillar from text to images with one decode pass and one
+    banded shuffle; NULL hashes (undecodable under on_error='null')
+    drop out before the join."""
+    from sif_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = (
+        image_dhash(df, blob_col, id_col, decoder, on_error)
+        .filter(F.col("dhash").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    return banded_hamming_pairs(sigs, id_col, "dhash", 64, max_hamming, bands)
 
 
 def transform_blobs(
