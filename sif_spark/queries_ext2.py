@@ -2698,6 +2698,103 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q127_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup under the oracle (round 8): 40 docs in
+    20 groups — doc 2k and 2k+1 share a closed-form 16×18 pattern,
+    the odd doc +20 brightness on every channel (a re-encode/levels
+    tweak byte-hash dedup cannot see); even docs are PNG, odd docs
+    PPM. `image_near_dup_pairs` (dHash64 → the SAME banded Hamming
+    join as text SimHash, pigeonhole-exact at max_hamming+1 bands)
+    must find exactly the true Hamming-≤6 pair set. The oracle
+    replays the ENTIRE hash in SQL — BT.601 luma, the 16→8 / 18→9
+    half-pixel-center index maps, the 64 gradient comparisons packed
+    into a signed BIGINT (bit 63 via the two's-complement addend) —
+    then brute-forces all pairs with bit_count(xor). Brightness pairs
+    surface at Hamming 0 because dHash is gradient-based: the
+    invariance is the operator's whole value and the gate proves it.
+
+    Scale shape: decode+hash is one Arrow mapInPandas pass; the join
+    is banded (never all-pairs — the oracle's brute force is the
+    REFERENCE, the operator's plan is sub-quadratic); hamming filter
+    runs codegen'd before the distinct."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import imageops as iops
+    from sif_spark.operators import multimodal as mm
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did // 2
+                y, x = np.meshgrid(np.arange(16), np.arange(18), indexing="ij")
+                # the (k*(y+1)*(x+1)) % 97 term decorrelates gradients
+                # across groups: exactly the 20 brightness pairs sit
+                # at hamming <= 6, every cross-group pair far above
+                v = (k * 37 + 7 * y + 3 * x + (k * (y + 1) * (x + 1)) % 97) % 180
+                c = 20 * (did % 2)
+                img = np.stack([v + c, v + 30 + c, v + 50 + c], axis=2).astype(
+                    np.uint8
+                )
+                blob = mm.encode_png(img) if did % 2 == 0 else mm.encode_ppm(img)
+                recs.append((did, blob))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return iops.image_near_dup_pairs(blobs, "blob", "doc_id", max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# full dHash replay: luma -> sampled grid -> gradient bits -> signed
+# 64-bit pack -> all-pairs bit_count(xor) <= 6 (the quadratic REFERENCE
+# for the banded operator)
+ORACLE_Q127 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+grid AS (
+  SELECT d.doc_id, y.r, x.i,
+         ((2*y.r + 1) * 16) // 16 AS sy,
+         ((2*x.i + 1) * 18) // 18 AS sxl,
+         ((2*(x.i+1) + 1) * 18) // 18 AS sxr
+  FROM d, range(8) AS y(r), range(8) AS x(i)
+),
+v AS (
+  SELECT doc_id, r, i,
+         ((doc_id // 2) * 37 + 7*sy + 3*sxl + ((doc_id // 2) * (sy+1) * (sxl+1)) % 97) % 180 AS vl,
+         ((doc_id // 2) * 37 + 7*sy + 3*sxr + ((doc_id // 2) * (sy+1) * (sxr+1)) % 97) % 180 AS vr,
+         20 * (doc_id % 2) AS c
+  FROM grid
+),
+bits AS (
+  SELECT doc_id, r, i,
+         CASE WHEN (299*(vl+c) + 587*(vl+30+c) + 114*(vl+50+c) + 500) // 1000
+                 > (299*(vr+c) + 587*(vr+30+c) + 114*(vr+50+c) + 500) // 1000
+              THEN 1 ELSE 0 END AS bit
+  FROM v
+),
+h AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN r*8 + i < 63 THEN bit * (1::BIGINT << (r*8 + i))
+                       ELSE bit * (-9223372036854775807 - 1) END) AS BIGINT) AS dh
+  FROM bits
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2737,6 +2834,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124_flac_roundtrip": q124_flac_roundtrip,
     "q125_image_preprocess": q125_image_preprocess,
     "q126_audio_frame_features": q126_audio_frame_features,
+    "q127_image_near_dup": q127_image_near_dup,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2782,4 +2880,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q124_flac_roundtrip": ORACLE_Q124,
     "q125_image_preprocess": ORACLE_Q125,
     "q126_audio_frame_features": ORACLE_Q126,
+    "q127_image_near_dup": ORACLE_Q127,
 }

@@ -96,6 +96,7 @@ TAIL = [
     "q124_flac_roundtrip",
     "q125_image_preprocess",
     "q126_audio_frame_features",
+    "q127_image_near_dup",
 ]
 
 
