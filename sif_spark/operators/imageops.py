@@ -131,6 +131,47 @@ def vflip(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(_require_image(arr)[::-1])
 
 
+def rot90(arr: np.ndarray) -> np.ndarray:
+    """90° clockwise."""
+    return np.ascontiguousarray(np.rot90(_require_image(arr), k=-1, axes=(0, 1)))
+
+
+def rot180(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.rot90(_require_image(arr), k=2, axes=(0, 1)))
+
+
+def rot270(arr: np.ndarray) -> np.ndarray:
+    """90° counter-clockwise."""
+    return np.ascontiguousarray(np.rot90(_require_image(arr), k=1, axes=(0, 1)))
+
+
+def auto_orient(arr: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Apply the inverse of an EXIF orientation (tag 274, values 1-8)
+    so the pixel array is upright — the step a pipeline must run
+    BEFORE resize/crop or every phone portrait trains sideways
+    (probe_media surfaces the tag). 1/None = as-is, 2 = hflip,
+    3 = rot180, 4 = vflip, 5 = transpose, 6 = stored rotated 270° CW
+    (undo with 90° CW), 7 = transverse, 8 = undo with 270° CW."""
+    a = _require_image(arr)
+    if orientation is None or orientation == 1:
+        return a
+    if orientation == 2:
+        return hflip(a)
+    if orientation == 3:
+        return rot180(a)
+    if orientation == 4:
+        return vflip(a)
+    if orientation == 5:  # transpose: out[i, j] = a[j, i]
+        return np.ascontiguousarray(np.swapaxes(a, 0, 1))
+    if orientation == 6:
+        return rot90(a)
+    if orientation == 7:  # transverse = transpose + 180
+        return rot180(np.swapaxes(a, 0, 1))
+    if orientation == 8:
+        return rot270(a)
+    raise ValueError(f"EXIF orientation must be 1-8, got {orientation}")
+
+
 def compose(*ops: ImageOp) -> ImageOp:
     """Left-to-right composition: compose(f, g)(x) == g(f(x))."""
 

@@ -42,6 +42,7 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("codec", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
     ]
 )
 _FIELDS = [f.name for f in PROBE_SCHEMA.fields]
@@ -488,9 +489,39 @@ def _probe_gif(blob: bytes) -> dict:
     return {"format": "gif", "width": w, "height": h, "n_frames": frames}
 
 
+def _exif_orientation(tiff: bytes) -> int | None:
+    """Orientation (tag 274) from the Exif TIFF structure's IFD0 —
+    a 20-line IFD walk, either byte order, bounds-checked."""
+    if tiff[:4] == b"II*\x00":
+        bo = "little"
+    elif tiff[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+    if len(tiff) < 8:
+        return None
+    off = int.from_bytes(tiff[4:8], bo)
+    if off + 2 > len(tiff):
+        return None
+    n = int.from_bytes(tiff[off : off + 2], bo)
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(tiff):
+            return None
+        tag = int.from_bytes(tiff[e : e + 2], bo)
+        if tag == 274:
+            # SHORT, count 1: value left-justified in the 4-byte field
+            return int.from_bytes(tiff[e + 8 : e + 10], bo)
+    return None
+
+
 def _probe_jpeg(blob: bytes) -> dict:
-    """Marker walk to the first SOFn for dims — no entropy decode."""
+    """Marker walk to the first SOFn for dims — no entropy decode.
+    APP1 Exif segments contribute ``orientation`` (tag 274), the
+    field a preprocessing pipeline MUST honor before resize/crop or
+    every portrait photo trains sideways (imageops.auto_orient)."""
     pos = 2
+    orientation = None
     try:
         while pos + 4 <= len(blob):
             if blob[pos] != 0xFF:
@@ -500,17 +531,24 @@ def _probe_jpeg(blob: bytes) -> dict:
                 pos += 2
                 continue
             seglen = int.from_bytes(blob[pos + 2 : pos + 4], "big")
+            if marker == 0xE1 and blob[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                got = _exif_orientation(blob[pos + 10 : pos + 2 + seglen])
+                if got is not None:
+                    orientation = got
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h = int.from_bytes(blob[pos + 5 : pos + 7], "big")
                 w = int.from_bytes(blob[pos + 7 : pos + 9], "big")
                 ncomp = blob[pos + 9]
-                return {
+                out = {
                     "format": "jpeg",
                     "width": w,
                     "height": h,
                     "channels": ncomp,
                     "codec": "progressive" if marker == 0xC2 else "baseline",
                 }
+                if orientation is not None:
+                    out["orientation"] = orientation
+                return out
             pos += 2 + seglen
     except IndexError:
         raise ValueError("truncated JPEG stream") from None

@@ -202,3 +202,67 @@ def test_probe_ogg_hand_assembled_page():
     got = pb.probe_ogg(page)
     assert got["format"] == "ogg" and got["codec"] == "unknown"
     assert "duration_s" not in got  # no id header -> no granule rate
+
+
+def _exif_app1(orientation: int, bo: str = "II") -> bytes:
+    """Hand-built APP1 Exif segment: TIFF header + one-entry IFD0
+    carrying tag 274 (SHORT, left-justified value)."""
+    if bo == "II":
+        tiff = (
+            b"II*\x00" + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (274).to_bytes(2, "little") + (3).to_bytes(2, "little")
+            + (1).to_bytes(4, "little")
+            + orientation.to_bytes(2, "little") + bytes(2)
+            + bytes(4)
+        )
+    else:
+        tiff = (
+            b"MM\x00*" + (8).to_bytes(4, "big")
+            + (1).to_bytes(2, "big")
+            + (274).to_bytes(2, "big") + (3).to_bytes(2, "big")
+            + (1).to_bytes(4, "big")
+            + orientation.to_bytes(2, "big") + bytes(2)
+            + bytes(4)
+        )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def test_probe_jpeg_exif_orientation():
+    rng = np.random.default_rng(34)
+    img = rng.integers(0, 256, (8, 16, 3), np.uint8)
+    base = encode_jpeg(img)
+    for bo in ("II", "MM"):
+        blob = base[:2] + _exif_app1(6, bo) + base[2:]  # APP1 after SOI
+        got = pb.probe_media(blob)
+        assert got["orientation"] == 6, bo
+        assert (got["width"], got["height"]) == (16, 8)
+    assert "orientation" not in pb.probe_media(base)
+
+
+def test_auto_orient_roundtrip_all_orientations():
+    """For each EXIF value, apply the camera's forward transform to an
+    upright image, then auto_orient must restore it exactly."""
+    import numpy as np
+
+    from sif_spark.operators import imageops as io
+
+    rng = np.random.default_rng(35)
+    u = rng.integers(0, 256, (6, 9, 3), np.uint8)
+    t = np.ascontiguousarray(np.swapaxes(u, 0, 1))
+    forward = {
+        1: u,
+        2: io.hflip(u),
+        3: io.rot180(u),
+        4: io.vflip(u),
+        5: t,                 # transpose is self-inverse
+        6: io.rot270(u),      # stored rotated 270 CW -> undo with 90 CW
+        7: io.rot180(t),      # transverse is self-inverse
+        8: io.rot90(u),       # stored rotated 90 CW -> undo with 270 CW
+    }
+    for o, stored in forward.items():
+        assert np.array_equal(io.auto_orient(stored, o), u), o
+    assert io.auto_orient(u, None) is u
+    with pytest.raises(ValueError, match="1-8"):
+        io.auto_orient(u, 9)
