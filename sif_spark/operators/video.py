@@ -233,6 +233,71 @@ def avi_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
     return frames[::every_n] if frames else []
 
 
+def frame_sad(a: np.ndarray, b: np.ndarray) -> int:
+    """Sum of absolute differences between two frames — the classic
+    shot-boundary signal, pure integer (SQL-reproducible)."""
+    if a.shape != b.shape:
+        raise ValueError(f"frame shapes differ: {a.shape} vs {b.shape}")
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).sum())
+
+
+def scene_cuts(
+    df,
+    blob_col: str,
+    id_col: str,
+    threshold: int,
+    on_error: str = "raise",
+):
+    """(id, frame_idx, sad) — one row per shot boundary: frames whose
+    SAD against the PREVIOUS frame exceeds ``threshold``. Works on any
+    container `media_frame_decoder` walks (AVI MJPG/DIB, animated
+    GIF); the selected keyframes typically feed `sample_frames`-style
+    extraction next, so a scene-cut pass turns "every Nth frame" into
+    "one frame per shot" — far fewer frames to embed at 100 TB.
+
+    One Arrow-batched mapInPandas stage, frames never leave their
+    executor; SAD is integer-exact so q128 gates it in closed form.
+    ``on_error="null"`` skips undecodable blobs (IgnoreRowErrors,
+    internal/util/operation.go:10-27)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sif_spark.operators.multimodal import decode_ppm, media_frame_decoder
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("sad", T.LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, fidx, sads = [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                try:
+                    frames = [decode_ppm(f) for f in media_frame_decoder(bytes(b), 1)]
+                except (ValueError, NotImplementedError):
+                    if on_error == "null":
+                        continue
+                    raise
+                for k in range(1, len(frames)):
+                    s = frame_sad(frames[k - 1], frames[k])
+                    if s > threshold:
+                        ids.append(i)
+                        fidx.append(k)
+                        sads.append(s)
+            yield pd.DataFrame({id_col: ids, "frame_idx": fidx, "sad": sads})
+
+    return df.select(id_col, blob_col).mapInPandas(run, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Test encoder: authors real AVI-MJPG / AVI-DIB files so the decoder is
 # exercised on genuine container bytes (the PNG/GIF/JPEG encoders set

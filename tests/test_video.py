@@ -197,3 +197,36 @@ def test_sample_frames_default_dispatch_handles_avi(spark):
     assert [(d, j) for d, j, _ in rows] == [(1, 0), (1, 1)]
     assert np.array_equal(mm.decode_ppm(rows[0][2]), frames[0])
     assert np.array_equal(mm.decode_ppm(rows[1][2]), frames[2])
+
+
+def test_scene_cuts_finds_exact_boundary(spark):
+    """SAD shot detection: 8 frames with a +100 brightness jump at a
+    known index — exactly that boundary crosses the threshold, over
+    both AVI and animated-GIF containers."""
+    def frames_with_cut(cut, h=8, w=10):
+        out = []
+        y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = (5 * y + 7 * x) % 120
+        for k in range(8):
+            v = base + (100 if k >= cut else 0) + k
+            out.append(np.repeat(v[:, :, None], 3, 2).astype(np.uint8))
+        return out
+
+    rows = [
+        (1, vv.encode_avi(frames_with_cut(3), codec="DIB ")),
+        (2, mm.encode_gif_animation(frames_with_cut(5))),
+        (3, b"ID3" + bytes(20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = sorted(
+        (r["doc_id"], r["frame_idx"], r["sad"])
+        for r in vv.scene_cuts(df, "blob", "doc_id", threshold=12000,
+                               on_error="null").collect()
+    )
+    # within-scene SAD = h*w*3 = 240; at the cut = 101*240 = 24240
+    assert got == [(1, 3, 24240), (2, 5, 24240)]
+
+    assert vv.frame_sad(np.zeros((2, 2, 3), np.uint8),
+                        np.full((2, 2, 3), 7, np.uint8)) == 84
+    with pytest.raises(ValueError, match="shapes differ"):
+        vv.frame_sad(np.zeros((2, 2, 3)), np.zeros((3, 2, 3)))
