@@ -2795,6 +2795,67 @@ ORDER BY id_a, id_b
 """
 
 
+def q128_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection under the oracle (round 8): 30 docs get
+    an 8-frame AVI (DIB; gray-valued closed-form pattern) whose
+    brightness jumps +100 at frame s = 2 + doc_id % 5, with +1 frame
+    jitter inside each shot. `scene_cuts` (SAD against the previous
+    frame, integer-exact) with threshold 50·h·w·3 must emit EXACTLY
+    the boundary frame per doc: within-shot SAD is h·w·3 (the jitter),
+    the cut is 101·h·w·3. The oracle computes both in closed form —
+    gating the container walk, every frame decode, and the SAD
+    arithmetic. This is the keyframe-selection shape that turns
+    'embed every Nth frame' into 'embed one frame per shot' at corpus
+    scale.
+
+    Scale shape: generate → scene_cuts are chained Arrow-batched
+    mapInPandas stages; frames never leave their executor; only
+    shuffle is the 30-row orderBy."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import video as vv
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 30)
+    )
+    H, W = 8, 10
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = 2 + did % 5
+                y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+                base = (did * 11 + 5 * y + 7 * x) % 120
+                frames = []
+                for k in range(8):
+                    v = base + (100 if k >= s else 0) + k
+                    frames.append(np.repeat(v[:, :, None], 3, 2).astype(np.uint8))
+                recs.append((did, vv.encode_avi(frames, codec="DIB ")))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    return vv.scene_cuts(blobs, "blob", "doc_id", threshold=50 * H * W * 3).orderBy(
+        "doc_id"
+    )
+
+
+# the cut sits at frame s = 2 + doc_id % 5 with SAD = 101 * h * w * 3
+# (+100 brightness jump and the +1 jitter, every pixel, 3 channels)
+ORACLE_Q128 = """
+SELECT doc_id,
+       CAST(2 + doc_id % 5 AS INT) AS frame_idx,
+       CAST(101 * 8 * 10 * 3 AS BIGINT) AS sad
+FROM documents
+WHERE doc_id < 30
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2835,6 +2896,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q125_image_preprocess": q125_image_preprocess,
     "q126_audio_frame_features": q126_audio_frame_features,
     "q127_image_near_dup": q127_image_near_dup,
+    "q128_scene_cuts": q128_scene_cuts,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2881,4 +2943,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q125_image_preprocess": ORACLE_Q125,
     "q126_audio_frame_features": ORACLE_Q126,
     "q127_image_near_dup": ORACLE_Q127,
+    "q128_scene_cuts": ORACLE_Q128,
 }

@@ -97,6 +97,7 @@ TAIL = [
     "q125_image_preprocess",
     "q126_audio_frame_features",
     "q127_image_near_dup",
+    "q128_scene_cuts",
 ]
 
 
