@@ -587,7 +587,12 @@ def decode_png(blob: bytes) -> np.ndarray:
     # at expected+1 bytes and raises, never materializing the payload.
     expected = sum(ph * (pstride(pw) + 1) for *_, pw, ph in passes)
     d = zlib.decompressobj()
-    raw = d.decompress(bytes(idat), expected + 1)
+    try:
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        # a CRC-valid chunk can still carry a corrupt deflate stream
+        # (attacker recomputes the CRC) — keep the typed contract
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
     if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("PNG scanline data length mismatch")
 
@@ -1487,10 +1492,49 @@ def _gunzip_bounded(blob: bytes) -> bytes:
     import zlib
 
     d = zlib.decompressobj(wbits=31)  # 31 = gzip header + window
-    out = d.decompress(blob, MAX_GZIP_BYTES + 1)
+    try:
+        out = d.decompress(blob, MAX_GZIP_BYTES + 1)
+    except zlib.error as e:
+        raise ValueError(f"gzip inflate failed: {e}") from None
     if len(out) > MAX_GZIP_BYTES:
         raise ValueError(
             f"gzip member inflates past MAX_GZIP_BYTES ({MAX_GZIP_BYTES}) — "
+            "decompression bomb or not a media blob"
+        )
+    return out
+
+
+def _bz2_bounded(blob: bytes) -> bytes:
+    """Decompress bz2 with the same streaming output cap as gzip —
+    BZ2Decompressor.decompress(max_length=) stops before the memory
+    is spent."""
+    import bz2
+
+    d = bz2.BZ2Decompressor()
+    try:
+        out = d.decompress(blob, MAX_GZIP_BYTES + 1)
+    except OSError as e:
+        raise ValueError(f"bz2 decompress failed: {e}") from None
+    if len(out) > MAX_GZIP_BYTES:
+        raise ValueError(
+            f"bz2 member inflates past MAX_GZIP_BYTES ({MAX_GZIP_BYTES}) — "
+            "decompression bomb or not a media blob"
+        )
+    return out
+
+
+def _xz_bounded(blob: bytes) -> bytes:
+    """Decompress xz/LZMA with the same streaming output cap."""
+    import lzma
+
+    d = lzma.LZMADecompressor()
+    try:
+        out = d.decompress(blob, MAX_GZIP_BYTES + 1)
+    except lzma.LZMAError as e:
+        raise ValueError(f"xz decompress failed: {e}") from None
+    if len(out) > MAX_GZIP_BYTES:
+        raise ValueError(
+            f"xz member inflates past MAX_GZIP_BYTES ({MAX_GZIP_BYTES}) — "
             "decompression bomb or not a media blob"
         )
     return out
@@ -1536,16 +1580,23 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
         from sif_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(blob)
-    if blob[:2] == b"\x1f\x8b":
-        # gzip wrapper — corpora routinely store media gzip-compressed
-        # at rest; unwrap (bounded) and re-dispatch on the inner bytes.
-        # A gzipped JPEG still raises the inner format's loud gate.
+    if blob[:2] == b"\x1f\x8b" or blob[:3] == b"BZh" or blob[:6] == b"\xfd7zXZ\x00":
+        # compression wrapper — corpora routinely store media
+        # compressed at rest (gzip/bz2/xz, all stdlib); unwrap
+        # (output-capped) and re-dispatch on the inner bytes. A
+        # wrapped JPEG still raises the inner format's loud gate.
         if _gzip_depth >= 2:
             raise ValueError(
-                "gzip nested more than 2 levels deep — media blobs are "
-                "stored at most double-wrapped; refusing further inflation"
+                "compression nested more than 2 levels deep — media blobs "
+                "are stored at most double-wrapped; refusing further inflation"
             )
-        return media_decoder(_gunzip_bounded(blob), _gzip_depth + 1)
+        if blob[:2] == b"\x1f\x8b":
+            inner = _gunzip_bounded(blob)
+        elif blob[:3] == b"BZh":
+            inner = _bz2_bounded(blob)
+        else:
+            inner = _xz_bounded(blob)
+        return media_decoder(inner, _gzip_depth + 1)
     sniffed = next(
         (name for name, magic in _MAGIC.items() if blob[: len(magic)] == magic),
         "unknown",

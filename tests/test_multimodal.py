@@ -920,3 +920,45 @@ def test_wav_24bit_and_g711_companders():
 
     with pytest.raises(ValueError, match="unsupported WAVE"):
         mm.decode_wav(_wav_blob(7, 16, 1, bytes(4)))
+
+
+def test_compressed_wrapper_unwrap_bz2_xz_and_typed_errors():
+    """Round 8: bz2/xz at-rest wrappers unwrap (output-capped) like
+    gzip, corrupt streams raise ValueError (never zlib.error/OSError/
+    LZMAError), and depth nesting stays limited."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    import numpy as np
+
+    rng = np.random.default_rng(68)
+    img = rng.integers(0, 256, (6, 8, 3), np.uint8)
+    ppm = mm.encode_ppm(img)
+    for wrap in (_bz2.compress, _lzma.compress):
+        assert np.array_equal(mm.media_decoder(wrap(ppm)), img)
+    # mixed double wrap stays within the depth budget
+    assert np.array_equal(mm.media_decoder(_gzip.compress(_bz2.compress(ppm))), img)
+    with pytest.raises(ValueError, match="nested more than 2"):
+        mm.media_decoder(_bz2.compress(_gzip.compress(_bz2.compress(ppm))))
+
+    # corrupt compressed payloads: typed errors only
+    for blob in (
+        b"\x1f\x8b" + b"garbage-bytes",
+        b"BZh" + b"garbage-bytes",
+        b"\xfd7zXZ\x00" + b"garbage",
+    ):
+        with pytest.raises(ValueError):
+            mm.media_decoder(blob)
+
+    # CRC-fixed PNG with a corrupt deflate stream is typed too
+    import zlib as _zlib
+
+    png = bytearray(mm.encode_png(img))
+    i = bytes(png).index(b"IDAT")
+    ln = int.from_bytes(png[i - 4 : i], "big")
+    png[i + 4] ^= 0xFF  # corrupt payload
+    body = bytes(png[i : i + 4 + ln])
+    png[i + 4 + ln : i + 8 + ln] = (_zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="inflate failed|length mismatch|filter"):
+        mm.decode_png(bytes(png))
