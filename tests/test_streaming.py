@@ -771,3 +771,46 @@ def test_state_store_provider_parity(spark, tmp_path, provider):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_streaming_media_probe_and_metadata(spark):
+    """The media surface composes with Structured Streaming — the
+    crawl-ingest shape: a stream of binary blobs flows through
+    attach_metadata (JVM expressions) and attach_probe (Arrow
+    mapInPandas) into a sink, with per-blob tolerance for garbage."""
+    import numpy as np
+
+    from sif_spark.operators import flac as fl
+    from sif_spark.operators import multimodal as mm
+    from sif_spark.operators import probe as pb
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (6, 9, 3), np.uint8)
+    pcm = (1000 * np.sin(np.arange(2000) / 9)).astype(np.int32)
+    rows = [
+        (1, bytearray(mm.encode_ppm(img))),
+        (2, bytearray(fl.encode_flac(pcm, 16000, 16))),
+        (3, bytearray(b"utter-garbage")),
+    ]
+    d = tempfile.mkdtemp(prefix="sif_media_stream_")
+    src = spark.createDataFrame(rows, "doc_id long, blob binary")
+    src.write.mode("overwrite").parquet(d)
+    stream = read_parquet_stream(spark, d, src.schema)
+
+    probed = pb.attach_probe(mm.attach_metadata(stream, "blob"), "blob", "doc_id")
+    assert probed.isStreaming
+    q = (
+        probed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("media_probe_out")
+        .start()
+    )
+    _drain(q)
+    got = {
+        r["doc_id"]: r["probe"]
+        for r in spark.sql("SELECT * FROM media_probe_out").collect()
+    }
+    assert got[1]["format"] == "ppm" and (got[1]["width"], got[1]["height"]) == (9, 6)
+    assert got[2]["format"] == "flac" and got[2]["sample_rate"] == 16000
+    assert got[2]["duration_s"] == 2000 / 16000
+    assert got[3] is None  # tolerated, not a dead stream
