@@ -61,6 +61,8 @@ _MAGIC = {
     "gif": b"GIF8",
     "riff": b"RIFF",  # wav/avi container
     "gzip": b"\x1f\x8b",
+    "bz2": b"BZh",
+    "xz": b"\xfd7zXZ\x00",
     "tiff": b"II*\x00",
     "tiff_be": b"MM\x00*",
     "mp3": b"ID3",
