@@ -775,3 +775,78 @@ def test_bench_compare_adjudicates_by_fingerprint(tmp_path, monkeypatch):
     with _pytest.raises(SystemExit) as exc:
         bc.main()
     assert exc.value.code == 1 and not remeasured
+
+
+def test_bench_compare_history_adjudicates_mean_reversion(tmp_path, monkeypatch):
+    """The q31 blind spot (round 8): a plan-identical flag whose
+    re-measure confirms vs the OLD capture must still clear when the
+    NEW value is unremarkable vs a PRIOR-round capture (the old value
+    was the fast outlier), and must stay confirmed when it is slow vs
+    history too (a genuine multi-round slowdown)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import bench_compare as bc
+
+    def capture(vals, path, fp="same"):
+        detail = {
+            q: {"median": v, "min": v, "spread": 0.05, "plan_fp": fp}
+            for q, v in vals.items()
+        }
+        p = tmp_path / path
+        p.write_text(
+            json.dumps(
+                {"queries": vals, "queries_detail": detail, "calibration": 0.4}
+            )
+        )
+        return str(p)
+
+    base = {f"q{i:02d}_stable": 1.0 for i in range(10)}
+    # q91: 2.0 (history) -> 1.0 (old, the fast outlier) -> 2.0 (new)
+    hist = capture({**base, "q91_revert": 2.0}, "hist.json")
+    old = capture({**base, "q91_revert": 1.0}, "old.json")
+    new = capture({**base, "q91_revert": 2.0}, "new.json")
+
+    def fake_remeasure(entries, sf_dir, runs=5):
+        # fresh session: stables at their true 1.0, flagged entry at
+        # its true 2.0 -> re-measure CONFIRMS vs old
+        return {
+            "entries": {
+                e: {
+                    "median": 2.0 if e == "q91_revert" else 1.0,
+                    "min": 1.0,
+                    "spread": 0.05,
+                    "plan_fp": "same",
+                }
+                for e in entries
+            },
+            "runs": runs,
+        }
+
+    monkeypatch.setattr(bc, "remeasure", fake_remeasure)
+
+    # with history: new == history -> cleared as regression-to-the-mean
+    monkeypatch.setattr(
+        sys, "argv", ["bench_compare.py", old, new, "--history", hist]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit) as exc:
+        bc.main()
+    assert exc.value.code == 0
+
+    # genuinely slow vs history too (history agrees with old) -> flags
+    hist_slow = capture({**base, "q91_revert": 1.0}, "hist_slow.json")
+    monkeypatch.setattr(
+        sys, "argv", ["bench_compare.py", old, new, "--history", hist_slow]
+    )
+    with _pytest.raises(SystemExit) as exc:
+        bc.main()
+    assert exc.value.code == 1
+
+    # without history: the confirm stands (protocol unchanged)
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", old, new])
+    with _pytest.raises(SystemExit) as exc:
+        bc.main()
+    assert exc.value.code == 1

@@ -50,10 +50,25 @@ splits mechanically:
     freshness-normalized ratio still exceeds both bounds.
     `--no-remeasure` skips the re-run (offline mode) and reports such
     flags as UNRESOLVED (exit nonzero, conservatively).
+  - `--history PRIOR.json` (round 8, added after the q31 episode)
+    closes the protocol's last blind spot: a two-capture compare has
+    no way to tell "new got slower" from "old was the fast outlier".
+    q31_moving_avg measured 0.295s (r6) → 0.232s (r7) → 0.347s (r8)
+    on byte-identical code and plan; the r7→r8 compare plus re-measure
+    both "confirmed" a regression that was really r7 regressing to the
+    mean. With a prior-round capture supplied, a plan-identical flag
+    that survives re-measure gets one more mechanical check: its
+    drift-corrected ratio vs HISTORY (median-of-shared drift between
+    the history and new captures, same noise-bound rule). If the new
+    value is unremarkable vs history, the old capture was the outlier
+    → cleared as REGRESSION-TO-THE-MEAN. A genuine multi-round
+    slowdown still flags (it is slow vs history too). Plan-changed
+    flags never consult history.
 Plan changes WITHOUT a timing flag are listed informationally.
 
 Usage: python tools/bench_compare.py BENCH_r07.json BENCH_r08.json \
-           [--no-remeasure] [--sf-dir /root/testdata/sf0.1]
+           [--no-remeasure] [--history BENCH_r06.json] \
+           [--sf-dir /root/testdata/sf0.1]
 Prints per-entry drift-corrected ratios (new/old), worst first, then
 a summary line. Entries present in only one capture are listed
 separately. Sub-100ms entries are noise — marked, never flagged.
@@ -134,6 +149,45 @@ def remeasure(entries: list[str], sf_dir: str, runs: int = 5) -> dict | None:
         return None
 
 
+def history_check(
+    hist_path: str,
+    new_q: dict[str, float],
+    new_d: dict[str, dict],
+    q: str,
+) -> tuple[bool, str] | None:
+    """Regression-to-the-mean check against a prior-round capture
+    (module doc: the q31 blind spot). Returns (cleared, detail-str),
+    or None when the entry isn't in history. Uses its own drift
+    median and min-vs-min comparability rule — independent of the
+    old-vs-new state main() may have mutated."""
+    hist_q, _, hist_d = load(hist_path)
+    nq = dict(new_q)
+    hq = dict(hist_q)
+    if bool(hist_d) != bool(new_d):  # min-vs-min vs a legacy capture
+        side, det = (hq, hist_d) if hist_d else (nq, new_d)
+        for name, d in det.items():
+            if name in side:
+                side[name] = d["min"]
+    if q not in hq or hq[q] <= 0:
+        return None
+    shared = [
+        n for n in set(hq) & set(nq) if hq[n] > 0 and nq[n] >= 0
+    ]
+    if len(shared) < 5:
+        return None
+    drift = statistics.median(nq[n] / hq[n] for n in shared)
+    ratio = (nq[q] / hq[q]) / drift
+    s_hist = hist_d.get(q, {}).get("spread", LEGACY_SPREAD)
+    s_new = new_d.get(q, {}).get("spread", LEGACY_SPREAD)
+    noise = 1.0 + s_hist + s_new
+    cleared = not (ratio > 1.25 and ratio > noise)
+    detail = (
+        f"vs history {hq[q]:.2f}s: corr {ratio:.2f}, bound {noise:.2f}, "
+        f"hist-drift {drift:.2f}"
+    )
+    return cleared, detail
+
+
 def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     no_remeasure = "--no-remeasure" in sys.argv
@@ -142,6 +196,11 @@ def main() -> None:
         i = sys.argv.index("--sf-dir")
         sf_dir = sys.argv[i + 1]
         argv = [a for a in argv if a != sf_dir]
+    hist_path = None
+    if "--history" in sys.argv:
+        i = sys.argv.index("--history")
+        hist_path = sys.argv[i + 1]
+        argv = [a for a in argv if a != hist_path]
     if len(argv) != 2:
         print(__doc__)
         sys.exit(2)
@@ -251,10 +310,27 @@ def main() -> None:
             re_ratio_q = (med / old_q[q]) / re_drift if old_q[q] > 0 else float("inf")
             re_noise = 1.0 + spreads_old[q] + ents[q].get("spread", 0.0)
             if re_ratio_q > 1.25 and re_ratio_q > re_noise:
-                row[6] = (
-                    f"{tag}, re-measure CONFIRMS "
-                    f"({med:.2f}s, re-drift {re_drift:.2f}, corr {re_ratio_q:.2f})"
+                hist = (
+                    history_check(hist_path, new_q, new_d, q) if hist_path else None
                 )
+                if hist and hist[0]:
+                    row[5] = False
+                    row[6] = (
+                        f"{tag}, re-measure confirms vs old but new matches "
+                        f"history — old capture was the outlier: "
+                        f"REGRESSION-TO-THE-MEAN ({hist[1]})"
+                    )
+                elif hist:
+                    row[6] = (
+                        f"{tag}, re-measure CONFIRMS and slow vs history too "
+                        f"({med:.2f}s, re-drift {re_drift:.2f}, "
+                        f"corr {re_ratio_q:.2f}; {hist[1]})"
+                    )
+                else:
+                    row[6] = (
+                        f"{tag}, re-measure CONFIRMS "
+                        f"({med:.2f}s, re-drift {re_drift:.2f}, corr {re_ratio_q:.2f})"
+                    )
             else:
                 row[5] = False
                 row[6] = (
