@@ -97,6 +97,16 @@ def sniff_format(blob: Column | str) -> Column:
         .when(form == F.lit(bytearray(b"AVI ")), F.lit("avi"))
         .otherwise(out)
     )
+    # ISO-BMFF carries its magic at byte offset 4 (box fourcc), not 0
+    box4 = F.substring(c, 5, 4)
+    out = F.when(
+        (out == "unknown")
+        & (
+            (box4 == F.lit(bytearray(b"ftyp")))
+            | (box4 == F.lit(bytearray(b"moov")))
+        ),
+        F.lit("mp4"),
+    ).otherwise(out)
     return out
 
 
@@ -1554,10 +1564,12 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
     (corpora store media gzipped at rest) — output-capped and at most
     2 levels deep, so nested members can't chain 1 KB → 1 MB → 1 GB
     (ADVICE r7). AVI containers decode their first frame when the video
-    codec is MJPG or uncompressed DIB (operators/video.py). Anything
-    else raises NotImplementedError naming the sniffed format so the
-    remaining compressed media (mp3 audio; modern video codecs) still
-    gates loudly behind an injected codec."""
+    codec is MJPG or uncompressed DIB (operators/video.py); MP4/ISO-BMFF
+    movies decode their first frame (MJPEG tracks) or their PCM audio
+    ('sowt'/'twos'/'raw ' — operators/mp4.py). Anything else raises
+    NotImplementedError naming the sniffed format so the remaining
+    compressed media (mp3 audio, AAC; modern video codecs) still gates
+    loudly behind an injected codec."""
     if blob[:2] in (b"P6", b"P5"):
         return decode_ppm(blob)
     if blob[:2] == b"BM":
@@ -1568,6 +1580,10 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
         from sif_spark.operators.video import decode_avi
 
         return decode_avi(blob)
+    if blob[4:8] in (b"ftyp", b"moov"):
+        from sif_spark.operators.mp4 import decode_mp4
+
+        return decode_mp4(blob)
     if blob[:4] == b"fLaC":
         from sif_spark.operators.flac import decode_flac
 
@@ -1810,21 +1826,25 @@ def flac_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
 
 
 def media_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
-    """Sniffed dispatch for `sample_frames`: WAV (audio windows) and
-    animated GIF (full frames as PPM blobs) are real; other video
-    containers need an injected codec."""
+    """Sniffed dispatch for `sample_frames`: WAV/FLAC/MP4-PCM (audio
+    windows) and animated GIF / AVI / MP4-MJPEG (full frames as PPM
+    blobs) are real; other video containers need an injected codec."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return wav_frame_decoder(blob, every_n)
     if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
         from sif_spark.operators.video import avi_frame_decoder
 
         return avi_frame_decoder(blob, every_n)
+    if blob[4:8] in (b"ftyp", b"moov"):
+        from sif_spark.operators.mp4 import mp4_frame_decoder
+
+        return mp4_frame_decoder(blob, every_n)
     if blob[:4] == b"fLaC":
         return flac_frame_decoder(blob, every_n)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return gif_frame_decoder(blob, every_n)
     raise NotImplementedError(
         "no built-in frame decoder for this format (built-ins cover "
-        "PCM WAV, FLAC, animated GIF, and AVI MJPG/DIB): pass "
-        "frame_decoder= with a real video codec"
+        "PCM WAV, FLAC, animated GIF, AVI MJPG/DIB, and MP4 "
+        "MJPEG/PCM): pass frame_decoder= with a real video codec"
     )
