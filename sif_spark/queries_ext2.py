@@ -2856,6 +2856,134 @@ ORDER BY doc_id
 """
 
 
+def q129_mp4_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF sample extraction under the oracle (round 8): 30
+    docs each get an MP4 — even doc_ids a 7-frame Motion-JPEG movie
+    (16×24 gray 8×8-block-constant at quant=1, so JPEG decode is an
+    exact identity; the muxer packs samples 3,2,2 per chunk so decode
+    walks a genuinely non-uniform stsc table), odd doc_ids a
+    3072-sample PCM audio movie on a closed-form int16 ramp
+    (alternating 'sowt' little-endian and 'twos' big-endian sample
+    entries by doc_id % 4, split across unequal chunks).
+    `sample_frames` with the DEFAULT sniffed decoder keeps every 3rd
+    video frame (originals 0/3/6) and every 2nd 1024-sample audio
+    window (originals 0/2) — the gate covers the box walk, the
+    stsc×stsz×stco sample resolution, per-sample JPEG decode, BOTH
+    PCM byte orders, the PPM and int16-PCM frame hand-offs, and the
+    video/audio dispatch inside one entry. The oracle recomputes every
+    kept frame's and window's digest in closed form.
+
+    Scale shape: generate → sample_frames → digest are three chained
+    Arrow-batched mapInPandas stages over the doc projection; the only
+    shuffle is the final orderBy of 75 rows. Movie bytes never leave
+    their executor."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import mp4 as m4
+    from sif_spark.operators import multimodal as mm
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 30)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    frames = []
+                    for k in range(7):
+                        by, bx = np.meshgrid(
+                            np.arange(2), np.arange(3), indexing="ij"
+                        )
+                        g = ((did + 7 * k + 5 * by + 3 * bx) % 256).astype(
+                            np.uint8
+                        )
+                        big = np.kron(g, np.ones((8, 8), np.uint8))
+                        frames.append(np.repeat(big[:, :, None], 3, axis=2))
+                    blob = m4.encode_mp4_mjpeg(frames)
+                else:
+                    t = np.arange(3072, dtype=np.int64)
+                    pcm = ((did * 31 + 7 * t) % 4096 - 2048).astype(np.int16)
+                    codec = "sowt" if did % 4 == 1 else "twos"
+                    blob = m4.encode_mp4_pcm(pcm, 8000, codec)
+                recs.append((did, blob))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    # the public operator, once per cadence: video docs keep every 3rd
+    # frame, audio docs every 2nd window — both through the DEFAULT
+    # sniffed decoder (mp4 dispatch)
+    sampled = mm.sample_frames(
+        blobs.filter(F.col("doc_id") % 2 == 0), "blob", "doc_id", every_n=3
+    ).unionByName(
+        mm.sample_frames(
+            blobs.filter(F.col("doc_id") % 2 == 1), "blob", "doc_id", every_n=2
+        )
+    )
+
+    def digest(batches):
+        for pdf in batches:
+            recs = []
+            for did, j, fr in zip(pdf["doc_id"], pdf["frame_idx"], pdf["frame"]):
+                fr = bytes(fr)
+                if int(did) % 2 == 0:  # PPM video frame
+                    arr = mm.decode_ppm(fr).astype(np.int64)
+                    y, x, c = np.meshgrid(
+                        np.arange(arr.shape[0]),
+                        np.arange(arr.shape[1]),
+                        np.arange(arr.shape[2]),
+                        indexing="ij",
+                    )
+                    dg = int((arr * (1 + x + 2 * y + 4 * c)).sum())
+                else:  # raw int16-LE PCM window
+                    v = np.frombuffer(fr, dtype="<i2").astype(np.int64)
+                    dg = int((v * (1 + np.arange(v.size))).sum())
+                recs.append((int(did), int(j), dg))
+            yield pd.DataFrame(recs, columns=["doc_id", "frame_idx", "digest"])
+
+    return sampled.mapInPandas(
+        digest, "doc_id long, frame_idx int, digest long"
+    ).orderBy("doc_id", "frame_idx")
+
+
+# Even docs: sampled frame j is original frame k=3j; gray value
+# g = (did + 7k + 5*(r//8) + 3*(i//8)) % 256 on all 3 channels, so the
+# q122-style channel sum collapses to g*(3*(1+i+2r)+12). Odd docs:
+# sampled window j is original window w=2j; sample t of the ramp is
+# (did*31 + 7*(2048j + t)) % 4096 - 2048, weighted by (1+t).
+ORACLE_Q129 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+vid AS (
+  SELECT d.doc_id, ke.j,
+         SUM(((d.doc_id + 21*ke.j + 5*(y.r // 8) + 3*(x.i // 8)) % 256)
+             * (3*(1 + x.i + 2*y.r) + 12)) AS dg
+  FROM d,
+       (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2) ke,
+       range(16) AS y(r), range(24) AS x(i)
+  WHERE d.doc_id % 2 = 0
+  GROUP BY d.doc_id, ke.j
+),
+aud AS (
+  SELECT d.doc_id, w.j,
+         SUM(((d.doc_id*31 + 7*(2048*w.j + t.t)) % 4096 - 2048)
+             * (1 + t.t)) AS dg
+  FROM d,
+       (SELECT 0 AS j UNION ALL SELECT 1) w,
+       range(1024) AS t(t)
+  WHERE d.doc_id % 2 = 1
+  GROUP BY d.doc_id, w.j
+)
+SELECT doc_id, CAST(j AS INT) AS frame_idx, CAST(dg AS BIGINT) AS digest
+FROM (SELECT * FROM vid UNION ALL SELECT * FROM aud) u
+ORDER BY doc_id, frame_idx
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -2897,6 +3025,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_audio_frame_features": q126_audio_frame_features,
     "q127_image_near_dup": q127_image_near_dup,
     "q128_scene_cuts": q128_scene_cuts,
+    "q129_mp4_sampling": q129_mp4_sampling,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -2944,4 +3073,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q126_audio_frame_features": ORACLE_Q126,
     "q127_image_near_dup": ORACLE_Q127,
     "q128_scene_cuts": ORACLE_Q128,
+    "q129_mp4_sampling": ORACLE_Q129,
 }

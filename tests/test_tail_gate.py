@@ -98,6 +98,7 @@ TAIL = [
     "q126_audio_frame_features",
     "q127_image_near_dup",
     "q128_scene_cuts",
+    "q129_mp4_sampling",
 ]
 
 
