@@ -1146,3 +1146,96 @@ def duplication_profile(
             ).alias("dup_frac"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_dup_docs: int = 2,
+    persist: bool = False,
+) -> DataFrame:
+    """Duplicated-SPAN removal at k-gram granularity — the ACTION to
+    ``duplication_profile``'s metric (Lee et al. 2022,
+    arXiv:2107.06499 ExactSubstr, approximated on the token k-gram
+    lattice): every token position covered by a k-gram that also
+    occurs in at least ``min_dup_docs`` DISTINCT documents is removed
+    from every document carrying it, and the survivors reassemble in
+    original order. A position p is covered when a duplicated gram
+    STARTS at any position in [p−k+1, p] — so any shared run of ≥ k
+    tokens (ToS preambles, license blocks, quoted boilerplate) is
+    excised in full, while runs shorter than k never match.
+
+    Drop-all is the deliberate policy (same as
+    ``line_dedup(mode="drop_common")``): symmetric and deterministic
+    under any partitioning — a keep-first tie-break would make output
+    depend on global document order, which a distributed corpus does
+    not have. Returns one row per input document:
+    ``(id_col, text_col, n_tokens, n_kept)`` — text is the surviving
+    tokens joined by single spaces (tokenize() has already collapsed
+    whitespace; byte-exact inter-token whitespace is not recoverable
+    and no downstream tokenizer wants it).
+
+    Scale design mirrors duplication_profile: grams are per-doc
+    lead() windows hashed to 8 bytes (the window shuffle partitions
+    by doc id — bounded, never a corpus-wide window); the
+    doc-frequency agg shuffles (hash, id) pairs with map-side
+    partials, uniform in id even for a gram in every document; the
+    dup flag joins back on the uniform hash; coverage is a bounded
+    k-row trailing max inside the SAME per-doc partitioning (token
+    positions are dense, so rowsBetween(-(k-1), 0) is exactly the
+    position window); reassembly groups by the uniform doc id and
+    Catalyst reuses the window's hash partitioning. Linear in corpus
+    tokens, no pair enumeration, no global window, no driver collect.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokenize(text_col)).alias("__p", "__t"),
+    )
+    if persist:
+        toks = toks.localCheckpoint(eager=False)
+    w = Window.partitionBy("__id").orderBy("__p")
+    leads = [F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, k)]
+    grammed = toks.select("__id", "__p", F.col("__t"), *leads)
+    gram = F.concat_ws(" ", "__t", *[f"__t{j}" for j in range(1, k)])
+    complete = F.col(f"__t{k-1}").isNotNull() if k > 1 else F.lit(True)
+    grams = grammed.select(
+        "__id", "__p", "__t", F.when(complete, F.xxhash64(gram)).alias("__gh")
+    )
+    dup = (
+        grams.filter(F.col("__gh").isNotNull())
+        .groupBy("__gh")
+        .agg(F.countDistinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_dup_docs)
+        .select("__gh", F.lit(1).alias("__dup"))
+    )
+    flagged = grams.join(dup, "__gh", "left").select(
+        "__id", "__p", "__t", F.coalesce("__dup", F.lit(0)).alias("__dup")
+    )
+    cover = Window.partitionBy("__id").orderBy("__p").rowsBetween(-(k - 1), 0)
+    kept = flagged.withColumn("__cov", F.max("__dup").over(cover)).filter(
+        F.col("__cov") == 0
+    )
+    assembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__t"))),
+                lambda x: x["__t"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+    )
+    return totals.join(assembled, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("__text", F.lit("")).alias(text_col),
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

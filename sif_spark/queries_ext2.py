@@ -2984,6 +2984,93 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q130_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL under the oracle (round 8) — the action
+    to q97's metric (`dedup.span_dedup`, the k-gram approximation of
+    Lee et al. 2022 ExactSubstr): the same framed corpus as q97
+    (shared ToS preamble + per-source footer around unique bodies),
+    k=4, min_dup_docs=2 — every token position covered by a
+    cross-document 4-gram is excised and the survivors reassemble in
+    order. The oracle replays the whole thing in SQL — tokenize, gram
+    lattice, doc-frequency, the k-position coverage window, and the
+    ORDERED string_agg reassembly — so the full cleaned TEXT of every
+    document is value-hashed, not just counts.
+
+    Scale shape: per-doc lead() windows → one uniform-hash
+    doc-frequency shuffle → hash join back → bounded k-row trailing
+    max in the same per-doc partitioning → per-doc reassembly reusing
+    that partitioning. Linear in corpus tokens; no pair enumeration,
+    no global window (plan-pinned in tests/test_plans.py)."""
+    from sif_spark.operators.dedup import span_dedup
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_Q97_PRE + " "),
+            F.col("text"),
+            F.lit(" brought to you by "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return span_dedup(d, "text", "doc_id", k=_Q97_K, min_dup_docs=2).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_Q130 = f"""
+WITH base AS (
+  SELECT doc_id,
+         '{_Q97_PRE} ' || text || ' brought to you by ' || source AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS w
+  FROM base
+),
+pos AS (
+  SELECT doc_id, p['i'] AS i, p['tok'] AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) + 1),
+                                 i -> {{'i': i, 'tok': w[i]}})) AS p
+    FROM toks
+  )
+),
+grams AS (
+  SELECT doc_id, g['pos'] AS pos, g['gram'] AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(w) - {_Q97_K} + 2),
+             i -> {{'pos': i,
+                   'gram': w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]}}))
+             AS g
+    FROM toks WHERE len(w) >= {_Q97_K}
+  )
+),
+dupg AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+starts AS (
+  SELECT g.doc_id, g.pos, 1 AS dup FROM grams g JOIN dupg USING (gram)
+),
+cov AS (
+  SELECT p.doc_id, p.i, p.tok,
+         MAX(COALESCE(s.dup, 0)) OVER (
+           PARTITION BY p.doc_id ORDER BY p.i
+           ROWS BETWEEN {_Q97_K - 1} PRECEDING AND CURRENT ROW) AS c
+  FROM pos p LEFT JOIN starts s ON s.doc_id = p.doc_id AND s.pos = p.i
+)
+SELECT doc_id,
+       COALESCE(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE c = 0), '')
+         AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE c = 0) AS BIGINT) AS n_kept
+FROM cov
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3026,6 +3113,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q127_image_near_dup": q127_image_near_dup,
     "q128_scene_cuts": q128_scene_cuts,
     "q129_mp4_sampling": q129_mp4_sampling,
+    "q130_span_dedup": q130_span_dedup,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3074,4 +3162,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q127_image_near_dup": ORACLE_Q127,
     "q128_scene_cuts": ORACLE_Q128,
     "q129_mp4_sampling": ORACLE_Q129,
+    "q130_span_dedup": ORACLE_Q130,
 }

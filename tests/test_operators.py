@@ -1452,6 +1452,32 @@ def test_duplication_profile_counts_positions(spark):
     assert out[1]["dup_frac"] == pytest.approx(2 / 6)
 
 
+def test_span_dedup_excises_boilerplate_runs(spark):
+    """The action to duplication_profile's metric: the shared 10-token
+    preamble is excised IN FULL from every doc carrying it (coverage
+    extends k-1 past the last duplicated gram start), unique bodies
+    survive untouched, docs shorter than k are never touched, and a
+    fully-boilerplate doc survives with empty text."""
+    pre = "terms of service apply to all users of this site"
+    docs = spark.createDataFrame(
+        [
+            (1, pre + " alpha beta gamma delta"),
+            (2, pre + " epsilon zeta eta theta"),
+            (3, "unique words only here nothing shared at all today"),
+            (4, pre),  # nothing but the boilerplate
+            (5, "too short"),  # < k tokens: no grams, never touched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dd.span_dedup(docs, k=4).collect()}
+    assert out[1]["text"] == "alpha beta gamma delta"
+    assert out[2]["text"] == "epsilon zeta eta theta"
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (14, 4)
+    assert out[3]["text"] == "unique words only here nothing shared at all today"
+    assert out[4]["text"] == "" and out[4]["n_kept"] == 0
+    assert out[5]["text"] == "too short" and out[5]["n_kept"] == 2
+
+
 def _emb(spark, n=200):
     from sif_spark.sources.parquet import read_table
 

@@ -850,3 +850,17 @@ def test_bench_compare_history_adjudicates_mean_reversion(tmp_path, monkeypatch)
     with _pytest.raises(SystemExit) as exc:
         bc.main()
     assert exc.value.code == 1
+
+
+def test_span_dedup_plan_no_global_window_no_cartesian(spark):
+    """q130's span excision must keep every window partitioned by doc
+    id (never a corpus-wide window) and must never plan a cartesian /
+    nested-loop join for the dup-gram flag (it is an equi-join on the
+    gram hash)."""
+    from sif_spark.plans import global_windows, plan_string
+
+    df = QUERIES["q130_span_dedup"](spark, SF)
+    assert not global_windows(df)
+    text = plan_string(df, "simple")
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text

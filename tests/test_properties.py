@@ -544,3 +544,55 @@ def test_tiff_roundtrip_property(h, w, seed, rgb, big_endian):
     assert out.shape == img.shape
     assert np.array_equal(out, img)
     assert np.array_equal(mm.media_decoder(blob), img)
+
+
+@st.composite
+def span_corpus(draw):
+    """Tiny-vocab corpora where shared k-grams actually occur."""
+    vocab = ["x", "y", "z"]
+    n_docs = draw(st.integers(2, 4))
+    return [
+        (
+            i,
+            " ".join(
+                draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=10))
+            ),
+        )
+        for i in range(n_docs)
+    ]
+
+
+@given(span_corpus())
+@settings(**SETTINGS)
+def test_span_dedup_matches_reference(spark, docs):
+    """span_dedup vs a driver-side reference: a position is removed
+    iff a k-gram starting within the previous k positions occurs in
+    >= 2 distinct docs; every doc survives (empty text when fully
+    covered); docs shorter than k are never touched."""
+    from sif_spark.operators.dedup import span_dedup
+
+    K = 3
+    from collections import defaultdict
+
+    toks = {d: t.split() for d, t in docs}
+    gram_docs: dict[tuple, set] = defaultdict(set)
+    for d, ts in toks.items():
+        for p in range(len(ts) - K + 1):
+            gram_docs[tuple(ts[p : p + K])].add(d)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for d, ts in toks.items():
+        cov = [False] * len(ts)
+        for p in range(len(ts) - K + 1):
+            if tuple(ts[p : p + K]) in dup:
+                cov[p : p + K] = [True] * K
+        kept = [t for t, c in zip(ts, cov) if not c]
+        want[d] = (" ".join(kept), len(ts), len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(df, k=K).collect()}
+    assert set(got) == set(want)
+    for d, (text, n_tokens, n_kept) in want.items():
+        assert got[d]["text"] == text, (d, docs)
+        assert got[d]["n_tokens"] == n_tokens
+        assert got[d]["n_kept"] == n_kept

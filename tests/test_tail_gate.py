@@ -99,6 +99,7 @@ TAIL = [
     "q127_image_near_dup",
     "q128_scene_cuts",
     "q129_mp4_sampling",
+    "q130_span_dedup",
 ]
 
 
