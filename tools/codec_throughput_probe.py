@@ -114,6 +114,29 @@ def main() -> None:
                      *bench(lambda b: list(iter_avi_frames(b)), avi,
                             8 * h * w * 3)))
 
+    # MP4 container walk (round 8): sample-table resolution + per-
+    # sample slicing — PCM tracks isolate the container cost (payload
+    # decode is a frombuffer), MJPEG tracks ride the JPEG boundary.
+    from sif_spark.operators.mp4 import (
+        decode_mp4_audio,
+        encode_mp4_mjpeg,
+        encode_mp4_pcm,
+        iter_mp4_frames,
+    )
+
+    for mult in (1, 16):
+        n = 16000 * mult
+        pcm = rng.integers(-2000, 2000, (n, 2)).astype(np.int16)
+        rows.append(("mp4 PCM (container walk)", f"{n}x2 s16",
+                     *bench(decode_mp4_audio, encode_mp4_pcm(pcm, 16000),
+                            n * 2 * 2)))
+    for h, w in ([(64, 64)] if QUICK else [(64, 64), (256, 256)]):
+        frames = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(8)]
+        m4 = encode_mp4_mjpeg(frames, quant=16)
+        rows.append(("mp4 MJPEG (JPEG-bound)", f"8x{h}x{w}",
+                     *bench(lambda b: list(iter_mp4_frames(b)), m4,
+                            8 * h * w * 3)))
+
     print(f"| format/path | size | decoded MB/s | decodes/s |")
     print(f"|---|---|---|---|")
     for name, size, mbs, ips in rows:
