@@ -67,6 +67,7 @@ _MAGIC = {
     "tiff_be": b"MM\x00*",
     "mp3": b"ID3",
     "flac": b"fLaC",
+    "y4m": b"YUV4MPEG2",
     "ogg": b"OggS",
     "pdf": b"%PDF",
     "parquet": b"PAR1",
@@ -1584,6 +1585,10 @@ def media_decoder(blob: bytes, _gzip_depth: int = 0) -> np.ndarray:
         from sif_spark.operators.mp4 import decode_mp4
 
         return decode_mp4(blob)
+    if blob[:9] == b"YUV4MPEG2":
+        from sif_spark.operators.video import decode_y4m
+
+        return decode_y4m(blob)
     if blob[:4] == b"fLaC":
         from sif_spark.operators.flac import decode_flac
 
@@ -1839,12 +1844,16 @@ def media_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
         from sif_spark.operators.mp4 import mp4_frame_decoder
 
         return mp4_frame_decoder(blob, every_n)
+    if blob[:9] == b"YUV4MPEG2":
+        from sif_spark.operators.video import y4m_frame_decoder
+
+        return y4m_frame_decoder(blob, every_n)
     if blob[:4] == b"fLaC":
         return flac_frame_decoder(blob, every_n)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return gif_frame_decoder(blob, every_n)
     raise NotImplementedError(
         "no built-in frame decoder for this format (built-ins cover "
-        "PCM WAV, FLAC, animated GIF, AVI MJPG/DIB, and MP4 "
-        "MJPEG/PCM): pass frame_decoder= with a real video codec"
+        "PCM WAV, FLAC, animated GIF, AVI MJPG/DIB, MP4 MJPEG/PCM, "
+        "and Y4M): pass frame_decoder= with a real video codec"
     )

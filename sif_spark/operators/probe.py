@@ -656,9 +656,22 @@ def probe_media(blob: bytes) -> dict:
         return probe_ogg(blob)
     if blob[4:8] in (b"ftyp", b"moov"):
         return probe_mp4(blob)
+    if blob[:9] == b"YUV4MPEG2":
+        from sif_spark.operators.video import parse_y4m
+
+        m = parse_y4m(blob)
+        return {
+            "format": "y4m",
+            "width": m["width"],
+            "height": m["height"],
+            "n_frames": m["n_frames"],
+            "duration_s": m["n_frames"] / m["fps"] if m["fps"] else None,
+            "codec": m["colorspace"],
+            "channels": 1 if m["colorspace"] == "Cmono" else 3,
+        }
     raise NotImplementedError(
         "no header probe for this format: built-ins cover "
-        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi/flac/mp3/mp4/ogg"
+        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi/flac/mp3/mp4/ogg/y4m"
     )
 
 

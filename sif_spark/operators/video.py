@@ -417,3 +417,188 @@ def encode_avi(
 
     riff_body = b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(idx))
     return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2): the standard UNCOMPRESSED video interchange format
+# (what ffmpeg/x264 pipelines pass between stages). Pure header + raw
+# planar YUV — no entropy coding anywhere, so decode is NumPy reshapes
+# plus one fixed-point BT.601 conversion and the whole format sits on
+# the vectorized side of the codec boundary (SCALE.md).
+# ---------------------------------------------------------------------------
+
+#: Supported colorspace tags → (chroma_x_div, chroma_y_div) plane
+#: geometry. The C420 family variants (jpeg/mpeg2/paldv) differ only
+#: in chroma SITING, which a nearest-neighbor upsample ignores.
+Y4M_COLORSPACES = {
+    "C420": (2, 2),
+    "C420jpeg": (2, 2),
+    "C420mpeg2": (2, 2),
+    "C420paldv": (2, 2),
+    "C422": (2, 1),
+    "C444": (1, 1),
+    "Cmono": (0, 0),
+}
+
+
+def yuv601_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Fixed-point ITU-R BT.601 limited-range YUV → RGB uint8 — the
+    standard integer video conversion (coefficients 298/409/100/208/
+    516, +128 rounding, >>8). Values are clamped to [0, 65535] BEFORE
+    the shift so the shift always acts on non-negative ints — this
+    makes the formula bit-identical between NumPy here and the integer
+    SQL the DuckDB oracle replays (floor-vs-truncate division on
+    negatives never arises)."""
+    c = 298 * (y.astype(np.int64) - 16)
+    d = u.astype(np.int64) - 128
+    e = v.astype(np.int64) - 128
+    def chan(expr):
+        return (np.clip(expr + 128, 0, 65535) >> 8).astype(np.uint8)
+    r = chan(c + 409 * e)
+    g = chan(c - 100 * d - 208 * e)
+    b = chan(c + 516 * d)
+    return np.stack([r, g, b], axis=2)
+
+
+def parse_y4m(blob: bytes) -> dict:
+    """Stream header → {width, height, fps, colorspace, n_frames,
+    data_offset, frame_bytes}. Every field is attacker-controlled:
+    dims pass the shared pixel budget, and the frame count derives
+    from the physical length (never a declared count)."""
+    if blob[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = blob.find(b"\n", 9)
+    if nl < 0 or nl > 512:
+        raise ValueError("unterminated/oversized Y4M stream header")
+    w = h = 0
+    fps = None
+    cs = "C420jpeg"  # the spec default when no C tag is present
+    for tag in blob[9:nl].decode("latin-1").split():
+        if tag[:1] == "W":
+            w = int(tag[1:])
+        elif tag[:1] == "H":
+            h = int(tag[1:])
+        elif tag[:1] == "F":
+            num, den = tag[1:].split(":")
+            if int(den) == 0:
+                raise ValueError("Y4M frame rate with zero denominator")
+            fps = int(num) / int(den)
+        elif tag[:1] == "C":
+            cs = tag
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cs not in Y4M_COLORSPACES:
+        raise NotImplementedError(
+            f"no built-in layout for Y4M colorspace {cs!r}: built-ins "
+            f"cover {sorted(Y4M_COLORSPACES)}"
+        )
+    _check_pixel_budget(w, h)
+    cx, cy = Y4M_COLORSPACES[cs]
+    if cx and (w % cx or h % cy):
+        raise ValueError(f"Y4M {cs} dims must be multiples of ({cx},{cy})")
+    frame_bytes = w * h + (2 * (w // cx) * (h // cy) if cx else 0)
+    n = 0
+    pos = nl + 1
+    while pos < len(blob):
+        fnl = blob.find(b"\n", pos)
+        if blob[pos : pos + 5] != b"FRAME" or fnl < 0:
+            raise ValueError("malformed Y4M FRAME marker")
+        if fnl + 1 + frame_bytes > len(blob):
+            raise ValueError("truncated Y4M frame payload")
+        n += 1
+        pos = fnl + 1 + frame_bytes
+    return {
+        "format": "y4m",
+        "width": w,
+        "height": h,
+        "fps": fps,
+        "colorspace": cs,
+        "n_frames": n,
+        "data_offset": nl + 1,
+        "frame_bytes": frame_bytes,
+    }
+
+
+def iter_y4m_frames(blob: bytes) -> Iterator[np.ndarray]:
+    """Yield each frame as (H, W, 3) RGB uint8: planar YUV reshape,
+    nearest-neighbor chroma upsample, fixed-point BT.601 conversion
+    (Cmono replicates luma across channels, no conversion)."""
+    m = parse_y4m(blob)
+    w, h, fb = m["width"], m["height"], m["frame_bytes"]
+    cx, cy = Y4M_COLORSPACES[m["colorspace"]]
+    pos = m["data_offset"]
+    for _ in range(m["n_frames"]):
+        pos = blob.find(b"\n", pos) + 1  # past the FRAME marker
+        data = np.frombuffer(blob, np.uint8, fb, pos)
+        ypl = data[: w * h].reshape(h, w)
+        if cx == 0:
+            yield np.repeat(ypl[:, :, None], 3, axis=2)
+        else:
+            cw, ch = w // cx, h // cy
+            u = data[w * h : w * h + cw * ch].reshape(ch, cw)
+            v = data[w * h + cw * ch :].reshape(ch, cw)
+            if cx > 1 or cy > 1:
+                u = np.repeat(np.repeat(u, cy, axis=0), cx, axis=1)
+                v = np.repeat(np.repeat(v, cy, axis=0), cx, axis=1)
+            yield yuv601_to_rgb(ypl, u, v)
+        pos += fb
+
+
+def decode_y4m(blob: bytes) -> np.ndarray:
+    """First frame → (H, W, 3) RGB uint8 (the media_decoder still-
+    image contract, mirroring decode_avi/decode_gif)."""
+    for frame in iter_y4m_frames(blob):
+        return frame
+    raise ValueError("Y4M stream contains no frames")
+
+
+def y4m_frame_decoder(blob: bytes, every_n: int) -> list[bytes]:
+    """`sample_frames` contract for Y4M: every_n-th frame as a
+    standalone P6 PPM blob (the avi_frame_decoder hand-off)."""
+    frames = [encode_ppm(f) for f in iter_y4m_frames(blob)]
+    return frames[::every_n] if frames else []
+
+
+def encode_y4m(
+    y_planes,
+    u_planes=None,
+    v_planes=None,
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "C444",
+) -> bytes:
+    """Author a Y4M stream from RAW planes (uint8 arrays; chroma plane
+    dims must match the colorspace geometry; Cmono takes luma only) —
+    tests supply closed-form planes so decode is exactly predictable."""
+    if colorspace not in Y4M_COLORSPACES:
+        raise ValueError(f"colorspace must be one of {sorted(Y4M_COLORSPACES)}")
+    cx, cy = Y4M_COLORSPACES[colorspace]
+    y_planes = [np.asarray(p, dtype=np.uint8) for p in y_planes]
+    if not y_planes:
+        raise ValueError("Y4M needs at least one frame")
+    h, w = y_planes[0].shape
+    if cx and (w % cx or h % cy):
+        raise ValueError(f"{colorspace} dims must be multiples of ({cx},{cy})")
+    if cx == 0:
+        u_planes = v_planes = [None] * len(y_planes)
+    elif u_planes is None or v_planes is None or not (
+        len(u_planes) == len(v_planes) == len(y_planes)
+    ):
+        raise ValueError("chroma plane lists must parallel the luma list")
+    hdr = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    ).encode("latin-1")
+    out = bytearray(hdr)
+    for ypl, u, v in zip(y_planes, u_planes, v_planes):
+        if ypl.shape != (h, w):
+            raise ValueError("Y4M frames must share one size")
+        out += b"FRAME\n" + ypl.tobytes()
+        if cx:
+            cw, ch = w // cx, h // cy
+            u = np.asarray(u, dtype=np.uint8)
+            v = np.asarray(v, dtype=np.uint8)
+            if u.shape != (ch, cw) or v.shape != (ch, cw):
+                raise ValueError(
+                    f"{colorspace} chroma planes must be ({ch},{cw})"
+                )
+            out += u.tobytes() + v.tobytes()
+    return bytes(out)

@@ -3071,6 +3071,107 @@ ORDER BY doc_id
 """
 
 
+def q131_y4m_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y4M (YUV4MPEG2) uncompressed-video sampling under the oracle
+    (round 8): 30 docs each get a 5-frame C420jpeg stream (16×24,
+    closed-form Y/U/V planes), sampled every 2nd frame through
+    `sample_frames`' default sniffed decoder. The gate covers the
+    stream-header parse, the planar frame walk, the 2×2 nearest
+    chroma upsample, and — pixel by pixel — the fixed-point BT.601
+    integer conversion (298/409/100/208/516, +128, clamp-then->>8),
+    which the DuckDB oracle replays EXACTLY because the clamp happens
+    before the shift (both engines divide non-negative ints; see
+    video.yuv601_to_rgb).
+
+    Scale shape: generate → sample_frames → digest are three chained
+    Arrow-batched mapInPandas stages; Y4M decode is pure NumPy
+    reshape + one integer matrix formula (the vectorized side of the
+    codec boundary — SCALE.md), so a 100 TB frame-extraction pass is
+    scan-bound. Only shuffle: the 90-row orderBy."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import multimodal as mm
+    from sif_spark.operators import video as vv
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 30)
+    )
+    H, W = 16, 24
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ys, us, vs = [], [], []
+                r, i = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+                cr, ci = np.meshgrid(
+                    np.arange(H // 2), np.arange(W // 2), indexing="ij"
+                )
+                for k in range(5):
+                    ys.append(((did + 7 * k + 3 * r + 5 * i) % 256).astype(np.uint8))
+                    us.append(((did + 11 * k + 2 * cr + 3 * ci) % 256).astype(np.uint8))
+                    vs.append(((did + 13 * k + 5 * cr + 7 * ci) % 256).astype(np.uint8))
+                recs.append(
+                    (did, vv.encode_y4m(ys, us, vs, colorspace="C420jpeg"))
+                )
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    sampled = mm.sample_frames(blobs, "blob", "doc_id", every_n=2)
+
+    def digest(batches):
+        for pdf in batches:
+            recs = []
+            for did, j, fr in zip(pdf["doc_id"], pdf["frame_idx"], pdf["frame"]):
+                arr = mm.decode_ppm(bytes(fr)).astype(np.int64)
+                y, x, c = np.meshgrid(
+                    np.arange(arr.shape[0]),
+                    np.arange(arr.shape[1]),
+                    np.arange(arr.shape[2]),
+                    indexing="ij",
+                )
+                recs.append(
+                    (int(did), int(j), int((arr * (1 + x + 2 * y + 4 * c)).sum()))
+                )
+            yield pd.DataFrame(recs, columns=["doc_id", "frame_idx", "digest"])
+
+    return sampled.mapInPandas(
+        digest, "doc_id long, frame_idx int, digest long"
+    ).orderBy("doc_id", "frame_idx")
+
+
+# Sampled frame j is original frame k=2j. Planes: Y=(did+14j+3r+5i)%256,
+# U=(did+22j+2(r//2)+3(i//2))%256, V=(did+26j+5(r//2)+7(i//2))%256.
+# Conversion: c=298(Y-16), d=U-128, e=V-128; each channel clamps
+# c+<coef> to [0,65535] BEFORE dividing by 256, so DuckDB's integer
+# division replays NumPy's >>8 bit-for-bit. Weights: R 1+i+2r,
+# G 5+i+2r, B 9+i+2r.
+ORACLE_Q131 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+ke AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2),
+px AS (
+  SELECT d.doc_id, ke.j, y.r, x.i,
+         298*(((d.doc_id + 14*ke.j + 3*y.r + 5*x.i) % 256) - 16) AS c,
+         ((d.doc_id + 22*ke.j + 2*(y.r // 2) + 3*(x.i // 2)) % 256) - 128 AS du,
+         ((d.doc_id + 26*ke.j + 5*(y.r // 2) + 7*(x.i // 2)) % 256) - 128 AS ev
+  FROM d, ke, range(16) AS y(r), range(24) AS x(i)
+)
+SELECT doc_id, CAST(j AS INT) AS frame_idx,
+       CAST(SUM(
+           (LEAST(GREATEST(c + 409*ev + 128, 0), 65535) // 256) * (1 + i + 2*r)
+         + (LEAST(GREATEST(c - 100*du - 208*ev + 128, 0), 65535) // 256) * (5 + i + 2*r)
+         + (LEAST(GREATEST(c + 516*du + 128, 0), 65535) // 256) * (9 + i + 2*r)
+       ) AS BIGINT) AS digest
+FROM px
+GROUP BY doc_id, j
+ORDER BY doc_id, frame_idx
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3114,6 +3215,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128_scene_cuts": q128_scene_cuts,
     "q129_mp4_sampling": q129_mp4_sampling,
     "q130_span_dedup": q130_span_dedup,
+    "q131_y4m_sampling": q131_y4m_sampling,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3163,4 +3265,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q128_scene_cuts": ORACLE_Q128,
     "q129_mp4_sampling": ORACLE_Q129,
     "q130_span_dedup": ORACLE_Q130,
+    "q131_y4m_sampling": ORACLE_Q131,
 }

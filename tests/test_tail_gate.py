@@ -100,6 +100,7 @@ TAIL = [
     "q128_scene_cuts",
     "q129_mp4_sampling",
     "q130_span_dedup",
+    "q131_y4m_sampling",
 ]
 
 

@@ -230,3 +230,115 @@ def test_scene_cuts_finds_exact_boundary(spark):
                         np.full((2, 2, 3), 7, np.uint8)) == 84
     with pytest.raises(ValueError, match="shapes differ"):
         vv.frame_sad(np.zeros((2, 2, 3)), np.zeros((3, 2, 3)))
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2)
+# ---------------------------------------------------------------------------
+
+
+def _yuv_planes(rng, n, h, w, cx, cy):
+    ys = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(n)]
+    if cx == 0:
+        return ys, None, None
+    us = [rng.integers(0, 256, (h // cy, w // cx), dtype=np.uint8) for _ in range(n)]
+    vs = [rng.integers(0, 256, (h // cy, w // cx), dtype=np.uint8) for _ in range(n)]
+    return ys, us, vs
+
+
+@pytest.mark.parametrize(
+    "cs,cx,cy", [("C444", 1, 1), ("C422", 2, 1), ("C420jpeg", 2, 2), ("Cmono", 0, 0)]
+)
+def test_y4m_roundtrip_colorspaces(cs, cx, cy):
+    """Every supported plane geometry decodes to exactly the reference
+    conversion: nearest chroma upsample + fixed-point BT.601 (Cmono:
+    luma replicated, untouched)."""
+    rng = np.random.default_rng(21)
+    ys, us, vs = _yuv_planes(rng, 3, 4, 6, cx, cy)
+    blob = vv.encode_y4m(ys, us, vs, colorspace=cs)
+    m = vv.parse_y4m(blob)
+    assert (m["width"], m["height"], m["n_frames"], m["colorspace"]) == (6, 4, 3, cs)
+    frames = list(vv.iter_y4m_frames(blob))
+    assert len(frames) == 3
+    for i, f in enumerate(frames):
+        if cx == 0:
+            exp = np.repeat(ys[i][:, :, None], 3, axis=2)
+        else:
+            u = np.repeat(np.repeat(us[i], cy, axis=0), cx, axis=1)
+            v = np.repeat(np.repeat(vs[i], cy, axis=0), cx, axis=1)
+            exp = vv.yuv601_to_rgb(ys[i], u, v)
+        assert np.array_equal(f, exp)
+
+
+def test_yuv601_reference_values():
+    """Fixed-point BT.601 pinned against hand-computed spec values:
+    limited-range black/white and a pure-red chroma point."""
+    y = np.array([[16, 235, 81]], np.uint8)
+    u = np.array([[128, 128, 90]], np.uint8)
+    v = np.array([[128, 128, 240]], np.uint8)
+    rgb = vv.yuv601_to_rgb(y, u, v)
+    assert rgb[0, 0].tolist() == [0, 0, 0]        # video black
+    assert rgb[0, 1].tolist() == [255, 255, 255]  # video white
+    # Y=81,U=90,V=240 is the classic 75%-red test point:
+    # R=(298*65+409*112+128)>>8=255 (clamped 254.9→254? compute exact)
+    c, d, e = 298 * (81 - 16), 90 - 128, 240 - 128
+    exp = [
+        min(255, max(0, (c + 409 * e + 128) >> 8)),
+        min(255, max(0, (c - 100 * d - 208 * e + 128) >> 8)),
+        min(255, max(0, (c + 516 * d + 128) >> 8)),
+    ]
+    assert rgb[0, 2].tolist() == exp
+
+
+def test_y4m_typed_errors():
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        vv.parse_y4m(b"nope")
+    with pytest.raises(ValueError, match="missing W/H"):
+        vv.parse_y4m(b"YUV4MPEG2 F25:1\n")
+    with pytest.raises(NotImplementedError, match="C411"):
+        vv.parse_y4m(b"YUV4MPEG2 W8 H8 C411\n")
+    with pytest.raises(ValueError, match="multiples"):
+        vv.parse_y4m(b"YUV4MPEG2 W7 H4 C420jpeg\n")
+    # truncated frame payload
+    good = vv.encode_y4m([np.zeros((4, 4), np.uint8)], colorspace="Cmono")
+    with pytest.raises(ValueError, match="truncated"):
+        vv.parse_y4m(good[:-3])
+    with pytest.raises(ValueError, match="zero denominator"):
+        vv.parse_y4m(b"YUV4MPEG2 W4 H4 F25:0 Cmono\n")
+
+
+def test_y4m_mutation_fuzz_never_hangs():
+    rng = np.random.default_rng(22)
+    ys, us, vs = _yuv_planes(rng, 3, 8, 8, 2, 2)
+    base = bytearray(vv.encode_y4m(ys, us, vs, colorspace="C420"))
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            for _ in vv.iter_y4m_frames(bytes(b)):
+                pass
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_y4m_spark_dispatch(spark):
+    """sniff_format labels Y4M; sample_frames' default decoder and
+    probe_media both walk it end-to-end over Spark."""
+    from sif_spark.operators.probe import probe_media
+
+    rng = np.random.default_rng(23)
+    ys, us, vs = _yuv_planes(rng, 4, 4, 6, 1, 1)
+    blob = vv.encode_y4m(ys, us, vs, fps=(30, 1), colorspace="C444")
+    df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
+    assert df.select(mm.sniff_format("blob")).collect()[0][0] == "y4m"
+    out = mm.sample_frames(df, "blob", "doc_id", every_n=2)
+    rows = sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in out.collect())
+    assert [(d, j) for d, j, _ in rows] == [(1, 0), (1, 1)]
+    u0 = np.repeat(np.repeat(us[2], 1, axis=0), 1, axis=1)
+    assert np.array_equal(
+        mm.decode_ppm(rows[1][2]), vv.yuv601_to_rgb(ys[2], us[2], vs[2])
+    )
+    p = probe_media(blob)
+    assert (p["format"], p["width"], p["height"], p["n_frames"]) == ("y4m", 6, 4, 4)
+    assert p["codec"] == "C444" and p["duration_s"] == 4 / 30
