@@ -3172,6 +3172,98 @@ ORDER BY doc_id, frame_idx
 """
 
 
+def q132_srt_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle parsing + transcript-window alignment under the oracle
+    (round 8): 40 docs each BUILD a 3-cue SRT transcript as a JVM
+    expression (closed-form timestamps, multi-line payloads with a
+    variable word count), then `srt_cues` parses it back and
+    `align_cues_to_windows` fans each cue over the 2-second media
+    windows it overlaps — the join key for pairing transcripts with
+    `sample_frames` output. The oracle recomputes cue times, window
+    spans, and token counts in closed form, so the block split, the
+    HH:MM:SS,mmm arithmetic, the payload join, and the window
+    arithmetic are all value-gated.
+
+    Scale shape: THIS ENTRY IS 100% WHOLE-STAGE CODEGEN — the SRT
+    build, the parse, and the alignment are expression trees; the only
+    Python is the query definition, the only shuffle the per-doc cue
+    numbering window (partitioned by doc) and the final orderBy. A
+    100 TB transcript corpus parses scan-bound."""
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def ts(ms):
+        return F.format_string(
+            "%02d:%02d:%02d,%03d",
+            (ms / 3600000).cast("int"),
+            ((ms / 60000) % 60).cast("int"),
+            ((ms / 1000) % 60).cast("int"),
+            (ms % 1000).cast("int"),
+        )
+
+    did = F.col("doc_id")
+
+    def block(c):
+        start = did * 997 + c * 3000
+        end = start + F.lit(1500 + 100 * c)
+        words = F.trim(
+            F.repeat(F.lit("w "), (F.lit(c) + did % 3 + 1).cast("int"))
+        )
+        return F.format_string(
+            "%d\n%s --> %s\n%s\ndoc %d",
+            F.lit(c + 1),
+            ts(start),
+            ts(end),
+            words,
+            did,
+        )
+
+    srt = d.select(
+        "doc_id",
+        F.concat_ws("\n\n", block(0), block(1), block(2)).alias("srt"),
+    )
+    from sif_spark.operators.subtitles import align_cues_to_windows, srt_cues
+    from sif_spark.operators.text import token_count
+
+    cues = srt_cues(srt, "srt", "doc_id")
+    aligned = align_cues_to_windows(cues, window_ms=2000)
+    return aligned.select(
+        "doc_id",
+        "cue_idx",
+        "start_ms",
+        "end_ms",
+        "window_idx",
+        token_count(F.col("text")).alias("n_tokens"),
+    ).orderBy("doc_id", "cue_idx", "window_idx")
+
+
+# Cue c of doc d: start = 997d + 3000c, end = start + 1500 + 100c,
+# payload = (c + d%3 + 1) 'w' tokens + "doc <d>" (2 more tokens).
+# Window w covers [2000w, 2000(w+1)); a cue spans floor(start/2000)
+# .. floor((end-1)/2000).
+ORACLE_Q132 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+cue AS (
+  SELECT d.doc_id, c.c AS cue_idx,
+         d.doc_id * 997 + c.c * 3000 AS start_ms,
+         d.doc_id * 997 + c.c * 3000 + 1500 + 100 * c.c AS end_ms,
+         c.c + d.doc_id % 3 + 3 AS n_tokens
+  FROM d, range(3) AS c(c)
+)
+SELECT doc_id, CAST(cue_idx AS INT) AS cue_idx,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       CAST(end_ms AS BIGINT) AS end_ms,
+       CAST(w.w AS BIGINT) AS window_idx,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM cue, range(0, 100) AS w(w)
+WHERE w.w BETWEEN start_ms // 2000 AND (end_ms - 1) // 2000
+ORDER BY doc_id, cue_idx, window_idx
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3216,6 +3308,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q129_mp4_sampling": q129_mp4_sampling,
     "q130_span_dedup": q130_span_dedup,
     "q131_y4m_sampling": q131_y4m_sampling,
+    "q132_srt_alignment": q132_srt_alignment,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3266,4 +3359,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q129_mp4_sampling": ORACLE_Q129,
     "q130_span_dedup": ORACLE_Q130,
     "q131_y4m_sampling": ORACLE_Q131,
+    "q132_srt_alignment": ORACLE_Q132,
 }

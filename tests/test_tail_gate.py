@@ -101,6 +101,7 @@ TAIL = [
     "q129_mp4_sampling",
     "q130_span_dedup",
     "q131_y4m_sampling",
+    "q132_srt_alignment",
 ]
 
 
