@@ -108,6 +108,137 @@ def _mp3_frame(blob: bytes, pos: int) -> tuple[int, int, int, int] | None:
     return nbytes, samples, rate, channels
 
 
+def _syncsafe(b: bytes) -> int:
+    sz = 0
+    for x in b:
+        if x & 0x80:
+            raise ValueError("ID3v2 syncsafe byte has the sync bit set")
+        sz = (sz << 7) | x
+    return sz
+
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def id3_tags(blob: bytes) -> dict[str, str]:
+    """ID3v2 TEXT frames (the audio-corpus curation metadata: TIT2
+    title, TPE1 artist, TALB album, TDRC/TYER year, TCON genre, ...)
+    → {frame_id: text}. Supports v2.2 (3-byte ids/sizes), v2.3 (plain
+    frame sizes), and v2.4 (syncsafe frame sizes); all four spec text
+    encodings (latin-1 / UTF-16 BOM / UTF-16BE / UTF-8); stops at
+    padding. Returns {} when the blob carries no ID3v2 tag. Every
+    size is attacker-controlled and bounds-checked; malformed frames
+    raise typed ValueError (the `on_error` contract)."""
+    if blob[:3] != b"ID3":
+        return {}
+    if len(blob) < 10:
+        raise ValueError("truncated ID3v2 header")
+    ver = blob[3]
+    if ver not in (2, 3, 4):
+        raise ValueError(f"unsupported ID3v2.{ver} tag")
+    end = 10 + _syncsafe(blob[6:10])
+    if end > len(blob):
+        raise ValueError("ID3v2 tag runs past the buffer")
+    pos = 10
+    if blob[5] & 0x40:  # extended header present
+        if pos + 4 > end:
+            raise ValueError("truncated ID3v2 extended header")
+        ehs = (
+            _syncsafe(blob[pos : pos + 4])
+            if ver == 4
+            else int.from_bytes(blob[pos : pos + 4], "big") + 4
+        )
+        pos += ehs
+    id_len, sz_len, hdr_len = (3, 3, 6) if ver == 2 else (4, 4, 10)
+    out: dict[str, str] = {}
+    while pos + hdr_len <= end:
+        fid = blob[pos : pos + id_len]
+        if fid[0] == 0:  # padding
+            break
+        raw = blob[pos + id_len : pos + id_len + sz_len]
+        fsz = (
+            _syncsafe(raw)
+            if ver == 4
+            else int.from_bytes(raw, "big")
+        )
+        body = pos + hdr_len
+        if body + fsz > end:
+            raise ValueError(f"ID3v2 frame {fid!r} runs past the tag")
+        if fid[:1] == b"T" and fsz >= 1:
+            enc = blob[body]
+            codec = _ID3_ENCODINGS.get(enc)
+            if codec is None:
+                raise ValueError(f"ID3v2 text frame with encoding {enc}")
+            try:
+                text = blob[body + 1 : body + fsz].decode(codec)
+            except UnicodeDecodeError as e:
+                raise ValueError(f"undecodable ID3v2 text frame: {e}") from None
+            out[fid.decode("latin-1")] = text.rstrip("\x00")
+        pos = body + fsz
+    return out
+
+
+def encode_id3(tags: dict[str, str], version: int = 4) -> bytes:
+    """Author an ID3v2.3/v2.4 tag from text frames (test collateral
+    for id3_tags — v4 writes UTF-8, v3 writes UTF-16 with BOM so both
+    multi-byte encodings are exercised)."""
+    if version not in (3, 4):
+        raise ValueError("encode_id3 writes v2.3 or v2.4")
+
+    def syncsafe(n: int) -> bytes:
+        return bytes((n >> s) & 0x7F for s in (21, 14, 7, 0))
+
+    frames = b""
+    for fid, val in tags.items():
+        if len(fid) != 4:
+            raise ValueError(f"frame id must be 4 chars, got {fid!r}")
+        payload = (
+            b"\x03" + val.encode("utf-8")
+            if version == 4
+            else b"\x01" + val.encode("utf-16")
+        )
+        size = syncsafe(len(payload)) if version == 4 else len(payload).to_bytes(4, "big")
+        frames += fid.encode("latin-1") + size + b"\x00\x00" + payload
+    return b"ID3" + bytes([version, 0, 0]) + syncsafe(len(frames)) + frames
+
+
+def attach_id3(
+    df: DataFrame, blob_col: str, id_col: str, on_error: str = "null"
+) -> DataFrame:
+    """(id, id3: map<string,string>) via Arrow-batched mapInPandas —
+    text-frame metadata for audio-corpus curation (dedup by
+    title+artist, language/genre stratification). Blobs without a tag
+    yield an empty map; malformed tags follow ``on_error``."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField(
+                "id3", T.MapType(T.StringType(), T.StringType()), True
+            ),
+        ]
+    )
+
+    def one(b):
+        if b is None:
+            return None
+        try:
+            return id3_tags(bytes(b))
+        except (ValueError, NotImplementedError):
+            if on_error == "null":
+                return None
+            raise
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "id3": [one(b) for b in pdf[blob_col]]}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, out_schema)
+
+
 def probe_mp3(blob: bytes) -> dict:
     """Walk every MPEG audio frame (after an ID3v2 skip): frame count,
     total duration, sample rate, channel count. Requires >= 2 valid

@@ -3264,6 +3264,74 @@ ORDER BY doc_id, cue_idx, window_idx
 """
 
 
+def q133_id3_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 metadata curation under the oracle (round 8): 40 docs get
+    an mp3 blob — most carry an ID3 tag (v2.4/UTF-8 for even doc_ids,
+    v2.3/UTF-16 for odd — both multi-byte spec encodings under the
+    gate) with closed-form title/artist/track frames; doc_id % 10 == 7
+    ships bare frames with NO tag (empty map → NULL fields, the
+    tolerance path). `attach_id3` extracts the text frames and the
+    entry projects the curation columns a dedup/stratification stage
+    keys on. The oracle recomputes every field in closed form,
+    including the NULL rows.
+
+    Scale shape: generate → attach_id3 are two Arrow-batched
+    mapInPandas stages reading O(tag) bytes per blob; only shuffle is
+    the 40-row orderBy."""
+    import pandas as pd
+
+    from sif_spark.operators.probe import attach_id3, encode_id3, encode_mp3_frames
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = encode_mp3_frames(3)
+                if did % 10 == 7:
+                    blob = frames
+                else:
+                    tags = {
+                        "TIT2": f"title {did}",
+                        "TPE1": f"artist {did % 5}",
+                        "TRCK": str(did),
+                    }
+                    blob = encode_id3(tags, 4 if did % 2 == 0 else 3) + frames
+                recs.append((did, blob))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    tagged = attach_id3(blobs, "blob", "doc_id")
+    return tagged.select(
+        "doc_id",
+        F.col("id3")["TIT2"].alias("title"),
+        F.col("id3")["TPE1"].alias("artist"),
+        F.col("id3")["TRCK"].alias("track"),
+        F.size("id3").alias("n_frames"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q133 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 7 THEN NULL
+            ELSE 'title ' || doc_id END AS title,
+       CASE WHEN doc_id % 10 = 7 THEN NULL
+            ELSE 'artist ' || (doc_id % 5) END AS artist,
+       CASE WHEN doc_id % 10 = 7 THEN NULL
+            ELSE CAST(doc_id AS VARCHAR) END AS track,
+       CAST(CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 3 END AS INT) AS n_frames
+FROM documents
+WHERE doc_id < 40
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3309,6 +3377,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_span_dedup": q130_span_dedup,
     "q131_y4m_sampling": q131_y4m_sampling,
     "q132_srt_alignment": q132_srt_alignment,
+    "q133_id3_curation": q133_id3_curation,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3360,4 +3429,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q130_span_dedup": ORACLE_Q130,
     "q131_y4m_sampling": ORACLE_Q131,
     "q132_srt_alignment": ORACLE_Q132,
+    "q133_id3_curation": ORACLE_Q133,
 }

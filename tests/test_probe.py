@@ -266,3 +266,69 @@ def test_auto_orient_roundtrip_all_orientations():
     assert io.auto_orient(u, None) is u
     with pytest.raises(ValueError, match="1-8"):
         io.auto_orient(u, 9)
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 text frames
+# ---------------------------------------------------------------------------
+
+
+def test_id3_roundtrip_v3_v4_and_no_tag():
+    from sif_spark.operators.probe import encode_id3, encode_mp3_frames, id3_tags
+
+    tags = {"TIT2": "Hello World", "TPE1": "Ärtist ünïcode", "TRCK": "7"}
+    for v in (3, 4):  # v3 = UTF-16 BOM frames, v4 = UTF-8 frames
+        blob = encode_id3(tags, v) + encode_mp3_frames(2)
+        assert id3_tags(blob) == tags
+    assert id3_tags(encode_mp3_frames(2)) == {}
+
+
+def test_id3_v22_hand_assembled_spec_bytes():
+    """An ID3v2.2 tag typed out from the spec (3-byte ids and sizes,
+    latin-1 text) — independent of the encoder, which only writes
+    v2.3/v2.4."""
+    from sif_spark.operators.probe import id3_tags
+
+    # TT2 (v2.2 title): size 6 = encoding byte + "Hello"
+    frame = b"TT2" + (6).to_bytes(3, "big") + b"\x00Hello"
+    body = frame + bytes(10)  # padding stops the walk
+    hdr = b"ID3\x02\x00\x00" + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+         (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+    )
+    assert id3_tags(hdr + body) == {"TT2": "Hello"}
+
+
+def test_id3_typed_errors():
+    from sif_spark.operators.probe import encode_id3, id3_tags
+
+    good = bytearray(encode_id3({"TIT2": "x"}, 4))
+    # frame size past the tag end
+    bad = bytearray(good)
+    bad[14:18] = b"\x7f\x7f\x7f\x7f"
+    with pytest.raises(ValueError, match="runs past"):
+        id3_tags(bytes(bad))
+    # unknown text encoding byte
+    bad2 = bytearray(good)
+    bad2[20] = 9
+    with pytest.raises(ValueError, match="encoding 9"):
+        id3_tags(bytes(bad2))
+    with pytest.raises(ValueError, match="truncated ID3v2 header"):
+        id3_tags(b"ID3\x04")
+
+
+def test_attach_id3_spark(spark):
+    from sif_spark.operators.probe import attach_id3, encode_id3, encode_mp3_frames
+
+    ok = encode_id3({"TIT2": "t1", "TPE1": "a"}, 4) + encode_mp3_frames(2)
+    none = encode_mp3_frames(2)
+    broken = b"ID3\x04\x00\x00\x7f\x7f\x7f\x7f"  # declared tag > buffer
+    df = spark.createDataFrame(
+        [(1, ok), (2, none), (3, broken)], "doc_id long, blob binary"
+    )
+    rows = {r["doc_id"]: r["id3"] for r in attach_id3(df, "blob", "doc_id").collect()}
+    assert rows[1] == {"TIT2": "t1", "TPE1": "a"}
+    assert rows[2] == {}
+    assert rows[3] is None  # on_error="null"
+    with pytest.raises(Exception):
+        attach_id3(df, "blob", "doc_id", on_error="raise").collect()

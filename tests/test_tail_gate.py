@@ -102,6 +102,7 @@ TAIL = [
     "q130_span_dedup",
     "q131_y4m_sampling",
     "q132_srt_alignment",
+    "q133_id3_curation",
 ]
 
 
