@@ -68,6 +68,7 @@ _MAGIC = {
     "mp3": b"ID3",
     "flac": b"fLaC",
     "y4m": b"YUV4MPEG2",
+    "mkv": b"\x1aE\xdf\xa3",  # EBML (matroska/webm)
     "ogg": b"OggS",
     "pdf": b"%PDF",
     "parquet": b"PAR1",

@@ -460,6 +460,189 @@ def encode_mp4_stub(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML, RFC 8794 + the Matroska element registry):
+# header probe only — vint walk through Segment > Info (timescale,
+# duration) and Tracks > TrackEntry (codec, dims / rate+channels).
+# Payload decode (VP8/VP9/AV1/H.264, Vorbis/Opus) stays behind the
+# injected-codec gate; the CONTAINER walk is pure public-spec
+# arithmetic like the MP4 box walk above.
+# ---------------------------------------------------------------------------
+
+_EBML_MAGIC = b"\x1aE\xdf\xa3"
+
+
+def _ebml_vint(blob: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Parse one EBML variable-length integer at pos → (value,
+    next_pos). Element IDs keep the length-marker bit (the registry
+    keys include it); sizes strip it. All-ones size payload means
+    "unknown size" → returned as -1."""
+    if pos >= len(blob):
+        raise ValueError("EBML vint past the buffer")
+    first = blob[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint lead byte 0x00")
+    length = 9 - first.bit_length()
+    if pos + length > len(blob):
+        raise ValueError("truncated EBML vint")
+    raw = int.from_bytes(blob[pos : pos + length], "big")
+    if keep_marker:
+        return raw, pos + length
+    val = raw - (1 << (7 * length))
+    if val == (1 << (7 * length)) - 1:
+        return -1, pos + length  # unknown-size element
+    return val, pos + length
+
+
+def _ebml_walk(blob: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for each child in
+    [pos, end). Unknown-size elements extend to the enclosure end
+    (legal only for Segment/Cluster; tolerated generally)."""
+    while pos < end:
+        eid, pos = _ebml_vint(blob, pos, keep_marker=True)
+        size, pos = _ebml_vint(blob, pos, keep_marker=False)
+        body_end = end if size < 0 else pos + size
+        if body_end > end:
+            raise ValueError(f"EBML element 0x{eid:x} runs past the buffer")
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def _ebml_uint(blob: bytes, a: int, b: int) -> int:
+    if b - a > 8:
+        raise ValueError("oversized EBML uint")
+    return int.from_bytes(blob[a:b], "big")
+
+
+def _ebml_float(blob: bytes, a: int, b: int) -> float:
+    import struct
+
+    if b - a == 4:
+        return struct.unpack(">f", blob[a:b])[0]
+    if b - a == 8:
+        return struct.unpack(">d", blob[a:b])[0]
+    raise ValueError("EBML float must be 4 or 8 bytes")
+
+
+def probe_mkv(blob: bytes) -> dict:
+    """DocType (matroska/webm), duration (TimestampScale x Duration),
+    first video track's CodecID + PixelWidth/PixelHeight, or first
+    audio track's CodecID + SamplingFrequency/Channels."""
+    if blob[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML stream")
+    out: dict = {"format": "mkv"}
+    timescale = 1_000_000  # Matroska default: ns per timestamp tick
+    duration_ticks = None
+
+    def walk_track(a: int, b: int) -> None:
+        ttype = None
+        fields: dict = {}
+        for eid, x, y in _ebml_walk(blob, a, b):
+            if eid == 0x83:  # TrackType: 1=video, 2=audio
+                ttype = _ebml_uint(blob, x, y)
+            elif eid == 0x86:  # CodecID
+                fields["codec"] = blob[x:y].decode("latin-1").rstrip("\x00")
+            elif eid == 0xE0:  # Video
+                for eid2, p, q in _ebml_walk(blob, x, y):
+                    if eid2 == 0xB0:
+                        fields["width"] = _ebml_uint(blob, p, q)
+                    elif eid2 == 0xBA:
+                        fields["height"] = _ebml_uint(blob, p, q)
+            elif eid == 0xE1:  # Audio
+                for eid2, p, q in _ebml_walk(blob, x, y):
+                    if eid2 == 0xB5:
+                        fields["sample_rate"] = int(_ebml_float(blob, p, q))
+                    elif eid2 == 0x9F:
+                        fields["channels"] = _ebml_uint(blob, p, q)
+        if ttype == 1 and "width" not in out:
+            out.update(fields)
+        elif ttype == 2 and "sample_rate" not in out and "width" not in out:
+            out.update(fields)
+
+    for eid, a, b in _ebml_walk(blob, 0, len(blob)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for eid2, x, y in _ebml_walk(blob, a, b):
+                if eid2 == 0x4282:  # DocType
+                    out["format"] = blob[x:y].decode("latin-1").rstrip("\x00")
+        elif eid == 0x18538067:  # Segment
+            for eid2, x, y in _ebml_walk(blob, a, b):
+                if eid2 == 0x1549A966:  # Info
+                    for eid3, p, q in _ebml_walk(blob, x, y):
+                        if eid3 == 0x2AD7B1:
+                            timescale = _ebml_uint(blob, p, q)
+                        elif eid3 == 0x4489:
+                            duration_ticks = _ebml_float(blob, p, q)
+                elif eid2 == 0x1654AE6B:  # Tracks
+                    for eid3, p, q in _ebml_walk(blob, x, y):
+                        if eid3 == 0xAE:  # TrackEntry
+                            walk_track(p, q)
+    if out.get("format") == "mkv" and len(out) == 1:
+        raise ValueError("EBML stream with no Matroska content")
+    if duration_ticks is not None:
+        out["duration_s"] = duration_ticks * timescale / 1e9
+    return out
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    """Author one EBML element (test collateral): marker-bit id bytes
+    + minimal-length size vint + payload."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(payload)
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            break
+    size = (n + (1 << (7 * length))).to_bytes(length, "big")
+    return idb + size + payload
+
+
+def encode_mkv_stub(
+    doc_type: str = "webm",
+    duration_s: float | None = 2.5,
+    video: tuple[str, int, int] | None = ("V_VP9", 640, 360),
+    audio: tuple[str, int, int] | None = None,
+) -> bytes:
+    """Test author for probe_mkv: EBML header + Segment(Info, Tracks).
+    Headers only — sample payloads stay behind the injected-codec
+    gate by design (the AVI/MP4 stubs' contract)."""
+    import struct
+
+    ebml = _ebml_el(0x1A45DFA3, _ebml_el(0x4282, doc_type.encode()))
+    info = b""
+    if duration_s is not None:
+        info = _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big")) + _ebml_el(
+            0x4489, struct.pack(">d", duration_s * 1000)
+        )
+    tracks = b""
+    if video:
+        codec, w, h = video
+        tracks += _ebml_el(
+            0xAE,
+            _ebml_el(0x83, b"\x01")
+            + _ebml_el(0x86, codec.encode())
+            + _ebml_el(
+                0xE0,
+                _ebml_el(0xB0, w.to_bytes(2, "big"))
+                + _ebml_el(0xBA, h.to_bytes(2, "big")),
+            ),
+        )
+    if audio:
+        codec, rate, ch = audio
+        tracks += _ebml_el(
+            0xAE,
+            _ebml_el(0x83, b"\x02")
+            + _ebml_el(0x86, codec.encode())
+            + _ebml_el(
+                0xE1,
+                _ebml_el(0xB5, struct.pack(">f", float(rate)))
+                + _ebml_el(0x9F, ch.to_bytes(1, "big")),
+            ),
+        )
+    segment = _ebml_el(
+        0x18538067, _ebml_el(0x1549A966, info) + _ebml_el(0x1654AE6B, tracks)
+    )
+    return ebml + segment
+
+
 def probe_ogg(blob: bytes) -> dict:
     """Walk every Ogg page: codec from the BOS page's id packet
     (OpusHead / \\x01vorbis), duration from the last page's granule
@@ -787,6 +970,8 @@ def probe_media(blob: bytes) -> dict:
         return probe_ogg(blob)
     if blob[4:8] in (b"ftyp", b"moov"):
         return probe_mp4(blob)
+    if blob[:4] == _EBML_MAGIC:
+        return probe_mkv(blob)
     if blob[:9] == b"YUV4MPEG2":
         from sif_spark.operators.video import parse_y4m
 
@@ -802,7 +987,8 @@ def probe_media(blob: bytes) -> dict:
         }
     raise NotImplementedError(
         "no header probe for this format: built-ins cover "
-        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi/flac/mp3/mp4/ogg/y4m"
+        "ppm/pgm/bmp/wav/png/gif/tiff/jpeg/avi/flac/mp3/mp4/ogg/y4m/"
+        "mkv/webm"
     )
 
 

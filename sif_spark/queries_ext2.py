@@ -3332,6 +3332,79 @@ ORDER BY doc_id
 """
 
 
+def q134_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroska/WebM header probe under the oracle (round 8): 30 docs
+    get an EBML container — even doc_ids a WebM with a V_VP9 video
+    track (closed-form dims), odd a Matroska with an A_OPUS audio
+    track (closed-form rate/channels) — probed header-only through
+    `attach_probe` (the payloads stay behind the injected-codec gate;
+    this is the 100 TB triage path for the dominant web video
+    container). The gate covers the EBML vint walk, DocType, the
+    TimestampScale×Duration arithmetic, and both track layouts.
+    Float parity: duration_s = doc_id·250/1000 — exact in a double in
+    both engines (module docstring rule).
+
+    Scale shape: generate → probe, two Arrow-batched mapInPandas
+    stages reading O(header) bytes; only shuffle the 30-row orderBy."""
+    import pandas as pd
+
+    from sif_spark.operators.probe import attach_probe, encode_mkv_stub
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 30)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dur = did * 250 / 1000.0
+                if did % 2 == 0:
+                    blob = encode_mkv_stub(
+                        "webm", dur, ("V_VP9", 64 + did, 48 + did)
+                    )
+                else:
+                    blob = encode_mkv_stub(
+                        "matroska", dur, None,
+                        ("A_OPUS", 8000 * (1 + did % 3), 1 + did % 2),
+                    )
+                recs.append((did, blob))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    p = attach_probe(blobs, "blob", "doc_id")
+    return p.select(
+        "doc_id",
+        F.col("probe")["format"].alias("format"),
+        F.col("probe")["codec"].alias("codec"),
+        F.col("probe")["width"].alias("width"),
+        F.col("probe")["height"].alias("height"),
+        F.col("probe")["sample_rate"].alias("sample_rate"),
+        F.col("probe")["channels"].alias("channels"),
+        F.col("probe")["duration_s"].alias("duration_s"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q134 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END AS format,
+       CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'A_OPUS' END AS codec,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 64 + doc_id END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 48 + doc_id END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8000 * (1 + doc_id % 3) END AS INT)
+         AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 2 END AS INT)
+         AS channels,
+       CAST(doc_id * 250 AS DOUBLE) / 1000 AS duration_s
+FROM documents
+WHERE doc_id < 30
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3378,6 +3451,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q131_y4m_sampling": q131_y4m_sampling,
     "q132_srt_alignment": q132_srt_alignment,
     "q133_id3_curation": q133_id3_curation,
+    "q134_mkv_probe": q134_mkv_probe,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3430,4 +3504,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q131_y4m_sampling": ORACLE_Q131,
     "q132_srt_alignment": ORACLE_Q132,
     "q133_id3_curation": ORACLE_Q133,
+    "q134_mkv_probe": ORACLE_Q134,
 }

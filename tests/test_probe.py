@@ -332,3 +332,103 @@ def test_attach_id3_spark(spark):
     assert rows[3] is None  # on_error="null"
     with pytest.raises(Exception):
         attach_id3(df, "blob", "doc_id", on_error="raise").collect()
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML)
+# ---------------------------------------------------------------------------
+
+
+def test_mkv_probe_video_and_audio_tracks():
+    from sif_spark.operators.probe import encode_mkv_stub, probe_media, probe_mkv
+
+    v = encode_mkv_stub("webm", 2.5, ("V_VP9", 640, 360))
+    p = probe_mkv(v)
+    assert p == {"format": "webm", "codec": "V_VP9", "width": 640,
+                 "height": 360, "duration_s": 2.5}
+    a = encode_mkv_stub("matroska", 1.25, None, ("A_OPUS", 48000, 2))
+    p = probe_mkv(a)
+    assert p == {"format": "matroska", "codec": "A_OPUS",
+                 "sample_rate": 48000, "channels": 2, "duration_s": 1.25}
+    # video track wins when both exist; probe_media dispatches on magic
+    both = encode_mkv_stub("webm", 3.0, ("V_AV1", 320, 240), ("A_VORBIS", 44100, 1))
+    p = probe_media(both)
+    assert (p["codec"], p["width"], p["height"]) == ("V_AV1", 320, 240)
+
+
+def test_mkv_hand_assembled_spec_bytes():
+    """An EBML stream typed out vint-by-vint from RFC 8794 §4 and the
+    Matroska registry — independent of the stub encoder. Uses a
+    2-byte size vint (0x40XX) and a 4-byte float duration where the
+    encoder writes minimal 1-byte sizes and 8-byte doubles."""
+    import struct
+
+    from sif_spark.operators.probe import probe_mkv
+
+    doctype = b"\x42\x82\x88matroska"              # DocType, size 0x88=8
+    ebml = b"\x1a\x45\xdf\xa3" + bytes([0x80 | len(doctype)]) + doctype
+    dur = b"\x44\x89\x84" + struct.pack(">f", 5000.0)   # Duration, float32
+    ts = b"\x2a\xd7\xb1\x83" + (1_000_000).to_bytes(3, "big")
+    info_body = ts + dur
+    info = b"\x15\x49\xa9\x66" + b"\x40" + bytes([len(info_body)]) + info_body
+    video = b"\xe0\x88" + b"\xb0\x82" + (1920).to_bytes(2, "big") \
+        + b"\xba\x82" + (1080).to_bytes(2, "big")
+    entry_body = b"\x83\x81\x01" + b"\x86\x86V_VP08" + video
+    tracks_body = b"\xae" + bytes([0x80 | len(entry_body)]) + entry_body
+    tracks = b"\x16\x54\xae\x6b" + bytes([0x80 | len(tracks_body)]) + tracks_body
+    seg_body = info + tracks
+    segment = b"\x18\x53\x80\x67" + b"\x40" + bytes([len(seg_body)]) + seg_body
+    p = probe_mkv(ebml + segment)
+    assert p == {"format": "matroska", "codec": "V_VP08", "width": 1920,
+                 "height": 1080, "duration_s": 5.0}
+
+
+def test_mkv_unknown_size_segment_and_typed_errors():
+    import struct
+
+    from sif_spark.operators.probe import encode_mkv_stub, probe_mkv
+
+    # unknown-size Segment (what live-muxed webm writes): size vint
+    # 0x01FFFFFFFFFFFFFF extends to end-of-buffer
+    good = encode_mkv_stub()
+    seg_at = good.find(b"\x18\x53\x80\x67")
+    body_start = seg_at + 4 + 2  # stub writes a 2-byte size here?
+    # rebuild: EBML header + unknown-size segment + original body
+    from sif_spark.operators.probe import _ebml_vint
+    _, after_id = _ebml_vint(good, seg_at, True)
+    size, after_size = _ebml_vint(good, after_id, False)
+    rebuilt = good[:after_id] + b"\x01\xff\xff\xff\xff\xff\xff\xff" + good[after_size:]
+    assert probe_mkv(rebuilt)["codec"] == "V_VP9"
+
+    with pytest.raises(ValueError, match="not an EBML"):
+        probe_mkv(b"nope")
+    with pytest.raises(ValueError, match="vint|truncated|runs past"):
+        probe_mkv(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="no Matroska content"):
+        probe_mkv(b"\x1a\x45\xdf\xa3\x80")
+
+
+def test_mkv_mutation_fuzz_never_hangs():
+    import numpy as np
+
+    from sif_spark.operators.probe import encode_mkv_stub, probe_mkv
+
+    rng = np.random.default_rng(31)
+    base = bytearray(encode_mkv_stub("webm", 2.0, ("V_VP9", 64, 48),
+                                     ("A_OPUS", 48000, 2)))
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            probe_mkv(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_sniff_format_detects_mkv(spark):
+    from sif_spark.operators import multimodal as mm
+    from sif_spark.operators.probe import encode_mkv_stub
+
+    df = spark.createDataFrame([(encode_mkv_stub(),)], "blob binary")
+    assert df.select(mm.sniff_format("blob")).collect()[0][0] == "mkv"

@@ -103,6 +103,7 @@ TAIL = [
     "q131_y4m_sampling",
     "q132_srt_alignment",
     "q133_id3_curation",
+    "q134_mkv_probe",
 ]
 
 
