@@ -1195,8 +1195,6 @@ def span_dedup(
         F.col(id_col).alias("__id"),
         F.posexplode(tokenize(text_col)).alias("__p", "__t"),
     )
-    if persist:
-        toks = toks.localCheckpoint(eager=False)
     w = Window.partitionBy("__id").orderBy("__p")
     leads = [F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, k)]
     grammed = toks.select("__id", "__p", F.col("__t"), *leads)
@@ -1205,6 +1203,12 @@ def span_dedup(
     grams = grammed.select(
         "__id", "__p", "__t", F.when(complete, F.xxhash64(gram)).alias("__gh")
     )
+    if persist:
+        # the gram frame feeds BOTH the doc-frequency agg and the
+        # join-back: checkpointing here halves the scan+tokenize+
+        # window work (the same trade as line_dedup's persist, one
+        # stage later so the lead() window is inside the cut)
+        grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.filter(F.col("__gh").isNotNull())
         .groupBy("__gh")
