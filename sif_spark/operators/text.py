@@ -904,3 +904,65 @@ def common_token_score(
             ).alias("oov_frac"),
         )
     )
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str | Column,
+    splits: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    hash_fn: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leak-proof train/val/test assignment: bucket =
+    hash(salt ⊕ key) mod 10000, mapped to cumulative split boundaries
+    in basis points. Because the bucket is a pure function of the KEY
+    (pass the dedup content hash or canonical URL, never a row
+    number), the same document lands in the same split across runs,
+    machines, partitionings, and corpus versions — an append-only
+    corpus never migrates documents between train and eval, which is
+    the leakage property `rand()`-based splits lose on every re-run.
+    The ``salt`` versions the assignment: bump it to re-deal all
+    splits deliberately.
+
+    ``splits`` maps name → fraction (insertion order = bucket order);
+    fractions must be non-negative, sum to 1, and land on exact basis
+    points (1/10000) so the boundary arithmetic is integer-exact.
+    ``hash_fn="hash60"`` is the engine-portable oracle mode (md5-
+    based, replayable in any SQL engine); xxhash64 is the production
+    default (one JVM intrinsic).
+
+    Scale notes: one expression per row — no shuffle, no state, no
+    Python; whole-stage codegen end to end. Composes before
+    `pack_sequences`/`stratified_sample` in a pipeline.
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if hash_fn not in ("xxhash64", "hash60"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'hash60', got {hash_fn!r}")
+    if not splits or any(v < 0 for v in splits.values()):
+        raise ValueError("splits must be non-empty with non-negative fractions")
+    bps = {name: round(frac * 10000) for name, frac in splits.items()}
+    for name, frac in splits.items():
+        if abs(bps[name] - frac * 10000) > 1e-6:
+            raise ValueError(
+                f"split {name!r} fraction {frac} is not an exact basis "
+                f"point (multiple of 0.0001)"
+            )
+    if sum(bps.values()) != 10000:
+        raise ValueError(
+            f"split fractions must sum to 1.0, got {sum(bps.values())/10000}"
+        )
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    salted = F.concat_ws("\x1f", F.lit(salt), key.cast("string"))
+    h = F.xxhash64(salted) if hash_fn == "xxhash64" else hash60(salted)
+    bucket = F.pmod(h, F.lit(10000))
+    expr = None
+    cum = 0
+    names = list(bps)
+    for name in names[:-1]:
+        cum += bps[name]
+        branch = F.when(bucket < cum, F.lit(name))
+        expr = branch if expr is None else expr.when(bucket < cum, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)

@@ -3405,6 +3405,59 @@ ORDER BY doc_id
 """
 
 
+def q135_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment under the oracle
+    (round 8): `assign_split` buckets every document by a salted
+    content-keyed hash into basis-point split ranges — the leak-proof
+    alternative to rand() splits (same document → same split across
+    runs, machines, and corpus versions; bump the salt to re-deal).
+    Runs in the engine-portable hash60 mode so the oracle replays the
+    md5 bucket AND the boundary CASE per document, then both engines
+    aggregate per split: the gate covers the salting, the mod-10000
+    bucketing, the cumulative boundaries, and every membership.
+
+    Scale shape: one expression per row, no shuffle until the
+    3-group aggregate — 100% whole-stage codegen before it."""
+    from sif_spark.operators.text import assign_split, token_count
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = assign_split(
+        d, "text", {"train": 0.9, "val": 0.06, "test": 0.04}, hash_fn="hash60"
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum(token_count(F.col("text"))).alias("sum_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+# bucket = hash60('split-v1' || US || text) % 10000; train < 9000,
+# val < 9600, else test. US = chr(31) (concat_ws separator).
+ORACLE_Q135 = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split-v1' || chr(31) || text), 1, 15))
+              AS BIGINT) % 10000 AS bucket,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_toks
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9600 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_tokens
+FROM b
+GROUP BY split
+ORDER BY split
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3452,6 +3505,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132_srt_alignment": q132_srt_alignment,
     "q133_id3_curation": q133_id3_curation,
     "q134_mkv_probe": q134_mkv_probe,
+    "q135_deterministic_split": q135_deterministic_split,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3505,4 +3559,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q132_srt_alignment": ORACLE_Q132,
     "q133_id3_curation": ORACLE_Q133,
     "q134_mkv_probe": ORACLE_Q134,
+    "q135_deterministic_split": ORACLE_Q135,
 }

@@ -1763,3 +1763,52 @@ def test_ivf_partial_probe_recall_with_random_init(spark, sf_smoke):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_assign_split_determinism_and_boundaries(spark):
+    """Deterministic hash-split: same key -> same split across calls;
+    basis-point boundaries exact; validation errors typed."""
+    from sif_spark.operators.text import assign_split
+
+    d = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(400)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: r["split"] for r in assign_split(d, "text").collect()}
+    b = {r["doc_id"]: r["split"] for r in assign_split(d, "text").collect()}
+    assert a == b
+    # keyed on CONTENT: renumbering docs must not move them between
+    # splits (the leak-proof property)
+    renum = spark.createDataFrame(
+        [(i + 1000, f"doc body {i}") for i in range(400)],
+        "doc_id long, text string",
+    )
+    c = {r["doc_id"] - 1000: r["split"] for r in assign_split(renum, "text").collect()}
+    assert c == a
+    # a different salt re-deals
+    d2 = {r["doc_id"]: r["split"] for r in
+          assign_split(d, "text", salt="split-v2").collect()}
+    assert d2 != a
+    # proportions land near the requested fractions
+    from collections import Counter
+    counts = Counter(a.values())
+    assert counts["train"] > 350 and 0 < counts["val"] + counts["test"] < 50
+    # single-split degenerate case: everything in it
+    one = assign_split(d, "text", {"all": 1.0})
+    assert one.filter("split != 'all'").count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sum to 1"):
+        assign_split(d, "text", {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError, match="basis point"):
+        assign_split(d, "text", {"a": 0.33333, "b": 0.66667})
+    with _pytest.raises(ValueError, match="hash_fn"):
+        assign_split(d, "text", hash_fn="sha1")
+
+
+def test_assign_split_plan_is_jvm_only(spark):
+    from sif_spark.operators.text import assign_split
+    from sif_spark.plans import plan_string
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    text = plan_string(assign_split(d, "text"), "simple")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert marker not in text

@@ -104,6 +104,7 @@ TAIL = [
     "q132_srt_alignment",
     "q133_id3_curation",
     "q134_mkv_probe",
+    "q135_deterministic_split",
 ]
 
 
