@@ -1,0 +1,164 @@
+"""WebDataset-style tar shard reading: ustar member extraction and
+sample grouping — the de-facto storage layout for large multimodal
+training corpora (shards of .tar files whose members share a key stem:
+`000123.jpg`, `000123.txt`, `000123.json` = one sample).
+
+The reference's file datasource hands whole files to a user Decoder
+(datasource/file/file_datasource_partitionloader.go:26-57); a tar
+shard is exactly that shape — an opaque blob whose DECODE yields many
+records. This module is the decoder: a from-scratch ustar walk
+(POSIX.1-1988 512-byte headers, octal sizes, checksum verification)
+with the same typed-error/bounds contract as every binary parser in
+this repo, so `on_error="null"` keeps a crawl-scale shard scan alive
+over corrupt archives. The stdlib `tarfile` writer is used in tests
+as an INDEPENDENT authoritative author — round trips are
+asymmetric by construction.
+
+Scale notes: `untar_blobs` is one Arrow-batched mapInPandas stage —
+each shard is walked once, members never leave their executor;
+`webdataset_samples` groups members into samples by key stem with a
+single (shard, stem) shuffle whose fan-in is the members-per-sample
+count (2-5), never shard-proportional. At 100 TB the shard files
+arrive via spark.read.format("binaryFile") or the parquet blob
+tables; either way the walk cost is one pass over the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+#: Member-count cap per shard — a forged archive can't explode one
+#: task's row buffer (real WebDataset shards hold ~10k samples).
+MAX_TAR_MEMBERS = 1 << 20
+
+
+def _octal(field: bytes, what: str) -> int:
+    s = field.split(b"\x00", 1)[0].strip(b" \x00")
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError:
+        raise ValueError(f"tar header {what} is not octal: {s!r}") from None
+
+
+def iter_tar_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
+    """Yield (name, payload) for each REGULAR member of a ustar/POSIX
+    tar blob. Directories, links, and PAX/GNU extension entries are
+    skipped (their payload blocks are consumed); two zero blocks (or
+    end of buffer) terminate. Header checksums are verified — a
+    corrupted header is a typed decode error, not garbage members."""
+    pos = 0
+    n = 0
+    while pos + 512 <= len(blob):
+        hdr = blob[pos : pos + 512]
+        if hdr == b"\x00" * 512:
+            return  # end-of-archive marker
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        size = _octal(hdr[124:136], "size")
+        chksum = _octal(hdr[148:156], "checksum")
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if calc != chksum:
+            raise ValueError(
+                f"tar header checksum mismatch at offset {pos} "
+                f"(member {name!r})"
+            )
+        typeflag = hdr[156:157]
+        data_end = pos + 512 + size
+        if data_end > len(blob):
+            raise ValueError(f"tar member {name!r} runs past the buffer")
+        prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        if prefix and hdr[257:262] == b"ustar":
+            name = f"{prefix}/{name}"
+        if typeflag in (b"0", b"\x00"):
+            n += 1
+            if n > MAX_TAR_MEMBERS:
+                raise ValueError("tar member count exceeds cap")
+            yield name, blob[pos + 512 : data_end]
+        # every entry's payload blocks are consumed regardless of type
+        pos = data_end + (-size % 512)
+    if pos < len(blob):
+        raise ValueError("trailing bytes too short for a tar header")
+
+
+UNTAR_SCHEMA = "member string, payload binary"
+
+
+def untar_blobs(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Explode tar-shard blobs into (id_col, member, payload) rows —
+    one Arrow-batched pass per shard. ``on_error="null"`` drops
+    corrupt shards (zero rows) instead of failing the task."""
+    import pandas as pd
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("member", T.StringType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for sid, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                try:
+                    for name, payload in iter_tar_members(bytes(b)):
+                        recs.append((sid, name, payload))
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame(recs, columns=[id_col, "member", "payload"])
+
+    return df.select(id_col, blob_col).mapInPandas(run, out_schema)
+
+
+def webdataset_samples(
+    members: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Group untarred members into WebDataset samples: the key is the
+    member name up to the FIRST dot of the basename (WebDataset's
+    rule — `a/b/000123.seg.json` → key `a/b/000123`, ext `seg.json`),
+    yielding ``(id_col, key, parts: map<ext, payload>, n_parts)``.
+    One (shard, key) shuffle; fan-in per group = parts per sample."""
+    base = F.element_at(F.split(F.col("member"), "/"), -1)
+    dirp = F.expr(
+        "case when instr(member, '/') = 0 then '' "
+        "else substring(member, 1, length(member) - length("
+        "element_at(split(member, '/'), -1)) ) end"
+    )
+    stem = F.substring_index(base, ".", 1)
+    ext = F.when(
+        F.instr(base, ".") > 0,
+        F.expr(
+            "substring(element_at(split(member,'/'),-1), "
+            "instr(element_at(split(member,'/'),-1), '.') + 1)"
+        ),
+    ).otherwise(F.lit(""))
+    keyed = members.select(
+        F.col(id_col),
+        F.concat(dirp, stem).alias("key"),
+        ext.alias("ext"),
+        "payload",
+    )
+    return (
+        keyed.groupBy(id_col, "key")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("ext", "payload")))
+            ).alias("parts"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )

@@ -3458,6 +3458,77 @@ ORDER BY split
 """
 
 
+def q136_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard reading under the oracle (round 8): 20
+    shards each authored by the STDLIB tarfile writer (the independent
+    author — our reader never round-trips its own bytes here) holding
+    4 samples × (.txt, .cls) members; `untar_blobs` walks the ustar
+    blocks and `webdataset_samples` regroups members into samples by
+    key stem. The oracle recomputes every sample's key, part count,
+    class label, and text token count in closed form — the gate covers
+    the header walk, checksum verification, payload slicing, the
+    first-dot-of-basename key rule, and the map regrouping.
+
+    Scale shape: generate → untar are Arrow-batched mapInPandas
+    stages; the only data shuffle is the (shard, key) groupBy whose
+    fan-in is parts-per-sample (2), never shard-proportional."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from sif_spark.operators.text import token_count
+    from sif_spark.operators.webdataset import untar_blobs, webdataset_samples
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 20)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for sid in pdf["doc_id"]:
+                sid = int(sid)
+                buf = io.BytesIO()
+                with tarfile.open(
+                    fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+                ) as tf:
+                    for k in range(4):
+                        key = f"{sid * 10 + k:06d}"
+                        txt = " ".join(["tok"] * (k + 1)).encode()
+                        cls = str((sid + k) % 10).encode()
+                        for ext, data in (("txt", txt), ("cls", cls)):
+                            ti = tarfile.TarInfo(f"{key}.{ext}")
+                            ti.size = len(data)
+                            tf.addfile(ti, io.BytesIO(data))
+                recs.append((sid, buf.getvalue()))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    shards = d.mapInPandas(gen, "doc_id long, blob binary")
+    members = untar_blobs(shards, "blob", "doc_id")
+    samples = webdataset_samples(members, "doc_id")
+    return samples.select(
+        F.col("doc_id").alias("shard_id"),
+        "key",
+        "n_parts",
+        F.col("parts")["cls"].cast("string").cast("int").alias("cls"),
+        token_count(F.col("parts")["txt"].cast("string")).alias("txt_tokens"),
+    ).orderBy("shard_id", "key")
+
+
+ORACLE_Q136 = """
+SELECT d.doc_id AS shard_id,
+       lpad(CAST(d.doc_id * 10 + k.k AS VARCHAR), 6, '0') AS key,
+       CAST(2 AS BIGINT) AS n_parts,
+       CAST((d.doc_id + k.k) % 10 AS INT) AS cls,
+       CAST(k.k + 1 AS BIGINT) AS txt_tokens
+FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d, range(4) AS k(k)
+ORDER BY shard_id, key
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3506,6 +3577,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q133_id3_curation": q133_id3_curation,
     "q134_mkv_probe": q134_mkv_probe,
     "q135_deterministic_split": q135_deterministic_split,
+    "q136_webdataset_shards": q136_webdataset_shards,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3560,4 +3632,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q133_id3_curation": ORACLE_Q133,
     "q134_mkv_probe": ORACLE_Q134,
     "q135_deterministic_split": ORACLE_Q135,
+    "q136_webdataset_shards": ORACLE_Q136,
 }

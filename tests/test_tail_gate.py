@@ -105,6 +105,7 @@ TAIL = [
     "q133_id3_curation",
     "q134_mkv_probe",
     "q135_deterministic_split",
+    "q136_webdataset_shards",
 ]
 
 
