@@ -3529,6 +3529,79 @@ ORDER BY shard_id, key
 """
 
 
+def q137_webdataset_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset EXPORT round-trip under the oracle (round 8): 60
+    closed-form samples pack into 5 tar shards via `write_webdataset`
+    (hash-of-key shard assignment in the portable hash60 mode,
+    key-sorted deterministic layout), then re-read through
+    `untar_blobs` + `webdataset_samples`. The oracle recomputes the
+    SHARD ASSIGNMENT (the md5 bucket arithmetic) plus every key,
+    part count, label, and token count — so the sink's determinism
+    contract, the tar author, and the reader all sit under one gate.
+
+    Scale shape: the pack is one (shard_id) shuffle with
+    applyInPandas; re-read is Arrow-batched; final orderBy is 60
+    rows."""
+    from sif_spark.operators.text import token_count
+    from sif_spark.operators.webdataset import (
+        untar_blobs,
+        webdataset_samples,
+        write_webdataset,
+    )
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+    )
+    samples = d.select(
+        F.format_string("%06d", F.col("doc_id").cast("int")).alias("key"),
+        F.map_from_arrays(
+            F.array(F.lit("txt"), F.lit("cls")),
+            F.array(
+                F.encode(
+                    F.trim(
+                        F.repeat(
+                            F.lit("tok "), (F.col("doc_id") % 4 + 1).cast("int")
+                        )
+                    ),
+                    "utf-8",
+                ),
+                F.encode((F.col("doc_id") % 10).cast("string"), "utf-8"),
+            ),
+        ).alias("parts"),
+    )
+    shards = write_webdataset(samples, n_shards=5, hash_fn="hash60")
+    back = webdataset_samples(untar_blobs(shards, "blob", "shard_id"), "shard_id")
+    return back.select(
+        "key",
+        F.col("shard_id"),
+        "n_parts",
+        F.col("parts")["cls"].cast("string").cast("int").alias("cls"),
+        token_count(F.col("parts")["txt"].cast("string")).alias("txt_tokens"),
+    ).orderBy("key")
+
+
+# shard = hash60(key) % 5 where key = lpad(doc_id, 6, '0'); payloads
+# are (doc_id % 4 + 1) 'tok' tokens and the doc_id % 10 label.
+ORACLE_Q137 = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+s AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key,
+         doc_id % 4 + 1 AS n_toks,
+         doc_id % 10 AS cls
+  FROM d
+)
+SELECT key,
+       CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) % 5 AS shard_id,
+       CAST(2 AS BIGINT) AS n_parts,
+       CAST(cls AS INT) AS cls,
+       CAST(n_toks AS BIGINT) AS txt_tokens
+FROM s
+ORDER BY key
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3578,6 +3651,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_mkv_probe": q134_mkv_probe,
     "q135_deterministic_split": q135_deterministic_split,
     "q136_webdataset_shards": q136_webdataset_shards,
+    "q137_webdataset_export": q137_webdataset_export,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3633,4 +3707,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q134_mkv_probe": ORACLE_Q134,
     "q135_deterministic_split": ORACLE_Q135,
     "q136_webdataset_shards": ORACLE_Q136,
+    "q137_webdataset_export": ORACLE_Q137,
 }

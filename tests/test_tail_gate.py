@@ -106,6 +106,7 @@ TAIL = [
     "q134_mkv_probe",
     "q135_deterministic_split",
     "q136_webdataset_shards",
+    "q137_webdataset_export",
 ]
 
 

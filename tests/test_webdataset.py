@@ -115,3 +115,37 @@ def test_untar_and_sample_grouping_spark(spark):
     assert s[(1, "d/000003")] == (2, {"seg.json": b"{}", "txt": b"x"})
     assert s[(1, "noext")] == (1, {"": b"raw"})
     assert not any(k[0] == 2 for k in s)  # corrupt shard dropped
+
+
+def test_write_webdataset_roundtrip_and_determinism(spark):
+    """The export path: hash-assigned shards, key-sorted deterministic
+    layout — identical shard BYTES across partitionings; re-reading
+    through our own walker recovers every sample exactly."""
+    from sif_spark.operators.webdataset import write_webdataset
+
+    rows = [
+        (f"{i:06d}", {"txt": f"text {i}".encode(), "cls": str(i % 7).encode()})
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "key string, parts map<string,binary>")
+    shards = write_webdataset(df, n_shards=4, hash_fn="hash60")
+    back = webdataset_samples(untar_blobs(shards, "blob", "shard_id"), "shard_id")
+    got = {r["key"]: {k: bytes(v) for k, v in r["parts"].items()}
+           for r in back.collect()}
+    assert got == dict(rows)
+    b1 = {r["shard_id"]: bytes(r["blob"])
+          for r in write_webdataset(df, n_shards=4, hash_fn="hash60").collect()}
+    b2 = {r["shard_id"]: bytes(r["blob"])
+          for r in write_webdataset(df.repartition(7), n_shards=4,
+                                    hash_fn="hash60").collect()}
+    assert b1 == b2
+    # the shards are REAL tars: stdlib reads them back too
+    import io as _io
+    import tarfile as _tarfile
+    with _tarfile.open(fileobj=_io.BytesIO(b1[0])) as tf:
+        names = [m.name for m in tf.getmembers()]
+    assert names == sorted(names) and names
+    with pytest.raises(ValueError, match="n_shards"):
+        write_webdataset(df, n_shards=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        write_webdataset(df, hash_fn="crc32")
