@@ -814,3 +814,53 @@ def test_streaming_media_probe_and_metadata(spark):
     assert got[2]["format"] == "flac" and got[2]["sample_rate"] == 16000
     assert got[2]["duration_s"] == 2000 / 16000
     assert got[3] is None  # tolerated, not a dead stream
+
+
+def test_streaming_webdataset_shard_ingest(spark):
+    """Tar-shard ingestion composes with Structured Streaming — the
+    shard-drop ingest shape: a stream of shard blobs explodes through
+    untar_blobs into member rows in a sink, corrupt shards dropped by
+    on_error='null' without killing the query."""
+    import io
+    import tarfile
+
+    from sif_spark.operators.webdataset import untar_blobs
+
+    def make_tar(entries):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for name, data in entries:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+        return bytearray(buf.getvalue())
+
+    rows = [
+        (1, make_tar([("a.txt", b"one"), ("a.cls", b"1")])),
+        (2, make_tar([("b.txt", b"two")])),
+        (3, bytearray(b"definitely not a tar shard")),
+    ]
+    d = tempfile.mkdtemp(prefix="sif_wds_stream_")
+    src = spark.createDataFrame(rows, "shard_id long, blob binary")
+    src.write.mode("overwrite").parquet(d)
+    stream = read_parquet_stream(spark, d, src.schema)
+
+    members = untar_blobs(stream, "blob", "shard_id", on_error="null")
+    assert members.isStreaming
+    q = (
+        members.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wds_stream_out")
+        .start()
+    )
+    _drain(q)
+    got = sorted(
+        (r["shard_id"], r["member"], bytes(r["payload"]))
+        for r in spark.sql("SELECT * FROM wds_stream_out").collect()
+    )
+    assert got == [
+        (1, "a.cls", b"1"),
+        (1, "a.txt", b"one"),
+        (2, "b.txt", b"two"),
+    ]

@@ -137,6 +137,26 @@ def main() -> None:
                      *bench(lambda b: list(iter_mp4_frames(b)), m4,
                             8 * h * w * 3)))
 
+    # WebDataset tar walk (round 8): header checksums + slicing only.
+    import io
+    import tarfile
+
+    from sif_spark.operators.webdataset import iter_tar_members
+
+    for n_members, msize in ((100, 4096), (1000, 65536)):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            payload = bytes(msize)
+            for i in range(n_members):
+                ti = tarfile.TarInfo(f"{i:08d}.bin")
+                ti.size = msize
+                tf.addfile(ti, io.BytesIO(payload))
+        shard = buf.getvalue()
+        rows.append((f"tar walk ({n_members} members)", f"{len(shard)//1024}KB",
+                     *bench(lambda b: list(iter_tar_members(b)), shard,
+                            len(shard))))
+
     print(f"| format/path | size | decoded MB/s | decodes/s |")
     print(f"|---|---|---|---|")
     for name, size, mbs, ips in rows:
