@@ -290,3 +290,66 @@ def mad_outliers(
             F.col(value_col).isNull() | F.col("__med").isNull(), F.lit(False)
         ).otherwise(dev_row * F.lit(10_000) > F.lit(k_e4) * F.col("__mad")),
     ).drop("__g", "__med", "__mad")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    collapse_unchanged: bool = True,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from a change log —
+    the lakehouse "apply changes" shape: for every entity key, each
+    attribute change opens a validity interval ``[valid_from,
+    valid_to)`` with NULL ``valid_to`` (and ``is_current=true``) on
+    the latest version. ``collapse_unchanged=True`` drops no-op
+    change records (all attrs equal to the previous version), so
+    re-delivered upstream rows never fragment the history — the
+    idempotence CDC consumers rely on. Ties on (key, ts) are broken
+    deterministically by the attr tuple (last wins within a tie is
+    NOT assumed; identical-ts distinct-attr rows each open an
+    interval, ordered by value, so reruns reproduce byte-identical
+    history).
+
+    Scale design: everything is per-key windows over the change log —
+    one hash shuffle on the entity key, no joins, no state; at 100 TB
+    the history build is a single sort-within-partition pass per key
+    group. The output is the standard join target for `asof_join` /
+    `as-of` snapshot queries (filter valid_from <= t < valid_to).
+    """
+    order = [F.col(ts_col)] + [F.col(a) for a in attr_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out = df.select(*key_cols, ts_col, *attr_cols)
+    if collapse_unchanged:
+        changed = F.lit(False)
+        for a in attr_cols:
+            prev = F.lag(a).over(w)
+            changed = changed | ~(
+                (F.col(a) == prev) | (F.col(a).isNull() & prev.isNull())
+            )
+        first = F.row_number().over(w) == 1
+        out = out.withColumn("__keep", first | changed).filter(
+            F.col("__keep")
+        ).drop("__keep")
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        out.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(ts_col)
+    )
+
+
+def scd2_snapshot(
+    intervals: DataFrame, at, ts_type: str = "timestamp"
+) -> DataFrame:
+    """The as-of view of an SCD2 interval table: the one version of
+    each entity valid at ``at`` (valid_from <= at < valid_to). Pure
+    filter — partition-prunable when the table is stored partitioned
+    or z-ordered on validity bounds."""
+    t = F.lit(at).cast(ts_type)
+    return intervals.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("is_current")

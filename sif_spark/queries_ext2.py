@@ -3602,6 +3602,63 @@ ORDER BY key
 """
 
 
+def q138_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply-changes under the oracle (round 8): the events
+    stream is treated as a per-user attribute change log (attrs =
+    event_type + exact value cents); `scd2_intervals` collapses no-op
+    re-deliveries and chains each user's versions into
+    ``[valid_from, valid_to)`` validity intervals with an is_current
+    flag — the lakehouse type-2 dimension shape every warehouse merge
+    implements. The oracle replays the deterministic ordering, the
+    no-op collapse, and the lead() interval chaining; every interval
+    bound and flag is value-hashed.
+
+    Scale shape: one hash shuffle on the entity key; everything else
+    is per-key sort-within-partition windows — no joins, no state."""
+    from sif_spark.operators.timeseries import scd2_intervals
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("val_cents"),
+    )
+    return scd2_intervals(
+        log, ["user_id"], "ts", ["event_type", "val_cents"]
+    ).orderBy("user_id", "valid_from", "event_type", "val_cents")
+
+
+ORACLE_Q138 = """
+WITH log AS (
+  SELECT user_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS val_cents
+  FROM events WHERE user_id < 40
+),
+flagged AS (
+  SELECT *,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS pet,
+         lag(val_cents) OVER w AS pvc
+  FROM log
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type, val_cents)
+),
+kept AS (
+  SELECT user_id, ts, event_type, val_cents FROM flagged
+  WHERE rn = 1
+     OR NOT (event_type IS NOT DISTINCT FROM pet
+             AND val_cents IS NOT DISTINCT FROM pvc)
+)
+SELECT user_id, event_type, val_cents,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM kept
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_type, val_cents)
+ORDER BY user_id, valid_from, event_type, val_cents
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3652,6 +3709,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q135_deterministic_split": q135_deterministic_split,
     "q136_webdataset_shards": q136_webdataset_shards,
     "q137_webdataset_export": q137_webdataset_export,
+    "q138_scd2_history": q138_scd2_history,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3708,4 +3766,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q135_deterministic_split": ORACLE_Q135,
     "q136_webdataset_shards": ORACLE_Q136,
     "q137_webdataset_export": ORACLE_Q137,
+    "q138_scd2_history": ORACLE_Q138,
 }

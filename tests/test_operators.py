@@ -1812,3 +1812,46 @@ def test_assign_split_plan_is_jvm_only(spark):
     text = plan_string(assign_split(d, "text"), "simple")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert marker not in text
+
+
+def test_scd2_intervals_and_snapshot(spark):
+    """SCD2 apply-changes: per-key validity chains, no-op collapse
+    (idempotence under re-delivered rows), deterministic ties, and
+    the as-of snapshot view."""
+    from sif_spark.operators.timeseries import scd2_intervals, scd2_snapshot
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "bronze"),
+        (1, "2024-01-02 00:00:00", "bronze"),   # no-op: collapsed
+        (1, "2024-01-03 00:00:00", "silver"),
+        (1, "2024-01-05 00:00:00", "gold"),
+        (2, "2024-01-01 00:00:00", "silver"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, tier string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "tier"
+    )
+    iv = scd2_intervals(df, ["user_id"], "ts", ["tier"])
+    got = sorted(
+        (r["user_id"], r["tier"], str(r["valid_from"]), str(r["valid_to"]),
+         r["is_current"])
+        for r in iv.collect()
+    )
+    assert got == [
+        (1, "bronze", "2024-01-01 00:00:00", "2024-01-03 00:00:00", False),
+        (1, "gold", "2024-01-05 00:00:00", "None", True),
+        (1, "silver", "2024-01-03 00:00:00", "2024-01-05 00:00:00", False),
+        (2, "silver", "2024-01-01 00:00:00", "None", True),
+    ]
+    # re-delivering the whole log must not change the history
+    iv2 = scd2_intervals(df.union(df), ["user_id"], "ts", ["tier"])
+    assert sorted(map(tuple, iv2.collect())) == sorted(map(tuple, iv.collect()))
+    # as-of snapshot: one version per live entity
+    snap = {r["user_id"]: r["tier"]
+            for r in scd2_snapshot(iv, "2024-01-04 00:00:00").collect()}
+    assert snap == {1: "silver", 2: "silver"}
+    # before an entity exists -> absent
+    snap0 = scd2_snapshot(iv, "2023-12-31 00:00:00").collect()
+    assert snap0 == []
+    # collapse off keeps the no-op row
+    iv3 = scd2_intervals(df, ["user_id"], "ts", ["tier"], collapse_unchanged=False)
+    assert iv3.filter("user_id = 1").count() == 4

@@ -107,6 +107,7 @@ TAIL = [
     "q135_deterministic_split",
     "q136_webdataset_shards",
     "q137_webdataset_export",
+    "q138_scd2_history",
 ]
 
 
