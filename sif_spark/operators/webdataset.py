@@ -237,3 +237,126 @@ def write_webdataset(
         )
 
     return assigned.groupBy("shard_id").applyInPandas(pack, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Zip shards: the other common corpus archive (images.zip + labels).
+# From-scratch End-of-Central-Directory + central-directory walk with
+# the same typed-error/bounds contract; stored and deflate members
+# (bounded inflate, CRC-verified). stdlib zipfile authors the tests.
+# ---------------------------------------------------------------------------
+
+_EOCD_SIG = b"PK\x05\x06"
+_CDH_SIG = b"PK\x01\x02"
+_LFH_SIG = b"PK\x03\x04"
+
+#: Per-member inflated-size cap (the decompression-bomb contract).
+MAX_ZIP_MEMBER_BYTES = 1 << 28
+
+
+def iter_zip_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
+    """Yield (name, payload) for each FILE member of a zip blob via
+    the central directory (the authoritative index; a trailing
+    archive comment after EOCD is tolerated — the 64 KiB backward
+    search the format requires). Stored (0) and deflate (8) methods
+    decode; others gate with a typed NotImplementedError. Payloads
+    are CRC-32-verified and inflate through a bounded decompressobj,
+    so a forged uncompressed-size field cannot buy an unbounded
+    allocation."""
+    import zlib
+
+    tail = blob[-(65536 + 22) :]
+    at = tail.rfind(_EOCD_SIG)
+    if at < 0:
+        raise ValueError("no zip end-of-central-directory record")
+    eocd = len(blob) - len(tail) + at
+    if eocd + 22 > len(blob):
+        raise ValueError("truncated zip EOCD record")
+    n_entries = int.from_bytes(blob[eocd + 10 : eocd + 12], "little")
+    cd_off = int.from_bytes(blob[eocd + 16 : eocd + 20], "little")
+    if n_entries > MAX_TAR_MEMBERS:
+        raise ValueError("zip entry count exceeds cap")
+    pos = cd_off
+    for _ in range(n_entries):
+        if blob[pos : pos + 4] != _CDH_SIG:
+            raise ValueError("bad zip central-directory signature")
+        if pos + 46 > len(blob):
+            raise ValueError("truncated zip central-directory entry")
+        method = int.from_bytes(blob[pos + 10 : pos + 12], "little")
+        crc = int.from_bytes(blob[pos + 16 : pos + 20], "little")
+        csize = int.from_bytes(blob[pos + 20 : pos + 24], "little")
+        usize = int.from_bytes(blob[pos + 24 : pos + 28], "little")
+        nlen = int.from_bytes(blob[pos + 28 : pos + 30], "little")
+        xlen = int.from_bytes(blob[pos + 30 : pos + 32], "little")
+        clen = int.from_bytes(blob[pos + 32 : pos + 34], "little")
+        lfh = int.from_bytes(blob[pos + 42 : pos + 46], "little")
+        name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        if usize > MAX_ZIP_MEMBER_BYTES:
+            raise ValueError(f"zip member {name!r} inflated size exceeds cap")
+        if blob[lfh : lfh + 4] != _LFH_SIG:
+            raise ValueError(f"zip member {name!r} has a bad local header")
+        lnlen = int.from_bytes(blob[lfh + 26 : lfh + 28], "little")
+        lxlen = int.from_bytes(blob[lfh + 28 : lfh + 30], "little")
+        data = lfh + 30 + lnlen + lxlen
+        if data + csize > len(blob):
+            raise ValueError(f"zip member {name!r} runs past the buffer")
+        raw = blob[data : data + csize]
+        if not name.endswith("/"):  # directories carry a trailing slash
+            if method == 0:
+                payload = raw
+            elif method == 8:
+                d = zlib.decompressobj(-15)
+                try:
+                    payload = d.decompress(raw, usize + 1)
+                except zlib.error as e:
+                    raise ValueError(f"zip member {name!r}: {e}") from None
+                if len(payload) > usize:
+                    raise ValueError(
+                        f"zip member {name!r} inflates past its declared size"
+                    )
+            else:
+                raise NotImplementedError(
+                    f"no built-in codec for zip compression method {method} "
+                    f"(member {name!r}): built-ins cover stored and deflate"
+                )
+            if len(payload) != usize or zlib.crc32(payload) != crc:
+                raise ValueError(f"zip member {name!r} fails size/CRC check")
+            yield name, payload
+        pos += 46 + nlen + xlen + clen
+
+
+def unzip_blobs(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Zip variant of `untar_blobs` — same output shape, so
+    `webdataset_samples` regroups either archive family."""
+    import pandas as pd
+
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("member", T.StringType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for sid, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                try:
+                    for name, payload in iter_zip_members(bytes(b)):
+                        recs.append((sid, name, payload))
+                except (ValueError, NotImplementedError):
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame(recs, columns=[id_col, "member", "payload"])
+
+    return df.select(id_col, blob_col).mapInPandas(run, out_schema)

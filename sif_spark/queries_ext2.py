@@ -3659,6 +3659,71 @@ ORDER BY user_id, valid_from, event_type, val_cents
 """
 
 
+def q139_zip_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zip-shard reading under the oracle (round 8, the q136
+    companion): 20 shards authored by the STDLIB zipfile writer —
+    even shard ids STORED, odd DEFLATED, so both built-in methods and
+    the CRC/size verification sit under the gate — each holding 4
+    samples × (.txt, .cls); `unzip_blobs` walks the central
+    directory and `webdataset_samples` regroups. Same closed-form
+    oracle shape as the tar entry.
+
+    Scale shape: identical to q136 — Arrow-batched shard explode,
+    parts-per-sample groupBy fan-in."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from sif_spark.operators.text import token_count
+    from sif_spark.operators.webdataset import unzip_blobs, webdataset_samples
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 20)
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for sid in pdf["doc_id"]:
+                sid = int(sid)
+                method = (
+                    zipfile.ZIP_STORED if sid % 2 == 0 else zipfile.ZIP_DEFLATED
+                )
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", method) as z:
+                    for k in range(4):
+                        key = f"{sid * 10 + k:06d}"
+                        z.writestr(f"{key}.txt", " ".join(["tok"] * (k + 1)))
+                        z.writestr(f"{key}.cls", str((sid + k) % 10))
+                recs.append((sid, buf.getvalue()))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    shards = d.mapInPandas(gen, "doc_id long, blob binary")
+    members = unzip_blobs(shards, "blob", "doc_id")
+    samples = webdataset_samples(members, "doc_id")
+    return samples.select(
+        F.col("doc_id").alias("shard_id"),
+        "key",
+        "n_parts",
+        F.col("parts")["cls"].cast("string").cast("int").alias("cls"),
+        token_count(F.col("parts")["txt"].cast("string")).alias("txt_tokens"),
+    ).orderBy("shard_id", "key")
+
+
+ORACLE_Q139 = """
+SELECT d.doc_id AS shard_id,
+       lpad(CAST(d.doc_id * 10 + k.k AS VARCHAR), 6, '0') AS key,
+       CAST(2 AS BIGINT) AS n_parts,
+       CAST((d.doc_id + k.k) % 10 AS INT) AS cls,
+       CAST(k.k + 1 AS BIGINT) AS txt_tokens
+FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d, range(4) AS k(k)
+ORDER BY shard_id, key
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3710,6 +3775,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q136_webdataset_shards": q136_webdataset_shards,
     "q137_webdataset_export": q137_webdataset_export,
     "q138_scd2_history": q138_scd2_history,
+    "q139_zip_shards": q139_zip_shards,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3767,4 +3833,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q136_webdataset_shards": ORACLE_Q136,
     "q137_webdataset_export": ORACLE_Q137,
     "q138_scd2_history": ORACLE_Q138,
+    "q139_zip_shards": ORACLE_Q139,
 }

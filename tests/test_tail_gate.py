@@ -108,6 +108,7 @@ TAIL = [
     "q136_webdataset_shards",
     "q137_webdataset_export",
     "q138_scd2_history",
+    "q139_zip_shards",
 ]
 
 

@@ -149,3 +149,82 @@ def test_write_webdataset_roundtrip_and_determinism(spark):
         write_webdataset(df, n_shards=0)
     with pytest.raises(ValueError, match="hash_fn"):
         write_webdataset(df, hash_fn="crc32")
+
+
+# ---------------------------------------------------------------------------
+# Zip shards
+# ---------------------------------------------------------------------------
+
+
+def make_zip(entries, method=None):
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(
+        buf, "w", method if method is not None else zipfile.ZIP_DEFLATED
+    ) as z:
+        for name, data in entries:
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_zip_walk_matches_stdlib_both_methods():
+    import zipfile
+
+    from sif_spark.operators.webdataset import iter_zip_members
+
+    entries = [
+        ("000001.txt", b"hello world " * 50),
+        ("000001.cls", b"3"),
+        ("d/000002.bin", bytes(range(256)) * 3),
+    ]
+    for method in (zipfile.ZIP_STORED, zipfile.ZIP_DEFLATED):
+        blob = make_zip(entries, method)
+        ours = list(iter_zip_members(blob))
+        with zipfile.ZipFile(io.BytesIO(blob)) as z:
+            theirs = [(i.filename, z.read(i)) for i in z.infolist()
+                      if not i.is_dir()]
+        assert ours == theirs, method
+    # directories skipped; trailing archive comment tolerated
+    import zipfile as _zf
+    buf = io.BytesIO()
+    with _zf.ZipFile(buf, "w") as z:
+        z.writestr("adir/", b"")
+        z.writestr("f.txt", b"ok")
+        z.comment = b"trailing archive comment"
+    assert list(iter_zip_members(buf.getvalue())) == [("f.txt", b"ok")]
+
+
+def test_zip_typed_errors_and_fuzz():
+    from sif_spark.operators.webdataset import iter_zip_members
+
+    with pytest.raises(ValueError, match="end-of-central-directory"):
+        list(iter_zip_members(b"not a zip at all"))
+    good = bytearray(make_zip([("a.txt", b"abcdef" * 100)]))
+    # flip a payload byte -> CRC failure (typed)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises((ValueError, NotImplementedError)):
+        list(iter_zip_members(bytes(bad)))
+    rng = np.random.default_rng(51)
+    for _ in range(300):
+        b = bytearray(good)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            list(iter_zip_members(bytes(b)))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_unzip_blobs_and_grouping_spark(spark):
+    from sif_spark.operators.webdataset import unzip_blobs
+
+    shard = make_zip([("000001.txt", b"hi"), ("000001.cls", b"5")])
+    df = spark.createDataFrame(
+        [(1, shard), (2, b"garbage, not zip")], "shard_id long, blob binary"
+    )
+    m = unzip_blobs(df, "blob", "shard_id", on_error="null")
+    s = {r["key"]: {k: bytes(v) for k, v in r["parts"].items()}
+         for r in webdataset_samples(m, "shard_id").collect()}
+    assert s == {"000001": {"txt": b"hi", "cls": b"5"}}
