@@ -3724,6 +3724,141 @@ ORDER BY shard_id, key
 """
 
 
+def q140_media_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-census capstone (round 8): 45 docs carry one blob
+    each across ALL FOURTEEN sniffable formats plus planted garbage
+    (doc_id % 15 picks the family), and the triage pipeline a 100 TB
+    mixed crawl actually runs — `sniff_format` (one JVM when-chain)
+    + `attach_probe` (header-only Arrow stage, `on_error="null"`) —
+    surveys every blob without decoding a payload byte. One entry
+    gates the ENTIRE sniff table and every per-format header parser
+    side by side: dims for the five still-image formats, frame
+    counts/durations for the four audio formats, track geometry for
+    the four video containers (including sniff='mkv' vs probed
+    DocType='webm'), and NULL probe rows at exactly the garbage
+    positions. Every duration is a single int/int double division —
+    bit-identical across engines (module docstring rule).
+
+    Scale shape: generate → sniff+probe; the probe reads O(header)
+    bytes per blob. Only shuffle: the 45-row orderBy."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import multimodal as mm
+    from sif_spark.operators import probe as pb
+    from sif_spark.operators import video as vv
+    from sif_spark.operators.flac import encode_flac
+    from sif_spark.operators.jpeg import encode_jpeg
+    from sif_spark.operators.mp4 import encode_mp4_mjpeg
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 45)
+    )
+
+    def gen(batches):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (6, 9, 3), np.uint8)
+        gray = np.kron(
+            (7 + np.arange(2)[:, None] + np.arange(1)[None, :]) % 256,
+            np.ones((8, 8), np.uint8),
+        ).astype(np.uint8)
+        blobs = [
+            mm.encode_ppm(img),
+            mm.encode_bmp(img),
+            mm.encode_png(img),
+            mm.encode_gif(img // 32 * 32),
+            mm.encode_tiff(img),
+            encode_jpeg(gray, quant=1),
+            mm.encode_wav(np.zeros((1000, 1), np.int16), 8000),
+            encode_flac(np.zeros((600, 1), np.int32), 16000, 16),
+            vv.encode_avi([img, img], codec="DIB ", fps=10),
+            encode_mp4_mjpeg([np.repeat(gray[:, :, None], 3, 2)] * 2, fps=10),
+            vv.encode_y4m([np.zeros((4, 6), np.uint8)] * 3, fps=(25, 1),
+                          colorspace="Cmono"),
+            pb.encode_mkv_stub("webm", 0.5, ("V_VP9", 32, 24)),
+            pb.encode_mp3_frames(3, id3_bytes=10),
+            pb.encode_ogg_stub(),
+            b"planted garbage, not media at all................",
+        ]
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(i), blobs[int(i) % 15]) for i in pdf["doc_id"]],
+                columns=["doc_id", "blob"],
+            )
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    probed = pb.attach_probe(blobs, "blob", "doc_id")
+    sniffs = blobs.select("doc_id", mm.sniff_format("blob").alias("sniffed"))
+    return (
+        sniffs.join(probed, "doc_id")
+        .select(
+            "doc_id",
+            "sniffed",
+            F.col("probe")["format"].alias("fmt"),
+            F.col("probe")["width"].alias("width"),
+            F.col("probe")["height"].alias("height"),
+            F.col("probe")["n_frames"].alias("n_frames"),
+            F.col("probe")["sample_rate"].alias("sample_rate"),
+            F.col("probe")["channels"].alias("channels"),
+            F.col("probe")["duration_s"].alias("duration_s"),
+            F.col("probe")["codec"].alias("codec"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# family = doc_id % 15; every field is the closed-form header value of
+# that family's authored blob (see gen()); family 14 is garbage →
+# sniff 'unknown', NULL probe row. Durations: 1000/8000, 600/16000,
+# 2/10, 3/25, 0.5 (stub double), 3*1152/44100, 9600/48000 — each a
+# single int/int double division in both engines.
+ORACLE_Q140 = """
+WITH d AS (SELECT doc_id, doc_id % 15 AS f FROM documents WHERE doc_id < 45)
+SELECT doc_id,
+  CASE f WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' WHEN 2 THEN 'png'
+         WHEN 3 THEN 'gif' WHEN 4 THEN 'tiff' WHEN 5 THEN 'jpeg'
+         WHEN 6 THEN 'wav' WHEN 7 THEN 'flac' WHEN 8 THEN 'avi'
+         WHEN 9 THEN 'mp4' WHEN 10 THEN 'y4m' WHEN 11 THEN 'mkv'
+         WHEN 12 THEN 'mp3' WHEN 13 THEN 'ogg' ELSE 'unknown' END AS sniffed,
+  CASE f WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' WHEN 2 THEN 'png'
+         WHEN 3 THEN 'gif' WHEN 4 THEN 'tiff' WHEN 5 THEN 'jpeg'
+         WHEN 6 THEN 'wav' WHEN 7 THEN 'flac' WHEN 8 THEN 'avi'
+         WHEN 9 THEN 'mp4' WHEN 10 THEN 'y4m' WHEN 11 THEN 'webm'
+         WHEN 12 THEN 'mp3' WHEN 13 THEN 'ogg' END AS fmt,
+  CAST(CASE WHEN f IN (0,1,2,3,4) THEN 9 WHEN f = 5 THEN 8
+            WHEN f = 8 THEN 9 WHEN f = 9 THEN 8 WHEN f = 10 THEN 6
+            WHEN f = 11 THEN 32 END AS INT) AS width,
+  CAST(CASE WHEN f IN (0,1,2,3,4) THEN 6 WHEN f = 5 THEN 16
+            WHEN f = 8 THEN 6 WHEN f = 9 THEN 16 WHEN f = 10 THEN 4
+            WHEN f = 11 THEN 24 END AS INT) AS height,
+  CAST(CASE WHEN f = 3 THEN 1 WHEN f = 6 THEN 1000 WHEN f = 7 THEN 600
+            WHEN f = 8 THEN 2 WHEN f = 10 THEN 3 WHEN f = 12 THEN 3
+            WHEN f = 13 THEN 9600 END AS INT) AS n_frames,
+  CAST(CASE WHEN f = 6 THEN 8000 WHEN f = 7 THEN 16000
+            WHEN f = 12 THEN 44100 WHEN f = 13 THEN 48000 END AS INT)
+    AS sample_rate,
+  CAST(CASE WHEN f IN (0,1,4) THEN 3 WHEN f = 5 THEN 1 WHEN f = 6 THEN 1
+            WHEN f = 7 THEN 1 WHEN f = 10 THEN 1 WHEN f = 12 THEN 2
+            WHEN f = 13 THEN 2 END AS INT) AS channels,
+  CASE WHEN f = 6 THEN CAST(1000 AS DOUBLE) / 8000
+       WHEN f = 7 THEN CAST(600 AS DOUBLE) / 16000
+       WHEN f = 8 THEN CAST(2 AS DOUBLE) / 10
+       WHEN f = 9 THEN CAST(2 AS DOUBLE) / 10
+       WHEN f = 10 THEN CAST(3 AS DOUBLE) / 25
+       WHEN f = 11 THEN 0.5
+       WHEN f = 12 THEN CAST(3 * 1152 AS DOUBLE) / 44100
+       WHEN f = 13 THEN CAST(9600 AS DOUBLE) / 48000 END AS duration_s,
+  CASE f WHEN 5 THEN 'baseline' WHEN 6 THEN 'pcm' WHEN 7 THEN 'flac'
+         WHEN 8 THEN 'DIB ' WHEN 9 THEN 'jpeg' WHEN 10 THEN 'Cmono'
+         WHEN 11 THEN 'V_VP9' WHEN 12 THEN 'mpeg_audio'
+         WHEN 13 THEN 'opus' END AS codec
+FROM d
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3776,6 +3911,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q137_webdataset_export": q137_webdataset_export,
     "q138_scd2_history": q138_scd2_history,
     "q139_zip_shards": q139_zip_shards,
+    "q140_media_census": q140_media_census,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3834,4 +3970,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q137_webdataset_export": ORACLE_Q137,
     "q138_scd2_history": ORACLE_Q138,
     "q139_zip_shards": ORACLE_Q139,
+    "q140_media_census": ORACLE_Q140,
 }

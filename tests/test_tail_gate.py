@@ -109,6 +109,7 @@ TAIL = [
     "q137_webdataset_export",
     "q138_scd2_history",
     "q139_zip_shards",
+    "q140_media_census",
 ]
 
 
