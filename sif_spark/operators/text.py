@@ -966,3 +966,71 @@ def assign_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+#: Tracking query parameters stripped by canonicalize_url — the
+#: standard analytics/click-id junk that fragments URL identity.
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "msclkid", "mc_eid",
+)
+
+#: Anchored regex matching one tracking query parameter (with or
+#: without a value) — shared VERBATIM with the SQL oracle.
+TRACKING_PARAM_RE = "^(" + "|".join(TRACKING_PARAMS) + ")(=.*)?$"
+
+
+def canonicalize_url(col: Column | str, strip_www: bool = False) -> Column:
+    """Canonical URL identity for URL-level dedup (the crawl-pipeline
+    companion to content dedup): strip the fragment, lowercase scheme
+    and host, drop default ports (http:80 / https:443), drop tracking
+    query parameters (TRACKING_PARAMS), SORT the surviving parameters
+    (param order is transport noise, not identity), normalize an
+    empty path to "/" and drop a trailing "/" on non-root paths, and
+    optionally strip a leading "www.". Everything is regex/array
+    expressions — the same algebra the DuckDB oracle replays — so two
+    engines agree on every byte of the canonical form. Strings
+    without a scheme://host shape pass through trimmed-and-
+    defragmented rather than erroring (curation filters decide their
+    fate, not the canonicalizer).
+
+    Scale notes: one expression tree per row, zero shuffle, whole-
+    stage codegen; feed the result to exact_dedup / assign_split as
+    the identity key."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(F.trim(c), r"#.*$", "")  # fragment off first
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(rest, r"^[^/?]*(/[^?]*)?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (path != "/") & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qstr = F.array_join(params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (host != ""), rebuilt).otherwise(F.trim(c))

@@ -3859,6 +3859,63 @@ ORDER BY doc_id
 """
 
 
+def q141_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization under the oracle (round 8): 60 docs each
+    get one of SIX variant spellings of the same resource — scheme/
+    host case, an explicit default port + fragment, a trailing slash,
+    tracking parameters (utm_*/gclid), and shuffled parameter order —
+    built as JVM expressions; `canonicalize_url` must collapse every
+    variant family (doc_id // 6) to ONE byte-identical canonical
+    string. The oracle states the expected canonical per doc in
+    closed form, so each individual transformation is value-gated,
+    and the per-family distinct count proves the collapse.
+
+    Scale shape: one expression tree per row, zero shuffle until the
+    family groupBy — 100% whole-stage codegen. This is the identity
+    key for URL-level dedup (feed to exact_dedup / assign_split)."""
+    from sif_spark.operators.text import canonicalize_url
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+    )
+    k = (F.col("doc_id") / 6).cast("long")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.format_string("https://host%d.example.com/path?a=1&b=2", k))
+        .when(v == 1, F.format_string("HTTPS://HOST%d.Example.COM/path?b=2&a=1", k))
+        .when(v == 2, F.format_string(
+            "https://host%d.example.com:443/path?a=1&b=2#section", k))
+        .when(v == 3, F.format_string("https://host%d.example.com/path/?a=1&b=2", k))
+        .when(v == 4, F.format_string(
+            "https://host%d.example.com/path?utm_source=feed&a=1&b=2", k))
+        .otherwise(F.format_string(
+            "https://host%d.example.com/path?b=2&utm_campaign=x&a=1&gclid=z", k))
+    )
+    out = d.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+    fam = (
+        out.groupBy((F.col("doc_id") / 6).cast("long").alias("family"))
+        .agg(F.countDistinct("canonical_url").alias("n_distinct"))
+    )
+    return (
+        out.join(fam, (F.col("doc_id") / 6).cast("long") == F.col("family"))
+        .select("doc_id", "canonical_url", "n_distinct")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_Q141 = """
+SELECT doc_id,
+       'https://host' || (doc_id // 6) || '.example.com/path?a=1&b=2'
+         AS canonical_url,
+       CAST(1 AS BIGINT) AS n_distinct
+FROM documents
+WHERE doc_id < 60
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3912,6 +3969,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_scd2_history": q138_scd2_history,
     "q139_zip_shards": q139_zip_shards,
     "q140_media_census": q140_media_census,
+    "q141_url_canonicalization": q141_url_canonicalization,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -3971,4 +4029,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q138_scd2_history": ORACLE_Q138,
     "q139_zip_shards": ORACLE_Q139,
     "q140_media_census": ORACLE_Q140,
+    "q141_url_canonicalization": ORACLE_Q141,
 }

@@ -1855,3 +1855,35 @@ def test_scd2_intervals_and_snapshot(spark):
     # collapse off keeps the no-op row
     iv3 = scd2_intervals(df, ["user_id"], "ts", ["tier"], collapse_unchanged=False)
     assert iv3.filter("user_id = 1").count() == 4
+
+
+def test_canonicalize_url(spark):
+    """URL identity canonicalization: case, default ports, fragments,
+    tracking params, param sort, trailing slash, www option, and the
+    pass-through contract for non-URL strings."""
+    from sif_spark.operators.text import canonicalize_url
+
+    cases = {
+        "HTTP://Example.COM:80/Path/?b=2&utm_source=x&a=1#frag":
+            "http://example.com/Path?a=1&b=2",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com:8443/x/": "https://example.com:8443/x",
+        "http://example.com": "http://example.com/",
+        "https://example.com/?gclid=abc": "https://example.com/",
+        "ftp://Host.Net:21/file": "ftp://host.net:21/file",  # non-default kept
+        "https://example.com/a?z=1&a=2&a=1": "https://example.com/a?a=1&a=2&z=1",
+        "not a url at all #with frag": "not a url at all",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["c"]
+           for r in df.select("url", canonicalize_url("url").alias("c")).collect()}
+    assert got == cases
+    www = spark.createDataFrame([("https://www.example.com/a",)], "url string")
+    assert www.select(canonicalize_url("url", strip_www=True)).collect()[0][0] \
+        == "https://example.com/a"
+    # the point: variants collapse to ONE dedup key
+    variants = spark.createDataFrame(
+        [("https://Example.com/a/?utm_source=t&x=1#f",),
+         ("https://example.com:443/a?x=1",)], "url string"
+    )
+    assert variants.select(canonicalize_url("url")).distinct().count() == 1

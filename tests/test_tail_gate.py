@@ -110,6 +110,7 @@ TAIL = [
     "q138_scd2_history",
     "q139_zip_shards",
     "q140_media_census",
+    "q141_url_canonicalization",
 ]
 
 
