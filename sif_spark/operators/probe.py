@@ -760,6 +760,200 @@ def encode_ogg_stub(
 
 
 # ---------------------------------------------------------------------------
+# Vorbis comments (FLAC VORBIS_COMMENT blocks, Ogg OpusTags/Vorbis
+# comment headers) + the unified audio-tags stage. With id3_tags this
+# closes metadata curation across all three audio families.
+# ---------------------------------------------------------------------------
+
+
+def _parse_vorbis_comment(buf: bytes) -> dict[str, str]:
+    """The Vorbis comment struct (vendor string + KEY=value list,
+    little-endian u32 lengths). Keys are case-insensitive per spec —
+    normalized to UPPERCASE. Bounds-checked, typed errors."""
+    if len(buf) < 4:
+        raise ValueError("truncated Vorbis comment (vendor length)")
+    vlen = int.from_bytes(buf[0:4], "little")
+    pos = 4 + vlen
+    if pos + 4 > len(buf):
+        raise ValueError("truncated Vorbis comment (count)")
+    count = int.from_bytes(buf[pos : pos + 4], "little")
+    pos += 4
+    if count > 10_000:
+        raise ValueError("Vorbis comment count exceeds cap")
+    out: dict[str, str] = {}
+    for _ in range(count):
+        if pos + 4 > len(buf):
+            raise ValueError("truncated Vorbis comment entry length")
+        clen = int.from_bytes(buf[pos : pos + 4], "little")
+        pos += 4
+        if pos + clen > len(buf):
+            raise ValueError("Vorbis comment entry runs past the buffer")
+        try:
+            entry = buf[pos : pos + clen].decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ValueError(f"undecodable Vorbis comment: {e}") from None
+        pos += clen
+        key, sep, val = entry.partition("=")
+        if sep:
+            out[key.upper()] = val
+    return out
+
+
+def vorbis_comments(blob: bytes) -> dict[str, str]:
+    """Vorbis comments from a FLAC blob (metadata block type 4) or an
+    Ogg stream (OpusTags / \x03vorbis comment header on an early
+    page; single-page comment packets — the universal real-world
+    layout for tags). Returns {} when the stream carries none."""
+    if blob[:4] == b"fLaC":
+        pos = 4
+        while pos + 4 <= len(blob):
+            hdr = blob[pos]
+            size = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+            body = pos + 4
+            if body + size > len(blob):
+                raise ValueError("FLAC metadata block runs past the buffer")
+            if hdr & 0x7F == 4:
+                return _parse_vorbis_comment(blob[body : body + size])
+            if hdr & 0x80:
+                return {}
+            pos = body + size
+        raise ValueError("truncated FLAC metadata chain")
+    if blob[:4] == b"OggS":
+        pos = 0
+        while pos + 27 <= len(blob):
+            if blob[pos : pos + 4] != b"OggS":
+                raise ValueError(f"bad Ogg page magic at offset {pos}")
+            nseg = blob[pos + 26]
+            seg_table = blob[pos + 27 : pos + 27 + nseg]
+            if len(seg_table) < nseg:
+                raise ValueError("truncated Ogg segment table")
+            body = pos + 27 + nseg
+            body_len = sum(seg_table)
+            if body + body_len > len(blob):
+                raise ValueError("Ogg page body runs past the buffer")
+            pkt = blob[body : body + body_len]
+            if pkt[:8] == b"OpusTags":
+                return _parse_vorbis_comment(pkt[8:])
+            if pkt[:7] == b"\x03vorbis":
+                return _parse_vorbis_comment(pkt[7:])
+            pos = body + body_len
+        return {}
+    raise ValueError("not a FLAC or Ogg blob")
+
+
+def audio_tags(blob: bytes) -> dict[str, str]:
+    """Unified audio-metadata extraction: ID3v2 (mp3), FLAC Vorbis
+    comments, and Ogg OpusTags/Vorbis comments through one sniffed
+    dispatch — the title/artist curation keys regardless of codec.
+    {} when the stream carries no tags; typed errors on malformed."""
+    if blob[:3] == b"ID3":
+        return id3_tags(blob)
+    if blob[:4] in (b"fLaC", b"OggS"):
+        return vorbis_comments(blob)
+    if len(blob) > 1 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0:
+        return {}  # bare mp3 frames: no tag container present
+    raise NotImplementedError(
+        "no tag reader for this format: built-ins cover ID3v2 (mp3), "
+        "FLAC, and Ogg"
+    )
+
+
+def attach_audio_tags(
+    df: DataFrame, blob_col: str, id_col: str, on_error: str = "null"
+) -> DataFrame:
+    """(id, tags: map<string,string>) via Arrow-batched mapInPandas —
+    the cross-codec audio curation stage (attach_id3 generalized)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField(
+                "tags", T.MapType(T.StringType(), T.StringType()), True
+            ),
+        ]
+    )
+
+    def one(b):
+        if b is None:
+            return None
+        try:
+            return audio_tags(bytes(b))
+        except (ValueError, NotImplementedError):
+            if on_error == "null":
+                return None
+            raise
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "tags": [one(b) for b in pdf[blob_col]]}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, out_schema)
+
+
+def _vorbis_comment_bytes(tags: dict[str, str], vendor: bytes = b"sif") -> bytes:
+    out = len(vendor).to_bytes(4, "little") + vendor
+    out += len(tags).to_bytes(4, "little")
+    for k, v in tags.items():
+        entry = f"{k}={v}".encode("utf-8")
+        out += len(entry).to_bytes(4, "little") + entry
+    return out
+
+
+def add_flac_tags(blob: bytes, tags: dict[str, str]) -> bytes:
+    """Inject a VORBIS_COMMENT metadata block into a FLAC stream (test
+    collateral for vorbis_comments): existing blocks lose their
+    last-block flag; the comment block closes the chain."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC blob")
+    pos = 4
+    blocks = []
+    while True:
+        hdr = blob[pos]
+        size = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        blocks.append(bytes([hdr & 0x7F]) + blob[pos + 1 : pos + 4 + size])
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    vc = _vorbis_comment_bytes(tags)
+    comment = bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+    return b"fLaC" + b"".join(blocks) + comment + blob[pos:]
+
+
+def encode_ogg_tags(tags: dict[str, str], **stub_kwargs) -> bytes:
+    """An Ogg Opus stream (encode_ogg_stub layout) with an OpusTags
+    comment page inserted after the BOS page."""
+    base = encode_ogg_stub(codec="opus", **stub_kwargs)
+    # split the stub's three pages and renumber around the insert
+    pages = []
+    pos = 0
+    while pos < len(base):
+        nseg = base[pos + 26]
+        body_len = sum(base[pos + 27 : pos + 27 + nseg])
+        end = pos + 27 + nseg + body_len
+        pages.append(bytearray(base[pos:end]))
+        pos = end
+    payload = b"OpusTags" + _vorbis_comment_bytes(tags)
+    segs = [255] * (len(payload) // 255) + [len(payload) % 255]
+    tag_page = bytearray(
+        b"OggS\x00\x00"
+        + (0).to_bytes(8, "little", signed=True)
+        + (7).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")
+        + bytes(4)
+        + bytes([len(segs)])
+        + bytes(segs)
+        + payload
+    )
+    tag_page[6:14] = (-1).to_bytes(8, "little", signed=True)  # no granule
+    for i, pg in enumerate(pages[1:], start=2):
+        pg[18:22] = i.to_bytes(4, "little")  # bump sequence numbers
+    return bytes(pages[0]) + bytes(tag_page) + b"".join(map(bytes, pages[1:]))
+
+
+# ---------------------------------------------------------------------------
 # Header-only probes for the formats with built-in codecs
 # ---------------------------------------------------------------------------
 

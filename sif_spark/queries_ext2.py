@@ -3916,6 +3916,84 @@ ORDER BY doc_id
 """
 
 
+def q142_audio_tag_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec audio metadata curation under the oracle (round 8):
+    40 docs get an audio blob by doc_id % 4 — FLAC with a
+    VORBIS_COMMENT block, Ogg Opus with an OpusTags page, mp3 with an
+    ID3v2.4 tag, and bare mp3 frames (no tag container → empty map) —
+    and `attach_audio_tags` extracts title/artist through ONE sniffed
+    dispatch. The oracle recomputes every field in closed form,
+    including the key-normalization difference between the families
+    (Vorbis TITLE vs ID3 TIT2) and the empty-map row.
+
+    Scale shape: generate → attach are Arrow-batched mapInPandas
+    stages reading O(tag) bytes; only shuffle the 40-row orderBy."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators.flac import encode_flac
+    from sif_spark.operators.probe import (
+        add_flac_tags,
+        attach_audio_tags,
+        encode_id3,
+        encode_mp3_frames,
+        encode_ogg_tags,
+    )
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+
+    def gen(batches):
+        pcm = np.zeros((100, 1), np.int32)
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tags = {"TITLE": f"title {did}", "ARTIST": f"artist {did % 5}"}
+                fam = did % 4
+                if fam == 0:
+                    blob = add_flac_tags(encode_flac(pcm, 8000, 16), tags)
+                elif fam == 1:
+                    blob = encode_ogg_tags(tags)
+                elif fam == 2:
+                    blob = encode_id3(
+                        {"TIT2": tags["TITLE"], "TPE1": tags["ARTIST"]}, 4
+                    ) + encode_mp3_frames(2)
+                else:
+                    blob = encode_mp3_frames(2)
+                recs.append((did, blob))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    tagged = attach_audio_tags(blobs, "blob", "doc_id")
+    return tagged.select(
+        "doc_id",
+        F.coalesce(
+            F.col("tags")["TITLE"], F.col("tags")["TIT2"]
+        ).alias("title"),
+        F.coalesce(
+            F.col("tags")["ARTIST"], F.col("tags")["TPE1"]
+        ).alias("artist"),
+        F.size("tags").alias("n_tags"),
+    ).orderBy("doc_id")
+
+
+ORACLE_Q142 = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'title ' || doc_id END AS title,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'artist ' || (doc_id % 5) END AS artist,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 2 END AS INT) AS n_tags
+FROM documents
+WHERE doc_id < 40
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -3970,6 +4048,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q139_zip_shards": q139_zip_shards,
     "q140_media_census": q140_media_census,
     "q141_url_canonicalization": q141_url_canonicalization,
+    "q142_audio_tag_curation": q142_audio_tag_curation,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -4030,4 +4109,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q139_zip_shards": ORACLE_Q139,
     "q140_media_census": ORACLE_Q140,
     "q141_url_canonicalization": ORACLE_Q141,
+    "q142_audio_tag_curation": ORACLE_Q142,
 }

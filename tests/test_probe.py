@@ -432,3 +432,85 @@ def test_sniff_format_detects_mkv(spark):
 
     df = spark.createDataFrame([(encode_mkv_stub(),)], "blob binary")
     assert df.select(mm.sniff_format("blob")).collect()[0][0] == "mkv"
+
+
+# ---------------------------------------------------------------------------
+# Vorbis comments / unified audio tags
+# ---------------------------------------------------------------------------
+
+
+def test_vorbis_comments_flac_and_ogg_roundtrip():
+    import numpy as np
+
+    from sif_spark.operators.flac import decode_flac, encode_flac
+    from sif_spark.operators.probe import (
+        add_flac_tags,
+        audio_tags,
+        encode_mp3_frames,
+        encode_ogg_tags,
+        probe_ogg,
+        vorbis_comments,
+    )
+
+    tags = {"TITLE": "Söng", "ARTIST": "bänd", "DATE": "2026"}
+    flac = add_flac_tags(encode_flac(np.zeros((600, 1), np.int32), 16000, 16), tags)
+    assert vorbis_comments(flac) == tags
+    assert decode_flac(flac).shape == (600, 1)  # audio intact past the block
+    ogg = encode_ogg_tags(tags)
+    assert vorbis_comments(ogg) == tags
+    assert probe_ogg(ogg)["duration_s"] == 0.2  # probe unaffected by the page
+    # unified dispatch: all three families + the bare-frames empty map
+    assert audio_tags(flac) == tags and audio_tags(ogg) == tags
+    assert audio_tags(encode_mp3_frames(2)) == {}
+    # key case-insensitivity per spec: lowercase keys normalize
+    low = add_flac_tags(
+        encode_flac(np.zeros((100, 1), np.int32), 8000, 16), {"title": "x"}
+    )
+    assert vorbis_comments(low) == {"TITLE": "x"}
+
+
+def test_vorbis_comments_typed_errors():
+    import numpy as np
+
+    from sif_spark.operators.flac import encode_flac
+    from sif_spark.operators.probe import add_flac_tags, vorbis_comments
+
+    good = bytearray(add_flac_tags(
+        encode_flac(np.zeros((100, 1), np.int32), 8000, 16), {"TITLE": "t"}
+    ))
+    # forge the comment entry length past the block
+    i = bytes(good).find(b"TITLE=")
+    good[i - 4 : i] = (1 << 24).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="runs past|truncated"):
+        vorbis_comments(bytes(good))
+    with pytest.raises(ValueError, match="not a FLAC or Ogg"):
+        vorbis_comments(b"something else")
+
+
+def test_attach_audio_tags_spark(spark):
+    import numpy as np
+
+    from sif_spark.operators.flac import encode_flac
+    from sif_spark.operators.probe import (
+        add_flac_tags,
+        attach_audio_tags,
+        encode_id3,
+        encode_mp3_frames,
+        encode_ogg_tags,
+    )
+
+    flac = add_flac_tags(
+        encode_flac(np.zeros((100, 1), np.int32), 8000, 16), {"TITLE": "f"}
+    )
+    ogg = encode_ogg_tags({"TITLE": "o"})
+    mp3 = encode_id3({"TIT2": "m"}, 4) + encode_mp3_frames(2)
+    df = spark.createDataFrame(
+        [(1, flac), (2, ogg), (3, mp3), (4, b"garbage")],
+        "doc_id long, blob binary",
+    )
+    got = {r["doc_id"]: r["tags"]
+           for r in attach_audio_tags(df, "blob", "doc_id").collect()}
+    assert got[1] == {"TITLE": "f"}
+    assert got[2] == {"TITLE": "o"}
+    assert got[3] == {"TIT2": "m"}
+    assert got[4] is None

@@ -111,6 +111,7 @@ TAIL = [
     "q139_zip_shards",
     "q140_media_census",
     "q141_url_canonicalization",
+    "q142_audio_tag_curation",
 ]
 
 
