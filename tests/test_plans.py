@@ -864,3 +864,23 @@ def test_span_dedup_plan_no_global_window_no_cartesian(spark):
     text = plan_string(df, "simple")
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_no_cartesian_products_anywhere_in_catalog(spark):
+    """Catalog-WIDE invariant (round 8): no entry may plan a
+    CartesianProduct or BroadcastNestedLoopJoin — the quadratic
+    scale-killers. Previously pinned per-entry on the subquery
+    shapes; this sweeps every batch entry's physical plan."""
+    from sif_spark.plans import plan_string
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        if df.isStreaming:
+            continue
+        text = plan_string(df, "simple")
+        hits = [m for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                if m in text]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
