@@ -1034,3 +1034,67 @@ def canonicalize_url(col: Column | str, strip_www: bool = False) -> Column:
         F.when(qstr != "", F.concat(F.lit("?"), qstr)).otherwise(F.lit("")),
     )
     return F.when((scheme != "") & (host != ""), rebuilt).otherwise(F.trim(c))
+
+
+#: Candidate payment-card shape: 13-19 digits, optionally broken by
+#: single spaces or dashes (the layouts cards are actually typed in).
+CARD_CANDIDATE_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_check(digits: Column | str) -> Column:
+    """Luhn mod-10 checksum over a digits-only string — TRUE iff the
+    check digit validates. Pure array algebra (reverse → per-position
+    double-every-second → digit sum → mod 10), integer-exact and
+    shared with the SQL oracle: from the right, position 0 keeps d,
+    odd positions contribute 2d − 9·(d>4)."""
+    c = F.col(digits) if isinstance(digits, str) else digits
+    chars = F.split(F.reverse(c), "")
+    contrib = F.zip_with(
+        chars,
+        F.sequence(F.lit(0), F.greatest(F.size(chars) - 1, F.lit(0))),
+        lambda ch, i: F.when(
+            i % 2 == 0, ch.cast("int")
+        ).otherwise(
+            ch.cast("int") * 2 - F.when(ch.cast("int") > 4, 9).otherwise(0)
+        ),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + F.coalesce(x, F.lit(0)))
+    return (F.length(c) >= 1) & (total % 10 == 0)
+
+
+def redact_card_numbers(
+    df,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> "DataFrame":
+    """Checksum-VALIDATED payment-card redaction — the upgrade over
+    shape-only regexes, which burn random 16-digit ids, order
+    numbers, and hashes (a real corpus is full of them): every
+    13-19-digit candidate run is extracted, Luhn-checked, and only
+    validating numbers are replaced with ``<CARD>``; non-validating
+    runs stay untouched. Adds ``n_card_candidates`` and ``n_cards``
+    (validated) counts.
+
+    Pure JVM expressions: regexp_extract_all → per-candidate Luhn
+    via the same array algebra the oracle replays → targeted
+    regexp_replace of only the validated literals. Zero Python, zero
+    shuffle."""
+    out = out_col or text_col
+    src = F.col(text_col)
+    cands = F.regexp_extract_all(src, F.lit(CARD_CANDIDATE_RE), 0)
+    digits = F.transform(cands, lambda s: F.regexp_replace(s, "[ -]", ""))
+    valid = F.filter(digits, lambda d: luhn_check(d))
+    # replace each VALIDATED candidate literally: rewrite its digit
+    # string into a per-character optional-separator regex
+    red = F.aggregate(
+        F.filter(cands, lambda s: luhn_check(F.regexp_replace(s, "[ -]", ""))),
+        src,
+        lambda acc, lit: F.replace(acc, lit, F.lit("<CARD>")),
+    )
+    return df.withColumns(
+        {
+            "n_card_candidates": F.size(cands).cast("long"),
+            "n_cards": F.size(valid).cast("long"),
+            out: red,
+        }
+    )

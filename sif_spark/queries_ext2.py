@@ -3994,6 +3994,93 @@ ORDER BY doc_id
 """
 
 
+def q143_luhn_card_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated payment-card redaction under the oracle
+    (round 8): 40 docs each embed one 16-digit number whose check
+    digit is CORRECT for even doc_ids and corrupted (+5 mod 10) for
+    odd — shape-identical either way, so a regex-only redactor would
+    burn both. `redact_card_numbers` Luhn-validates every candidate
+    and redacts only the real ones. BOTH engines construct the number
+    AND replay the checksum with the same integer algebra (reverse →
+    double-every-second → 2d−9·(d>4) → mod 10), so the oracle gates
+    the Luhn arithmetic itself, the candidate extraction, and the
+    targeted replacement.
+
+    Scale shape: one expression tree per row (regexp_extract_all +
+    array algebra + aggregate-replace), zero Python, zero shuffle
+    until the 40-row orderBy."""
+    from sif_spark.operators.text import redact_card_numbers
+
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+    )
+    base = F.concat(
+        F.lit("4"), F.lpad(F.col("doc_id").cast("string"), 14, "0")
+    )
+    # Luhn partial over the 15 base digits: with the check digit at
+    # position 0 from the right, base digit i0 (0-based from the
+    # right of BASE) sits at full position i0+1 → doubled when i0
+    # is even
+    chars = F.split(F.reverse(base), "")
+    contrib = F.zip_with(
+        chars,
+        F.sequence(F.lit(0), F.lit(14)),
+        lambda ch, i: F.when(
+            i % 2 == 0,
+            ch.cast("int") * 2 - F.when(ch.cast("int") > 4, 9).otherwise(0),
+        ).otherwise(ch.cast("int")),
+    )
+    partial = F.aggregate(contrib, F.lit(0), lambda a, x: a + F.coalesce(x, F.lit(0)))
+    check = (10 - partial % 10) % 10
+    digit = F.when(
+        F.col("doc_id") % 2 == 0, check
+    ).otherwise((check + 5) % 10)
+    text = F.format_string(
+        "user %d paid %s%d today", F.col("doc_id"), base, digit
+    )
+    docs = d.select("doc_id", text.alias("text"))
+    return redact_card_numbers(docs).orderBy("doc_id")
+
+
+# Both engines build number = '4' || lpad(doc_id,14,'0') || check and
+# replay the same Luhn algebra; even docs validate → redacted text,
+# odd docs fail → text untouched.
+ORACLE_Q143 = """
+WITH d AS (
+  SELECT doc_id, '4' || lpad(CAST(doc_id AS VARCHAR), 14, '0') AS base
+  FROM documents WHERE doc_id < 40
+),
+luhn AS (
+  SELECT doc_id, base,
+         list_sum(list_transform(range(1, 16), i ->
+           CASE WHEN (i - 1) % 2 = 0
+                THEN CAST(reverse(base)[i] AS INT) * 2
+                     - CASE WHEN CAST(reverse(base)[i] AS INT) > 4
+                            THEN 9 ELSE 0 END
+                ELSE CAST(reverse(base)[i] AS INT) END)) AS partial
+  FROM d
+),
+built AS (
+  SELECT doc_id, base,
+         CASE WHEN doc_id % 2 = 0
+              THEN (10 - partial % 10) % 10
+              ELSE ((10 - partial % 10) % 10 + 5) % 10 END AS digit
+  FROM luhn
+)
+SELECT doc_id,
+       CAST(1 AS BIGINT) AS n_card_candidates,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'user ' || doc_id || ' paid <CARD> today'
+            ELSE 'user ' || doc_id || ' paid ' || base || digit || ' today'
+       END AS text
+FROM built
+ORDER BY doc_id
+"""
+
+
 EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_line_dedup": q89_line_dedup,
     "q90_gopher_quality": q90_gopher_quality,
@@ -4049,6 +4136,7 @@ EXT2_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_media_census": q140_media_census,
     "q141_url_canonicalization": q141_url_canonicalization,
     "q142_audio_tag_curation": q142_audio_tag_curation,
+    "q143_luhn_card_redaction": q143_luhn_card_redaction,
 }
 
 EXT2_ORACLES: dict[str, str] = {
@@ -4110,4 +4198,5 @@ EXT2_ORACLES: dict[str, str] = {
     "q140_media_census": ORACLE_Q140,
     "q141_url_canonicalization": ORACLE_Q141,
     "q142_audio_tag_curation": ORACLE_Q142,
+    "q143_luhn_card_redaction": ORACLE_Q143,
 }

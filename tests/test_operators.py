@@ -1887,3 +1887,28 @@ def test_canonicalize_url(spark):
          ("https://example.com:443/a?x=1",)], "url string"
     )
     assert variants.select(canonicalize_url("url")).distinct().count() == 1
+
+
+def test_luhn_card_redaction(spark):
+    """Checksum-validated card redaction: valid numbers (spaced,
+    dashed, bare) redact; shape-matching but Luhn-failing runs stay;
+    short digit runs are never candidates."""
+    from sif_spark.operators.text import luhn_check, redact_card_numbers
+
+    rows = [
+        (1, "pay 4539 1488 0343 6467 now"),        # valid (test number)
+        (2, "order 1234 5678 9012 3456 shipped"),  # fails Luhn
+        (3, "card 4539-1488-0343-6467 twice 4539-1488-0343-6467"),
+        (4, "id 79927398713 is only 11 digits"),   # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_card_numbers(df).collect()}
+    assert got[1]["text"] == "pay <CARD> now" and got[1]["n_cards"] == 1
+    assert got[2]["text"] == rows[1][1] and got[2]["n_cards"] == 0
+    assert got[2]["n_card_candidates"] == 1
+    assert got[3]["text"] == "card <CARD> twice <CARD>"
+    assert got[4]["n_card_candidates"] == 0
+    # luhn_check directly: classic verification string
+    lc = spark.createDataFrame([("79927398713",), ("79927398710",)], "d string")
+    vals = [r[0] for r in lc.select(luhn_check("d")).collect()]
+    assert vals == [True, False]

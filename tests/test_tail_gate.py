@@ -112,6 +112,7 @@ TAIL = [
     "q140_media_census",
     "q141_url_canonicalization",
     "q142_audio_tag_curation",
+    "q143_luhn_card_redaction",
 ]
 
 
