@@ -87,6 +87,8 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
             if btype in (b"mdia", b"minf", b"stbl"):
                 walk_trak(body, box_end, t)
             elif btype == b"mdhd":
+                if body >= box_end:
+                    raise ValueError("truncated mdhd box")
                 ver = blob[body]
                 off = body + 4 + (16 if ver == 1 else 8)
                 if off + 8 > box_end:
@@ -95,7 +97,10 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
             elif btype == b"hdlr" and box_end - body >= 12:
                 t["handler"] = blob[body + 8 : body + 12].decode("latin-1")
             elif btype == b"stsd":
-                _parse_stsd(blob, body, box_end, t)
+                # ISO-BMFF doesn't mandate hdlr-before-minf order; defer
+                # interpreting the sample entry until the trak walk ends
+                # and the handler (if any) is known.
+                t["_stsd_span"] = (body, box_end)
             elif btype == b"stsz":
                 p = _full_box(blob, body, box_end, 8)
                 t["sample_size"] = int.from_bytes(blob[p : p + 4], "big")
@@ -140,6 +145,9 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
                 if btype2 == b"trak":
                     t: dict = {}
                     walk_trak(b2, e2, t)
+                    span = t.pop("_stsd_span", None)
+                    if span is not None:
+                        _parse_stsd(blob, span[0], span[1], t)
                     t["samples"] = _resolve_samples(blob, t)
                     tracks.append(t)
     if not found_moov:

@@ -37,7 +37,7 @@ PROBE_SCHEMA = T.StructType(
         T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
-        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
         T.StructField("duration_s", T.DoubleType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
@@ -369,7 +369,9 @@ def probe_mp4(blob: bytes) -> dict:
                 walk(body, box_end)
             elif btype == b"ftyp" and box_end - body >= 4:
                 out["codec"] = blob[body : body + 4].decode("latin-1").strip()
-            elif btype == b"mvhd" and box_end - body >= 4:
+            elif btype == b"mvhd":
+                if box_end - body < 4:
+                    raise ValueError("truncated mvhd box")
                 ver = blob[body]
                 if ver == 1 and box_end - body >= 32:
                     scale = int.from_bytes(blob[body + 20 : body + 24], "big")
@@ -384,6 +386,8 @@ def probe_mp4(blob: bytes) -> dict:
             elif btype == b"tkhd" and not dims_done:
                 # width/height sit after ver/flags + times/ids +
                 # layer block + the 36-byte matrix: 76 (v0) / 88 (v1)
+                if box_end - body < 1:
+                    raise ValueError("truncated tkhd box")
                 ver = blob[body]
                 off = body + (88 if ver == 1 else 76)
                 if off + 8 > box_end:

@@ -147,20 +147,36 @@ def webdataset_samples(
             "instr(element_at(split(member,'/'),-1), '.') + 1)"
         ),
     ).otherwise(F.lit(""))
+    # A tar may legally carry two members with the same stem+ext (the
+    # later one overrides on extract); map_from_entries would reject the
+    # duplicate key at runtime (mapKeyDedupPolicy=EXCEPTION). Tag each
+    # member with its intra-partition sequence (untar emits members in
+    # archive order within one task), sort by (ext, seq), and keep the
+    # LAST entry per ext — tar's override semantics — before building
+    # the map. Still exactly one (id, key) shuffle.
     keyed = members.select(
         F.col(id_col),
         F.concat(dirp, stem).alias("key"),
         ext.alias("ext"),
         "payload",
+        F.monotonically_increasing_id().alias("_seq"),
     )
-    return (
-        keyed.groupBy(id_col, "key")
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("ext", "payload")))
-            ).alias("parts"),
-            F.count(F.lit(1)).alias("n_parts"),
-        )
+    agg = keyed.groupBy(id_col, "key").agg(
+        F.array_sort(F.collect_list(F.struct("ext", "_seq", "payload"))).alias("_m")
+    )
+    return agg.select(
+        id_col,
+        "key",
+        F.map_from_entries(
+            F.expr(
+                "transform("
+                "  filter(_m, (x, i) -> i = size(_m) - 1 OR _m[i + 1].ext != x.ext),"
+                "  x -> struct(x.ext AS ext, x.payload AS payload))"
+            )
+        ).alias("parts"),
+        F.expr(
+            "size(filter(_m, (x, i) -> i = size(_m) - 1 OR _m[i + 1].ext != x.ext))"
+        ).cast("long").alias("n_parts"),
     )
 
 

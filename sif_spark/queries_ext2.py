@@ -2427,7 +2427,7 @@ SELECT doc_id,
   CAST(CASE kind WHEN 1 THEN 6 + doc_id % 5 WHEN 3 THEN 50 + doc_id END AS INT) AS height,
   CAST(CASE kind WHEN 0 THEN 200 + 10*doc_id
                  WHEN 1 THEN 2 + doc_id % 3
-                 WHEN 2 THEN 3 + doc_id % 5 END AS INT) AS n_frames,
+                 WHEN 2 THEN 3 + doc_id % 5 END AS BIGINT) AS n_frames,
   CAST(CASE kind WHEN 0 THEN (200 + 10*doc_id) / CAST(8000 + 100*doc_id AS DOUBLE)
                  WHEN 2 THEN ((3 + doc_id % 5) * 1152) / CAST(mp3_rate AS DOUBLE)
                  WHEN 3 THEN (1000 + doc_id) / CAST(1000 AS DOUBLE) END AS DOUBLE) AS duration_s,
@@ -3835,7 +3835,7 @@ SELECT doc_id,
             WHEN f = 11 THEN 24 END AS INT) AS height,
   CAST(CASE WHEN f = 3 THEN 1 WHEN f = 6 THEN 1000 WHEN f = 7 THEN 600
             WHEN f = 8 THEN 2 WHEN f = 10 THEN 3 WHEN f = 12 THEN 3
-            WHEN f = 13 THEN 9600 END AS INT) AS n_frames,
+            WHEN f = 13 THEN 9600 END AS BIGINT) AS n_frames,
   CAST(CASE WHEN f = 6 THEN 8000 WHEN f = 7 THEN 16000
             WHEN f = 12 THEN 44100 WHEN f = 13 THEN 48000 END AS INT)
     AS sample_rate,

@@ -200,3 +200,39 @@ def test_probe_and_decode_agree_on_muxed_mp4():
     assert (p["width"], p["height"], p["codec"]) == (16, 24, "jpeg")
     f = next(iter(m4.iter_mp4_frames(blob)))
     assert f.shape == (24, 16, 3)
+
+
+def _box(t, p):
+    return (8 + len(p)).to_bytes(4, "big") + t + p
+
+
+def test_mp4_empty_mdhd_is_typed_error():
+    """ADVICE r8: a zero-payload mdhd box at buffer end must raise the
+    typed ValueError, not IndexError, preserving the on_error='null'
+    decode contract."""
+    trak = _box(b"trak", _box(b"mdia", _box(b"mdhd", b"")))
+    blob = _box(b"moov", trak)
+    with pytest.raises(ValueError, match="truncated mdhd"):
+        m4.parse_mp4_tracks(blob)
+
+
+def test_mp4_hdlr_after_minf_still_parses_audio_entry():
+    """ADVICE r8: ISO-BMFF does not mandate hdlr-before-minf order; the
+    stsd sample entry must be interpreted with the handler known even
+    when hdlr follows minf in the trak."""
+    entry = (
+        (36).to_bytes(4, "big") + b"sowt" + bytes(6) + (1).to_bytes(2, "big")
+        + bytes(8)  # audio reserved
+        + (2).to_bytes(2, "big") + (16).to_bytes(2, "big")  # channels, bits
+        + bytes(4)  # pre_defined + reserved
+        + (44100).to_bytes(2, "big") + bytes(2)  # 16.16 sample rate
+    )
+    stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
+    minf = _box(b"minf", _box(b"stbl", stsd))
+    hdlr = _box(b"hdlr", bytes(8) + b"soun" + bytes(13))
+    for order in (minf + hdlr, hdlr + minf):  # both spec-legal orders
+        blob = _box(b"moov", _box(b"trak", _box(b"mdia", order)))
+        t = m4.parse_mp4_tracks(blob)[0]
+        assert t["handler"] == "soun" and t["codec"] == "sowt"
+        assert (t["channels"], t["bits"], t["sample_rate"]) == (2, 16, 44100)
+        assert "width" not in t and "height" not in t

@@ -514,3 +514,45 @@ def test_attach_audio_tags_spark(spark):
     assert got[2] == {"TITLE": "o"}
     assert got[3] == {"TIT2": "m"}
     assert got[4] is None
+
+
+def test_probe_mp4_zero_payload_tkhd_is_typed_error():
+    """ADVICE r8: an empty tkhd box at the end of the buffer must raise
+    the typed ValueError (not IndexError), so attach_probe's
+    on_error='null' contract holds for corrupt blobs."""
+
+    def box(t, p):
+        return (8 + len(p)).to_bytes(4, "big") + t + p
+
+    blob = box(b"ftyp", b"mp42\x00\x00\x00\x00") + box(
+        b"moov", box(b"trak", box(b"tkhd", b""))
+    )
+    with pytest.raises(ValueError, match="truncated tkhd"):
+        pb.probe_mp4(blob)
+    # empty mvhd likewise stays in the typed contract
+    blob2 = box(b"ftyp", b"mp42\x00\x00\x00\x00") + box(b"moov", box(b"mvhd", b""))
+    with pytest.raises(ValueError, match="truncated mvhd"):
+        pb.probe_mp4(blob2)
+
+
+def test_probe_flac_n_frames_past_int32_through_spark(spark):
+    """ADVICE r8: FLAC total_samples is a 36-bit field — a ~13h stream
+    legitimately exceeds 2^31. n_frames is LongType and the value
+    survives Arrow conversion through attach_probe."""
+    total = 1 << 33
+    fields = (44100 << 44) | (0 << 41) | (15 << 36) | total
+    streaminfo = (
+        (4096).to_bytes(2, "big") * 2  # min/max blocksize
+        + bytes(6)  # min/max framesize
+        + fields.to_bytes(8, "big")
+        + bytes(16)  # md5
+    )
+    blob = b"fLaC" + bytes([0x80, 0, 0, 34]) + streaminfo
+    got = pb.probe_media(blob)
+    assert got["n_frames"] == total and got["channels"] == 1
+
+    df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
+    out = pb.attach_probe(df, "blob", "doc_id")
+    assert dict(out.select("probe.*").dtypes)["n_frames"] == "bigint"
+    row = out.select("probe.n_frames").first()
+    assert row[0] == total

@@ -228,3 +228,26 @@ def test_unzip_blobs_and_grouping_spark(spark):
     s = {r["key"]: {k: bytes(v) for k, v in r["parts"].items()}
          for r in webdataset_samples(m, "shard_id").collect()}
     assert s == {"000001": {"txt": b"hi", "cls": b"5"}}
+
+
+def test_duplicate_member_last_wins(spark):
+    """ADVICE r8: a tar legally carrying two members with the same
+    stem+ext (later overrides on extract) must dedupe last-wins instead
+    of failing map_from_entries with a duplicate-key error."""
+    shard = make_tar(
+        [
+            ("000001.txt", b"first"),
+            ("000001.cls", b"3"),
+            ("000001.txt", b"second"),  # overrides on extract
+        ]
+    )
+    df = spark.createDataFrame([(1, shard)], "shard_id long, blob binary")
+    m = untar_blobs(df, "blob", "shard_id")
+    rows = webdataset_samples(m, "shard_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_parts"] == 2
+    assert {k: bytes(v) for k, v in r["parts"].items()} == {
+        "txt": b"second",
+        "cls": b"3",
+    }
