@@ -1219,11 +1219,14 @@ ORACLES: dict[str, str] = {
 # entries — see sif_spark/queries_ext.py.
 from sif_spark.queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
 from sif_spark.queries_ext2 import EXT2_ORACLES, EXT2_QUERIES  # noqa: E402
+from sif_spark.queries_tpch import TPCH_ORACLES, TPCH_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 ORACLES.update(EXT_ORACLES)
 QUERIES.update(EXT2_QUERIES)
 ORACLES.update(EXT2_ORACLES)
+QUERIES.update(TPCH_QUERIES)
+ORACLES.update(TPCH_ORACLES)
 # PQ prefilter + exact re-rank (q109) gates against the exact-kNN
 # contract — the oracle lives here to keep queries_ext2 import-order
 # independent

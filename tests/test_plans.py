@@ -884,3 +884,79 @@ def test_no_cartesian_products_anywhere_in_catalog(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------
+# TPC-H-shape completion suite (round 9, q144-q154): each entry pins
+# the SPECIFIC planner behavior it was added to exercise. The
+# catalog-wide no-CartesianProduct/BNLJ sweep covers them all too.
+# ---------------------------------------------------------------------
+
+
+def test_q144_correlated_min_decorrelates(spark):
+    """Q2 shape: the correlated MIN over its own 4-way join must land
+    as a per-part aggregate equi-joined back on (partkey, cost) —
+    never a per-outer-row subquery."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q144_min_cost_supplier"](spark, SF), "formatted")
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "HashAggregate" in text  # the decorrelated MIN
+
+
+def test_q145_q146_nation_joins_broadcast(spark):
+    """Q7/Q8 shapes: every dimension join (nation x2, region, part,
+    supplier, customer) must broadcast — the only shuffle joins are
+    fact-fact (lineitem-orders)."""
+    for name in ("q145_volume_shipping", "q146_market_share"):
+        strategies = join_strategies(QUERIES[name](spark, SF))
+        assert strategies.count("BroadcastHashJoin") >= 4, (name, strategies)
+
+
+def test_q148_having_scalar_subquery_planned_once(spark):
+    """Q11 shape: the global total in HAVING must be a scalar subquery
+    evaluated once — the plan carries a Subquery/scalar-subquery node,
+    not a join explosion, and never a nested loop."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q148_important_parts"](spark, SF), "formatted")
+    assert "Subquery" in text or "scalar-subquery" in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+
+
+def test_q152_not_in_plans_anti_join(spark):
+    """Q16 shape: NOT IN over the complaint-supplier subquery must plan
+    as a (null-aware) LeftAnti hash join, plus a distinct expansion
+    for COUNT(DISTINCT)."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q152_supplier_part_counts"](spark, SF), "formatted")
+    assert "LeftAnti" in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_q153_correlated_avg_decorrelates(spark):
+    """Q17 shape: the correlated scalar AVG must decorrelate into a
+    per-part aggregate equi-join on l_partkey."""
+    from sif_spark.plans import plan_string
+
+    text = plan_string(QUERIES["q153_small_qty_revenue"](spark, SF), "formatted")
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text
+    assert "HashAggregate" in text
+
+
+def test_q154_disjunction_keeps_equi_join(spark):
+    """Q19 shape: the three OR'd mixed-side clauses must ride the
+    p_partkey equi-join as a post-join filter — the join itself stays
+    hash-based (the classic Q19 planner test)."""
+    from sif_spark.plans import plan_string
+
+    df = QUERIES["q154_disjunctive_revenue"](spark, SF)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies or "SortMergeJoin" in strategies
+    text = plan_string(df, "formatted")
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text

@@ -113,6 +113,17 @@ TAIL = [
     "q141_url_canonicalization",
     "q142_audio_tag_curation",
     "q143_luhn_card_redaction",
+    "q144_min_cost_supplier",
+    "q145_volume_shipping",
+    "q146_market_share",
+    "q147_product_profit",
+    "q148_important_parts",
+    "q149_priority_shipmode",
+    "q150_promo_revenue",
+    "q151_top_supplier",
+    "q152_supplier_part_counts",
+    "q153_small_qty_revenue",
+    "q154_disjunctive_revenue",
 ]
 
 
