@@ -4200,3 +4200,120 @@ EXT2_ORACLES: dict[str, str] = {
     "q142_audio_tag_curation": ORACLE_Q142,
     "q143_luhn_card_redaction": ORACLE_Q143,
 }
+
+
+# ---------------------------------------------------------------------------
+# q155 — the codec-INJECTION demonstration (round 9, VERDICT r8 ask #2):
+# MPEG-1 Layer I audio decoded through the `decoder=` extension point.
+# ---------------------------------------------------------------------------
+
+# (fs, ch, period, frames_L, bitrate_kbps, crc, id3, amp) per doc_id%8.
+# Periods divide 384 (whole periods per analysis window) and avoid
+# subband-edge frequencies; amplitudes are fixture constants chosen so
+# BOTH the clean-signal and decoded-signal features sit bucket-centered
+# (joint margin >= 0.45 of a bucket, pinned in test_mpeg1.py) — the
+# codec's measured error (~ -58 dB worst) plus the float32 matmul's
+# cross-process reduction wobble (~3e-7) never flip a bucket.
+_Q155_FAMS = [
+    (48000, 1, 12, 6, 448, False, False, 0.384),
+    (44100, 2, 24, 5, 448, True, False, 0.382),
+    (32000, 1, 48, 7, 352, False, True, 0.630),
+    (48000, 2, 6, 6, 448, False, False, 0.902),
+    (44100, 1, 96, 8, 448, False, False, 0.434),
+    (32000, 2, 12, 5, 352, True, False, 0.384),
+    (48000, 1, 24, 9, 448, False, True, 0.382),
+    (44100, 2, 48, 6, 448, False, False, 0.630),
+]
+
+
+def q155_mpeg1_injected_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The injected-codec path, demonstrated end to end with a REAL
+    compressed-audio codec (round 9): 24 docs get MPEG-1 Layer I
+    streams (sine fixtures over 3 sample rates x mono/stereo x 2
+    bitrates, CRC-protected frames and ID3v2 prefixes included)
+    authored by `mpeg1.encode_mpeg1_layer1`, then decoded through
+    `audio_frame_features(..., decoder=mpeg1_decoder)` — the SAME
+    `decoder=` plumbing a user injects a native codec into at 100 TB
+    (`media_decoder` itself still refuses MPEG audio, pinned in
+    tests). Per gated frame (onset/tail transients excluded) the
+    oracle checks zero-crossing count EXACTLY (the tone's frequency
+    survives the codec bit-for-bit at these margins) and peak/energy
+    in wide buckets (shiftright 8/33) whose expected values are
+    closed-form from the clean fixture signal.
+
+    Scale notes: one Arrow-batched mapInPandas author stage + one
+    mapInPandas decode stage (FlatMap shape), no shuffle; decode is
+    batched NumPy at ~2.4 MB/s/core of bitstream (43x realtime
+    stereo, SCALE.md). Reference: the custom-column decode ambition
+    (column_type.go:16-23) + whole-file Decoder pre-pass
+    (file_datasource.go:24-28)."""
+    import numpy as np
+    import pandas as pd
+
+    from sif_spark.operators import mpeg1 as mp1
+    from sif_spark.operators.audio import audio_frame_features
+    from sif_spark.operators.probe import encode_id3
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 24
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fs, ch, per, nl, br, crc, id3, amp = _Q155_FAMS[did % 8]
+                t = np.arange(384 * nl)
+                x = amp * np.sin(2 * np.pi * (t % per) / per + np.pi / per)
+                if ch == 2:
+                    x = np.stack([x, 0.5 * x], axis=1)
+                blob = mp1.encode_mpeg1_layer1(x, fs, br, protection=crc)
+                if id3:
+                    blob = encode_id3({"TIT2": f"doc{did}"}, 4) + blob
+                recs.append((did, blob))
+            yield pd.DataFrame(recs, columns=["doc_id", "blob"])
+
+    blobs = d.mapInPandas(gen, "doc_id long, blob binary")
+    feats = audio_frame_features(
+        blobs, "blob", "doc_id", frame_samples=384, decoder=mp1.mpeg1_decoder
+    )
+    n_gate = F.element_at(
+        F.array(*[F.lit(f[3]) for f in _Q155_FAMS]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    return (
+        feats.filter(
+            (F.col("frame_idx") >= 1) & (F.col("frame_idx") <= n_gate - 2)
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "zcr",
+            F.shiftright("peak", 8).alias("peak_bucket"),
+            F.shiftright("energy", 33).alias("energy_bucket"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+# fam table (f, L, zcr, pb, eb): closed-form features of the clean
+# fixture tone per family — see _Q155_FAMS and the margin pin test.
+ORACLE_Q155 = """
+WITH d AS (SELECT doc_id, doc_id % 8 AS f FROM documents WHERE doc_id < 24),
+fam AS (
+  SELECT * FROM (VALUES
+    (0, 6, 63, 47, 3), (1, 5, 31, 48, 3), (2, 7, 15, 80, 9),
+    (3, 6, 127, 115, 19), (4, 8, 7, 55, 4), (5, 5, 63, 47, 3),
+    (6, 9, 31, 48, 3), (7, 6, 15, 80, 9)
+  ) AS t(f, nl, zcr, pb, eb)
+)
+SELECT doc_id, CAST(g AS INT) AS frame_idx, CAST(zcr AS INT) AS zcr,
+       CAST(pb AS INT) AS peak_bucket, CAST(eb AS BIGINT) AS energy_bucket
+FROM d JOIN fam USING (f), range(1, 16) r(g)
+WHERE g <= nl - 2
+ORDER BY doc_id, frame_idx
+"""
+
+EXT2_QUERIES["q155_mpeg1_injected_codec"] = q155_mpeg1_injected_codec
+EXT2_ORACLES["q155_mpeg1_injected_codec"] = ORACLE_Q155

@@ -124,6 +124,7 @@ TAIL = [
     "q152_supplier_part_counts",
     "q153_small_qty_revenue",
     "q154_disjunctive_revenue",
+    "q155_mpeg1_injected_codec",
 ]
 
 
