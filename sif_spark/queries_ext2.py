@@ -956,15 +956,15 @@ def q106_streaming_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(processingTime="0 seconds")
         .start()
     )
-    deadline = _time.time() + 120
     try:
-        while spark.table(name).count() < expected:
-            if _time.time() > deadline:
-                raise TimeoutError(
-                    f"streaming outliers drained only "
-                    f"{spark.table(name).count()}/{expected} rows"
-                )
-            _time.sleep(0.2)
+        # drain the finite parquet source without the old 0.2s poll
+        # quantization (VERDICT r8 "Next round" #9)
+        q.processAllAvailable()
+        n = spark.table(name).count()
+        if n < expected:
+            raise TimeoutError(
+                f"streaming outliers drained only {n}/{expected} rows"
+            )
     finally:
         q.stop()
         q.awaitTermination()
