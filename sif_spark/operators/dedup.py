@@ -170,6 +170,27 @@ def sig_bands(
     )
 
 
+def sig_band_keys(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band_key) rows: the (band, band_hash) pair folded into ONE
+    64-bit key (xxhash64 over both) — the single-column form a
+    bucketed band STORE needs, so the nightly history band-join can
+    read pre-bucketed data with zero Exchange on the store side
+    (write via ``SifFrame.write_bucketed(..., ["band_key"])``).
+    Folding collapses a cross-band hash collision into a candidate
+    only at ~2^-64 probability, and candidates are verified against
+    full signatures anyway — same identity discipline as treating
+    md5 equality as content equality (q08)."""
+    b = sig_bands(sigs, id_col, num_bands, rows_per_band)
+    return b.select(
+        id_col, F.xxhash64(F.col("band"), F.col("band_hash")).alias("band_key")
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -822,7 +843,7 @@ def decontaminate(
 
 def exact_dedup_incremental(
     batch: DataFrame,
-    history_fingerprints: DataFrame,
+    history_fingerprints: DataFrame | list[DataFrame],
     text_col: str = "text",
     id_col: str = "doc_id",
     fp_col: str = "fingerprint",
@@ -841,10 +862,26 @@ def exact_dedup_incremental(
     the fingerprint (``SifFrame.write_bucketed``) and the nightly
     anti-join shuffles only the (small) batch side. This beats
     re-running `exact_dedup` over history+batch, which re-scans the
-    whole corpus every night."""
+    whole corpus every night.
+
+    ``history_fingerprints`` may be a LIST of frames (one per epoch of
+    a bucketed store): the anti-joins fold per epoch instead of
+    unioning first, because a UNION of bucketed scans loses its
+    output partitioning — folded, each epoch's bucketed scan joins
+    with zero Exchange on the store side, and the batch side's one
+    exchange is reused across every epoch (anti-joins preserve the
+    left side's partitioning). Round 9, VERDICT r8 ask #5."""
     keyed = batch.withColumn("__fp", fingerprint_md5(text_col))
-    hist = history_fingerprints.select(F.col(fp_col).alias("__fp")).distinct()
-    fresh = keyed.join(hist, "__fp", "left_anti")
+    hists = (
+        history_fingerprints
+        if isinstance(history_fingerprints, list)
+        else [history_fingerprints]
+    )
+    fresh = keyed
+    for h in hists:
+        fresh = fresh.join(
+            h.select(F.col(fp_col).alias("__fp")), "__fp", "left_anti"
+        )
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     survivors = fresh.groupBy("__fp").agg(agg.alias(id_col))
     return fresh.join(survivors, on=["__fp", id_col], how="inner").withColumnRenamed(
@@ -892,7 +929,7 @@ def cluster_survivors(
 
 def minhash_dedup_incremental(
     batch: DataFrame,
-    history_sigs: DataFrame,
+    history_sigs: DataFrame | list[DataFrame],
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
@@ -900,6 +937,7 @@ def minhash_dedup_incremental(
     num_bands: int = 16,
     threshold: float = 0.7,
     hash_fn: str = "xxhash64",
+    history_bands: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup — the MinHash analogue of
     `exact_dedup_incremental`: drop batch docs whose estimated Jaccard
@@ -917,30 +955,60 @@ def minhash_dedup_incremental(
     key on uniformly-distributed band hashes or ids — skew-free. Docs
     with fewer than ``shingle_k`` tokens carry no signature and pass
     through (exact dedup owns them). Semantics are deterministic and
-    engine-replayable (``hash_fn='md5'`` for the oracle mode)."""
+    engine-replayable (``hash_fn='md5'`` for the oracle mode).
+
+    Bucketed-store mode (round 9, VERDICT r8 ask #5): pass
+    ``history_bands`` — per-epoch (id, band_key) frames pre-exploded
+    by `sig_band_keys` and stored bucketed on band_key — and the
+    nightly band-join reads each epoch with zero Exchange on the
+    store side (the batch side's one band_key exchange is shared).
+    ``history_sigs`` may likewise be a per-epoch list; the verify
+    join unions it (candidate-sized work, not corpus-sized)."""
     rows_per_band = num_hashes // num_bands
     bsig = minhash_signatures(
         batch, text_col, id_col, num_hashes, shingle_k, hash_fn
     ).localCheckpoint(eager=False)
-    # two consumers (band derivation + the verify join): materialize
-    # once — when the store arrives as a derived frame (tests, q85)
-    # this halves the signature work; for a parquet-store read it
-    # trades a re-scan for a local copy, roughly neutral
-    history_sigs = history_sigs.localCheckpoint(eager=False)
-    bband = sig_bands(bsig, id_col, num_bands, rows_per_band)
-    hband = sig_bands(history_sigs, id_col, num_bands, rows_per_band)
-    cross = (
-        bband.alias("b")
-        .join(
-            hband.alias("h"),
-            (F.col("b.band") == F.col("h.band"))
-            & (F.col("b.band_hash") == F.col("h.band_hash")),
-        )
-        .select(
-            F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid")
-        )
-        .distinct()
+    hist_list = (
+        history_sigs if isinstance(history_sigs, list) else [history_sigs]
     )
+    if len(hist_list) == 1:
+        # two consumers (band derivation + the verify join): materialize
+        # once — when the store arrives as a derived frame (tests, q85)
+        # this halves the signature work; for a parquet-store read it
+        # trades a re-scan for a local copy, roughly neutral
+        hist_list = [hist_list[0].localCheckpoint(eager=False)]
+    history_sigs = hist_list[0]
+    for h in hist_list[1:]:
+        history_sigs = history_sigs.unionByName(h)
+    if history_bands is not None:
+        bkeys = sig_band_keys(bsig, id_col, num_bands, rows_per_band).alias("b")
+        parts = [
+            bkeys.join(hb.alias("h"), "band_key")
+            .select(
+                F.col(f"b.{id_col}").alias("bid"),
+                F.col(f"h.{id_col}").alias("hid"),
+            )
+            for hb in history_bands
+        ]
+        cross = parts[0]
+        for p in parts[1:]:
+            cross = cross.unionByName(p)
+        cross = cross.distinct()
+    else:
+        bband = sig_bands(bsig, id_col, num_bands, rows_per_band)
+        hband = sig_bands(history_sigs, id_col, num_bands, rows_per_band)
+        cross = (
+            bband.alias("b")
+            .join(
+                hband.alias("h"),
+                (F.col("b.band") == F.col("h.band"))
+                & (F.col("b.band_hash") == F.col("h.band_hash")),
+            )
+            .select(
+                F.col(f"b.{id_col}").alias("bid"), F.col(f"h.{id_col}").alias("hid")
+            )
+            .distinct()
+        )
     est = F.size(
         F.filter(F.zip_with("sig_b", "sig_h", lambda x, y: x == y), lambda m: m)
     ) / F.lit(num_hashes)

@@ -326,6 +326,33 @@ class CorpusPipeline:
         return df
 
 
+def _store_table_name(path: str) -> str:
+    """Deterministic session-catalog table name for a bucketed store
+    directory — recoverable from the path alone, so a fresh session
+    can re-declare the external bucketed table over existing files."""
+    import hashlib
+
+    return "sif_store_" + hashlib.md5(path.encode()).hexdigest()[:16]
+
+
+def _bucketed_store_frame(
+    spark, path: str, schema_ddl: str, bucket_col: str, num_buckets: int
+):
+    """Read a bucketed store directory WITH its bucket metadata: the
+    default session catalog is in-memory, so a new session re-declares
+    the external bucketed table over the files (they carry the bucket
+    ids in their names from the bucketBy write). Scans of this frame
+    satisfy joins/aggregates on ``bucket_col`` without an Exchange."""
+    name = _store_table_name(path)
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY ({bucket_col}) INTO {num_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(name)
+
+
 def _list_committed_epochs(spark, store_dir: str) -> list[str]:
     """Epoch directories under ``store_dir`` whose survivors write
     committed (_SUCCESS) — via the Hadoop FS API so local/HDFS/object
@@ -361,6 +388,7 @@ def daily_ingest(
     threshold: float = 0.5,
     shingle_k: int = 3,
     hash_fn: str = "xxhash64",
+    store_buckets: int | None = None,
 ) -> DataFrame:
     """ONE epoch of the production training-data refresh (VERDICT r6
     "Next round" #5) — the end-to-end composition of the incremental
@@ -397,7 +425,26 @@ def daily_ingest(
     (fingerprint) / ``num_hashes`` longs (signature) per historical
     doc, never historical text; all joins key on uniform hashes; the
     benchmark side broadcasts. The nightly cost is O(batch + stores),
-    not O(corpus)."""
+    not O(corpus).
+
+    ``store_buckets`` (round 9, VERDICT r8 ask #5) switches the store
+    to ZERO-SHUFFLE-on-history layout: each epoch's fingerprints are
+    written BUCKETED on the fingerprint and an additional ``bands``
+    store holds the signatures pre-exploded to (id, band_key)
+    bucketed on band_key (`sig_band_keys`), so the nightly anti-join
+    and band-join read every history epoch without an Exchange on the
+    store side — only tonight's (small) batch shuffles, once, reused
+    across epochs (plan-pinned in tests/test_ingest_bucketed.py).
+    Bucketed epochs register session-local external table entries
+    (deterministic names from the epoch path) — the bucket metadata
+    is re-declared on each new session from the files' own bucketed
+    layout, and the write path stays plain parquet + _SUCCESS, so the
+    commit/resume contract and non-bucketed readers are unchanged.
+    Mixed stores interoperate: a plain epoch inside a bucketed-mode
+    read falls back to deriving its band keys from ``sigs``. Size
+    ``store_buckets`` so a bucket's fingerprints fit one task
+    (~store_rows/buckets · 16 B); the bucket count is forever — pick
+    for the corpus's target size, not tonight's."""
     import hashlib
 
     from sif_spark.operators.dedup import (
@@ -405,6 +452,7 @@ def daily_ingest(
         exact_dedup_incremental,
         minhash_dedup_incremental,
         minhash_signatures,
+        sig_band_keys,
     )
     spark = batch.sparkSession
     params = (
@@ -444,13 +492,46 @@ def daily_ingest(
                     f"hash_fn={want[2]!r}) — its signatures would never "
                     "band-match; re-ingest history or match the params"
                 )
-        hist_fps = spark.read.parquet(*[f"{d}/fingerprints" for d in history])
-        hist_sigs = spark.read.parquet(*[f"{d}/sigs" for d in history])
+        if store_buckets:
+            hist_fps = [
+                _bucketed_store_frame(
+                    spark,
+                    f"{d}/fingerprints",
+                    "fingerprint STRING",
+                    "fingerprint",
+                    store_buckets,
+                )
+                for d in history
+            ]
+            hist_bands = [
+                _bucketed_store_frame(
+                    spark,
+                    f"{d}/bands",
+                    f"{id_col} BIGINT, band_key BIGINT",
+                    "band_key",
+                    store_buckets,
+                )
+                if _has_success_marker(spark, f"{d}/bands")
+                # plain epoch inside a bucketed-mode read: derive keys
+                else sig_band_keys(
+                    spark.read.parquet(f"{d}/sigs"),
+                    id_col,
+                    num_bands,
+                    num_hashes // num_bands,
+                )
+                for d in history
+            ]
+            hist_sigs = [spark.read.parquet(f"{d}/sigs") for d in history]
+        else:
+            hist_fps = spark.read.parquet(*[f"{d}/fingerprints" for d in history])
+            hist_sigs = spark.read.parquet(*[f"{d}/sigs" for d in history])
+            hist_bands = None
     else:
         hist_fps = spark.createDataFrame([], "fingerprint string")
         hist_sigs = minhash_signatures(
             batch.limit(0), text_col, id_col, num_hashes, shingle_k, hash_fn
         )
+        hist_bands = None
 
     clean = (
         decontaminate(
@@ -473,13 +554,37 @@ def daily_ingest(
         num_bands=num_bands,
         threshold=threshold,
         hash_fn=hash_fn,
+        history_bands=hist_bands,
     ).localCheckpoint(eager=False)
-    fresh.select("fingerprint").write.mode("overwrite").parquet(
-        f"{epoch_dir}/fingerprints"
-    )
-    survivors.filter(F.col("sig").isNotNull()).select(id_col, "sig").write.mode(
-        "overwrite"
-    ).parquet(f"{epoch_dir}/sigs")
+    epoch_sigs = survivors.filter(F.col("sig").isNotNull()).select(id_col, "sig")
+    if store_buckets:
+        from sif_spark.frame import SifFrame
+
+        SifFrame(fresh.select("fingerprint")).write_bucketed(
+            _store_table_name(f"{epoch_dir}/fingerprints"),
+            store_buckets,
+            ["fingerprint"],
+            path=f"{epoch_dir}/fingerprints",
+        )
+        epoch_sigs.write.mode("overwrite").parquet(f"{epoch_dir}/sigs")
+        SifFrame(
+            sig_band_keys(
+                spark.read.parquet(f"{epoch_dir}/sigs"),
+                id_col,
+                num_bands,
+                num_hashes // num_bands,
+            )
+        ).write_bucketed(
+            _store_table_name(f"{epoch_dir}/bands"),
+            store_buckets,
+            ["band_key"],
+            path=f"{epoch_dir}/bands",
+        )
+    else:
+        fresh.select("fingerprint").write.mode("overwrite").parquet(
+            f"{epoch_dir}/fingerprints"
+        )
+        epoch_sigs.write.mode("overwrite").parquet(f"{epoch_dir}/sigs")
     # params record BEFORE the survivors commit marker, so every
     # committed epoch can prove signature compatibility (ADVICE r7)
     spark.createDataFrame(
