@@ -432,3 +432,98 @@ def enrich_stream(
     pre-bucket both sides instead; for slowly-changing dims needing
     point-in-time semantics, use `asof_join` in a foreachBatch."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def running_zscore_tws(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 2.0,
+    scale: int = 100,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """`running_zscore`'s shape on Spark 4's transformWithStateInPandas
+    API (round 9, VERDICT r8 ask #6) — same exact-integer sufficient
+    statistics (n, Σv, Σv² fixed-point longs in a ValueState), same
+    per-event judgment, PLUS the state-lifecycle lever the legacy
+    applyInPandasWithState API lacks: ``state_ttl_ms`` expires a key's
+    statistics that long after its last update (processing time), so
+    an unbounded key space (session ids, IPs) cannot grow state
+    forever — the idiomatic fix for the reference's grow-forever
+    reduce index (plan_executor.go:193-210, SURVEY §3.3). Output adds
+    a ``state_n`` column (the n the event was judged against), which
+    makes eviction OBSERVABLE: after a TTL expiry the next event's
+    state_n restarts at its own batch's count instead of the
+    cumulative one (pinned in tests).
+
+    Requires the RocksDB state store provider (a Spark platform
+    constraint of transformWithState — the HDFS-backed provider
+    refuses the operator), which is also the provider the 100 TB
+    deployment wants (SCALE.md: ~87x less executor heap). With
+    ``state_ttl_ms=None`` results match `running_zscore` exactly on
+    the common columns (differentially tested)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold!r}")
+    t2 = threshold * threshold
+    key_type = stream.schema[key_col].dataType.simpleString()
+    id_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {id_col} {id_type}, "
+        f"{value_col} double, is_outlier boolean, state_n long"
+    )
+
+    def _fixed(series):
+        import numpy as np
+
+        x = series.to_numpy(dtype="float64") * scale
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
+
+    class _ZScore(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState(
+                "stats", "n long, s long, q long", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, q = (
+                tuple(self._stats.get()) if self._stats.exists() else (0, 0, 0)
+            )
+            batches = [pdf for pdf in rows if not pdf.empty]
+            for pdf in batches:
+                vv = pdf[value_col].dropna()
+                v = _fixed(vv)
+                n += int(len(v))
+                s += int(v.sum())
+                q += int((v * v).sum())
+            self._stats.update((n, s, q))
+            for pdf in batches:
+                ok = pdf[value_col].notna().to_numpy()
+                v = _fixed(pdf[value_col].fillna(0.0))
+                dev = float(n) * v.astype("float64") - float(s)
+                var_n2 = float(n) * float(q) - float(s) * float(s)
+                yield pd.DataFrame(
+                    {
+                        key_col: pdf[key_col],
+                        id_col: pdf[id_col],
+                        value_col: pdf[value_col],
+                        "is_outlier": ok & ((dev * dev) > (t2 * var_n2)),
+                        "state_n": n,
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_ZScore(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -864,3 +864,4 @@ def test_streaming_webdataset_shard_ingest(spark):
         (1, "a.txt", b"one"),
         (2, "b.txt", b"two"),
     ]
+
