@@ -1227,6 +1227,12 @@ QUERIES.update(EXT2_QUERIES)
 ORACLES.update(EXT2_ORACLES)
 QUERIES.update(TPCH_QUERIES)
 ORACLES.update(TPCH_ORACLES)
+# q155 (the injected-codec demo) lives in queries_ext2 but registers
+# here, after q144-q154, to keep the tail strictly q-number-ordered.
+from sif_spark.queries_ext2 import ORACLE_Q155, q155_mpeg1_injected_codec  # noqa: E402
+
+QUERIES["q155_mpeg1_injected_codec"] = q155_mpeg1_injected_codec
+ORACLES["q155_mpeg1_injected_codec"] = ORACLE_Q155
 # PQ prefilter + exact re-rank (q109) gates against the exact-kNN
 # contract — the oracle lives here to keep queries_ext2 import-order
 # independent

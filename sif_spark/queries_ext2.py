@@ -4315,5 +4315,6 @@ WHERE g <= nl - 2
 ORDER BY doc_id, frame_idx
 """
 
-EXT2_QUERIES["q155_mpeg1_injected_codec"] = q155_mpeg1_injected_codec
-EXT2_ORACLES["q155_mpeg1_injected_codec"] = ORACLE_Q155
+# q155 registers in queries.py AFTER the TPCH (q144-q154) merge so the
+# catalog's tail stays strictly q-number-ordered (the driver-window pin
+# in tests/test_plans.py).
