@@ -1237,3 +1237,10 @@ ORACLES["q155_mpeg1_injected_codec"] = ORACLE_Q155
 # contract — the oracle lives here to keep queries_ext2 import-order
 # independent
 ORACLES["q109_pq_rerank_knn"] = ORACLE_Q11
+# q156: the Avro OCF round-trip (gated on the same aggregate oracle as
+# the q36/q88 format round-trips)
+from sif_spark.queries_ext import _DSV_AGG_ORACLE as _DSV_AGG_ORACLE_Q156  # noqa: E402
+from sif_spark.queries_tpch import q156_avro_roundtrip  # noqa: E402
+
+QUERIES["q156_avro_roundtrip"] = q156_avro_roundtrip
+ORACLES["q156_avro_roundtrip"] = _DSV_AGG_ORACLE_Q156

@@ -700,3 +700,33 @@ TPCH_ORACLES: dict[str, str] = {
     "q153_small_qty_revenue": ORACLE_Q153,
     "q154_disjunctive_revenue": ORACLE_Q154,
 }
+
+
+# ---------------------------------------------------------------------------
+# q156 — Avro OCF source/sink round-trip (round 9; registered in
+# queries.py after q155 to keep the tail q-number-ordered).
+# ---------------------------------------------------------------------------
+
+
+def q156_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File round-trip (`sources/avro.py` — the
+    from-scratch pure-Python OCF reader/writer; spark-avro's jar is
+    absent in this environment, so the last mainstream interchange
+    format gets the tar/FLAC/MP4 treatment instead of a documented
+    absence): write the supplier projection (with NULLs — Avro encodes
+    them as union-null branches; read-back must restore them) as
+    deflate-coded OCF, read it back through the binaryFile+mapInPandas
+    source, and run the q36 aggregate. Same oracle as q36/q88:
+    equality against parquet proves the sink→parse path loses
+    nothing."""
+    from sif_spark.queries_ext import _dsv_aggregate, _io_dir, _supplier_projection
+    from sif_spark.sources.avro import read_avro, write_avro
+
+    out = _io_dir(sf_dir, "supplier_avro")
+    write_avro(_supplier_projection(spark, sf_dir), out, codec="deflate")
+    back = read_avro(
+        spark,
+        f"{out}/*.avro",
+        schema="s_suppkey bigint, s_nationkey bigint, acct_cents bigint",
+    )
+    return _dsv_aggregate(back)

@@ -8,9 +8,9 @@ after parse. At 100 TB the scan parallelism is per-file (XML is not
 splittable mid-document), so shard the corpus into many files —
 exactly how every large XML dump (e.g. Wikipedia) already ships.
 
-Avro remains environment-blocked here: Spark packages `spark-avro` as
-an external module and this container carries no extra jars — the
-call raises AnalysisException("Failed to find data source: avro").
+Spark's own `avro` format stays environment-blocked here (external
+spark-avro jar absent), but round 9 closed the gap from scratch:
+`sources/avro.py` is a pure-Python Avro OCF reader/writer (q156).
 """
 
 from __future__ import annotations

@@ -1,0 +1,192 @@
+"""Avro OCF source/sink: spec known answers (zigzag table,
+hand-assembled container bytes independent of our writer), round-trip
+determinism, typed errors + bomb caps, fuzz, and the Spark stages."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from sif_spark.sources.avro import (
+    avro_schema_for,
+    parse_ocf,
+    read_avro,
+    spark_schema_for,
+    write_avro,
+    write_ocf,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"]},
+            {"name": "score", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "raw", "type": ["null", "bytes"]},
+        ],
+    }
+)
+ROWS = [
+    (1, "alpha", 1.5, True, datetime.datetime(2020, 1, 2, 3, 4, 5, 123456), b"xy"),
+    (2, None, -0.25, False, datetime.datetime(1969, 12, 31, 23, 59, 59), None),
+    (-3, "", 0.0, True, datetime.datetime(1970, 1, 1), b""),
+]
+
+
+def test_zigzag_spec_known_answers():
+    # the example table from the Avro spec's binary-encoding section
+    for n, b in ((0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"),
+                 (2, b"\x04"), (-64, b"\x7f"), (64, b"\x80\x01")):
+        assert zigzag_encode(n) == b, n
+        assert zigzag_decode(b, 0) == (n, len(b))
+    big = -(1 << 62)
+    assert zigzag_decode(zigzag_encode(big), 0)[0] == big
+
+
+def test_ocf_roundtrip_both_codecs_and_determinism():
+    for codec in ("null", "deflate"):
+        blob = write_ocf(SCHEMA, ROWS, codec)
+        schema, rows = parse_ocf(blob)
+        assert rows == ROWS, codec
+        assert schema["fields"][0]["name"] == "id"
+        assert write_ocf(SCHEMA, ROWS, codec) == blob  # byte-deterministic
+
+
+def test_hand_assembled_spec_bytes():
+    """An OCF authored field-by-field from the spec (independent of
+    write_ocf): header map, sync discipline, one null-codec block with
+    two records of (long, nullable string)."""
+    schema = json.dumps(
+        {"type": "record", "name": "t",
+         "fields": [{"name": "a", "type": "long"},
+                    {"name": "b", "type": ["null", "string"]}]}
+    ).encode()
+    sync = bytes(range(100, 116))
+    body = (
+        zigzag_encode(64) + zigzag_encode(1) + zigzag_encode(2) + b"hi"
+        + zigzag_encode(-1) + zigzag_encode(0)
+    )
+    blob = (
+        b"Obj\x01"
+        + zigzag_encode(2)
+        + zigzag_encode(11) + b"avro.schema" + zigzag_encode(len(schema)) + schema
+        + zigzag_encode(10) + b"avro.codec" + zigzag_encode(4) + b"null"
+        + zigzag_encode(0)
+        + sync
+        + zigzag_encode(2) + zigzag_encode(len(body)) + body + sync
+    )
+    _s, rows = parse_ocf(blob)
+    assert rows == [(64, "hi"), (-1, None)]
+
+
+def test_typed_errors_and_bomb_caps():
+    good = write_ocf(SCHEMA, ROWS, "deflate")
+    with pytest.raises(ValueError, match="magic"):
+        parse_ocf(b"NOPE" + good[4:])
+    with pytest.raises(ValueError, match="truncated|runs past"):
+        parse_ocf(good[:20])
+    # corrupt the sync marker of the data block
+    bad = bytearray(good)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync marker"):
+        parse_ocf(bytes(bad))
+    # unsupported codec gates loudly
+    snappy = good.replace(b"\x0edeflate", b"\x0csnappy")
+    with pytest.raises((NotImplementedError, ValueError)):
+        parse_ocf(snappy)
+    # nested type rejected at schema level
+    nested = json.dumps(
+        {"type": "record", "name": "n",
+         "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}]}
+    )
+    with pytest.raises(NotImplementedError, match="array"):
+        write_ocf(nested, [])
+    # NULL into a non-nullable field
+    with pytest.raises(ValueError, match="non-nullable"):
+        write_ocf(SCHEMA, [(None, "x", 1.0, True, ROWS[0][4], b"")])
+    # forged block size past the buffer
+    hdr_end = good.find(bytes(range(16))) + 16
+    forged = good[:hdr_end] + zigzag_encode(1) + zigzag_encode(1 << 27) + b"\x00"
+    with pytest.raises(ValueError, match="runs past|outside"):
+        parse_ocf(forged)
+    # deflate bomb: a block inflating past MAX_BLOCK_BYTES is refused
+    import sif_spark.sources.avro as A
+
+    old = A.MAX_BLOCK_BYTES
+    A.MAX_BLOCK_BYTES = 1 << 10
+    try:
+        boom = zlib.compress(b"\x00" * (1 << 16), 9)[2:-4]
+        sync = good[hdr_end - 16 : hdr_end]
+        blob = (
+            good[:hdr_end]
+            + zigzag_encode(1)
+            + zigzag_encode(len(boom))
+            + boom
+            + sync
+        )
+        with pytest.raises(ValueError, match="cap|bounds|trailing|block"):
+            parse_ocf(blob)
+    finally:
+        A.MAX_BLOCK_BYTES = old
+
+
+def test_mutation_fuzz_never_hangs():
+    rng = np.random.default_rng(47)
+    base = write_ocf(SCHEMA, ROWS * 5, "deflate")
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        try:
+            parse_ocf(bytes(b))
+        except (ValueError, NotImplementedError, zlib.error):
+            pass
+
+
+def test_spark_roundtrip_with_nulls_and_schema_inference(spark, tmp_path):
+    d = str(tmp_path / "av")
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, datetime.datetime(2020, 1, 1), b"z"),
+            (2, None, None, None, None),
+            (3, "c", -2.0, datetime.datetime(1999, 6, 1, 12), b""),
+        ],
+        "id long, name string, score double, ts timestamp, raw binary",
+    )
+    write_avro(df, d)
+    import glob as _g
+
+    assert _g.glob(f"{d}/part-*.avro") and _g.glob(f"{d}/_SUCCESS")
+    for back in (read_avro(spark, f"{d}/*.avro"),  # inferred from the file
+                 read_avro(spark, f"{d}/*.avro",
+                           "id long, name string, score double, "
+                           "ts timestamp, raw binary")):
+        got = sorted(tuple(r) for r in back.collect())
+        want = sorted(tuple(r) for r in df.collect())
+        assert got == want
+        assert back.schema == df.schema
+
+
+def test_schema_mapping_gates():
+    from pyspark.sql import types as T
+
+    with pytest.raises(NotImplementedError, match="flat Avro"):
+        avro_schema_for(T.StructType([T.StructField("m", T.ArrayType(T.LongType()))]))
+    s = json.loads(avro_schema_for(
+        T.StructType([T.StructField("id", T.LongType(), False),
+                      T.StructField("n", T.StringType(), True)])
+    ))
+    assert s["fields"][0]["type"] == "long"
+    assert s["fields"][1]["type"] == ["null", "string"]
+    assert spark_schema_for(s) == "id bigint, n string"

@@ -127,6 +127,7 @@ TAIL = [
     "q153_small_qty_revenue",
     "q154_disjunctive_revenue",
     "q155_mpeg1_injected_codec",
+    "q156_avro_roundtrip",
 ]
 
 
