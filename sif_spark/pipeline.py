@@ -473,6 +473,8 @@ def daily_ingest(
         # history dedup to a no-op. Every epoch persists its sig params;
         # mismatches (or a pre-r8 epoch missing them) fail loudly.
         want = (num_hashes, shingle_k, hash_fn)
+        id_ddl = batch.schema[id_col].dataType.simpleString()
+        epoch_meta: dict[str, dict] = {}
         for d in history:
             try:
                 row = spark.read.parquet(f"{d}/sig_params").collect()[0]
@@ -492,7 +494,49 @@ def daily_ingest(
                     f"hash_fn={want[2]!r}) — its signatures would never "
                     "band-match; re-ingest history or match the params"
                 )
+            # Store-layout compatibility (ADVICE r9): the id type and
+            # the bucket count are physical facts of the written files;
+            # re-declaring them from tonight's call arguments would let
+            # a drifted caller plan shuffle-free joins on WRONG bucket
+            # assignments (silently incorrect dedup). Epochs written
+            # before these fields existed record None and fall back to
+            # batch-derived values (the files were all BIGINT/8-bucket
+            # test stores then, but the fallback is still validated —
+            # a mismatched join key type fails loudly in the join).
+            fields = set(row.__fields__)
+            rec_id = row["id_type"] if "id_type" in fields else None
+            rec_buckets = row["store_buckets"] if "store_buckets" in fields else None
+            if rec_id is not None and rec_id != id_ddl:
+                raise ValueError(
+                    f"history epoch {d} stores {id_col!r} as {rec_id}, but "
+                    f"tonight's batch has {id_ddl} — the band join would "
+                    "miscast; re-ingest history or align the id type"
+                )
+            if (
+                store_buckets
+                and rec_buckets  # 0/None = plain epoch, handled below
+                and rec_buckets != store_buckets
+            ):
+                raise ValueError(
+                    f"history epoch {d} was written with "
+                    f"store_buckets={rec_buckets}, but this call passes "
+                    f"store_buckets={store_buckets} — bucket assignments "
+                    "would disagree and the zero-shuffle joins would drop "
+                    "matches; the bucket count is forever (see docstring)"
+                )
+            epoch_meta[d] = {"id_type": rec_id or id_ddl, "buckets": rec_buckets}
         if store_buckets:
+            # An epoch joins bucketed only when its RECORDED bucket
+            # count matches this call's (pre-r10 epochs recorded none:
+            # infer from the bands dir they only get in bucketed mode);
+            # plain epochs read as plain parquet — declaring bucket
+            # metadata over non-bucketed files would misplan.
+            def _is_bucketed(d: str) -> bool:
+                rec = epoch_meta[d]["buckets"]
+                if rec is not None:
+                    return rec == store_buckets
+                return _has_success_marker(spark, f"{d}/bands")
+
             hist_fps = [
                 _bucketed_store_frame(
                     spark,
@@ -501,17 +545,19 @@ def daily_ingest(
                     "fingerprint",
                     store_buckets,
                 )
+                if _is_bucketed(d)
+                else spark.read.parquet(f"{d}/fingerprints")
                 for d in history
             ]
             hist_bands = [
                 _bucketed_store_frame(
                     spark,
                     f"{d}/bands",
-                    f"{id_col} BIGINT, band_key BIGINT",
+                    f"{id_col} {epoch_meta[d]['id_type']}, band_key BIGINT",
                     "band_key",
                     store_buckets,
                 )
-                if _has_success_marker(spark, f"{d}/bands")
+                if _is_bucketed(d) and _has_success_marker(spark, f"{d}/bands")
                 # plain epoch inside a bucketed-mode read: derive keys
                 else sig_band_keys(
                     spark.read.parquet(f"{d}/sigs"),
@@ -587,9 +633,20 @@ def daily_ingest(
         epoch_sigs.write.mode("overwrite").parquet(f"{epoch_dir}/sigs")
     # params record BEFORE the survivors commit marker, so every
     # committed epoch can prove signature compatibility (ADVICE r7)
+    # and store-layout compatibility — id type + bucket count are
+    # facts of the written files, not of a later caller (ADVICE r9)
     spark.createDataFrame(
-        [(num_hashes, shingle_k, hash_fn)],
-        "num_hashes int, shingle_k int, hash_fn string",
+        [
+            (
+                num_hashes,
+                shingle_k,
+                hash_fn,
+                batch.schema[id_col].dataType.simpleString(),
+                store_buckets or 0,
+            )
+        ],
+        "num_hashes int, shingle_k int, hash_fn string, "
+        "id_type string, store_buckets int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{epoch_dir}/sig_params")
     survivors.drop("sig").write.mode("overwrite").parquet(f"{epoch_dir}/survivors")
     return spark.read.parquet(f"{epoch_dir}/survivors")

@@ -1244,3 +1244,8 @@ from sif_spark.queries_tpch import q156_avro_roundtrip  # noqa: E402
 
 QUERIES["q156_avro_roundtrip"] = q156_avro_roundtrip
 ORACLES["q156_avro_roundtrip"] = _DSV_AGG_ORACLE_Q156
+# q157: the full Avro type matrix (logical types + schema resolution)
+from sif_spark.queries_tpch import ORACLE_Q157, q157_avro_type_matrix  # noqa: E402
+
+QUERIES["q157_avro_type_matrix"] = q157_avro_type_matrix
+ORACLES["q157_avro_type_matrix"] = ORACLE_Q157

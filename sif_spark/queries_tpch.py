@@ -730,3 +730,101 @@ def q156_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="s_suppkey bigint, s_nationkey bigint, acct_cents bigint",
     )
     return _dsv_aggregate(back)
+
+
+# ---------------------------------------------------------------------------
+# q157 — Avro type matrix + schema-resolution read (round 10; registered
+# in queries.py after q156 to keep the tail q-number-ordered).
+# ---------------------------------------------------------------------------
+
+
+def q157_avro_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full flat-Avro type matrix through the OCF sink/source in
+    ONE round-trip (`sources/avro.py`, VERDICT r9 ask #4): long, int,
+    string, double, float, boolean, bytes, timestamp-micros, plus the
+    round-10 logical types date and decimal(12,2) — then read back
+    through the spec's Schema Resolution instead of the strict path:
+    the reader schema promotes int→long, float→double and
+    bytes→string, and adds a defaulted field absent from the files.
+    The aggregate compares against DuckDB computing the same facts
+    straight from the parquet table, so any loss, mis-scaling, or
+    mis-mapped column in encode→decode→resolve flips the gate."""
+    import json as _json
+
+    from sif_spark.queries_ext import _io_dir
+    from sif_spark.sources.avro import read_avro, write_avro
+    from sif_spark.sources.parquet import read_table
+
+    src = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderkey").cast("int").alias("okey_int"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_totalprice").cast("float").alias("price_f"),
+        (F.col("o_totalprice") > 150000.0).alias("big"),
+        F.encode(F.col("o_orderpriority"), "UTF-8").alias("prio_raw"),
+        F.col("o_orderdate"),
+        F.to_date(F.col("o_orderdate")).alias("odate"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+    )
+    out = _io_dir(sf_dir, "orders_avro_types")
+    write_avro(src, out, codec="deflate")
+    v2 = _json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "o_orderkey", "type": "long"},
+                {"name": "okey_int", "type": "long"},  # int → long
+                {"name": "o_orderstatus", "type": ["null", "string"]},
+                {"name": "o_totalprice", "type": "double"},
+                {"name": "price_f", "type": "double"},  # float → double
+                {"name": "big", "type": "boolean"},
+                {"name": "prio_raw", "type": "string"},  # bytes → string
+                {
+                    "name": "o_orderdate",
+                    "type": {"type": "long", "logicalType": "timestamp-micros"},
+                },
+                {"name": "odate", "type": {"type": "int", "logicalType": "date"}},
+                {
+                    "name": "price_dec",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 12,
+                        "scale": 2,
+                    },
+                },
+                {"name": "src", "type": "string", "default": "avro"},
+            ],
+        }
+    )
+    back = read_avro(spark, f"{out}/*.avro", reader_schema=v2)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("okey_int").alias("sum_okey"),
+        F.sum("price_dec").alias("sum_dec"),
+        F.min("odate").alias("min_date"),
+        F.max("odate").alias("max_date"),
+        F.max("o_orderdate").alias("max_ts"),
+        F.sum(F.col("big").cast("bigint")).alias("n_big"),
+        F.sum(F.length("prio_raw")).alias("prio_chars"),
+        F.max("price_f").alias("max_f"),
+        F.sum(F.when(F.col("src") == "avro", 1).otherwise(0)).alias("n_default"),
+    )
+
+
+ORACLE_Q157 = """
+SELECT CAST(count(*) AS BIGINT)                                AS n,
+       CAST(sum(CAST(o_orderkey AS INTEGER)) AS BIGINT)        AS sum_okey,
+       sum(CAST(o_totalprice AS DECIMAL(12,2)))                AS sum_dec,
+       CAST(min(o_orderdate) AS DATE)                          AS min_date,
+       CAST(max(o_orderdate) AS DATE)                          AS max_date,
+       max(o_orderdate)                                        AS max_ts,
+       CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_big,
+       CAST(sum(length(o_orderpriority)) AS BIGINT)            AS prio_chars,
+       max(CAST(o_totalprice AS REAL))                         AS max_f,
+       CAST(count(*) AS BIGINT)                                AS n_default
+FROM orders
+"""

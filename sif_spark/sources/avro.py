@@ -13,9 +13,15 @@ documented absence.
 
 Scope (the flat-record interchange case):
 - records of primitives: null/boolean/int/long/float/double/string/
-  bytes, plus `{"type":"long","logicalType":"timestamp-micros"}`
-  (Spark TimestampType) and nullable fields as ["null", T] unions.
+  bytes, nullable fields as ["null", T] unions, and the logical
+  types `timestamp-micros` (Spark TimestampType), `date` (DateType)
+  and `decimal` over bytes (DecimalType(p, s)).
 - codecs: `null` and `deflate` (raw DEFLATE via zlib, per spec).
+- schema resolution per the spec's "Schema Resolution" chapter:
+  fields matched by NAME (any file field order), writer-only fields
+  skipped, reader-only fields filled from their `default`, and the
+  numeric/string promotions int→long/float/double, long→float/double,
+  float→double, string↔bytes (pass ``reader_schema=`` to read_avro).
 - nested records/arrays/maps/enums/fixed raise typed
   NotImplementedError naming the Avro type — same loud-gate contract
   as the media codecs.
@@ -100,12 +106,21 @@ def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 def _avro_type_for(dt: T.DataType, name: str):
     if isinstance(dt, T.TimestampType):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     for cls, avro in _SPARK_TO_AVRO.items():
         if isinstance(dt, cls):
             return avro
     raise NotImplementedError(
         f"column {name!r}: Spark type {dt.simpleString()} has no flat Avro "
-        "mapping here (nested/array/map/decimal are out of this writer's "
+        "mapping here (nested/array/map are out of this writer's "
         "scope — see module docstring)"
     )
 
@@ -124,7 +139,7 @@ def avro_schema_for(schema: T.StructType, record_name: str = "row") -> str:
 
 def _normalize(t):
     """An Avro field type → ('kind', nullable) where kind is the
-    primitive name or 'timestamp-micros'."""
+    primitive name, 'timestamp-micros', 'date', or 'decimal:p:s'."""
     nullable = False
     if isinstance(t, list):
         branches = [b for b in t if b != "null"]
@@ -133,8 +148,16 @@ def _normalize(t):
         nullable = len(branches) < len(t)
         t = branches[0]
     if isinstance(t, dict):
-        if t.get("logicalType") == "timestamp-micros" and t.get("type") == "long":
+        lt = t.get("logicalType")
+        if lt == "timestamp-micros" and t.get("type") == "long":
             return "timestamp-micros", nullable
+        if lt == "date" and t.get("type") == "int":
+            return "date", nullable
+        if lt == "decimal" and t.get("type") == "bytes":
+            p, s = t.get("precision"), t.get("scale", 0)
+            if not isinstance(p, int) or p <= 0 or not 0 <= s <= p:
+                raise ValueError(f"invalid Avro decimal (precision={p}, scale={s})")
+            return f"decimal:{p}:{s}", nullable
         t = t.get("type")
     if t in ("null", "boolean", "int", "long", "float", "double", "string", "bytes"):
         return t, nullable
@@ -147,6 +170,23 @@ def _normalize(t):
 def _encode_value(kind: str, v, out: bytearray) -> None:
     if kind in ("long", "int"):
         out += zigzag_encode(int(v))
+    elif kind == "date":
+        # int: days since the Unix epoch (Avro `date` logical type);
+        # pandas may hand the column over as Timestamps — take .date()
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        out += zigzag_encode((v - _dt.date(1970, 1, 1)).days)
+    elif kind.startswith("decimal:"):
+        # bytes: two's-complement big-endian unscaled integer
+        _, _p, s = kind.split(":")
+        from decimal import Decimal
+
+        unscaled = int(Decimal(v).scaleb(int(s)).to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)  # +1 sign bit
+        b = unscaled.to_bytes(n, "big", signed=True)
+        out += zigzag_encode(len(b)) + b
     elif kind == "timestamp-micros":
         # naive datetime treated as UTC (Spark session is UTC-pinned)
         import datetime as _dt
@@ -174,6 +214,20 @@ def _encode_value(kind: str, v, out: bytearray) -> None:
 def _decode_value(kind: str, buf: bytes, pos: int):
     if kind in ("long", "int"):
         return zigzag_decode(buf, pos)
+    if kind == "date":
+        import datetime as _dt
+
+        days, pos = zigzag_decode(buf, pos)
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=days), pos
+    if kind.startswith("decimal:"):
+        from decimal import Decimal
+
+        _, _p, s = kind.split(":")
+        n, pos = zigzag_decode(buf, pos)
+        if n <= 0 or pos + n > len(buf):
+            raise ValueError(f"Avro decimal length {n} runs past the block")
+        unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+        return Decimal(unscaled).scaleb(-int(s)), pos + n
     if kind == "timestamp-micros":
         import datetime as _dt
 
@@ -208,29 +262,28 @@ def _decode_value(kind: str, buf: bytes, pos: int):
 # ---------------------------------------------------------------------------
 
 
-def write_ocf(schema_json: str, rows: list[tuple], codec: str = "deflate") -> bytes:
+WRITE_BLOCK_ROWS = 100_000  # rows per authored block
+WRITE_BLOCK_BYTES = 1 << 24  # ~16 MiB raw per authored block
+
+
+def write_ocf(
+    schema_json: str,
+    rows: list[tuple],
+    codec: str = "deflate",
+    block_rows: int = WRITE_BLOCK_ROWS,
+) -> bytes:
     """Author one Avro Object Container File: header (magic + metadata
-    map carrying avro.schema/avro.codec + sync marker) and one data
-    block. Deterministic (fixed sync marker) — identical inputs give
+    map carrying avro.schema/avro.codec + sync marker) and sync-marked
+    data blocks. Blocks flush every ``block_rows`` rows or when the
+    raw body nears 16 MiB — far under the reader's 256 MiB
+    decompression-bomb cap, so the writer can never author a file its
+    own reader rejects, at any partition size (ADVICE r9).
+    Deterministic (fixed sync marker) — identical inputs give
     identical bytes, the property content-addressed stores want."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"codec must be 'null' or 'deflate', got {codec!r}")
     schema = json.loads(schema_json)
     kinds = [_normalize(f["type"]) for f in schema["fields"]]
-    body = bytearray()
-    for row in rows:
-        for (kind, nullable), v in zip(kinds, row):
-            if nullable:
-                if v is None:
-                    body += zigzag_encode(0)
-                    continue
-                body += zigzag_encode(1)
-            elif v is None:
-                raise ValueError("NULL in a non-nullable Avro field")
-            _encode_value(kind, v, body)
-    payload = bytes(body)
-    if codec == "deflate":
-        payload = zlib.compress(payload, 6)[2:-4]  # raw DEFLATE per spec
     out = bytearray(MAGIC)
     meta = {
         "avro.schema": schema_json.encode(),
@@ -242,9 +295,35 @@ def write_ocf(schema_json: str, rows: list[tuple], codec: str = "deflate") -> by
         out += zigzag_encode(len(kb)) + kb + zigzag_encode(len(v)) + v
     out += zigzag_encode(0)  # end of metadata map
     out += _SYNC
-    if rows:
-        out += zigzag_encode(len(rows)) + zigzag_encode(len(payload))
-        out += payload + _SYNC
+
+    def flush(n_rows: int, body: bytearray) -> None:
+        if not n_rows:
+            return
+        payload = bytes(body)
+        if codec == "deflate":
+            payload = zlib.compress(payload, 6)[2:-4]  # raw DEFLATE per spec
+        out.extend(zigzag_encode(n_rows) + zigzag_encode(len(payload)))
+        out.extend(payload)
+        out.extend(_SYNC)
+
+    body = bytearray()
+    n = 0
+    for row in rows:
+        for (kind, nullable), v in zip(kinds, row):
+            if nullable:
+                if v is None:
+                    body += zigzag_encode(0)
+                    continue
+                body += zigzag_encode(1)
+            elif v is None:
+                raise ValueError("NULL in a non-nullable Avro field")
+            _encode_value(kind, v, body)
+        n += 1
+        if n >= block_rows or len(body) >= WRITE_BLOCK_BYTES:
+            flush(n, body)
+            body = bytearray()
+            n = 0
+    flush(n, body)
     return bytes(out)
 
 
@@ -346,7 +425,15 @@ _AVRO_TO_SPARK = {
     "string": "string",
     "bytes": "binary",
     "timestamp-micros": "timestamp",
+    "date": "date",
 }
+
+
+def _spark_type_of(kind: str) -> str:
+    if kind.startswith("decimal:"):
+        _, p, s = kind.split(":")
+        return f"decimal({p},{s})"
+    return _AVRO_TO_SPARK[kind]
 
 
 def spark_schema_for(avro_schema: dict) -> str:
@@ -354,8 +441,95 @@ def spark_schema_for(avro_schema: dict) -> str:
     cols = []
     for f in avro_schema["fields"]:
         kind, _null = _normalize(f["type"])
-        cols.append(f"{f['name']} {_AVRO_TO_SPARK[kind]}")
+        cols.append(f"{f['name']} {_spark_type_of(kind)}")
     return ", ".join(cols)
+
+
+# Writer→reader promotions from the Avro spec's Schema Resolution
+# chapter (value: the Python-side converter, or None for identity).
+_PROMOTIONS = {
+    ("int", "long"): None,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): None,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+_MISSING = object()
+
+
+def _default_value(kind: str, default):
+    """An Avro JSON `default` → the Python value this reader yields
+    for a writer-absent field (spec: defaults are written in the
+    UNDERLYING JSON type; bytes defaults are ISO-8859-1 strings)."""
+    if default is None:
+        return None
+    if kind in ("int", "long"):
+        return int(default)
+    if kind in ("float", "double"):
+        return float(default)
+    if kind == "boolean":
+        return bool(default)
+    if kind == "string":
+        return str(default)
+    if kind == "bytes":
+        return str(default).encode("latin-1")
+    raise NotImplementedError(
+        f"non-null default for Avro logical type {kind!r} is out of scope"
+    )
+
+
+def _resolution_plan(writer_schema: dict, reader, strict: bool):
+    """Per the spec's Schema Resolution: match fields by NAME, promote
+    kinds per _PROMOTIONS, fill reader-only fields from defaults. In
+    strict mode (no reader_schema passed) the field-name sets and
+    kinds must match exactly — a drifted file raises instead of being
+    silently mis-mapped onto the wrong columns (ADVICE r9).
+
+    Returns [(writer_index | None, converter | None, default)] in
+    reader-field order."""
+    wkinds = [_normalize(f["type"])[0] for f in writer_schema["fields"]]
+    wnames = [f["name"] for f in writer_schema["fields"]]
+    widx = {n: i for i, n in enumerate(wnames)}
+    plan = []
+    for name, kind, default in reader:
+        if name in widx:
+            i = widx[name]
+            wkind = wkinds[i]
+            if wkind == kind:
+                plan.append((i, None, None))
+            elif (wkind, kind) in _PROMOTIONS and (
+                not strict or (wkind, kind) in (("int", "long"), ("float", "double"))
+            ):
+                # strict mode still takes the LOSSLESS widenings — a
+                # caller's `schema=` DDL declaring bigint over int files
+                # can't mis-map anything; the representation-changing
+                # promotions (string↔bytes, int→float) need an explicit
+                # reader_schema
+                plan.append((i, _PROMOTIONS[(wkind, kind)], None))
+            else:
+                raise ValueError(
+                    f"Avro field {name!r}: file has {wkind}, reader expects "
+                    f"{kind}" + ("" if strict else " (no legal promotion)")
+                )
+        elif not strict and default is not _MISSING:
+            plan.append((None, None, _default_value(kind, default)))
+        else:
+            raise ValueError(
+                f"Avro field {name!r} is missing from the file's schema"
+                + ("" if strict else " and has no default")
+            )
+    if strict:
+        extra = set(wnames) - {n for n, _, _ in reader}
+        if extra:
+            raise ValueError(
+                f"file carries fields {sorted(extra)} absent from the "
+                "expected schema — pass reader_schema= to resolve evolution"
+            )
+    return plan
 
 
 def write_avro(
@@ -402,29 +576,75 @@ def write_avro(
 
 
 def read_avro(
-    spark: SparkSession, path_glob: str, schema: str | None = None
+    spark: SparkSession,
+    path_glob: str,
+    schema: str | None = None,
+    reader_schema: str | None = None,
 ) -> DataFrame:
     """Read Avro OCF files: binaryFile scan → Arrow-batched mapInPandas
-    parse (one task per file). The Spark schema derives from the first
-    file's embedded avro.schema unless ``schema`` (DDL) is passed —
-    inference reads one file driver-side, so pass the schema for
-    remote/huge corpora."""
+    parse (one task per file).
+
+    Every file is decoded with its OWN embedded avro.schema and mapped
+    onto the output columns BY NAME (never positionally — a corpus
+    whose files differ in field order realigns correctly; ADVICE r9):
+
+    - default: the expected schema comes from ``schema`` (Spark DDL)
+      or, absent that, the first file's schema (one driver-side read —
+      pass ``schema`` for remote/huge corpora). Files whose field
+      names or kinds drift from it raise a typed error.
+    - ``reader_schema`` (Avro record JSON) switches on the spec's
+      Schema Resolution: writer-only fields are skipped, reader-only
+      fields fill from their ``default``, and int→long/float/double,
+      long→float/double, float→double, string↔bytes promotions apply —
+      the read-side half of schema evolution."""
     import pandas as pd
 
     blobs = spark.read.format("binaryFile").load(path_glob)
-    if schema is None:
-        head = blobs.select("content").head()
-        if head is None:
-            raise ValueError(f"no Avro files match {path_glob!r}")
-        avro_schema, _ = parse_ocf(bytes(head["content"]))
-        schema = spark_schema_for(avro_schema)
+    strict = reader_schema is None
+    if reader_schema is not None:
+        rs = json.loads(reader_schema)
+        if schema is None:
+            schema = spark_schema_for(rs)
+        reader = [
+            (f["name"], _normalize(f["type"])[0], f.get("default", _MISSING))
+            for f in rs["fields"]
+        ]
+    else:
+        if schema is None:
+            head = blobs.select("content").head()
+            if head is None:
+                raise ValueError(f"no Avro files match {path_glob!r}")
+            avro_schema, _ = parse_ocf(bytes(head["content"]))
+            schema = spark_schema_for(avro_schema)
+        ddl_struct = T._parse_datatype_string(schema)
+        expected = json.loads(avro_schema_for(ddl_struct))
+        reader = [
+            (f["name"], _normalize(f["type"])[0], _MISSING)
+            for f in expected["fields"]
+        ]
     out_schema = T._parse_datatype_string(schema)
     names = [f.name for f in out_schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        plans: dict[str, list] = {}  # one resolution per distinct writer schema
         for pdf in batches:
             for b in pdf["content"]:
-                _schema, rows = parse_ocf(bytes(b))
-                yield pd.DataFrame(rows, columns=names)
+                wschema, rows = parse_ocf(bytes(b))
+                key = json.dumps(wschema, sort_keys=True)
+                if key not in plans:
+                    plans[key] = _resolution_plan(wschema, reader, strict)
+                if not rows:  # empty-partition file: schema checked above
+                    continue
+                cols: dict[str, list] = {}
+                for name, (src, conv, dflt) in zip(names, plans[key]):
+                    if src is None:
+                        cols[name] = [dflt] * len(rows)
+                    elif conv is None:
+                        cols[name] = [r[src] for r in rows]
+                    else:
+                        cols[name] = [
+                            None if r[src] is None else conv(r[src]) for r in rows
+                        ]
+                yield pd.DataFrame(cols, columns=names)
 
     return blobs.select("content").mapInPandas(run, out_schema)

@@ -190,3 +190,116 @@ def test_schema_mapping_gates():
     assert s["fields"][0]["type"] == "long"
     assert s["fields"][1]["type"] == ["null", "string"]
     assert spark_schema_for(s) == "id bigint, n string"
+
+
+# ---------------------------------------------------------------------------
+# Round 10: block chunking, logical types, by-name mapping, evolution
+# ---------------------------------------------------------------------------
+
+
+def test_writer_chunks_blocks_under_reader_caps():
+    """ADVICE r9: one giant block broke the round-trip at exactly the
+    scale the module targets — the writer must flush sync-marked
+    blocks the reader's caps always accept."""
+    schema = json.dumps(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "id", "type": "long"},
+                    {"name": "txt", "type": "string"}]}
+    )
+    rows = [(i, "x" * 1000) for i in range(500)]
+    blob = write_ocf(schema, rows, codec="null", block_rows=100)
+    # 5 blocks of 100 rows each: count the sync markers after each
+    from sif_spark.sources.avro import _SYNC
+
+    assert blob.count(_SYNC) == 6  # header + 5 data blocks
+    _s, back = parse_ocf(blob)
+    assert back == rows
+
+    # byte-pressure flush: >16 MiB of raw body splits even within
+    # block_rows, so no authored block can near the 256 MiB read cap
+    big = [(i, "y" * 100_000) for i in range(300)]  # ~30 MB raw
+    blob2 = write_ocf(schema, big, codec="null")
+    assert blob2.count(_SYNC) >= 3
+    _s, back2 = parse_ocf(blob2)
+    assert back2 == big
+
+
+def test_logical_types_roundtrip(spark, tmp_path):
+    """decimal(p,s) over bytes + date over int, through the Spark
+    sink and source (VERDICT r9 ask #4)."""
+    from decimal import Decimal
+
+    d = str(tmp_path / "lt")
+    df = spark.createDataFrame(
+        [
+            (1, Decimal("12345.67"), datetime.date(2020, 2, 29)),
+            (2, Decimal("-0.01"), datetime.date(1969, 12, 31)),
+            (3, None, None),
+        ],
+        "id long, amt decimal(10,2), d date",
+    )
+    write_avro(df, d)
+    back = read_avro(spark, f"{d}/*.avro")  # inferred from embedded schema
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_by_name_mapping_and_drift_raises(spark, tmp_path):
+    """Files decode with their OWN schema and realign by name; a
+    drifted file raises instead of silently mis-mapping (ADVICE r9)."""
+    import os
+
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    s_ab = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]})
+    s_ba = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "b", "type": "string"}, {"name": "a", "type": "long"}]})
+    with open(f"{d}/f1.avro", "wb") as fh:
+        fh.write(write_ocf(s_ab, [(1, "one")], codec="null"))
+    with open(f"{d}/f2.avro", "wb") as fh:  # same fields, swapped order
+        fh.write(write_ocf(s_ba, [("two", 2)], codec="null"))
+    got = sorted(map(tuple, read_avro(spark, f"{d}/*.avro").collect()))
+    assert got == [(1, "one"), (2, "two")]
+
+    s_drift = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "string"}, {"name": "b", "type": "string"}]})
+    with open(f"{d}/f3.avro", "wb") as fh:
+        fh.write(write_ocf(s_drift, [("x", "y")], codec="null"))
+    with pytest.raises(Exception, match="file has string, reader expects"):
+        read_avro(spark, f"{d}/*.avro",
+                  schema="a bigint, b string").collect()
+
+
+def test_schema_resolution_evolution(spark, tmp_path):
+    """Write v1 files, read with a v2 reader schema: renamed-away
+    field skipped, new field filled from its default, int→long and
+    float→double promotions applied (VERDICT r9 ask #4)."""
+    import os
+
+    d = str(tmp_path / "evo")
+    os.makedirs(d)
+    v1 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "score", "type": "float"},
+        {"name": "legacy", "type": "string"}]})
+    with open(f"{d}/v1.avro", "wb") as fh:
+        fh.write(write_ocf(v1, [(7, 1.5, "old"), (8, -2.0, "old2")],
+                           codec="null"))
+    v2 = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},                      # int → long
+        {"name": "score", "type": "double"},                 # float → double
+        {"name": "source", "type": "string", "default": "unknown"},
+        {"name": "weight", "type": ["null", "double"], "default": None}]})
+    back = read_avro(spark, f"{d}/*.avro", reader_schema=v2)
+    assert back.schema.simpleString() == (
+        "struct<id:bigint,score:double,source:string,weight:double>"
+    )
+    got = sorted(map(tuple, back.collect()))
+    assert got == [(7, 1.5, "unknown", None), (8, -2.0, "unknown", None)]
+
+    # without reader_schema the same corpus refuses to guess: the
+    # widenings pass strict mode, but the defaulted field does not
+    with pytest.raises(Exception, match="missing from the file"):
+        read_avro(spark, f"{d}/*.avro",
+                  schema="id bigint, score double, source string").collect()

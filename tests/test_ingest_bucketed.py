@@ -150,3 +150,47 @@ def _scan_is_bucketed(plan_text: str, path_fragment: str) -> bool:
         path_fragment in plan_text
         and ("SelectedBucketsCount" in plan_text or "Bucketed: true" in plan_text)
     )
+
+
+def test_string_id_store_and_layout_compat_gates(spark, days):
+    """ADVICE r9: the bands-store DDL must derive from the REAL id
+    type (string/UUID doc ids broke the fresh-session re-declare when
+    it was hardcoded BIGINT), and store_buckets / id_type drift across
+    calls must fail loudly — bucket assignments are facts of the
+    written files, not of a later caller."""
+    day1, day2, bench = days
+
+    def sid(df):
+        return df.withColumn("sid", F.format_string("doc-%06d", "doc_id"))
+
+    s1, s2, sb = sid(day1), sid(day2), sid(bench)
+
+    # plain-mode reference with the same string ids
+    daily_ingest(s1, f"{BASE}/plain_sid", "day1", benchmark=sb,
+                 hash_fn="md5", id_col="sid")
+    ref = daily_ingest(s2, f"{BASE}/plain_sid", "day2", benchmark=sb,
+                       hash_fn="md5", id_col="sid")
+
+    daily_ingest(s1, f"{BASE}/sid", "day1", benchmark=sb,
+                 hash_fn="md5", id_col="sid", store_buckets=4)
+    # simulate a fresh session: drop the session-catalog entries so
+    # day-2 re-declares the external bucketed tables purely from the
+    # files + the epoch's recorded sig_params (id_type, store_buckets)
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sif_store_"):
+            spark.sql(f"DROP TABLE {t.name}")
+    got = daily_ingest(s2, f"{BASE}/sid", "day2", benchmark=sb,
+                       hash_fn="md5", id_col="sid", store_buckets=4)
+    assert _rows(got) == _rows(ref)
+
+    # bucket-count drift: the zero-shuffle joins would assign rows to
+    # different buckets than the files carry — must raise, not misplan
+    with pytest.raises(ValueError, match="store_buckets"):
+        daily_ingest(s2, f"{BASE}/sid", "day3", benchmark=sb,
+                     hash_fn="md5", id_col="sid", store_buckets=16)
+
+    # id-type drift: same column name, different type — must raise
+    bigint_sid = day2.withColumn("sid", F.col("doc_id"))
+    with pytest.raises(ValueError, match="id type|miscast"):
+        daily_ingest(bigint_sid, f"{BASE}/sid", "day3", benchmark=bench,
+                     hash_fn="md5", id_col="sid", store_buckets=4)
