@@ -1,0 +1,455 @@
+"""Snapshot-isolated table layer over parquet — the storage surface a
+100 TB pipeline needs the first time a nightly job overlaps a reader
+(VERDICT r9 "Next round" #2).
+
+The reference has no write path at all (go-sif terminates in Collect/
+Accumulate — SURVEY.md §2.1); this module is north-star extension
+surface in the spirit of the public lakehouse formats (Delta/Iceberg):
+a versioned-manifest commit protocol over plain parquet, reduced to
+what the epoch stores already proved under fault injection, plus
+snapshot reads, time travel, schema evolution on read, key-range file
+skipping for upserts, and compaction that is safe under a concurrent
+reader.
+
+Layout:
+
+    <table>/
+      _manifests/v0000000001.json   # one JSON per snapshot
+      data/g-<version>-<seq>-<id>/  # immutable parquet file groups
+
+Commit protocol — the ONLY mutation is manifest creation:
+
+1. write the new data group dirs (Spark parquet writes, each with its
+   own _SUCCESS);
+2. serialize the new manifest to `_manifests/.tmp-<id>` and
+   `FileSystem.rename()` it to `v<N+1>.json`. Hadoop rename fails when
+   the destination exists, so two writers racing to version N+1 get
+   exactly one winner — the loser re-reads the new snapshot and
+   retries (optimistic concurrency). A SIGKILL anywhere before the
+   rename leaves orphan data dirs and/or a .tmp manifest, both
+   invisible to every reader; the rename itself is atomic on local FS
+   and HDFS. (S3-class stores without atomic rename need a commit
+   service or a conditional PUT — same caveat as Delta's LogStore;
+   documented, not hidden.)
+
+Snapshot isolation: a reader resolves a manifest once (`read()` pins
+the version it saw; `read(version=N)` is explicit time travel) and
+only ever lists that manifest's group dirs. Writers never modify or
+delete committed groups — `compact()` writes NEW groups and a NEW
+manifest, so a reader pinned on the old snapshot keeps collecting
+correct rows mid-compaction; only `vacuum()` physically deletes, and
+only groups unreferenced by every retained version.
+
+Schema evolution: each manifest records the snapshot's schema (DDL)
+and each group records the schema it was WRITTEN with. `append()`
+merges schemas (new columns appended; int→bigint / float→double
+widening allowed, anything else raises); reads align every group to
+the snapshot schema by NAME — missing columns come back NULL, widened
+columns cast — so old files are never rewritten for a new column.
+
+Scale: the manifest holds per-group row counts and min/max of the
+merge key, so `upsert()` rewrites only the groups whose key range
+overlaps tonight's updates (file skipping) — the nightly cost is
+O(batch + touched groups), not O(table). Group dirs are plain parquet:
+every scan benefit (pushdown, pruning, row-group stats) is Spark's.
+
+Reference: sif datasource/file/file_datasource.go:24-47 is read-only
+glob loading; the commit/resume contract here extends
+sif_spark/pipeline.py's epoch stores (fault-injection-proven r9).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+_MANIFESTS = "_manifests"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — re-read and retry."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        # commons-io ships on Spark's classpath; a py4j-side buffer
+        # loop can't work (Java writes into a COPY of the bytearray)
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+# ---------------------------------------------------------------------------
+# schema merge / align
+# ---------------------------------------------------------------------------
+
+_WIDENINGS = {
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Evolution-on-write rules: existing columns keep (or widen to)
+    their type, new columns append. Narrowing/retyping raises — a
+    typo'd column type should fail the job, not corrupt the table."""
+    fields = {f.name: f for f in old.fields}
+    order = [f.name for f in old.fields]
+    for f in new.fields:
+        if f.name not in fields:
+            fields[f.name] = T.StructField(f.name, f.dataType, True)
+            order.append(f.name)
+            continue
+        have = fields[f.name].dataType.simpleString()
+        want = f.dataType.simpleString()
+        if have == want:
+            continue
+        if (have, want) in _WIDENINGS:
+            fields[f.name] = T.StructField(f.name, f.dataType, True)
+        elif (want, have) in _WIDENINGS:
+            pass  # incoming is narrower: keep the wide column type
+        else:
+            raise ValueError(
+                f"column {f.name!r}: cannot evolve {have} -> {want} "
+                "(only new columns and int->bigint/float->double widening)"
+            )
+    return T.StructType([fields[n] for n in order])
+
+
+def _align(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project ``df`` onto the snapshot schema BY NAME: missing columns
+    NULL, widened columns cast, extra columns dropped — schema
+    evolution on read, no file rewrites."""
+    cols = []
+    have = set(df.columns)
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# the table
+# ---------------------------------------------------------------------------
+
+
+class SifTable:
+    """Handle on a versioned table directory. Cheap to construct —
+    every operation re-resolves the latest committed manifest."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return f"{self.path}/{_MANIFESTS}/v{version:010d}.json"
+
+    def _versions(self) -> list[int]:
+        fs, p, _ = _fs(self.spark, f"{self.path}/{_MANIFESTS}")
+        if not fs.exists(p):
+            return []
+        out = []
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _load(self, version: int | None = None) -> dict:
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots under {self.path}")
+        v = version if version is not None else versions[-1]
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+        return json.loads(_read_text(self.spark, self._manifest_path(v)))
+
+    def _commit(self, manifest: dict) -> int:
+        """Atomic CAS on the manifest name: rename fails if the
+        destination exists, so exactly one writer wins a version."""
+        v = manifest["version"]
+        tmp = f"{self.path}/{_MANIFESTS}/.tmp-{uuid.uuid4().hex[:12]}"
+        _write_text(self.spark, tmp, json.dumps(manifest, indent=1))
+        fs, src, jvm = _fs(self.spark, tmp)
+        dst = jvm.org.apache.hadoop.fs.Path(self._manifest_path(v))
+        if not fs.rename(src, dst):
+            fs.delete(src, False)
+            raise ConcurrentCommitError(
+                f"version {v} was committed by another writer — re-read "
+                "the table and retry"
+            )
+        return v
+
+    # -- data groups ---------------------------------------------------------
+
+    def _write_group(self, df: DataFrame, version: int, seq: int,
+                     key_col: str | None) -> dict:
+        gid = f"g-{version:010d}-{seq:03d}-{uuid.uuid4().hex[:8]}"
+        gpath = f"{self.path}/data/{gid}"
+        df.write.mode("overwrite").parquet(gpath)
+        back = self.spark.read.parquet(gpath)
+        stats: dict = {}
+        agg = [F.count(F.lit(1)).alias("rows")]
+        if key_col and key_col in df.columns:
+            agg += [F.min(key_col).alias("kmin"), F.max(key_col).alias("kmax")]
+        row = back.agg(*agg).collect()[0]
+        stats["rows"] = row["rows"]
+        if key_col and key_col in df.columns:
+            stats["key_min"] = row["kmin"]
+            stats["key_max"] = row["kmax"]
+        return {
+            "id": gid,
+            "path": gpath,
+            "schema": ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in back.schema.fields
+            ),
+            **stats,
+        }
+
+    # -- public API ----------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        key_col: str | None = None,
+    ) -> "SifTable":
+        t = SifTable(spark, path)
+        if t._versions():
+            raise ValueError(f"table already exists at {path}")
+        group = t._write_group(df, 1, 0, key_col)
+        t._commit(
+            {
+                "version": 1,
+                "parent": None,
+                "op": "create",
+                "key_col": key_col,
+                "schema": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+                ),
+                "groups": [group],
+            }
+        )
+        return t
+
+    def history(self) -> list[dict]:
+        return [
+            {
+                "version": m["version"],
+                "op": m["op"],
+                "rows": sum(g["rows"] for g in m["groups"]),
+                "groups": len(m["groups"]),
+                "schema": m["schema"],
+            }
+            for m in (self._load(v) for v in self._versions())
+        ]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (default: latest; explicit version = time
+        travel). Every group aligns to the SNAPSHOT's schema by name —
+        groups written before a column existed surface it as NULL."""
+        m = self._load(version)
+        target = T._parse_datatype_string(m["schema"])
+        parts = [
+            _align(self.spark.read.parquet(g["path"]), target) for g in m["groups"]
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def append(self, df: DataFrame) -> int:
+        m = self._load()
+        merged = _merge_schema(T._parse_datatype_string(m["schema"]), df.schema)
+        v = m["version"] + 1
+        group = self._write_group(df, v, 0, m.get("key_col"))
+        return self._commit(
+            {
+                "version": v,
+                "parent": m["version"],
+                "op": "append",
+                "key_col": m.get("key_col"),
+                "schema": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in merged.fields
+                ),
+                "groups": m["groups"] + [group],
+            }
+        )
+
+    def upsert(self, updates: DataFrame, retries: int = 3) -> int:
+        """MERGE by the table's key_col: rows whose key exists are
+        replaced, new keys append. Copy-on-write at GROUP granularity
+        with key-range file skipping: only groups whose recorded
+        [key_min, key_max] overlaps the updates' key range are
+        rewritten (anti-join out the matched keys); untouched groups
+        carry over BY REFERENCE — the nightly cost is O(batch +
+        touched groups), never O(table). Retries optimistic-commit
+        losses against the fresh snapshot."""
+        last: Exception | None = None
+        for _ in range(retries):
+            try:
+                return self._upsert_once(updates)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last  # type: ignore[misc]
+
+    def _upsert_once(self, updates: DataFrame) -> int:
+        m = self._load()
+        key = m.get("key_col")
+        if not key:
+            raise ValueError("upsert needs a table created with key_col=")
+        merged = _merge_schema(T._parse_datatype_string(m["schema"]), updates.schema)
+        row = updates.agg(
+            F.min(key).alias("kmin"), F.max(key).alias("kmax")
+        ).collect()[0]
+        kmin, kmax = row["kmin"], row["kmax"]
+        v = m["version"] + 1
+        keep, rewrite = [], []
+        for g in m["groups"]:
+            gmin, gmax = g.get("key_min"), g.get("key_max")
+            disjoint = (
+                kmin is not None
+                and gmin is not None
+                and (gmax < kmin or gmin > kmax)
+            )
+            (keep if disjoint else rewrite).append(g)
+        groups = list(keep)
+        seq = 0
+        target = T._parse_datatype_string(m["schema"])
+        if rewrite:
+            old = [
+                _align(self.spark.read.parquet(g["path"]), target) for g in rewrite
+            ]
+            survivors = old[0]
+            for p in old[1:]:
+                survivors = survivors.unionByName(p)
+            survivors = survivors.join(
+                updates.select(key).distinct(), on=key, how="left_anti"
+            )
+            groups.append(
+                self._write_group(_align(survivors, merged), v, seq, key)
+            )
+            seq += 1
+        groups.append(self._write_group(_align(updates, merged), v, seq, key))
+        return self._commit(
+            {
+                "version": v,
+                "parent": m["version"],
+                "op": "upsert",
+                "key_col": key,
+                "schema": ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in merged.fields
+                ),
+                "groups": groups,
+            }
+        )
+
+    def delete(self, predicate: str) -> int:
+        """Delete rows matching the SQL predicate — groups with no
+        matches carry over by reference; matched groups rewrite."""
+        m = self._load()
+        target = T._parse_datatype_string(m["schema"])
+        v = m["version"] + 1
+        groups = []
+        seq = 0
+        for g in m["groups"]:
+            gdf = _align(self.spark.read.parquet(g["path"]), target)
+            if gdf.filter(predicate).limit(1).count() == 0:
+                groups.append(g)
+                continue
+            remaining = gdf.filter(f"NOT ({predicate})")
+            if remaining.limit(1).count() > 0:
+                groups.append(
+                    self._write_group(remaining, v, seq, m.get("key_col"))
+                )
+                seq += 1
+        return self._commit(
+            {
+                "version": v,
+                "parent": m["version"],
+                "op": "delete",
+                "key_col": m.get("key_col"),
+                "schema": m["schema"],
+                "groups": groups,
+            }
+        )
+
+    def compact(self, num_files: int | None = None) -> int:
+        """Rewrite ALL live groups into one group (optionally
+        repartitioned, sorted by key_col when set so parquet min/max
+        footers stay selective) — same logical rows, fewer files.
+        Readers pinned on any older version are untouched: their
+        groups stay on disk until vacuum()."""
+        m = self._load()
+        df = self.read(m["version"])
+        key = m.get("key_col")
+        if num_files and key:
+            df = df.repartitionByRange(num_files, key).sortWithinPartitions(key)
+        elif num_files:
+            df = df.repartition(num_files)
+        elif key:
+            df = df.repartitionByRange(key).sortWithinPartitions(key)
+        v = m["version"] + 1
+        group = self._write_group(df, v, 0, key)
+        return self._commit(
+            {
+                "version": v,
+                "parent": m["version"],
+                "op": "compact",
+                "key_col": key,
+                "schema": m["schema"],
+                "groups": [group],
+            }
+        )
+
+    def vacuum(self, retain_last: int = 2) -> list[str]:
+        """Physically delete data groups referenced ONLY by versions
+        older than the last ``retain_last`` snapshots (and drop those
+        manifests). The one deleting operation — run it with the same
+        retention discipline as any lakehouse (readers of vacuumed
+        versions break, by contract)."""
+        versions = self._versions()
+        if len(versions) <= retain_last:
+            return []
+        keep_versions = versions[-retain_last:]
+        live = set()
+        for v in keep_versions:
+            for g in self._load(v)["groups"]:
+                live.add(g["path"])
+        doomed_manifests = versions[: -retain_last]
+        doomed = []
+        for v in doomed_manifests:
+            for g in self._load(v)["groups"]:
+                if g["path"] not in live:
+                    doomed.append(g["path"])
+        fs, _, jvm = _fs(self.spark, self.path)
+        for path in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+        for v in doomed_manifests:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(self._manifest_path(v)), False)
+        return doomed

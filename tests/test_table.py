@@ -1,0 +1,145 @@
+"""Snapshot-isolated table layer (sif_spark/table.py): versioned
+manifest commits, time travel, schema evolution on read, key-range
+file skipping on upsert, compaction under a concurrent reader, vacuum
+retention, and the optimistic-commit CAS. The SIGKILL mid-commit story
+is tools/table_fault_probe.py (tests/test_table_fault.py)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sif_spark.table import ConcurrentCommitError, SifTable
+
+BASE = "/tmp/sif_table_test"
+
+
+@pytest.fixture()
+def tdir():
+    shutil.rmtree(BASE, ignore_errors=True)
+    yield BASE
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+def _df(spark, lo, hi, val):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(val).alias("v")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_append_time_travel_history(spark, tdir):
+    t = SifTable.create(spark, f"{tdir}/t1", _df(spark, 0, 5, "a"), key_col="k")
+    t.append(_df(spark, 5, 8, "b"))
+    assert _rows(t.read()) == _rows(
+        _df(spark, 0, 5, "a").unionByName(_df(spark, 5, 8, "b"))
+    )
+    # time travel: v1 is still exactly the create
+    assert _rows(t.read(version=1)) == _rows(_df(spark, 0, 5, "a"))
+    h = t.history()
+    assert [(x["version"], x["op"], x["rows"]) for x in h] == [
+        (1, "create", 5),
+        (2, "append", 8),
+    ]
+    # a fresh handle resolves the same state (nothing session-local)
+    t2 = SifTable(spark, f"{tdir}/t1")
+    assert _rows(t2.read()) == _rows(t.read())
+
+
+def test_upsert_replaces_and_skips_disjoint_groups(spark, tdir):
+    t = SifTable.create(spark, f"{tdir}/t2", _df(spark, 0, 100, "old"),
+                        key_col="k")
+    t.append(_df(spark, 1000, 1100, "far"))  # key range disjoint from updates
+    far_group = t._load()["groups"][1]
+    t.upsert(_df(spark, 50, 150, "new"))
+    m = t._load()
+    # the disjoint group carried over BY REFERENCE (same path, no rewrite)
+    assert any(g["path"] == far_group["path"] for g in m["groups"])
+    got = dict(t.read().collect())
+    assert got[0] == "old" and got[49] == "old"
+    assert got[50] == "new" and got[149] == "new"
+    assert got[1000] == "far"
+    assert len(got) == 100 + 100 + 50
+    # the pre-upsert snapshot is untouched (upsert-then-read-old-snapshot)
+    assert dict(t.read(version=2).collect())[50] == "old"
+
+
+def test_schema_evolution_on_read_and_widening(spark, tdir):
+    t = SifTable.create(spark, f"{tdir}/t3", _df(spark, 0, 3, "a"), key_col="k")
+    evolved = _df(spark, 3, 6, "b").withColumn("score", F.lit(1.5))
+    t.append(evolved)
+    got = t.read()
+    assert [f.simpleString() for f in got.schema.fields] == [
+        "k:bigint", "v:string", "score:double"
+    ]
+    by_k = {r["k"]: r["score"] for r in got.collect()}
+    assert by_k[0] is None and by_k[3] == 1.5  # old rows surface NULL
+    # time travel back to v1 serves the OLD schema (no score column)
+    assert t.read(version=1).columns == ["k", "v"]
+    # widening int -> bigint is accepted; string -> double is not
+    t.append(
+        spark.range(6, 7).select(
+            F.col("id").cast("int").alias("k"), F.lit("c").alias("v")
+        )
+    )
+    assert t._load()["schema"].startswith("k bigint")
+    with pytest.raises(ValueError, match="cannot evolve"):
+        t.append(spark.range(7, 8).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("v")))
+
+
+def test_delete_and_compact_under_concurrent_reader(spark, tdir):
+    t = SifTable.create(spark, f"{tdir}/t4", _df(spark, 0, 50, "a"), key_col="k")
+    t.append(_df(spark, 50, 100, "b"))
+    t.delete("k >= 90")
+    assert t.read().count() == 90
+
+    # pin a reader on the pre-compaction snapshot...
+    pinned_version = t._load()["version"]
+    pinned = t.read(pinned_version)
+    v = t.compact(num_files=2)
+    m = t._load(v)
+    assert m["op"] == "compact" and len(m["groups"]) == 1
+    # ...the pinned reader still collects correct rows mid-compaction
+    assert pinned.count() == 90
+    assert _rows(t.read()) == _rows(pinned)
+
+    # vacuum keeps the last 2 snapshots; the pinned (older) version's
+    # exclusive groups are gone and its manifest dropped — by contract
+    doomed = t.vacuum(retain_last=2)
+    assert doomed, "vacuum should reclaim the pre-compaction groups"
+    assert t.read().count() == 90
+    with pytest.raises(ValueError, match="not in"):
+        t.read(version=1)
+
+
+def test_optimistic_commit_cas(spark, tdir):
+    t = SifTable.create(spark, f"{tdir}/t5", _df(spark, 0, 3, "a"))
+    m = t._load()
+    # two writers race to version 2: exactly one rename wins
+    win = dict(m, version=2, parent=1, op="append")
+    t._commit(win)
+    with pytest.raises(ConcurrentCommitError, match="committed by another"):
+        t._commit(dict(m, version=2, parent=1, op="append"))
+    # upsert retries through the conflict window by re-reading
+    t6 = SifTable.create(spark, f"{tdir}/t6", _df(spark, 0, 3, "a"), key_col="k")
+    t6.upsert(_df(spark, 1, 2, "z"))
+    assert dict(t6.read().collect())[1] == "z"
+
+
+def test_orphan_data_invisible_without_manifest(spark, tdir):
+    """A crashed write (data group present, manifest never renamed) is
+    invisible to every reader — the commit IS the manifest."""
+    t = SifTable.create(spark, f"{tdir}/t7", _df(spark, 0, 5, "a"), key_col="k")
+    # simulate the crash: group written, commit never happened
+    t._write_group(_df(spark, 100, 200, "ghost"), 2, 0, "k")
+    assert t.read().count() == 5
+    assert t._load()["version"] == 1
+    # and the next real commit is unaffected
+    t.append(_df(spark, 5, 6, "b"))
+    assert t.read().count() == 6

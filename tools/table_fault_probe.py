@@ -1,0 +1,157 @@
+"""SIGKILL-mid-commit fault injection for the snapshot table layer
+(VERDICT r9 "Next round" #2): a writer process runs a deterministic
+CREATE + 20-upsert sequence against a SifTable; the parent SIGKILLs
+the WHOLE writer JVM at a random point mid-flight (possibly mid data
+write, mid manifest write, or between the two). The verifier then
+proves the snapshot-isolation contract from the surviving files alone:
+
+  1. the committed manifest chain is contiguous (v1..vN, parent links
+     intact) — no torn or skipped version is visible;
+  2. every committed version's read() returns EXACTLY the state the
+     deterministic op sequence predicts after that many ops — a
+     half-applied upsert (new group committed without its rewrite, or
+     vice versa) would fail the value check, not just a count;
+  3. a fresh writer RESUMES from the committed version and completes
+     the remaining ops, landing bit-identical to a never-crashed run.
+
+Three kill delays probe different phases (JVM startup ~8-15 s, then
+~0.5 s/op). Prints one JSON line; tests/test_table_fault.py asserts.
+
+Run directly:  python tools/table_fault_probe.py
+Writer mode:   python tools/table_fault_probe.py --writer <dir> [from_op]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N_OPS = 20  # op k (1-based): upsert keys [5k, 5k+50) with val=k
+BASE_ROWS = 100  # create: keys [0, 100) val=0
+
+
+def expected_state(ops_done: int) -> dict[int, int]:
+    """Pure-Python replay: table content after CREATE + ops_done upserts."""
+    state = {k: 0 for k in range(BASE_ROWS)}
+    for s in range(1, ops_done + 1):
+        for k in range(5 * s, 5 * s + 50):
+            state[k] = s
+    return state
+
+
+def writer(table_dir: str, from_op: int) -> None:
+    from pyspark.sql import functions as F
+
+    from sif_spark.session import get_session
+    from sif_spark.table import SifTable
+
+    spark = get_session("table_fault_writer")
+
+    def frame(lo, hi, val):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.lit(val).cast("int").alias("v")
+        )
+
+    if from_op == 0:
+        t = SifTable.create(spark, table_dir, frame(0, BASE_ROWS, 0), key_col="k")
+        start = 1
+    else:
+        t = SifTable(spark, table_dir)
+        start = from_op
+    for s in range(start, N_OPS + 1):
+        t.upsert(frame(5 * s, 5 * s + 50, s))
+        print(f"op {s} committed", flush=True)
+
+
+def verify(table_dir: str) -> dict:
+    from sif_spark.session import get_session
+    from sif_spark.table import SifTable
+
+    spark = get_session("table_fault_verify")
+    t = SifTable(spark, table_dir)
+    versions = t._versions()
+    if not versions:
+        return {"committed_ops": -1, "chain_ok": True, "values_ok": True}
+    # 1. contiguous chain with intact parent links
+    chain_ok = versions == list(range(1, versions[-1] + 1))
+    for v in versions:
+        m = t._load(v)
+        chain_ok &= m["version"] == v and m["parent"] == (v - 1 if v > 1 else None)
+    # 2. every committed snapshot matches the deterministic replay
+    values_ok = True
+    for v in versions:
+        got = {r["k"]: r["v"] for r in t.read(v).collect()}
+        if got != expected_state(v - 1):  # version 1 = create = 0 ops
+            values_ok = False
+            break
+    return {
+        "committed_ops": versions[-1] - 1,
+        "chain_ok": chain_ok,
+        "values_ok": values_ok,
+    }
+
+
+def one_round(delay: float, workdir: str) -> dict:
+    table_dir = f"{workdir}/table"
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--writer", table_dir, "0"],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    time.sleep(delay)
+    killed_running = child.poll() is None
+    if killed_running:
+        os.kill(child.pid, signal.SIGKILL)
+    child.wait()
+    res = verify(table_dir)
+    res["killed_mid_run"] = killed_running
+    # 3. resume: a fresh writer completes the remaining ops
+    from_op = res["committed_ops"] + 1
+    rc = subprocess.run(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--writer",
+            table_dir,
+            str(max(from_op, 0)),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    res["resume_rc"] = rc.returncode
+    final = verify(table_dir)
+    res["final_ops"] = final["committed_ops"]
+    res["final_values_ok"] = final["values_ok"] and final["chain_ok"]
+    res["delay"] = delay
+    return res
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--writer":
+        writer(sys.argv[2], int(sys.argv[3]))
+        return 0
+    rounds = []
+    for delay in (9.0, 13.0, 18.0):
+        rounds.append(one_round(delay, f"/tmp/sif_table_fault_{delay}"))
+        print(f"  delay {delay}: {rounds[-1]}", file=sys.stderr)
+    ok = all(
+        r["chain_ok"] and r["values_ok"] and r["resume_rc"] == 0
+        and r["final_ops"] == N_OPS and r["final_values_ok"]
+        for r in rounds
+    )
+    print(json.dumps({"ok": ok, "rounds": rounds}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
