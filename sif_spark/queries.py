@@ -1249,3 +1249,9 @@ from sif_spark.queries_tpch import ORACLE_Q157, q157_avro_type_matrix  # noqa: E
 
 QUERIES["q157_avro_type_matrix"] = q157_avro_type_matrix
 ORACLES["q157_avro_type_matrix"] = ORACLE_Q157
+# q158-q160: the snapshot table layer (time travel, schema evolution,
+# compaction) — see sif_spark/queries_table.py
+from sif_spark.queries_table import TABLE_ORACLES, TABLE_QUERIES  # noqa: E402
+
+QUERIES.update(TABLE_QUERIES)
+ORACLES.update(TABLE_ORACLES)

@@ -1,0 +1,186 @@
+"""Catalog entries for the snapshot table layer (sif_spark/table.py):
+time travel across upsert/delete, schema evolution on read, and
+compaction content-preservation — each oracle-gated by DuckDB
+recomputing the per-version expected state straight from the source
+parquet (the table's versions are pure functions of scale-free modular
+key predicates, so one SQL text is correct at every sf).
+
+Reference basis: go-sif has NO write path (SURVEY §2.1) — this is
+north-star storage surface layered on the fault-injection-proven
+commit contract of the epoch stores."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sif_spark.queries_ext import _io_dir
+from sif_spark.sources.parquet import read_table
+
+
+def _fresh_dir(sf_dir: str, leaf: str) -> str:
+    path = _io_dir(sf_dir, leaf)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def q158_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE → UPSERT → DELETE on a SifTable, then read ALL THREE
+    snapshots (time travel) and aggregate each: v1 is 80% of documents,
+    v2 upserts lang='zz' onto the %5==1 slice AND inserts the held-out
+    20%, v3 deletes %10==7. The upsert exercises group rewrite + the
+    old snapshot staying intact (upsert-then-read-old-snapshot, the
+    VERDICT r9 ask); any torn/leaked row flips a version's row count,
+    char sum, or zz count."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_tt")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    t = SifTable.create(
+        spark, base, d.filter(F.col("doc_id") % 5 != 4), key_col="doc_id"
+    )
+    updates = d.filter((F.col("doc_id") % 5).isin(1, 4)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1, F.lit("zz")).otherwise(F.col("lang")).alias(
+            "lang"
+        ),
+        "source",
+        "n_chars",
+    )
+    t.upsert(updates)
+    t.delete("doc_id % 10 = 7")
+
+    outs = []
+    for v in (1, 2, 3):
+        outs.append(
+            t.read(version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(F.when(F.col("lang") == "zz", 1).otherwise(0)).alias("n_zz"),
+            )
+            .select(F.lit(v).cast("int").alias("version"), "*")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("version")
+
+
+ORACLE_Q158 = """
+SELECT 1 AS version,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(0 AS BIGINT) AS n_zz
+FROM documents WHERE doc_id % 5 != 4
+UNION ALL
+SELECT 2,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT),
+       CAST(sum(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 3,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT),
+       CAST(sum(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents WHERE doc_id % 10 != 7
+ORDER BY version
+"""
+
+
+def q159_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: v1 has (event_id, event_type); v2
+    appends rows carrying a NEW hour column. The latest snapshot
+    serves old rows with hour=NULL and new rows with real values — no
+    file rewrite — while time travel to v1 serves the OLD two-column
+    schema. The single-row aggregate cross-checks both snapshots."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_evo")
+    e = read_table(spark, sf_dir, "events")
+    t = SifTable.create(
+        spark,
+        base,
+        e.filter(F.col("event_id") % 3 == 0).select("event_id", "event_type"),
+        key_col="event_id",
+    )
+    t.append(
+        e.filter(F.col("event_id") % 3 == 1).select(
+            "event_id", "event_type", F.hour("ts").cast("long").alias("hour")
+        )
+    )
+    latest = t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("hour").isNull(), 1).otherwise(0)).alias("n_hour_null"),
+        F.sum("hour").alias("sum_hour"),
+    )
+    v1 = t.read(version=1).agg(F.count(F.lit(1)).alias("n_v1"))
+    return latest.crossJoin(v1)
+
+
+ORACLE_Q159 = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hour_null,
+       CAST(sum(CASE WHEN event_id % 3 = 1
+                     THEN EXTRACT(hour FROM ts) END) AS BIGINT) AS sum_hour,
+       (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0)
+           AS n_v1
+FROM events WHERE event_id % 3 IN (0, 1)
+"""
+
+
+def q160_table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction content-preservation: five appends fragment the
+    table into five groups; compact() rewrites them into ONE
+    key-sorted group as a NEW snapshot (readers pinned on the
+    fragmented version are untouched — pinned in tests/test_table.py).
+    The aggregate must equal DuckDB's straight scan of the same rows:
+    compaction may change layout, never content."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_compact")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = SifTable.create(spark, base, o.filter(F.col("o_orderkey") % 5 == 0),
+                        key_col="o_orderkey")
+    for r in range(1, 5):
+        t.append(o.filter(F.col("o_orderkey") % 5 == r))
+    v = t.compact(num_files=4)
+    m = t._load(v)
+    assert len(m["groups"]) == 1, "compaction must produce one group"
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+ORACLE_Q160 = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders
+"""
+
+
+TABLE_QUERIES = {
+    "q158_table_time_travel": q158_table_time_travel,
+    "q159_table_schema_evolution": q159_table_schema_evolution,
+    "q160_table_compaction": q160_table_compaction,
+}
+
+TABLE_ORACLES = {
+    "q158_table_time_travel": ORACLE_Q158,
+    "q159_table_schema_evolution": ORACLE_Q159,
+    "q160_table_compaction": ORACLE_Q160,
+}

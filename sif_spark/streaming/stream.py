@@ -527,3 +527,267 @@ def running_zscore_tws(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def sessionized_tws(
+    stream: DataFrame,
+    time_col: str,
+    key_col: str,
+    gap_ms: int,
+    watermark: str = "10 minutes",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """`sessionized`'s shape on transformWithStateInPandas with
+    EVENT-TIME TIMERS (round 10, VERDICT r9 ask #3): the open session
+    per key lives in a ValueState (start, last, n) and a timer armed
+    at last+gap closes it when the WATERMARK passes — no watermark
+    polling, no per-batch full-state scan; Spark wakes exactly the
+    keys whose timers expired. Emits one row per CLOSED session with
+    the same window semantics as the built-in
+    `session_window(time_col, gap)`: [start = first event, end = last
+    event + gap), n = event count (differentially pinned against
+    `sessionized` in tools/tws_timers_probe.py).
+
+    A session also closes early when a later event for the SAME key
+    arrives more than gap after it (proof of closure without waiting
+    for the watermark — the timer for the old session is deleted).
+    Late events behind the current watermark follow the same contract
+    as session_window on the append path: they are not resurrected
+    into an emitted session.
+
+    RocksDB-only (TWS platform constraint, recorded in SCALE.md).
+    State is bounded WITHOUT a TTL: every open session's own timer
+    fires once the watermark passes last+gap, emits, and CLEARS the
+    key's state — idle keys cannot accumulate. Spark additionally
+    forbids state TTL in EventTime mode outright
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL), so
+    ``state_ttl_ms`` raises the typed gate here; the processing-time
+    TTL story lives in `running_zscore_tws`."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if state_ttl_ms is not None:
+        raise ValueError(
+            "sessionized_tws runs in EventTime time mode, where Spark "
+            "forbids state TTL (ProcessingTime-only) — and none is "
+            "needed: each open session's timer clears its state when "
+            "the watermark passes last+gap"
+        )
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, session_start timestamp, "
+        "session_end timestamp, n long"
+    )
+
+    def _emit(key, start_ms: int, last_ms: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(last_ms + gap_ms, unit="ms")],
+                "n": [n],
+            }
+        )
+
+    class _Sessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._sess = handle.getValueState(
+                "sess", "start_ms long, last_ms long, n long",
+                ttlDurationMs=state_ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts: list[int] = []
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                ts.extend(
+                    int(x.value // 1_000_000)
+                    for x in pd.to_datetime(pdf[time_col])
+                )
+            if not ts:
+                return
+            ts.sort()
+            if self._sess.exists():
+                start, last, n = tuple(self._sess.get())
+                self._h.deleteTimer(last + gap_ms)
+            else:
+                start, last, n = ts[0], ts[0] - gap_ms - 1, 0
+                # sentinel: first event below "opens" the session
+            for t in ts:
+                if t <= last + gap_ms or n == 0:
+                    last = max(last, t)
+                    start = min(start, t)
+                    n += 1
+                else:
+                    # a gap INSIDE the arrived data proves closure now
+                    yield _emit(key, start, last, n)
+                    start, last, n = t, t, 1
+            self._sess.update((start, last, n))
+            self._h.registerTimer(last + gap_ms)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._sess.exists():
+                return
+            start, last, n = tuple(self._sess.get())
+            if expiredTimerInfo.getExpiryTimeInMs() >= last + gap_ms:
+                yield _emit(key, start, last, n)
+                self._sess.clear()
+
+        def close(self) -> None:
+            pass
+
+    return stream.withWatermark(time_col, watermark).groupBy(
+        key_col
+    ).transformWithStateInPandas(
+        statefulProcessor=_Sessions(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+def interval_join_tws(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_time: str,
+    right_time: str,
+    lower_ms: int,
+    upper_ms: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """`interval_join`'s shape as a CUSTOM stateful two-input operator
+    on transformWithStateInPandas (round 10, VERDICT r9 ask #3):
+    right_time ∈ [left_time − upper_ms, left_time − lower_ms], equi on
+    ``key_col``. The two streams union into one keyed stream (side
+    tag + payload packed to JSON — TWS is single-input); per key, each
+    side buffers in a ListState and joins arrivals against the other
+    side's buffer, and an EVENT-TIME TIMER prunes buffered rows the
+    watermark proves unmatchable (left row dead once wm > lt − lower;
+    right row dead once wm > rt + upper) — state stays bounded by the
+    interval width × arrival rate, the same bound the built-in
+    stream-stream join gets from its watermark condition
+    (differentially pinned in tools/tws_timers_probe.py).
+
+    Emits (key, left_ts, right_ts, left_json, right_json); callers
+    unpack payloads with from_json. Each matched pair emits exactly
+    once: arrivals match the OTHER side's buffer, then in-batch pairs
+    match once, then both buffers append."""
+    import json as _json
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_type = left.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, left_ts timestamp, right_ts timestamp, "
+        "left_json string, right_json string"
+    )
+
+    def _pack(df: DataFrame, time_col: str, side: str) -> DataFrame:
+        payload = F.to_json(F.struct(*[c for c in df.columns]))
+        return df.select(
+            F.col(key_col).alias("k"),
+            F.col(time_col).alias("ts"),
+            F.lit(side).alias("side"),
+            payload.alias("payload"),
+        ).withWatermark("ts", watermark)
+
+    unioned = _pack(left, left_time, "L").unionByName(_pack(right, right_time, "R"))
+
+    class _IntervalJoin(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._h = handle
+            self._lbuf = handle.getListState("lbuf", "ts long, payload string")
+            self._rbuf = handle.getListState("rbuf", "ts long, payload string")
+
+        @staticmethod
+        def _matches(lt: int, rt: int) -> bool:
+            return (lt - upper_ms) <= rt <= (lt - lower_ms)
+
+        def _emit(self, key, pairs) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(pairs),
+                    "left_ts": [pd.Timestamp(lt, unit="ms") for lt, *_ in pairs],
+                    "right_ts": [pd.Timestamp(rt, unit="ms") for _, rt, *_ in pairs],
+                    "left_json": [lp for *_, lp, _rp in pairs],
+                    "right_json": [rp for *_, rp in pairs],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            new_l: list[tuple[int, str]] = []
+            new_r: list[tuple[int, str]] = []
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                ms = (
+                    pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000
+                ).tolist()
+                for t, side, payload in zip(ms, pdf["side"], pdf["payload"]):
+                    (new_l if side == "L" else new_r).append((int(t), payload))
+            old_l = [(int(r[0]), r[1]) for r in self._lbuf.get()]
+            old_r = [(int(r[0]), r[1]) for r in self._rbuf.get()]
+            pairs = []
+            for lt, lp in new_l:  # new left vs buffered right
+                pairs += [(lt, rt, lp, rp) for rt, rp in old_r if self._matches(lt, rt)]
+            for rt, rp in new_r:  # new right vs buffered left
+                pairs += [(lt, rt, lp, rp) for lt, lp in old_l if self._matches(lt, rt)]
+            for lt, lp in new_l:  # in-batch pairs, exactly once
+                pairs += [(lt, rt, lp, rp) for rt, rp in new_r if self._matches(lt, rt)]
+            if pairs:
+                yield self._emit(key, pairs)
+            if new_l:
+                self._lbuf.appendList([(t, p) for t, p in new_l])
+            if new_r:
+                self._rbuf.appendList([(t, p) for t, p in new_r])
+            # one pending timer per key at the earliest moment any
+            # buffered row becomes provably unmatchable
+            expiries = [t - lower_ms for t, _ in old_l + new_l] + [
+                t + upper_ms for t, _ in old_r + new_r
+            ]
+            if expiries:
+                for t in self._h.listTimers():
+                    self._h.deleteTimer(t)
+                self._h.registerTimer(min(expiries) + 1)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            wm = timerValues.getCurrentWatermarkInMs()
+            keep_l = [
+                (int(r[0]), r[1]) for r in self._lbuf.get() if r[0] - lower_ms >= wm
+            ]
+            keep_r = [
+                (int(r[0]), r[1]) for r in self._rbuf.get() if r[0] + upper_ms >= wm
+            ]
+            self._lbuf.clear()
+            self._rbuf.clear()
+            if keep_l:
+                self._lbuf.appendList(keep_l)
+            if keep_r:
+                self._rbuf.appendList(keep_r)
+            expiries = [t - lower_ms for t, _ in keep_l] + [
+                t + upper_ms for t, _ in keep_r
+            ]
+            if expiries:
+                self._h.registerTimer(max(min(expiries), wm) + 1)
+            return
+            yield  # pragma: no cover — generator protocol, nothing to emit
+
+        def close(self) -> None:
+            pass
+
+    return unioned.groupBy("k").transformWithStateInPandas(
+        statefulProcessor=_IntervalJoin(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -18,6 +18,10 @@ highest-impact regression class the repo has had.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.cluster
+
 import os
 import subprocess
 import sys

@@ -15,6 +15,10 @@ CLUSTER.md for the recorded run.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.cluster
+
 import json
 import subprocess
 import sys

@@ -6,6 +6,10 @@ Subprocess: needs its own starved local-cluster session."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.cluster
+
 import json
 import subprocess
 import sys

@@ -6,6 +6,10 @@ session/provider configuration."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.cluster
+
 import json
 import subprocess
 import sys
