@@ -1255,3 +1255,8 @@ from sif_spark.queries_table import TABLE_ORACLES, TABLE_QUERIES  # noqa: E402
 
 QUERIES.update(TABLE_QUERIES)
 ORACLES.update(TABLE_ORACLES)
+# q161-q166: the TPC-DS-shape sampler — see sif_spark/queries_tpcds.py
+from sif_spark.queries_tpcds import TPCDS_ORACLES, TPCDS_QUERIES  # noqa: E402
+
+QUERIES.update(TPCDS_QUERIES)
+ORACLES.update(TPCDS_ORACLES)

@@ -1,0 +1,284 @@
+"""TPC-DS-shape sampler (round 10, VERDICT r9 ask #6): six entries
+stressing the planner behaviors TPC-H never touches — multi-hierarchy
+GROUPING SETS, window-over-join month/avg pipelines, disjunctive
+(OR'd) star filters, dynamic partition pruning against a date
+dimension, the returns-above-nation-average decorrelation, and the
+multi-channel UNION rollup — recast onto the TPC-H-ish star this repo
+ships (the SHAPES are what TPC-DS tests; its 24-table schema is not).
+
+Numeric discipline is the queries_tpch.py contract: money stays in
+exact integer cents / 1e-4-dollar units end to end, ratio predicates
+are cross-multiplied into pure bigint comparisons, so every oracle
+comparison is exact — no float accumulation order to flap the hash.
+
+Reference basis: go-sif executes none of these shapes (single-source
+pipelines, no SQL — SURVEY §3.1); they exist to prove the Spark-first
+engine covers the analytics surface a warehouse user expects.
+
+100 TB design notes per entry in the docstrings; the DPP entry's plan
+is pinned in tests/test_plans.py (partition filters carry a
+dynamicpruning subquery, and the scan reads only the dim-selected
+partitions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sif_spark.sources.parquet import read_table, register_views
+
+
+def q161_ds_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q67 shape: one pass over orders⋈customer⋈nation⋈region
+    producing the FULL sales hierarchy (region, nation, segment) →
+    (region, nation) → (region) → () via GROUPING SETS, with
+    GROUPING() markers distinguishing "NULL because rolled up" from a
+    NULL value. Catalyst expands grouping sets into a single Expand +
+    one shuffle — not four scans; at 100 TB that is the whole point
+    of the operator."""
+    register_views(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    return spark.sql(_Q161_SQL)
+
+
+_Q161_SQL = """
+SELECT r_name, n_name, c_mktsegment AS segment,
+       CAST(GROUPING(r_name) AS INT) AS g_r,
+       CAST(GROUPING(n_name) AS INT) AS g_n,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_s,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sales_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name, c_mktsegment),
+                        (r_name, n_name), (r_name), ())
+"""
+
+
+def q162_ds_window_over_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q47/Q57 shape: monthly revenue per nation from the 4-way
+    fact join, then a window pipeline OVER the join result — each
+    nation's months compared against the nation-year average (the
+    cross-multiplied exact form 10·12·monthly > 15·yearly_sum avoids
+    the float division) and ranked within the nation-year. One shuffle
+    for the group-by, one for the window partition — both on the same
+    (nation, year) grain, so AQE reuses the exchange."""
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_Q162_SQL)
+
+
+_Q162_SQL = """
+WITH monthly AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rev_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, 2, 3
+),
+judged AS (
+  SELECT n_name, yr, mon, rev_e4,
+         SUM(rev_e4) OVER (PARTITION BY n_name, yr) AS yr_rev,
+         COUNT(*) OVER (PARTITION BY n_name, yr) AS yr_months,
+         RANK() OVER (PARTITION BY n_name, yr ORDER BY rev_e4 DESC)
+             AS rnk
+  FROM monthly
+)
+SELECT n_name, yr, mon, CAST(rev_e4 AS BIGINT) AS rev_e4,
+       CAST(rnk AS BIGINT) AS rnk
+FROM judged
+WHERE 10 * yr_months * rev_e4 > 15 * yr_rev
+ORDER BY n_name, yr, mon
+"""
+
+
+def q163_ds_disjunctive_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q13/Q48 shape: ONE aggregate over the star with three OR'd
+    conjunction arms spanning customer, orders AND lineitem columns —
+    the predicate cannot push below the joins whole, so the planner
+    must split the pushable per-table residuals (segment IN (...) does
+    prune customer) while evaluating the disjunction post-join.
+    Everything stays in one codegen stage after the joins."""
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer"])
+    return spark.sql(_Q163_SQL)
+
+
+_Q163_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+           AS rev_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE (c_mktsegment = 'BUILDING'
+       AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (c_mktsegment = 'MACHINERY'
+       AND o_orderpriority = '5-LOW'
+       AND l_quantity BETWEEN 30 AND 50)
+   OR (c_mktsegment = 'AUTOMOBILE'
+       AND l_discount <= 0.03
+       AND o_totalprice > 150000.0)
+"""
+
+
+def _partitioned_fact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize lineitem PARTITIONED BY ship month once per sf dir
+    (dir-committed via _SUCCESS, so bench re-runs skip the write) —
+    the layout a 100 TB fact table actually has, and the precondition
+    for dynamic partition pruning."""
+    from sif_spark.queries_ext import _io_dir
+
+    path = _io_dir(sf_dir, "lineitem_by_month")
+    from sif_spark.pipeline import _has_success_marker
+
+    if not _has_success_marker(spark, path):
+        read_table(spark, sf_dir, "lineitem").withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        ).write.mode("overwrite").partitionBy("ship_month").parquet(path)
+    return path
+
+
+def q164_ds_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DS Q64-class star probe for DYNAMIC partition pruning: the fact
+    is parquet partitioned by ship month; the date dimension is a
+    generated month calendar carrying (year, quarter); the query
+    filters the DIM (yr=1997, Q2) and joins on the partition column.
+    The month list is only known after scanning the dim, so static
+    pruning cannot fire — Spark must inject the dim-side subquery into
+    the fact scan's partition filters at runtime (plan-pinned:
+    tests/test_plans.py asserts `dynamicpruning` on this exact query).
+    At 100 TB this is the difference between scanning 3 months and
+    scanning 84."""
+    fact = spark.read.parquet(_partitioned_fact_dir(spark, sf_dir))
+    months = spark.sql(
+        """
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               CAST(EXTRACT(year FROM m) AS INT) AS yr,
+               CONCAT('Q', CAST(CAST(CEIL(EXTRACT(month FROM m) / 3.0) AS INT)
+                                AS STRING)) AS quarter
+        FROM (SELECT explode(sequence(DATE'1995-01-01', DATE'2002-01-01',
+                                      INTERVAL 1 MONTH)) AS m)
+        """
+    )
+    dim = months.filter((F.col("yr") == 1997) & (F.col("quarter") == "Q2"))
+    joined = fact.join(dim, fact["ship_month"] == dim["month"])
+    return joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_e4"),
+        F.min("ship_month").alias("first_month"),
+        F.max("ship_month").alias("last_month"),
+    )
+
+
+ORACLE_Q164 = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+           AS rev_e4,
+       min(strftime(l_shipdate, '%Y-%m')) AS first_month,
+       max(strftime(l_shipdate, '%Y-%m')) AS last_month
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+  AND EXTRACT(month FROM l_shipdate) BETWEEN 4 AND 6
+"""
+
+
+def q165_ds_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q1 shape: customers whose RETURNED revenue exceeds 1.5× the
+    average returned revenue of their nation — an aggregate over an
+    aggregate with the comparison against the outer group's mean.
+    The cross-multiplied predicate (2·n_cust·cust_rev > 3·nation_rev)
+    keeps it exact; the window over the customer-grain aggregate adds
+    no extra shuffle beyond the nation re-partition."""
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_Q165_SQL)
+
+
+_Q165_SQL = """
+WITH cust_ret AS (
+  SELECT c_custkey, n_name,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS ret_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, n_name
+),
+judged AS (
+  SELECT c_custkey, n_name, ret_e4,
+         SUM(ret_e4) OVER (PARTITION BY n_name) AS nation_e4,
+         COUNT(*) OVER (PARTITION BY n_name) AS n_cust
+  FROM cust_ret
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, n_name,
+       CAST(ret_e4 AS BIGINT) AS ret_e4
+FROM judged
+WHERE 2 * n_cust * ret_e4 > 3 * nation_e4
+ORDER BY n_name, c_custkey
+"""
+
+
+def q166_ds_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q71 shape: three pseudo-channels (priority classes) UNION
+    ALL'd into one rollup by (channel, year) — the multi-channel
+    pattern DS runs across store/web/catalog. Spark pushes the shared
+    aggregate below the union arms (each arm is a filtered scan of the
+    same table; the union never materializes)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_Q166_SQL)
+
+
+_Q166_SQL = """
+WITH channels AS (
+  SELECT 'express' AS channel, o_orderdate, o_totalprice
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  UNION ALL
+  SELECT 'standard', o_orderdate, o_totalprice
+  FROM orders WHERE o_orderpriority = '3-MEDIUM'
+  UNION ALL
+  SELECT 'economy', o_orderdate, o_totalprice
+  FROM orders WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+)
+SELECT channel,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS sales_cents
+FROM channels
+GROUP BY channel, 2
+ORDER BY channel, yr
+"""
+
+
+TPCDS_QUERIES = {
+    "q161_ds_grouping_sets": q161_ds_grouping_sets,
+    "q162_ds_window_over_join": q162_ds_window_over_join,
+    "q163_ds_disjunctive_star": q163_ds_disjunctive_star,
+    "q164_ds_dynamic_partition_pruning": q164_ds_dynamic_partition_pruning,
+    "q165_ds_returns_above_avg": q165_ds_returns_above_avg,
+    "q166_ds_channel_union": q166_ds_channel_union,
+}
+
+TPCDS_ORACLES = {
+    "q161_ds_grouping_sets": _Q161_SQL,
+    "q162_ds_window_over_join": _Q162_SQL,
+    "q163_ds_disjunctive_star": _Q163_SQL,
+    "q164_ds_dynamic_partition_pruning": ORACLE_Q164,
+    "q165_ds_returns_above_avg": _Q165_SQL,
+    "q166_ds_channel_union": _Q166_SQL,
+}

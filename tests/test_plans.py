@@ -960,3 +960,20 @@ def test_q154_disjunction_keeps_equi_join(spark):
     text = plan_string(df, "formatted")
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+def test_q164_dynamic_partition_pruning_fires(spark):
+    """The DS DPP probe (round 10): the month-partitioned fact scan's
+    partition filters must carry the runtime dim-side subquery
+    (`dynamicpruning` expression) — static pruning cannot know the
+    months, so its absence would mean the scan reads all ~84 partitions
+    instead of the quarter's 3."""
+    from sif_spark.plans import plan_string
+
+    df = QUERIES["q164_ds_dynamic_partition_pruning"](spark, SF)
+    text = plan_string(df, "formatted")
+    assert "dynamicpruning" in text.lower(), text[:4000]
+    # the disjunctive-star sibling must keep hash joins (no BNLJ blowup)
+    text163 = plan_string(QUERIES["q163_ds_disjunctive_star"](spark, SF), "formatted")
+    assert "BroadcastNestedLoopJoin" not in text163
+    assert "CartesianProduct" not in text163
