@@ -478,21 +478,156 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     bands: int | None = None,
     hash_fn: str = "xxhash64",
+    scheme: str = "auto",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming —
+    EXACT under either candidate scheme (both are pigeonhole-complete;
+    the verify is always bit_count(xor) ≤ h, so outputs are identical
+    and one oracle gates both):
 
-    Sub-quadratic via bit-banding: join on any equal band of the
-    signature, verify with bit_count(xor). By pigeonhole, detecting
-    every pair at distance ≤ h requires h+1 bands (``bands`` default).
-    Wider bands (fewer) are cheaper but only a candidate filter —
-    callers trading recall for cost at huge corpus sizes pass
-    ``bands=4`` (16-bit chunks, uniform buckets, skew-free join)."""
+    - ``scheme='pigeonhole'``: join on any equal (h+1)-band chunk.
+      With h=8 on 64 bits the bands are ~7 bits wide, so bucket sizes
+      grow ~n/128 and CANDIDATES GROW QUADRATICALLY — measured 18×
+      wall on 10× docs in the round-10 decade sweep. Right below
+      ~20k docs where its constant is smallest.
+    - ``scheme='mih'``: multi-index Hamming (Norouzi & Fleet, "Fast
+      Search in Hamming Space with Multi-Index Hashing", CVPR 2012) —
+      FEWER, WIDER blocks (m blocks of ~n_bits/m bits); a pair within
+      h differs ≤ r = floor(h/m) bits in some block, so the query side
+      enumerates every ≤r-bit mutation of each block key and joins the
+      index side's plain keys. 2^w-sized key spaces keep buckets tiny:
+      m=3/w≈21/r=2 trades a 232-key expansion per block for ~2^14×
+      more selective buckets.
+    - ``scheme='auto'`` (default): one count(*) (skippable via
+      ``corpus_rows``) picks pigeonhole under 20k docs, else the m
+      minimizing the estimated candidate volume. The same contract as
+      `embedding_near_dup_pairs`' tiering.
+
+    ``bands`` (legacy) forces pigeonhole with that band count — fewer
+    bands than h+1 is a recall-trading candidate filter."""
     n_bits = simhash_bits(hash_fn)
     # materialize signatures once: the band self-join references this
     # subtree twice, and it contains a Python (Arrow) stage
     sh = simhash(df, text_col, id_col, hash_fn).localCheckpoint(eager=False)
-    return banded_hamming_pairs(
-        sh, id_col, "simhash", n_bits, max_hamming, bands
+    if bands is not None or scheme == "pigeonhole":
+        return banded_hamming_pairs(sh, id_col, "simhash", n_bits, max_hamming, bands)
+    if scheme == "auto":
+        n = corpus_rows if corpus_rows is not None else df.count()
+        if n < 20_000:
+            return banded_hamming_pairs(
+                sh, id_col, "simhash", n_bits, max_hamming, bands
+            )
+        m = _mih_best_blocks(n_bits, max_hamming, n)
+    elif scheme == "mih":
+        m = _mih_best_blocks(
+            n_bits, max_hamming, corpus_rows if corpus_rows else 100_000
+        )
+    else:
+        raise ValueError(f"scheme must be auto|pigeonhole|mih, got {scheme!r}")
+    return mih_hamming_pairs(sh, id_col, "simhash", n_bits, max_hamming, m)
+
+
+def _mih_expansion(width: int, r: int) -> list[int]:
+    """All XOR masks of popcount ≤ r over ``width`` bits (the ≤r-bit
+    mutations of a block key). r is small (0-2) by construction."""
+    import itertools
+
+    masks = [0]
+    for k in range(1, r + 1):
+        for bits in itertools.combinations(range(width), k):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def _mih_best_blocks(n_bits: int, max_hamming: int, n: int) -> int:
+    """Block count minimizing estimated work: candidate volume
+    m·n²·E/2^w (E = expansion keys per block) plus the expansion rows
+    n·m·E themselves. Candidates cost ~a join row each; expansion rows
+    ~an exploded row each — same order, so the sum is the estimate."""
+    best_m, best_cost = 3, float("inf")
+    for m in {max_hamming + 1, 5, 4, 3}:
+        r = max_hamming // m
+        w = n_bits // m  # conservative: the narrowest block
+        e = len(_mih_expansion(w, r))
+        cost = m * (n / 2**w) * n * e + n * m * e
+        if cost < best_cost:
+            best_m, best_cost = m, cost
+    return best_m
+
+
+def mih_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    n_bits: int,
+    max_hamming: int,
+    n_blocks: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) via multi-index Hamming —
+    the at-scale exact alternative to `banded_hamming_pairs` (module
+    choice rationale in `simhash_near_dup_pairs`). Asymmetric
+    self-join: the INDEX side emits each doc's m plain block keys; the
+    QUERY side emits every ≤r-bit mutation of them (r =
+    floor(h/m)); by pigeonhole a qualifying pair differs ≤ r bits in
+    some block, so the mutated query key hits the partner's plain key
+    there. Verify on bit_count(xor), normalize orientation, distinct.
+
+    Scale: bucket key space is 2^(n_bits/m) per block — with m=3 on
+    64 bits that is ~2M buckets, so candidate volume stays ~n·E·n/2^w
+    with E≈232; the expansion is a static codegen'd array (no UDF),
+    and only (id, sig, block, key) rows cross the shuffle."""
+    layout = simhash_band_layout(n_bits, n_blocks)
+    r = max_hamming // n_blocks
+    sig = F.col(sig_col)
+
+    def block_key(off: int, w: int) -> F.Column:
+        return F.shiftright(sig, off).bitwiseAND(F.lit((1 << w) - 1))
+
+    index = sigs.select(
+        F.col(id_col),
+        sig.alias("__sig"),
+        F.posexplode(
+            F.array(*[block_key(off, w) for _i, off, w in layout])
+        ).alias("__blk", "__key"),
+    )
+    # query side: per block, the key XOR every ≤r-bit mask — one flat
+    # array of (blk, qkey) structs, exploded once
+    entries = []
+    for i, off, w in layout:
+        for mask in _mih_expansion(w, r):
+            entries.append(
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    block_key(off, w).bitwiseXOR(F.lit(mask)).alias("qkey"),
+                )
+            )
+    query = sigs.select(
+        F.col(id_col), sig.alias("__sig"), F.explode(F.array(*entries)).alias("__e")
+    ).select(
+        F.col(id_col), F.col("__sig"), F.col("__e.blk").alias("__blk"),
+        F.col("__e.qkey").alias("__key"),
+    )
+    a, b = query.alias("a"), index.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

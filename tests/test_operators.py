@@ -1912,3 +1912,29 @@ def test_luhn_card_redaction(spark):
     lc = spark.createDataFrame([("79927398713",), ("79927398710",)], "d string")
     vals = [r[0] for r in lc.select(luhn_check("d")).collect()]
     assert vals == [True, False]
+
+
+def test_mih_hamming_pairs_exact_parity(spark, docs):
+    """Round 10: the multi-index Hamming scheme (the at-scale tier the
+    decade sweep motivated — 7-bit pigeonhole bands go quadratic in
+    corpus size) must emit EXACTLY the pigeonhole scheme's pairs at
+    every block count, including hamming values."""
+    import sif_spark.operators.dedup as dd
+
+    ref = sorted(
+        map(tuple, dd.simhash_near_dup_pairs(
+            docs, "text", "doc_id", max_hamming=8, scheme="pigeonhole"
+        ).collect())
+    )
+    sh = dd.simhash(docs, "text", "doc_id").localCheckpoint()
+    for m in (3, 4, 5):
+        got = sorted(
+            map(tuple, dd.mih_hamming_pairs(
+                sh, "doc_id", "simhash", 64, 8, m
+            ).collect())
+        )
+        assert got == ref, (m, len(got), len(ref))
+    # the auto tier picks pigeonhole for small corpora and mih at scale
+    assert dd._mih_best_blocks(64, 8, 100_000) in (3, 4, 5)
+    with pytest.raises(ValueError, match="scheme"):
+        dd.simhash_near_dup_pairs(docs, scheme="nope")
