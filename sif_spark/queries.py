@@ -1260,3 +1260,9 @@ from sif_spark.queries_tpcds import TPCDS_ORACLES, TPCDS_QUERIES  # noqa: E402
 
 QUERIES.update(TPCDS_QUERIES)
 ORACLES.update(TPCDS_ORACLES)
+# q167-q168: event-time-timer transformWithState ports — see
+# sif_spark/queries_tws.py
+from sif_spark.queries_tws import TWS_ORACLES, TWS_QUERIES  # noqa: E402
+
+QUERIES.update(TWS_QUERIES)
+ORACLES.update(TWS_ORACLES)

@@ -65,6 +65,18 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # TWS protocol env must precede the JVM: local-mode python workers
+    # inherit the environment the context STARTS with, so the protobuf
+    # shim (sif_spark/streaming/tws_env.py) has to be on $PYTHONPATH
+    # now for q167/q168's transformWithState to run in this session.
+    # No-op when protobuf is installed; never fails session creation.
+    try:
+        from sif_spark.streaming.tws_env import ensure_protobuf_env
+
+        ensure_protobuf_env()
+    except Exception:
+        pass
+
     builder = SparkSession.builder.master(master).appName(app_name)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -582,12 +582,19 @@ def sessionized_tws(
         "session_end timestamp, n long"
     )
 
-    def _emit(key, start_ms: int, last_ms: int, n: int) -> pd.DataFrame:
+    gap_us = gap_ms * 1000
+
+    def _timer_ms(last_us: int) -> int:
+        # timers are millisecond-grained in Spark; ceil so a timer
+        # never fires before the microsecond-exact session end
+        return -(-(last_us + gap_us) // 1000)
+
+    def _emit(key, start_us: int, last_us: int, n: int) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 key_col: [key[0]],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(last_ms + gap_ms, unit="ms")],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
                 "n": [n],
             }
         )
@@ -606,7 +613,7 @@ def sessionized_tws(
                 if pdf.empty:
                     continue
                 ts.extend(
-                    int(x.value // 1_000_000)
+                    int(x.value // 1_000)  # microseconds
                     for x in pd.to_datetime(pdf[time_col])
                 )
             if not ts:
@@ -614,12 +621,12 @@ def sessionized_tws(
             ts.sort()
             if self._sess.exists():
                 start, last, n = tuple(self._sess.get())
-                self._h.deleteTimer(last + gap_ms)
+                self._h.deleteTimer(_timer_ms(last))
             else:
-                start, last, n = ts[0], ts[0] - gap_ms - 1, 0
+                start, last, n = ts[0], ts[0] - gap_us - 1, 0
                 # sentinel: first event below "opens" the session
             for t in ts:
-                if t <= last + gap_ms or n == 0:
+                if t <= last + gap_us or n == 0:
                     last = max(last, t)
                     start = min(start, t)
                     n += 1
@@ -628,13 +635,13 @@ def sessionized_tws(
                     yield _emit(key, start, last, n)
                     start, last, n = t, t, 1
             self._sess.update((start, last, n))
-            self._h.registerTimer(last + gap_ms)
+            self._h.registerTimer(_timer_ms(last))
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             if not self._sess.exists():
                 return
             start, last, n = tuple(self._sess.get())
-            if expiredTimerInfo.getExpiryTimeInMs() >= last + gap_ms:
+            if expiredTimerInfo.getExpiryTimeInMs() >= _timer_ms(last):
                 yield _emit(key, start, last, n)
                 self._sess.clear()
 
@@ -709,16 +716,18 @@ def interval_join_tws(
             self._lbuf = handle.getListState("lbuf", "ts long, payload string")
             self._rbuf = handle.getListState("rbuf", "ts long, payload string")
 
-        @staticmethod
-        def _matches(lt: int, rt: int) -> bool:
-            return (lt - upper_ms) <= rt <= (lt - lower_ms)
+        upper_us = upper_ms * 1000
+        lower_us = lower_ms * 1000
+
+        def _matches(self, lt: int, rt: int) -> bool:
+            return (lt - self.upper_us) <= rt <= (lt - self.lower_us)
 
         def _emit(self, key, pairs) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     key_col: [key[0]] * len(pairs),
-                    "left_ts": [pd.Timestamp(lt, unit="ms") for lt, *_ in pairs],
-                    "right_ts": [pd.Timestamp(rt, unit="ms") for _, rt, *_ in pairs],
+                    "left_ts": [pd.Timestamp(lt, unit="us") for lt, *_ in pairs],
+                    "right_ts": [pd.Timestamp(rt, unit="us") for _, rt, *_ in pairs],
                     "left_json": [lp for *_, lp, _rp in pairs],
                     "right_json": [rp for *_, rp in pairs],
                 }
@@ -731,8 +740,8 @@ def interval_join_tws(
                 if pdf.empty:
                     continue
                 ms = (
-                    pd.to_datetime(pdf["ts"]).astype("int64") // 1_000_000
-                ).tolist()
+                    pd.to_datetime(pdf["ts"]).astype("int64") // 1_000
+                ).tolist()  # microseconds
                 for t, side, payload in zip(ms, pdf["side"], pdf["payload"]):
                     (new_l if side == "L" else new_r).append((int(t), payload))
             old_l = [(int(r[0]), r[1]) for r in self._lbuf.get()]
@@ -752,21 +761,25 @@ def interval_join_tws(
                 self._rbuf.appendList([(t, p) for t, p in new_r])
             # one pending timer per key at the earliest moment any
             # buffered row becomes provably unmatchable
-            expiries = [t - lower_ms for t, _ in old_l + new_l] + [
-                t + upper_ms for t, _ in old_r + new_r
+            expiries = [t - self.lower_us for t, _ in old_l + new_l] + [
+                t + self.upper_us for t, _ in old_r + new_r
             ]
             if expiries:
                 for t in self._h.listTimers():
                     self._h.deleteTimer(t)
-                self._h.registerTimer(min(expiries) + 1)
+                self._h.registerTimer(min(expiries) // 1000 + 1)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            wm = timerValues.getCurrentWatermarkInMs()
+            wm = timerValues.getCurrentWatermarkInMs() * 1000  # µs
             keep_l = [
-                (int(r[0]), r[1]) for r in self._lbuf.get() if r[0] - lower_ms >= wm
+                (int(r[0]), r[1])
+                for r in self._lbuf.get()
+                if r[0] - self.lower_us >= wm
             ]
             keep_r = [
-                (int(r[0]), r[1]) for r in self._rbuf.get() if r[0] + upper_ms >= wm
+                (int(r[0]), r[1])
+                for r in self._rbuf.get()
+                if r[0] + self.upper_us >= wm
             ]
             self._lbuf.clear()
             self._rbuf.clear()
@@ -774,11 +787,11 @@ def interval_join_tws(
                 self._lbuf.appendList(keep_l)
             if keep_r:
                 self._rbuf.appendList(keep_r)
-            expiries = [t - lower_ms for t, _ in keep_l] + [
-                t + upper_ms for t, _ in keep_r
+            expiries = [t - self.lower_us for t, _ in keep_l] + [
+                t + self.upper_us for t, _ in keep_r
             ]
             if expiries:
-                self._h.registerTimer(max(min(expiries), wm) + 1)
+                self._h.registerTimer(max(min(expiries), wm) // 1000 + 1)
             return
             yield  # pragma: no cover — generator protocol, nothing to emit
 

@@ -37,45 +37,18 @@ import tempfile
 import time
 
 REPO = "/root/repo"
-SDK_PB = "/usr/lib/google-cloud-sdk/platform/google_appengine/google/protobuf"
-SHIM = "/tmp/sif_spark_protobuf_shim.zip"
+sys.path.insert(0, REPO)
+
+# The shim builder moved into the library in round 10 (session.py now
+# applies it before every JVM start so TWS catalog entries q167/q168
+# run in driver sessions); the probes keep their original contract.
+from sif_spark.streaming.tws_env import SDK_PB, SHIM, build_shim  # noqa: E402,F401
 
 
 def _ensure_protobuf_env() -> str | None:
-    """Return a PYTHONPATH entry that makes google.protobuf importable,
-    or None if it already is / cannot be made so."""
-    try:
-        import google.protobuf  # noqa: F401
-
-        return ""  # already importable — no shim needed
-    except ImportError:
-        pass
-    if not os.path.isdir(SDK_PB):
-        return None
-    if not os.path.exists(SHIM):
-        import io
-        import zipfile
-
-        buf = io.BytesIO()
-        base = os.path.dirname(os.path.dirname(SDK_PB))  # .../google_appengine
-        with zipfile.ZipFile(buf, "w") as z:
-            for root, _dirs, files in os.walk(SDK_PB):
-                for f in files:
-                    if not f.endswith((".py", ".pyi")):
-                        continue
-                    p = os.path.join(root, f)
-                    arc = os.path.relpath(p, base)
-                    data = open(p, "rb").read()
-                    if f == "runtime_version.py":
-                        # relax the advisory gencode<=runtime gate only
-                        data = data.replace(
-                            b"OSS_MINOR = 32", b"OSS_MINOR = 99"
-                        ).replace(b"OSS_SUFFIX = '-dev'", b"OSS_SUFFIX = ''")
-                    z.writestr(arc, data)
-            z.writestr("google/__init__.py", b"")
-        with open(SHIM, "wb") as fh:
-            fh.write(buf.getvalue())
-    return SHIM
+    """'' if protobuf already imports, shim path if built, None if
+    impossible — the original probe contract, now library-backed."""
+    return build_shim()
 
 
 def main() -> int:
