@@ -1645,14 +1645,17 @@ def fake_decoder(blob: bytes) -> np.ndarray:
     'pixel' grid from the byte histogram. Real shape-contract (HxW
     ndarray), fake math — swap for PIL in production."""
     arr = np.frombuffer(blob, dtype=np.uint8) if blob else np.zeros(1, dtype=np.uint8)
-    hist = np.bincount(arr % 64, minlength=64).astype(np.float32)
+    # float64: histogram counts (and their row/col sums) of a 100 MB+
+    # blob overflow float32's 2^24 exact-integer range — the round-10
+    # sf1 sweep caught q54's digest off by one at a 113 MB input
+    hist = np.bincount(arr % 64, minlength=64).astype(np.float64)
     return hist.reshape(8, 8)
 
 
 def fake_embedder(decoded: np.ndarray) -> np.ndarray:
     """Deterministic stand-in for a feature extractor: row/col means of
     the decoded grid → 16-dim feature vector."""
-    return np.concatenate([decoded.mean(axis=0), decoded.mean(axis=1)]).astype(np.float32)
+    return np.concatenate([decoded.mean(axis=0), decoded.mean(axis=1)]).astype(np.float64)
 
 
 def default_embedder(decoded: np.ndarray, dims: int = 16) -> np.ndarray:
@@ -1682,7 +1685,12 @@ def decode_features(
     embedder: Callable[[np.ndarray], np.ndarray] | None = None,
     on_error: str = "raise",
 ) -> DataFrame:
-    """(id, features: array<float>) via Arrow-batched mapInPandas.
+    """(id, features: array<double>) via Arrow-batched mapInPandas.
+    (Double, not float, since round 10: feature values derived from
+    large blobs — histogram sums, weighted digests — exceed float32's
+    exact range, and a feature column that silently rounds breaks
+    digest-style oracles; embeddings that want fp32 compactness cast
+    on write.)
 
     ``on_error`` is the reference's IgnoreRowErrors lever
     (internal/util/operation.go:10-27) at the DECODE boundary:
@@ -1718,7 +1726,7 @@ def decode_features(
     out_schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType, True),
-            T.StructField("features", T.ArrayType(T.FloatType()), True),
+            T.StructField("features", T.ArrayType(T.DoubleType()), True),
         ]
     )
 
