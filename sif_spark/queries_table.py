@@ -113,13 +113,23 @@ def q159_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", F.hour("ts").cast("long").alias("hour")
         )
     )
-    latest = t.read().agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("hour").isNull(), 1).otherwise(0)).alias("n_hour_null"),
-        F.sum("hour").alias("sum_hour"),
+    # both snapshots in ONE aggregate over a tagged union — a 1×1
+    # cross/constant-key join of the two aggregates would plan the
+    # BNLJ the catalog-wide invariant forbids (Catalyst folds a
+    # constant equi-key away); a union never joins at all
+    latest = t.read().select(F.lit(0).alias("src"), "hour")
+    v1 = t.read(version=1).select(
+        F.lit(1).alias("src"), F.lit(None).cast("long").alias("hour")
     )
-    v1 = t.read(version=1).agg(F.count(F.lit(1)).alias("n_v1"))
-    return latest.crossJoin(v1)
+    u = latest.unionByName(v1)
+    return u.agg(
+        F.sum(F.when(F.col("src") == 0, 1).otherwise(0)).alias("n"),
+        F.sum(
+            F.when((F.col("src") == 0) & F.col("hour").isNull(), 1).otherwise(0)
+        ).alias("n_hour_null"),
+        F.sum(F.when(F.col("src") == 0, F.col("hour"))).alias("sum_hour"),
+        F.sum(F.when(F.col("src") == 1, 1).otherwise(0)).alias("n_v1"),
+    )
 
 
 ORACLE_Q159 = """

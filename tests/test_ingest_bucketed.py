@@ -9,6 +9,8 @@ from __future__ import annotations
 import shutil
 
 import pytest
+
+pytestmark = pytest.mark.heavy
 from pyspark.sql import functions as F
 
 from sif_spark.pipeline import _bucketed_store_frame, daily_ingest

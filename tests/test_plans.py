@@ -3,6 +3,8 @@ scale must hold — pushdown, pruning, broadcast, partial aggregation."""
 
 from __future__ import annotations
 
+import pytest
+
 from sif_spark.plans import audit, has_pushed_filter, join_strategies, scans
 from sif_spark.queries import QUERIES
 
@@ -866,6 +868,7 @@ def test_span_dedup_plan_no_global_window_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in text
 
 
+@pytest.mark.heavy
 def test_no_cartesian_products_anywhere_in_catalog(spark):
     """Catalog-WIDE invariant (round 8): no entry may plan a
     CartesianProduct or BroadcastNestedLoopJoin — the quadratic

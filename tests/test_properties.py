@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+
+pytestmark = pytest.mark.heavy
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 

@@ -8,6 +8,8 @@ import tempfile
 import time
 
 import pytest
+
+pytestmark = pytest.mark.heavy
 from pyspark.sql import functions as F, types as T
 
 from sif_spark.sources.parquet import read_table

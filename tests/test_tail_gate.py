@@ -20,6 +20,8 @@ import sys
 import duckdb
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 sys.path.insert(0, "/root/repo/tools")
 
 from check_oracle import compare_tables
