@@ -1466,8 +1466,10 @@ def q113_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-tier percentiles (`sketch.approx_percentiles`): per
     event_type p50/p90/p99 of value via percentile_approx — a
     bounded-memory mergeable summary with map-side partials, vs q60's
-    exact per-group sort. Gate regime: accuracy (100k) ≥ group row
-    count, where the GK summary is lossless and the discrete-percentile
+    exact per-group sort. Gate regime: accuracy (1M) ≥ group row
+    count THROUGH THE sf1 DECADE STEP (200k rows/group — the round-10
+    sweep caught accuracy=100k going lossy there: p50 34.9 vs exact
+    34.88), where the GK summary is lossless and the discrete-percentile
     result (always an ELEMENT of the column, lower convention) equals
     DuckDB's quantile_disc value-for-value — the q25/q35 pattern of
     parameters making plain SQL a true oracle; production lowers
@@ -1477,7 +1479,7 @@ def q113_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return approx_percentiles(
-        e, "event_type", "value", percentiles=(0.5, 0.9, 0.99), accuracy=100_000
+        e, "event_type", "value", percentiles=(0.5, 0.9, 0.99), accuracy=1_000_000
     ).orderBy("event_type")
 
 
