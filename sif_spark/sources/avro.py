@@ -13,18 +13,19 @@ documented absence.
 
 Scope (the flat-record interchange case):
 - records of primitives: null/boolean/int/long/float/double/string/
-  bytes, nullable fields as ["null", T] unions, and the logical
-  types `timestamp-micros` (Spark TimestampType), `date` (DateType)
-  and `decimal` over bytes (DecimalType(p, s)).
+  bytes, nullable fields as ["null", T] unions, ARRAYS of those
+  primitives (the embeddings-interchange case — round 10), and the
+  logical types `timestamp-micros` (Spark TimestampType), `date`
+  (DateType) and `decimal` over bytes (DecimalType(p, s)).
 - codecs: `null` and `deflate` (raw DEFLATE via zlib, per spec).
 - schema resolution per the spec's "Schema Resolution" chapter:
   fields matched by NAME (any file field order), writer-only fields
   skipped, reader-only fields filled from their `default`, and the
   numeric/string promotions int→long/float/double, long→float/double,
   float→double, string↔bytes (pass ``reader_schema=`` to read_avro).
-- nested records/arrays/maps/enums/fixed raise typed
-  NotImplementedError naming the Avro type — same loud-gate contract
-  as the media codecs.
+- nested records/maps/enums/fixed and non-primitive array items
+  raise typed NotImplementedError naming the Avro type — same
+  loud-gate contract as the media codecs.
 
 Reference parity: go-sif's `datasource/parser` extension point
 (datasource/parser/dsv/dsv_parser.go:11-33) — a byte-stream → rows
@@ -106,6 +107,14 @@ def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
 def _avro_type_for(dt: T.DataType, name: str):
     if isinstance(dt, T.TimestampType):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.ArrayType):
+        for cls, avro in _SPARK_TO_AVRO.items():
+            if isinstance(dt.elementType, cls):
+                return {"type": "array", "items": avro}
+        raise NotImplementedError(
+            f"column {name!r}: Avro arrays of {dt.elementType.simpleString()} "
+            "are out of scope (primitive items only)"
+        )
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
     if isinstance(dt, T.DecimalType):
@@ -158,6 +167,14 @@ def _normalize(t):
             if not isinstance(p, int) or p <= 0 or not 0 <= s <= p:
                 raise ValueError(f"invalid Avro decimal (precision={p}, scale={s})")
             return f"decimal:{p}:{s}", nullable
+        if t.get("type") == "array":
+            items = t.get("items")
+            if items in ("boolean", "int", "long", "float", "double",
+                         "string", "bytes"):
+                return f"array:{items}", nullable
+            raise NotImplementedError(
+                f"Avro array items {items!r} are outside the primitive scope"
+            )
         t = t.get("type")
     if t in ("null", "boolean", "int", "long", "float", "double", "string", "bytes"):
         return t, nullable
@@ -195,6 +212,17 @@ def _encode_value(kind: str, v, out: bytearray) -> None:
         if v.tzinfo is None:
             v = v.replace(tzinfo=_dt.timezone.utc)
         out += zigzag_encode(int((v - epoch) / _dt.timedelta(microseconds=1)))
+    elif kind.startswith("array:"):
+        # spec: item blocks (count, items...) terminated by count 0
+        item_kind = kind.split(":", 1)[1]
+        vals = list(v)
+        if vals:
+            out += zigzag_encode(len(vals))
+            for item in vals:
+                if item is None:
+                    raise ValueError("NULL inside an Avro array of primitives")
+                _encode_value(item_kind, item, out)
+        out += zigzag_encode(0)
     elif kind == "double":
         out += struct.pack("<d", float(v))
     elif kind == "float":
@@ -236,6 +264,22 @@ def _decode_value(kind: str, buf: bytes, pos: int):
             _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us),
             pos,
         )
+    if kind.startswith("array:"):
+        item_kind = kind.split(":", 1)[1]
+        vals: list = []
+        while True:
+            n, pos = zigzag_decode(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # negative count carries a byte size first (skippable)
+                n = -n
+                _, pos = zigzag_decode(buf, pos)
+            if n > MAX_BLOCK_COUNT or len(vals) + n > MAX_BLOCK_COUNT:
+                raise ValueError(f"Avro array block count {n} outside bounds")
+            for _ in range(n):
+                item, pos = _decode_value(item_kind, buf, pos)
+                vals.append(item)
+        return vals, pos
     if kind == "double":
         if pos + 8 > len(buf):
             raise ValueError("truncated Avro double")
@@ -433,6 +477,8 @@ def _spark_type_of(kind: str) -> str:
     if kind.startswith("decimal:"):
         _, p, s = kind.split(":")
         return f"decimal({p},{s})"
+    if kind.startswith("array:"):
+        return f"array<{_AVRO_TO_SPARK[kind.split(':', 1)[1]]}>"
     return _AVRO_TO_SPARK[kind]
 
 
@@ -558,7 +604,12 @@ def write_avro(
                 rows.append(
                     tuple(
                         None
-                        if not isinstance(v, (bytes, str)) and pd.isna(v)
+                        if v is None
+                        or (
+                            not isinstance(v, (bytes, str, list, tuple))
+                            and not hasattr(v, "__len__")
+                            and pd.isna(v)
+                        )
                         else v
                         for v in rec
                     )

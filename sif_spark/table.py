@@ -207,10 +207,23 @@ class SifTable:
     # -- data groups ---------------------------------------------------------
 
     def _write_group(self, df: DataFrame, version: int, seq: int,
-                     key_col: str | None) -> dict:
+                     key_col: str | None, bucket: dict | None = None) -> dict:
         gid = f"g-{version:010d}-{seq:03d}-{uuid.uuid4().hex[:8]}"
         gpath = f"{self.path}/data/{gid}"
-        df.write.mode("overwrite").parquet(gpath)
+        if bucket:
+            # bucketed group: hash-clustered files + a session-catalog
+            # external table (the same mechanics as the epoch stores'
+            # zero-shuffle layout) — later equi-joins/aggregations on
+            # the bucket column read this group without an Exchange
+            (
+                df.write.mode("overwrite")
+                .bucketBy(bucket["n"], bucket["col"])
+                .option("path", gpath)
+                .format("parquet")
+                .saveAsTable(self._group_table_name(gpath))
+            )
+        else:
+            df.write.mode("overwrite").parquet(gpath)
         back = self.spark.read.parquet(gpath)
         stats: dict = {}
         agg = [F.count(F.lit(1)).alias("rows")]
@@ -230,6 +243,11 @@ class SifTable:
             **stats,
         }
 
+    def _group_table_name(self, gpath: str) -> str:
+        import hashlib
+
+        return "sif_table_" + hashlib.md5(gpath.encode()).hexdigest()[:16]
+
     # -- public API ----------------------------------------------------------
 
     @staticmethod
@@ -238,17 +256,31 @@ class SifTable:
         path: str,
         df: DataFrame,
         key_col: str | None = None,
+        bucket_by: str | None = None,
+        n_buckets: int | None = None,
     ) -> "SifTable":
+        """``bucket_by``/``n_buckets`` give the table a PERSISTENT
+        bucket layout: every group (create/append/upsert/compact) is
+        written hash-clustered on the column, `bucketed_frame()` reads
+        a compacted snapshot with the bucket metadata attached (joins
+        on the column plan ZERO Exchange on the table side — pinned in
+        tests), and the spec lives in the manifest so it can never
+        drift call-to-call (the pipeline stores' "bucket count is
+        forever" contract, here enforced by construction)."""
+        if bool(bucket_by) != bool(n_buckets):
+            raise ValueError("bucket_by and n_buckets come together")
         t = SifTable(spark, path)
         if t._versions():
             raise ValueError(f"table already exists at {path}")
-        group = t._write_group(df, 1, 0, key_col)
+        bucket = {"col": bucket_by, "n": n_buckets} if bucket_by else None
+        group = t._write_group(df, 1, 0, key_col, bucket)
         t._commit(
             {
                 "version": 1,
                 "parent": None,
                 "op": "create",
                 "key_col": key_col,
+                "bucket": bucket,
                 "schema": ", ".join(
                     f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
                 ),
@@ -256,6 +288,31 @@ class SifTable:
             }
         )
         return t
+
+    def bucketed_frame(self, version: int | None = None) -> DataFrame:
+        """The snapshot WITH its bucket metadata — requires a bucketed
+        table whose snapshot is exactly one group (i.e. post-compact):
+        Spark's bucketed-scan co-location only holds for a single
+        consistent file set, so a fragmented snapshot raises with the
+        fix (compact()) named. Plain `read()` always works."""
+        m = self._load(version)
+        bucket = m.get("bucket")
+        if not bucket:
+            raise ValueError("table was not created with bucket_by=")
+        if len(m["groups"]) != 1:
+            raise ValueError(
+                f"snapshot v{m['version']} holds {len(m['groups'])} groups — "
+                "bucketed reads need one consistent file set; run compact()"
+            )
+        gpath = m["groups"][0]["path"]
+        name = self._group_table_name(gpath)
+        if not self.spark.catalog.tableExists(name):
+            self.spark.sql(
+                f"CREATE TABLE {name} ({m['groups'][0]['schema']}) USING parquet "
+                f"CLUSTERED BY ({bucket['col']}) INTO {bucket['n']} BUCKETS "
+                f"LOCATION '{gpath}'"
+            )
+        return self.spark.table(name)
 
     def history(self) -> list[dict]:
         return [
@@ -287,13 +344,14 @@ class SifTable:
         m = self._load()
         merged = _merge_schema(T._parse_datatype_string(m["schema"]), df.schema)
         v = m["version"] + 1
-        group = self._write_group(df, v, 0, m.get("key_col"))
+        group = self._write_group(df, v, 0, m.get("key_col"), m.get("bucket"))
         return self._commit(
             {
                 "version": v,
                 "parent": m["version"],
                 "op": "append",
                 "key_col": m.get("key_col"),
+                "bucket": m.get("bucket"),
                 "schema": ", ".join(
                     f"{f.name} {f.dataType.simpleString()}" for f in merged.fields
                 ),
@@ -352,16 +410,21 @@ class SifTable:
                 updates.select(key).distinct(), on=key, how="left_anti"
             )
             groups.append(
-                self._write_group(_align(survivors, merged), v, seq, key)
+                self._write_group(
+                    _align(survivors, merged), v, seq, key, m.get("bucket")
+                )
             )
             seq += 1
-        groups.append(self._write_group(_align(updates, merged), v, seq, key))
+        groups.append(
+            self._write_group(_align(updates, merged), v, seq, key, m.get("bucket"))
+        )
         return self._commit(
             {
                 "version": v,
                 "parent": m["version"],
                 "op": "upsert",
                 "key_col": key,
+                "bucket": m.get("bucket"),
                 "schema": ", ".join(
                     f"{f.name} {f.dataType.simpleString()}" for f in merged.fields
                 ),
@@ -385,7 +448,9 @@ class SifTable:
             remaining = gdf.filter(f"NOT ({predicate})")
             if remaining.limit(1).count() > 0:
                 groups.append(
-                    self._write_group(remaining, v, seq, m.get("key_col"))
+                    self._write_group(
+                        remaining, v, seq, m.get("key_col"), m.get("bucket")
+                    )
                 )
                 seq += 1
         return self._commit(
@@ -394,6 +459,7 @@ class SifTable:
                 "parent": m["version"],
                 "op": "delete",
                 "key_col": m.get("key_col"),
+                "bucket": m.get("bucket"),
                 "schema": m["schema"],
                 "groups": groups,
             }
@@ -408,20 +474,24 @@ class SifTable:
         m = self._load()
         df = self.read(m["version"])
         key = m.get("key_col")
-        if num_files and key:
+        bucket = m.get("bucket")
+        if bucket:
+            pass  # bucketBy owns the layout — the write clusters it
+        elif num_files and key:
             df = df.repartitionByRange(num_files, key).sortWithinPartitions(key)
         elif num_files:
             df = df.repartition(num_files)
         elif key:
             df = df.repartitionByRange(key).sortWithinPartitions(key)
         v = m["version"] + 1
-        group = self._write_group(df, v, 0, key)
+        group = self._write_group(df, v, 0, key, bucket)
         return self._commit(
             {
                 "version": v,
                 "parent": m["version"],
                 "op": "compact",
                 "key_col": key,
+                "bucket": bucket,
                 "schema": m["schema"],
                 "groups": [group],
             }

@@ -105,13 +105,21 @@ def test_typed_errors_and_bomb_caps():
     snappy = good.replace(b"\x0edeflate", b"\x0csnappy")
     with pytest.raises((NotImplementedError, ValueError)):
         parse_ocf(snappy)
-    # nested type rejected at schema level
+    # nested types rejected at schema level (arrays of PRIMITIVES are
+    # in scope since round 10; arrays of records/maps are not)
     nested = json.dumps(
         {"type": "record", "name": "n",
-         "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}]}
+         "fields": [{"name": "xs", "type": {
+             "type": "array", "items": {"type": "array", "items": "long"}}}]}
     )
-    with pytest.raises(NotImplementedError, match="array"):
+    with pytest.raises(NotImplementedError, match="array items"):
         write_ocf(nested, [])
+    mapped = json.dumps(
+        {"type": "record", "name": "n",
+         "fields": [{"name": "m", "type": {"type": "map", "values": "long"}}]}
+    )
+    with pytest.raises(NotImplementedError, match="map"):
+        write_ocf(mapped, [])
     # NULL into a non-nullable field
     with pytest.raises(ValueError, match="non-nullable"):
         write_ocf(SCHEMA, [(None, "x", 1.0, True, ROWS[0][4], b"")])
@@ -182,7 +190,12 @@ def test_schema_mapping_gates():
     from pyspark.sql import types as T
 
     with pytest.raises(NotImplementedError, match="flat Avro"):
-        avro_schema_for(T.StructType([T.StructField("m", T.ArrayType(T.LongType()))]))
+        avro_schema_for(T.StructType([T.StructField("m", T.MapType(
+            T.StringType(), T.LongType()))]))
+    # arrays of primitives ARE in scope (round 10); nested arrays gate
+    with pytest.raises(NotImplementedError, match="primitive items only"):
+        avro_schema_for(T.StructType([T.StructField("aa", T.ArrayType(
+            T.ArrayType(T.LongType())))]))
     s = json.loads(avro_schema_for(
         T.StructType([T.StructField("id", T.LongType(), False),
                       T.StructField("n", T.StringType(), True)])
@@ -303,3 +316,30 @@ def test_schema_resolution_evolution(spark, tmp_path):
     with pytest.raises(Exception, match="missing from the file"):
         read_avro(spark, f"{d}/*.avro",
                   schema="id bigint, score double, source string").collect()
+
+
+def test_array_columns_embeddings_roundtrip(spark, tmp_path):
+    """Round 10: arrays of primitives — the embeddings-interchange
+    case. float32 values survive the Avro float codec bit-exactly;
+    NULL arrays ride the union; empty arrays are a bare 0-count."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "emb_avro")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.limit(50).select(
+        "vec_id", "embedding",
+        # exercise NULL and empty arrays alongside the real ones
+        F.when(F.col("vec_id") % 3 == 0, F.col("embedding")).when(
+            F.col("vec_id") % 3 == 1, F.array().cast("array<float>")
+        ).alias("maybe_vec"),
+    )
+    write_avro(src, d)
+    back = read_avro(spark, f"{d}/*.avro")
+    assert back.schema == src.schema
+    got = sorted((r["vec_id"], tuple(r["embedding"]),
+                  None if r["maybe_vec"] is None else tuple(r["maybe_vec"]))
+                 for r in back.collect())
+    want = sorted((r["vec_id"], tuple(r["embedding"]),
+                   None if r["maybe_vec"] is None else tuple(r["maybe_vec"]))
+                  for r in src.collect())
+    assert got == want

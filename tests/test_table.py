@@ -143,3 +143,35 @@ def test_orphan_data_invisible_without_manifest(spark, tdir):
     # and the next real commit is unaffected
     t.append(_df(spark, 5, 6, "b"))
     assert t.read().count() == 6
+
+
+def test_bucketed_layout_zero_shuffle_after_compact(spark, tdir):
+    """Round 10: a table created with bucket_by= keeps its bucket
+    layout through append/upsert/COMPACT (the manifest carries the
+    spec, so it can never drift), and the compacted snapshot's
+    bucketed_frame() aggregates/joins on the bucket column with ZERO
+    Exchange on the table side — the epoch stores' zero-shuffle
+    contract, now on the general table layer."""
+    from sif_spark.plans import plan_string
+
+    t = SifTable.create(spark, f"{tdir}/tb", _df(spark, 0, 500, "a"),
+                        key_col="k", bucket_by="k", n_buckets=4)
+    t.append(_df(spark, 500, 800, "b"))
+    t.upsert(_df(spark, 100, 200, "u"))
+    # fragmented snapshot: bucketed read refuses with the fix named
+    with pytest.raises(ValueError, match="compact"):
+        t.bucketed_frame()
+    t.compact()
+    bf = t.bucketed_frame()
+    plain = t.read()
+    assert _rows(bf) == _rows(plain)  # layout changed, content identical
+    # aggregation on the bucket column: bucketed scan satisfies the
+    # required hash distribution — one fewer Exchange than plain
+    n_b = plan_string(bf.groupBy("k").count(), "formatted").count("Exchange")
+    n_p = plan_string(plain.groupBy("k").count(), "formatted").count("Exchange")
+    assert n_b == 0 and n_p > 0, (n_b, n_p)
+    assert "Bucketed: true" in plan_string(bf.groupBy("k").count(), "formatted")
+    # non-bucketed tables gate loudly
+    t2 = SifTable.create(spark, f"{tdir}/tp", _df(spark, 0, 5, "a"), key_col="k")
+    with pytest.raises(ValueError, match="bucket_by"):
+        t2.bucketed_frame()
