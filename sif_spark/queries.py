@@ -1266,3 +1266,12 @@ from sif_spark.queries_tws import TWS_ORACLES, TWS_QUERIES  # noqa: E402
 
 QUERIES.update(TWS_QUERIES)
 ORACLES.update(TWS_ORACLES)
+# q169: exactly-once streaming ingest into the snapshot table (the
+# round-10 composition of streaming + SifTable) — queries_table.py
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q169,
+    q169_stream_table_exactly_once,
+)
+
+QUERIES["q169_stream_table_exactly_once"] = q169_stream_table_exactly_once
+ORACLES["q169_stream_table_exactly_once"] = ORACLE_Q169

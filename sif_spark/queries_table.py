@@ -183,6 +183,72 @@ FROM orders
 """
 
 
+def q169_stream_table_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest into the snapshot table with
+    EXACTLY-ONCE semantics (streaming/stream.py stream_into_table):
+    the bounded deterministic generator source (q52's LCG, 5
+    micro-batches of 24 rows) foreachBatch-appends into a SifTable,
+    each batch committing txn=(app_id, epoch) into the manifest; the
+    entry then DELIBERATELY replays the last committed epoch — the
+    crash-replay Structured Streaming performs after a failure — and
+    the aggregate must still equal the oracle's 120-row LCG replay.
+    Without the manifest's txn high-water the replay would double the
+    last batch and flip every aggregate."""
+    from sif_spark.sources.custom import register
+    from sif_spark.streaming.stream import stream_into_table
+    from sif_spark.table import SifTable
+
+    register(spark)
+    base = _fresh_dir(sf_dir, "table_stream")
+    ckpt = _fresh_dir(sf_dir, "table_stream_ckpt")
+    stream = (
+        spark.readStream.format("sif_generator")
+        .option("batch_size", 24)
+        .option("seed", 42)
+        .option("max_rows", 120)
+        .load()
+    )
+    q = stream_into_table(stream, base, app_id="q169", checkpoint_dir=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    t = SifTable(spark, base)
+    n = t.read().count()
+    if n < 120:  # fail loudly, never flakily (the q52 discipline)
+        raise TimeoutError(f"stream ingest drained only {n}/120 rows")
+    # simulated crash-replay: re-commit the last epoch; must be a no-op
+    last = t.last_txn_epoch("q169")
+    assert last >= 1, f"expected multiple streamed epochs, saw {last}"
+    t.append(t.read().limit(24), txn=("q169", last))
+    return (
+        t.read()
+        .groupBy("col1")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("col1")
+    )
+
+
+ORACLE_Q169 = """
+WITH rows AS (
+  SELECT CAST(i AS BIGINT) AS id,
+         CAST((((CAST(i AS HUGEINT) * 6364136223846793005
+                 + 42 * CAST(1442695040888963407 AS HUGEINT))
+                % CAST(18446744073709551616 AS HUGEINT)) // 8589934592) % 10 AS INT) AS col1
+  FROM (SELECT unnest(range(120)) AS i)
+)
+SELECT col1, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS sum_id,
+       MIN(id) AS min_id, MAX(id) AS max_id
+FROM rows GROUP BY col1 ORDER BY col1
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

@@ -804,3 +804,53 @@ def interval_join_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def stream_into_table(
+    stream: DataFrame,
+    table_path: str,
+    app_id: str,
+    checkpoint_dir: str,
+    trigger_seconds: float = 0.0,
+    key_col: str | None = None,
+) -> StreamingQuery:
+    """Exactly-once streaming ingest into a SifTable snapshot table.
+
+    foreachBatch gives at-least-once batch delivery: after a crash,
+    Structured Streaming replays the last in-flight micro-batch from
+    the checkpoint with the SAME epoch id. The sink turns that into
+    exactly-once by committing each batch through
+    ``SifTable.append(df, txn=(app_id, epoch_id))`` — the manifest
+    records the high-water epoch per app_id, and a replayed epoch is a
+    committed no-op (Delta's txnAppId/txnVersion idea, on this repo's
+    atomic-rename manifest CAS). Readers see each micro-batch appear
+    atomically as one snapshot version; time travel and concurrent
+    compaction keep working mid-stream because the ingest is just an
+    optimistic-commit writer like any other.
+
+    The first batch creates the table (so the stream owns its schema);
+    ``key_col`` seeds the key-range stats for later upserts/compaction.
+
+    100 TB notes: each micro-batch is one parquet group + one O(1)
+    manifest rename — no shuffle beyond the batch's own plan; group
+    fragmentation is bounded by running `compact()` (reader-safe) on
+    whatever cadence the table needs, exactly like any lakehouse
+    streaming ingest."""
+    from sif_spark.table import SifTable
+
+    def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        t = SifTable(batch_df.sparkSession, table_path)
+        try:
+            t._load()
+        except FileNotFoundError:
+            SifTable.create(batch_df.sparkSession, table_path, batch_df,
+                            key_col=key_col, txn=(app_id, int(epoch_id)))
+            return
+        t.append(batch_df, txn=(app_id, int(epoch_id)))
+
+    return (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

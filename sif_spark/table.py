@@ -208,37 +208,44 @@ class SifTable:
 
     def _write_group(self, df: DataFrame, version: int, seq: int,
                      key_col: str | None, bucket: dict | None = None) -> dict:
+        from pyspark.sql import Observation
+
         gid = f"g-{version:010d}-{seq:03d}-{uuid.uuid4().hex[:8]}"
         gpath = f"{self.path}/data/{gid}"
+        # group stats (row count, key min/max for file skipping) ride
+        # the WRITE job via the Observation API — the old
+        # read-back-and-aggregate cost a second full scan per group,
+        # which at compaction scale means reading the table twice
+        obs = Observation()
+        agg = [F.count(F.lit(1)).alias("rows")]
+        has_key = bool(key_col) and key_col in df.columns
+        if has_key:
+            agg += [F.min(key_col).alias("kmin"), F.max(key_col).alias("kmax")]
+        observed = df.observe(obs, *agg)
         if bucket:
             # bucketed group: hash-clustered files + a session-catalog
             # external table (the same mechanics as the epoch stores'
             # zero-shuffle layout) — later equi-joins/aggregations on
             # the bucket column read this group without an Exchange
             (
-                df.write.mode("overwrite")
+                observed.write.mode("overwrite")
                 .bucketBy(bucket["n"], bucket["col"])
                 .option("path", gpath)
                 .format("parquet")
                 .saveAsTable(self._group_table_name(gpath))
             )
         else:
-            df.write.mode("overwrite").parquet(gpath)
-        back = self.spark.read.parquet(gpath)
-        stats: dict = {}
-        agg = [F.count(F.lit(1)).alias("rows")]
-        if key_col and key_col in df.columns:
-            agg += [F.min(key_col).alias("kmin"), F.max(key_col).alias("kmax")]
-        row = back.agg(*agg).collect()[0]
-        stats["rows"] = row["rows"]
-        if key_col and key_col in df.columns:
+            observed.write.mode("overwrite").parquet(gpath)
+        row = obs.get
+        stats: dict = {"rows": row["rows"]}
+        if has_key:
             stats["key_min"] = row["kmin"]
             stats["key_max"] = row["kmax"]
         return {
             "id": gid,
             "path": gpath,
             "schema": ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in back.schema.fields
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
             ),
             **stats,
         }
@@ -258,8 +265,13 @@ class SifTable:
         key_col: str | None = None,
         bucket_by: str | None = None,
         n_buckets: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> "SifTable":
-        """``bucket_by``/``n_buckets`` give the table a PERSISTENT
+        """``txn=(app_id, epoch)`` records the creating writer's epoch
+        in the first manifest, so a crash-replay of the CREATING
+        micro-batch is a no-op append, not a duplicate (see append()).
+
+        ``bucket_by``/``n_buckets`` give the table a PERSISTENT
         bucket layout: every group (create/append/upsert/compact) is
         written hash-clustered on the column, `bucketed_frame()` reads
         a compacted snapshot with the bucket metadata attached (joins
@@ -281,6 +293,7 @@ class SifTable:
                 "op": "create",
                 "key_col": key_col,
                 "bucket": bucket,
+                "txns": {txn[0]: int(txn[1])} if txn else {},
                 "schema": ", ".join(
                     f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
                 ),
@@ -340,24 +353,56 @@ class SifTable:
             out = out.unionByName(p)
         return out
 
-    def append(self, df: DataFrame) -> int:
-        m = self._load()
-        merged = _merge_schema(T._parse_datatype_string(m["schema"]), df.schema)
-        v = m["version"] + 1
-        group = self._write_group(df, v, 0, m.get("key_col"), m.get("bucket"))
-        return self._commit(
-            {
-                "version": v,
-                "parent": m["version"],
-                "op": "append",
-                "key_col": m.get("key_col"),
-                "bucket": m.get("bucket"),
-                "schema": ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}" for f in merged.fields
-                ),
-                "groups": m["groups"] + [group],
-            }
-        )
+    def last_txn_epoch(self, app_id: str) -> int:
+        """The highest epoch committed for ``app_id`` (-1 if none).
+        O(1): the latest manifest carries the rolled-up txns map."""
+        return int(self._load().get("txns", {}).get(app_id, -1))
+
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None, retries: int = 3
+    ) -> int:
+        """Append a new data group. ``txn=(app_id, epoch)`` makes the
+        append IDEMPOTENT: each manifest carries a rolled-up
+        {app_id: last_epoch} map, and an append whose epoch is <= the
+        recorded one is a no-op returning the current version — the
+        exactly-once contract a Structured Streaming foreachBatch sink
+        needs under crash-replay (Spark replays the last micro-batch
+        after a failure with the SAME epoch id; the replay must not
+        double rows). Same idea as Delta's txnAppId/txnVersion. A
+        concurrent-commit loss re-reads the snapshot: if the epoch
+        landed (the racing writer was our own replay), it skips;
+        otherwise it retries against the new parent."""
+        last: Exception | None = None
+        for _ in range(retries):
+            m = self._load()
+            txns = dict(m.get("txns", {}))
+            if txn is not None:
+                app_id, epoch = txn
+                if int(txns.get(app_id, -1)) >= int(epoch):
+                    return m["version"]  # replayed epoch: no-op
+                txns[app_id] = int(epoch)
+            merged = _merge_schema(T._parse_datatype_string(m["schema"]), df.schema)
+            v = m["version"] + 1
+            group = self._write_group(df, v, 0, m.get("key_col"), m.get("bucket"))
+            try:
+                return self._commit(
+                    {
+                        "version": v,
+                        "parent": m["version"],
+                        "op": "append",
+                        "key_col": m.get("key_col"),
+                        "bucket": m.get("bucket"),
+                        "txns": txns,
+                        "schema": ", ".join(
+                            f"{f.name} {f.dataType.simpleString()}"
+                            for f in merged.fields
+                        ),
+                        "groups": m["groups"] + [group],
+                    }
+                )
+            except ConcurrentCommitError as e:
+                last = e
+        raise last  # type: ignore[misc]
 
     def upsert(self, updates: DataFrame, retries: int = 3) -> int:
         """MERGE by the table's key_col: rows whose key exists are
@@ -423,6 +468,7 @@ class SifTable:
                 "version": v,
                 "parent": m["version"],
                 "op": "upsert",
+                "txns": m.get("txns", {}),
                 "key_col": key,
                 "bucket": m.get("bucket"),
                 "schema": ", ".join(
@@ -458,6 +504,7 @@ class SifTable:
                 "version": v,
                 "parent": m["version"],
                 "op": "delete",
+                "txns": m.get("txns", {}),
                 "key_col": m.get("key_col"),
                 "bucket": m.get("bucket"),
                 "schema": m["schema"],
@@ -490,6 +537,7 @@ class SifTable:
                 "version": v,
                 "parent": m["version"],
                 "op": "compact",
+                "txns": m.get("txns", {}),
                 "key_col": key,
                 "bucket": bucket,
                 "schema": m["schema"],

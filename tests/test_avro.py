@@ -343,3 +343,177 @@ def test_array_columns_embeddings_roundtrip(spark, tmp_path):
                    None if r["maybe_vec"] is None else tuple(r["maybe_vec"]))
                   for r in src.collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# vectorized codec (avro_vec.py) — differential pins vs the reference path
+# ---------------------------------------------------------------------------
+
+
+def _stress_frame(n=4000):
+    import pandas as pd
+    from decimal import Decimal
+
+    rng = np.random.default_rng(11)
+    return pd.DataFrame(
+        {
+            "k": np.arange(n, dtype=np.int64),
+            "i32": rng.integers(-(2**31), 2**31, n),
+            "s": pd.Series(
+                [f"row-{i}-αβ" if i % 7 else None for i in range(n)],
+                dtype=object,
+            ),
+            "d": rng.normal(size=n),
+            "f": rng.normal(size=n).astype(np.float32),
+            "b": rng.integers(0, 2, n).astype(bool),
+            "raw": pd.Series(
+                [bytes([i % 251, (i * 7) % 251]) if i % 5 else None for i in range(n)],
+                dtype=object,
+            ),
+            "ts": pd.Series(
+                pd.to_datetime("2021-03-04")
+                + pd.to_timedelta(np.arange(n) * 1000003, unit="us")
+            ),
+            "dt": pd.Series(
+                [
+                    datetime.date(2020, 1, 1) + datetime.timedelta(days=int(i % 4000))
+                    for i in range(n)
+                ],
+                dtype=object,
+            ),
+            "dec": pd.Series(
+                [Decimal(f"{i}.{i % 100:02d}") if i % 3 else None for i in range(n)],
+                dtype=object,
+            ),
+        }
+    )
+
+
+def _stress_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("i32", T.IntegerType(), False),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("d", T.DoubleType(), False),
+            T.StructField("f", T.FloatType(), False),
+            T.StructField("b", T.BooleanType(), False),
+            T.StructField("raw", T.BinaryType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("dt", T.DateType(), False),
+            T.StructField("dec", T.DecimalType(12, 2), True),
+        ]
+    )
+
+
+def test_vec_writer_byte_identical_to_reference():
+    """The NumPy-vectorized writer and the per-row reference writer
+    must author the SAME bytes — including at multi-block boundaries
+    triggered by both the row cap and the byte cap."""
+    from sif_spark.sources.avro import _pandas_rows, write_ocf_pandas
+
+    pdf = _stress_frame()
+    sj = avro_schema_for(_stress_schema())
+    rows = _pandas_rows(pdf)
+    for codec in ("null", "deflate"):
+        assert write_ocf(sj, rows, codec) == write_ocf_pandas(sj, pdf, codec)
+    # multi-block: row cap at 777 rows
+    assert write_ocf(sj, rows, block_rows=777) == write_ocf_pandas(
+        sj, pdf, block_rows=777
+    )
+
+
+def test_vec_reader_matches_sequential():
+    """parse_ocf_columns (vectorized, index-driven) materializes the
+    same values the sequential row decoder yields — every kind, nulls
+    included."""
+    import pandas as pd
+
+    from sif_spark.sources.avro import (
+        _materialize_col,
+        _pandas_rows,
+        parse_ocf_columns,
+        write_ocf_pandas,
+    )
+
+    pdf = _stress_frame()
+    sj = avro_schema_for(_stress_schema())
+    blob = write_ocf_pandas(sj, pdf, "deflate", block_rows=901)  # multi-block
+    _, rows = parse_ocf(blob)
+    _, fcols, n = parse_ocf_columns(blob)
+    kinds = [
+        "long", "int", "string", "double", "float",
+        "boolean", "bytes", "timestamp-micros", "date", "decimal:12:2",
+    ]
+    assert n == len(rows) == len(pdf)
+    for j, kind in enumerate(kinds):
+        vals, mask = fcols[j]
+        col = _materialize_col(kind, vals, mask, n)
+        seq = [r[j] for r in rows]
+        for c, s in zip(col, seq):
+            if kind == "timestamp-micros":
+                assert pd.Timestamp(c).to_pydatetime() == s
+            elif kind in ("double", "float"):
+                assert c == np.array(s, col.dtype)
+            else:
+                assert (c is None and s is None) or c == s, (kind, c, s)
+
+
+def test_foreign_file_without_index_uses_sequential_path(spark, tmp_path):
+    """A spec-conformant file WITHOUT the sif.rowlens metadata (any
+    foreign writer) must still read correctly through read_avro's
+    sequential fallback."""
+    from sif_spark.sources.avro import (
+        _assemble_ocf,
+        _encode_blocks_rows,
+        _normalize,
+        _pandas_rows,
+        parse_ocf_columns,
+    )
+    from sif_spark.sources.avro_vec import AvroVecUnsupported
+
+    pdf = _stress_frame(500)
+    sj = avro_schema_for(_stress_schema())
+    kinds = [_normalize(f["type"]) for f in json.loads(sj)["fields"]]
+    blob = _assemble_ocf(
+        sj, "deflate", _encode_blocks_rows(kinds, _pandas_rows(pdf), 200),
+        rowlens_index=False,
+    )
+    with pytest.raises(AvroVecUnsupported):
+        parse_ocf_columns(blob)
+    p = tmp_path / "foreign"
+    p.mkdir()
+    (p / "part-0.avro").write_bytes(blob)
+    back = read_avro(spark, f"{p}/*.avro")
+    assert back.count() == 500
+    got = {r["k"]: r["s"] for r in back.collect()}
+    assert got[0] is None and got[1] == "row-1-αβ"
+
+
+def test_timestamp_microsecond_exactness():
+    """Regression: the encoder must carry exact integer microseconds.
+    Float true-division of timedeltas rounds above 2^53 ns and was
+    off by +-1 us on values like 2021-03-04 00:00:48.000144."""
+    adversarial = [
+        datetime.datetime(2021, 3, 4, 0, 0, 48, 144),
+        datetime.datetime(2038, 1, 19, 3, 14, 7, 999999),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 1),
+        datetime.datetime(2262, 4, 11, 23, 47, 16, 854775),
+    ]
+    sj = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {
+                    "name": "ts",
+                    "type": {"type": "long", "logicalType": "timestamp-micros"},
+                }
+            ],
+        }
+    )
+    blob = write_ocf(sj, [(v,) for v in adversarial], "null")
+    _, rows = parse_ocf(blob)
+    assert [r[0] for r in rows] == adversarial

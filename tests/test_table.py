@@ -175,3 +175,108 @@ def test_bucketed_layout_zero_shuffle_after_compact(spark, tdir):
     t2 = SifTable.create(spark, f"{tdir}/tp", _df(spark, 0, 5, "a"), key_col="k")
     with pytest.raises(ValueError, match="bucket_by"):
         t2.bucketed_frame()
+
+
+def test_txn_append_is_idempotent(spark, tdir):
+    """append(txn=) must make crash-replays no-ops: a replayed epoch
+    neither adds rows nor bumps the version, per app_id."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 5, "a"), txn=("app", 0))
+    assert t.last_txn_epoch("app") == 0
+    v1 = t.append(_df(spark, 5, 10, "b"), txn=("app", 1))
+    assert t.read().count() == 10
+    # replay epoch 1 (and the creating epoch 0): both committed no-ops
+    assert t.append(_df(spark, 5, 10, "b"), txn=("app", 1)) == v1
+    assert t.append(_df(spark, 0, 5, "a"), txn=("app", 0)) == v1
+    assert t.read().count() == 10
+    # a DIFFERENT app_id is independent; a fresh epoch appends
+    t.append(_df(spark, 100, 102, "x"), txn=("other", 0))
+    t.append(_df(spark, 10, 12, "c"), txn=("app", 2))
+    assert t.read().count() == 14
+    assert t.last_txn_epoch("app") == 2
+    assert t.last_txn_epoch("other") == 0
+    # the txn map survives unrelated operations (compact carries it)
+    t.compact()
+    assert t.last_txn_epoch("app") == 2
+
+
+def test_txn_map_survives_upsert_and_delete(spark, tdir):
+    t = SifTable.create(
+        spark, tdir, _df(spark, 0, 10, "a"), key_col="k", txn=("s", 4)
+    )
+    t.upsert(_df(spark, 3, 6, "u"))
+    t.delete("k = 9")
+    assert t.last_txn_epoch("s") == 4
+    v = t._load()["version"]
+    assert t.append(_df(spark, 0, 10, "dup"), txn=("s", 4)) == v  # no-op
+    assert t.read().count() == 9
+
+
+@pytest.mark.cluster
+def test_stream_ingest_exactly_once_across_crash(spark, tdir):
+    """The crash window that matters: the batch function commits to
+    the TABLE, then dies before Structured Streaming records the batch
+    in its checkpoint. On restart Spark replays that epoch — the txn
+    high-water must absorb it. Injected deterministically: the sink
+    raises AFTER the table commit, first time epoch 2 runs."""
+    import os
+
+    from sif_spark.sources.custom import register
+    from sif_spark.table import SifTable as _ST
+
+    register(spark)
+    ckpt = f"{tdir}-ckpt"
+    table_path = f"{tdir}-tbl"
+    flag = f"{tdir}-crashed"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(table_path, ignore_errors=True)
+
+    def make_stream():
+        return (
+            spark.readStream.format("sif_generator")
+            .option("batch_size", 12)
+            .option("seed", 42)
+            .option("max_rows", 120)
+            .load()
+        )
+
+    def run_batch(batch_df, epoch_id):
+        t = _ST(batch_df.sparkSession, table_path)
+        try:
+            t._load()
+        except FileNotFoundError:
+            _ST.create(batch_df.sparkSession, table_path, batch_df,
+                       txn=("crashy", int(epoch_id)))
+        else:
+            t.append(batch_df, txn=("crashy", int(epoch_id)))
+        if int(epoch_id) == 2 and not os.path.exists(flag):
+            open(flag, "w").close()
+            raise RuntimeError("injected crash AFTER table commit")
+
+    q = (
+        make_stream().writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()  # dies on the injected crash
+    assert os.path.exists(flag), "the injected crash must have fired"
+
+    q2 = (
+        make_stream().writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    t = _ST(spark, table_path)
+    got = t.read()
+    assert got.count() == 120, "crash-replay duplicated or dropped rows"
+    assert got.select("id").distinct().count() == 120
+    os.remove(flag)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(table_path, ignore_errors=True)
