@@ -1275,3 +1275,11 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q169_stream_table_exactly_once"] = q169_stream_table_exactly_once
 ORACLES["q169_stream_table_exactly_once"] = ORACLE_Q169
+# q170: bloom-indexed upsert file skipping on the snapshot table
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q170,
+    q170_table_bloom_upsert,
+)
+
+QUERIES["q170_table_bloom_upsert"] = q170_table_bloom_upsert
+ORACLES["q170_table_bloom_upsert"] = ORACLE_Q170

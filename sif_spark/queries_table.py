@@ -249,6 +249,52 @@ FROM rows GROUP BY col1 ORDER BY col1
 """
 
 
+def q170_table_bloom_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert into a key_bloom=True table whose groups INTERLEAVE on
+    key parity — min/max ranges fully overlap, so only the per-group
+    key Bloom filter (manifest-stored, auto-sized, opt-in like Delta's
+    bloom indexes) can prove the odd-keys group untouched by the
+    even-keys batch and carry it by reference. The gate checks
+    CONTENT at every sf (a false positive may rewrite a group, never
+    change rows); the structural skip itself is pinned at controlled
+    sizes in tests/test_table.py."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_bloom")
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = SifTable.create(
+        spark,
+        base,
+        d.filter(F.col("doc_id") % 2 == 0),
+        key_col="doc_id",
+        key_bloom=True,
+    )
+    t.append(d.filter(F.col("doc_id") % 2 == 1))
+    t.upsert(
+        d.filter(F.col("doc_id") % 10 == 4).select(
+            "doc_id",
+            F.lit("yy").alias("lang"),
+            (F.col("n_chars") + 1).alias("n_chars"),
+        )
+    )
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.when(F.col("lang") == "yy", 1).otherwise(0)).alias("n_yy"),
+    )
+
+
+ORACLE_Q170 = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 10 = 4 THEN n_chars + 1
+                     ELSE n_chars END) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN doc_id % 10 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_yy
+FROM documents
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

@@ -47,10 +47,16 @@ widening allowed, anything else raises); reads align every group to
 the snapshot schema by NAME — missing columns come back NULL, widened
 columns cast — so old files are never rewritten for a new column.
 
-Scale: the manifest holds per-group row counts and min/max of the
-merge key, so `upsert()` rewrites only the groups whose key range
-overlaps tonight's updates (file skipping) — the nightly cost is
-O(batch + touched groups), not O(table). Group dirs are plain parquet:
+Scale: the manifest holds per-group row counts, min/max of the merge
+key, and (opt-in: create(key_bloom=True)) a per-group key Bloom
+filter, so `upsert()` rewrites only the groups that may actually hold
+a matched key: range-disjoint groups skip on min/max, and
+range-OVERLAPPING groups skip when no update key survives their bloom
+(interleaved key layouts defeat min/max alone — every group overlaps
+every batch). The nightly cost is O(batch + touched groups), not
+O(table). Saturated blooms (>60 % fill) are dropped, falling back to
+range-only — skipping is an optimization, never a correctness input
+(false positive ⇒ harmless rewrite). Group dirs are plain parquet:
 every scan benefit (pushdown, pruning, row-group stats) is Spark's.
 
 Reference: sif datasource/file/file_datasource.go:24-47 is read-only
@@ -66,6 +72,81 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 _MANIFESTS = "_manifests"
+
+# per-group key Bloom filters (file skipping beyond min/max ranges),
+# OPT-IN per table (create(key_bloom=True) — the same explicit-index
+# posture as Delta's bloom indexes, so the default write path stays
+# one job per group). Two seeded xxhash64 probes per key; the bitmap
+# auto-sizes to ~16 bits/key (clamped 2 KiB..32 KiB base64 in the
+# manifest); >60% fill stores nothing (range-only fallback).
+_BLOOM_MIN_BITS = 1 << 14
+_BLOOM_MAX_BITS = 1 << 18
+_BLOOM_SEEDS = (1315423911, 2654435761)
+_BLOOM_UPDATE_KEY_CAP = 100_000
+
+
+def _bloom_hash_cols(key: str) -> list:
+    return [
+        F.xxhash64(F.col(key), F.lit(seed)).alias(f"h{i}")
+        for i, seed in enumerate(_BLOOM_SEEDS)
+    ]
+
+
+def _bloom_bits_for(rows: int) -> int:
+    m = _BLOOM_MIN_BITS
+    while m < 16 * max(1, rows) and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    return m
+
+
+def _bloom_of(df: DataFrame, key: str, rows: int) -> dict | None:
+    """{"m": bits, "bits": base64 bitmap} of every key's probe
+    positions, or None when saturated. One column-pruned scan of the
+    group's key column."""
+    import base64
+
+    import numpy as np
+
+    m = _bloom_bits_for(rows)
+    cap = int(0.6 * m)
+    pos = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[F.pmod(h, F.lit(m)) for h in _bloom_hash_cols(key)]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(pos) > cap:
+        return None
+    bits = np.zeros(m // 8, np.uint8)
+    idx = np.array([r["p"] for r in pos], np.int64)
+    np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+    return {"m": m, "bits": base64.b64encode(bits.tobytes()).decode("ascii")}
+
+
+def _bloom_maybe_contains(bloom: dict, hash_pairs) -> bool:
+    """True iff ANY update key's probes are all set — the group may
+    hold a matched key and must rewrite; False proves it cannot.
+    ``hash_pairs`` are raw seeded xxhash64 values (mod applied here,
+    per group, since bitmap sizes differ group to group)."""
+    import base64
+
+    import numpy as np
+
+    m = int(bloom["m"])
+    bits = np.frombuffer(base64.b64decode(bloom["bits"]), np.uint8)
+    hit = np.ones(len(hash_pairs), bool)
+    for i in range(len(_BLOOM_SEEDS)):
+        # % with a positive modulus is non-negative in numpy — the
+        # same contract as Spark's pmod used on the write side
+        p = np.array([pair[i] for pair in hash_pairs], np.int64) % m
+        hit &= ((bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1) == 1
+    return bool(hit.any())
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -207,7 +288,8 @@ class SifTable:
     # -- data groups ---------------------------------------------------------
 
     def _write_group(self, df: DataFrame, version: int, seq: int,
-                     key_col: str | None, bucket: dict | None = None) -> dict:
+                     key_col: str | None, bucket: dict | None = None,
+                     key_bloom: bool = False) -> dict:
         from pyspark.sql import Observation
 
         gid = f"g-{version:010d}-{seq:03d}-{uuid.uuid4().hex[:8]}"
@@ -241,6 +323,14 @@ class SifTable:
         if has_key:
             stats["key_min"] = row["kmin"]
             stats["key_max"] = row["kmax"]
+            if key_bloom:
+                # one column-pruned scan of the freshly written group
+                # (the key column only); None when saturated
+                bloom = _bloom_of(
+                    self.spark.read.parquet(gpath), key_col, int(row["rows"])
+                )
+                if bloom is not None:
+                    stats["key_bloom"] = bloom
         return {
             "id": gid,
             "path": gpath,
@@ -266,6 +356,7 @@ class SifTable:
         bucket_by: str | None = None,
         n_buckets: int | None = None,
         txn: tuple[str, int] | None = None,
+        key_bloom: bool = False,
     ) -> "SifTable":
         """``txn=(app_id, epoch)`` records the creating writer's epoch
         in the first manifest, so a crash-replay of the CREATING
@@ -284,8 +375,10 @@ class SifTable:
         t = SifTable(spark, path)
         if t._versions():
             raise ValueError(f"table already exists at {path}")
+        if key_bloom and not key_col:
+            raise ValueError("key_bloom needs a table created with key_col=")
         bucket = {"col": bucket_by, "n": n_buckets} if bucket_by else None
-        group = t._write_group(df, 1, 0, key_col, bucket)
+        group = t._write_group(df, 1, 0, key_col, bucket, key_bloom)
         t._commit(
             {
                 "version": 1,
@@ -293,6 +386,7 @@ class SifTable:
                 "op": "create",
                 "key_col": key_col,
                 "bucket": bucket,
+                "key_bloom": key_bloom,
                 "txns": {txn[0]: int(txn[1])} if txn else {},
                 "schema": ", ".join(
                     f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -383,7 +477,8 @@ class SifTable:
                 txns[app_id] = int(epoch)
             merged = _merge_schema(T._parse_datatype_string(m["schema"]), df.schema)
             v = m["version"] + 1
-            group = self._write_group(df, v, 0, m.get("key_col"), m.get("bucket"))
+            group = self._write_group(df, v, 0, m.get("key_col"),
+                                      m.get("bucket"), m.get("key_bloom", False))
             try:
                 return self._commit(
                     {
@@ -392,6 +487,7 @@ class SifTable:
                         "op": "append",
                         "key_col": m.get("key_col"),
                         "bucket": m.get("bucket"),
+                        "key_bloom": m.get("key_bloom", False),
                         "txns": txns,
                         "schema": ", ".join(
                             f"{f.name} {f.dataType.simpleString()}"
@@ -407,12 +503,14 @@ class SifTable:
     def upsert(self, updates: DataFrame, retries: int = 3) -> int:
         """MERGE by the table's key_col: rows whose key exists are
         replaced, new keys append. Copy-on-write at GROUP granularity
-        with key-range file skipping: only groups whose recorded
-        [key_min, key_max] overlaps the updates' key range are
-        rewritten (anti-join out the matched keys); untouched groups
-        carry over BY REFERENCE — the nightly cost is O(batch +
-        touched groups), never O(table). Retries optimistic-commit
-        losses against the fresh snapshot."""
+        with two-tier file skipping: groups whose recorded
+        [key_min, key_max] is disjoint from the updates' range carry
+        over BY REFERENCE, and range-overlapping groups ALSO skip when
+        none of the update keys survives the group's key Bloom filter
+        (a bloom miss proves the group holds no matched key; a false
+        positive just rewrites — never wrong, only slower). The
+        nightly cost is O(batch + touched groups), never O(table).
+        Retries optimistic-commit losses against the fresh snapshot."""
         last: Exception | None = None
         for _ in range(retries):
             try:
@@ -431,6 +529,18 @@ class SifTable:
             F.min(key).alias("kmin"), F.max(key).alias("kmax")
         ).collect()[0]
         kmin, kmax = row["kmin"], row["kmax"]
+        # Bloom probe pairs of the update keys (capped — a huge update
+        # batch touches most groups anyway, range skipping suffices)
+        probe_pairs = None
+        if any(g.get("key_bloom") for g in m["groups"]):
+            pairs = (
+                updates.select(*_bloom_hash_cols(key))
+                .distinct()
+                .limit(_BLOOM_UPDATE_KEY_CAP + 1)
+                .collect()
+            )
+            if len(pairs) <= _BLOOM_UPDATE_KEY_CAP:
+                probe_pairs = [tuple(p) for p in pairs]
         v = m["version"] + 1
         keep, rewrite = [], []
         for g in m["groups"]:
@@ -440,6 +550,10 @@ class SifTable:
                 and gmin is not None
                 and (gmax < kmin or gmin > kmax)
             )
+            if not disjoint and probe_pairs is not None and g.get("key_bloom"):
+                # range overlaps but no update key survives the bloom:
+                # the group provably holds none of the matched keys
+                disjoint = not _bloom_maybe_contains(g["key_bloom"], probe_pairs)
             (keep if disjoint else rewrite).append(g)
         groups = list(keep)
         seq = 0
@@ -456,12 +570,14 @@ class SifTable:
             )
             groups.append(
                 self._write_group(
-                    _align(survivors, merged), v, seq, key, m.get("bucket")
+                    _align(survivors, merged), v, seq, key, m.get("bucket"),
+                    m.get("key_bloom", False)
                 )
             )
             seq += 1
         groups.append(
-            self._write_group(_align(updates, merged), v, seq, key, m.get("bucket"))
+            self._write_group(_align(updates, merged), v, seq, key,
+                              m.get("bucket"), m.get("key_bloom", False))
         )
         return self._commit(
             {
@@ -495,7 +611,8 @@ class SifTable:
             if remaining.limit(1).count() > 0:
                 groups.append(
                     self._write_group(
-                        remaining, v, seq, m.get("key_col"), m.get("bucket")
+                        remaining, v, seq, m.get("key_col"), m.get("bucket"),
+                        m.get("key_bloom", False)
                     )
                 )
                 seq += 1
@@ -507,6 +624,7 @@ class SifTable:
                 "txns": m.get("txns", {}),
                 "key_col": m.get("key_col"),
                 "bucket": m.get("bucket"),
+                "key_bloom": m.get("key_bloom", False),
                 "schema": m["schema"],
                 "groups": groups,
             }
@@ -531,7 +649,8 @@ class SifTable:
         elif key:
             df = df.repartitionByRange(key).sortWithinPartitions(key)
         v = m["version"] + 1
-        group = self._write_group(df, v, 0, key, bucket)
+        group = self._write_group(df, v, 0, key, bucket,
+                                  m.get("key_bloom", False))
         return self._commit(
             {
                 "version": v,

@@ -280,3 +280,41 @@ def test_stream_ingest_exactly_once_across_crash(spark, tdir):
     os.remove(flag)
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(table_path, ignore_errors=True)
+
+
+def test_bloom_skips_range_overlapping_untouched_group(spark, tdir):
+    """Interleaved key layouts defeat min/max skipping (every group's
+    range overlaps every batch); the per-group key bloom must prove
+    the odd-keys group untouched by an even-keys upsert and carry it
+    by reference."""
+    even = spark.range(0, 100, 2).select(F.col("id").alias("k"), F.lit("e").alias("v"))
+    odd = spark.range(1, 101, 2).select(F.col("id").alias("k"), F.lit("o").alias("v"))
+    t = SifTable.create(spark, tdir, even, key_col="k", key_bloom=True)
+    t.append(odd)
+    m1 = t._load()
+    assert all("key_bloom" in g for g in m1["groups"])
+    even_gid, odd_gid = m1["groups"][0]["id"], m1["groups"][1]["id"]
+    t.upsert(
+        spark.range(2, 6, 2).select(F.col("id").alias("k"), F.lit("u").alias("v"))
+    )
+    ids = [g["id"] for g in t._load()["groups"]]
+    assert odd_gid in ids, "bloom must prove the odd group untouched"
+    assert even_gid not in ids, "the even group holds matched keys"
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 100 and got[2] == "u" and got[4] == "u"
+    assert got[0] == "e" and got[1] == "o" and got[3] == "o"
+
+
+def test_bloom_saturation_falls_back_to_range_skipping(spark, tdir, monkeypatch):
+    import sif_spark.table as tbl
+
+    monkeypatch.setattr(tbl, "_BLOOM_MIN_BITS", 64)
+    monkeypatch.setattr(tbl, "_BLOOM_MAX_BITS", 64)
+    t = SifTable.create(spark, tdir, _df(spark, 0, 100, "a"), key_col="k",
+                        key_bloom=True)
+    m = t._load()
+    assert "key_bloom" not in m["groups"][0], "saturated bloom must be dropped"
+    # correctness unaffected: upsert rewrites on range overlap alone
+    t.upsert(_df(spark, 5, 7, "u"))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 100 and got[5] == "u" and got[0] == "a"
