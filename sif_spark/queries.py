@@ -1283,3 +1283,12 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q170_table_bloom_upsert"] = q170_table_bloom_upsert
 ORACLES["q170_table_bloom_upsert"] = ORACLE_Q170
+
+# Keep the catalog strictly q-number-ordered regardless of module
+# registration order — the driver's correctness gate is the FIRST 50
+# dict entries, and the tail-order pin (tests/test_plans.py::
+# test_catalog_driver_window_stable) guards both properties.
+_ordered = sorted(QUERIES, key=lambda k: int(k.split("_", 1)[0][1:]))
+QUERIES = {k: QUERIES[k] for k in _ordered}
+ORACLES = {k: ORACLES[k] for k in _ordered if k in ORACLES}
+del _ordered

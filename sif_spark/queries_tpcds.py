@@ -1,10 +1,13 @@
-"""TPC-DS-shape sampler (round 10, VERDICT r9 ask #6): six entries
+"""TPC-DS-shape sampler (round 10, VERDICT r9 ask #6): ten entries
 stressing the planner behaviors TPC-H never touches — multi-hierarchy
 GROUPING SETS, window-over-join month/avg pipelines, disjunctive
 (OR'd) star filters, dynamic partition pruning against a date
-dimension, the returns-above-nation-average decorrelation, and the
-multi-channel UNION rollup — recast onto the TPC-H-ish star this repo
-ships (the SHAPES are what TPC-DS tests; its 24-table schema is not).
+dimension, the returns-above-nation-average decorrelation, the
+multi-channel UNION rollup, paired EXISTS/NOT-EXISTS decorrelation,
+tie-preserving top-N per group (WindowGroupLimit), LAG-based
+year-over-year ratio filters, and multi-COUNT(DISTINCT) Expand plans —
+recast onto the TPC-H-ish star this repo ships (the SHAPES are what
+TPC-DS tests; its 24-table schema is not).
 
 Numeric discipline is the queries_tpch.py contract: money stays in
 exact integer cents / 1e-4-dollar units end to end, ratio predicates
@@ -265,6 +268,128 @@ ORDER BY channel, yr
 """
 
 
+def q171_ds_exists_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q10/Q35 shape: per-segment counts of customers who EXIST in
+    one behavior channel (an order with a returned line) AND NOT EXIST
+    in another (no urgent-priority order) — the paired correlated
+    existentials the planner must decorrelate into one LeftSemi and
+    one LeftAnti against the same fact, never a per-row subquery. Both
+    joins hash on c_custkey; at 100 TB the anti side reuses the semi
+    side's exchange."""
+    register_views(spark, sf_dir, ["orders", "customer", "lineitem"])
+    return spark.sql(_Q171_SQL)
+
+
+_Q171_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM customer
+WHERE EXISTS (
+        SELECT 1 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_custkey = c_custkey AND l_returnflag = 'R')
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q172_ds_topn_per_group_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q67 top-N shape: RANK() (tie-preserving, unlike row_number)
+    over each nation's customers by exact-cents revenue, keep rank<=3
+    INCLUDING ties — the filter-over-window the planner turns into a
+    single sort per partition with rank-limit pushdown
+    (WindowGroupLimit in Spark 3.5+/4: only the top rows per key
+    survive the partial sort, so the shuffle carries O(N·k), not the
+    full fact)."""
+    register_views(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(_Q172_SQL)
+
+
+_Q172_SQL = """
+WITH cust_rev AS (
+  SELECT n_name, c_custkey,
+         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_custkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, rev_cents,
+         RANK() OVER (PARTITION BY n_name ORDER BY rev_cents DESC,
+                      c_custkey) AS rnk
+  FROM cust_rev
+)
+SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(rev_cents AS BIGINT) AS rev_cents, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY n_name, rnk, c_custkey
+"""
+
+
+def q173_ds_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q75 shape: year-over-year revenue per nation via LAG over
+    the yearly aggregate, keeping declining (nation, year) pairs with
+    the exact cross-multiplied ratio 100·cur < 97·prev — no float
+    division anywhere, so the oracle hash is exact. One shuffle for
+    the agg; the window rides the same (nation) partitioning."""
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_Q173_SQL)
+
+
+_Q173_SQL = """
+WITH yearly AS (
+  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rev_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, 2
+),
+paired AS (
+  SELECT n_name, yr, rev_e4,
+         LAG(rev_e4) OVER (PARTITION BY n_name ORDER BY yr) AS prev_e4,
+         LAG(yr) OVER (PARTITION BY n_name ORDER BY yr) AS prev_yr
+  FROM yearly
+)
+SELECT n_name, yr, CAST(rev_e4 AS BIGINT) AS rev_e4,
+       CAST(prev_e4 AS BIGINT) AS prev_e4
+FROM paired
+WHERE prev_yr = yr - 1 AND 100 * rev_e4 < 97 * prev_e4
+ORDER BY n_name, yr
+"""
+
+
+def q174_ds_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q14 family stress: several COUNT(DISTINCT ...) at different
+    grains in ONE aggregate over the fact join — Catalyst rewrites
+    multi-distinct into a single Expand (one row replicated per
+    distinct group) + two-level aggregate, NOT one scan per distinct;
+    at 100 TB the difference is #distincts× the fact I/O."""
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    return spark.sql(_Q174_SQL)
+
+
+_Q174_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY yr
+"""
+
+
 TPCDS_QUERIES = {
     "q161_ds_grouping_sets": q161_ds_grouping_sets,
     "q162_ds_window_over_join": q162_ds_window_over_join,
@@ -272,6 +397,10 @@ TPCDS_QUERIES = {
     "q164_ds_dynamic_partition_pruning": q164_ds_dynamic_partition_pruning,
     "q165_ds_returns_above_avg": q165_ds_returns_above_avg,
     "q166_ds_channel_union": q166_ds_channel_union,
+    "q171_ds_exists_pairs": q171_ds_exists_pairs,
+    "q172_ds_topn_per_group_ties": q172_ds_topn_per_group_ties,
+    "q173_ds_yoy_decline": q173_ds_yoy_decline,
+    "q174_ds_multi_distinct": q174_ds_multi_distinct,
 }
 
 TPCDS_ORACLES = {
@@ -281,4 +410,8 @@ TPCDS_ORACLES = {
     "q164_ds_dynamic_partition_pruning": ORACLE_Q164,
     "q165_ds_returns_above_avg": _Q165_SQL,
     "q166_ds_channel_union": _Q166_SQL,
+    "q171_ds_exists_pairs": _Q171_SQL,
+    "q172_ds_topn_per_group_ties": _Q172_SQL,
+    "q173_ds_yoy_decline": _Q173_SQL,
+    "q174_ds_multi_distinct": _Q174_SQL,
 }

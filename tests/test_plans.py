@@ -980,3 +980,27 @@ def test_q164_dynamic_partition_pruning_fires(spark):
     text163 = plan_string(QUERIES["q163_ds_disjunctive_star"](spark, SF), "formatted")
     assert "BroadcastNestedLoopJoin" not in text163
     assert "CartesianProduct" not in text163
+
+
+def test_ds_round10b_plan_pins(spark):
+    """The second DS batch's claimed plan behaviors, pinned:
+    q171 decorrelates EXISTS/NOT EXISTS into one LeftSemi + one
+    LeftAnti (never a per-row subquery or cartesian); q172's
+    rank()<=3 filter becomes a WindowGroupLimit (partial top-k before
+    the window shuffle — O(N*k) carried, not the fact); q174's
+    multi-COUNT(DISTINCT) plans ONE Expand, not one scan per
+    distinct."""
+    from sif_spark.plans import plan_string
+
+    p171 = plan_string(QUERIES["q171_ds_exists_pairs"](spark, SF), "formatted")
+    assert "LeftSemi" in p171 and "LeftAnti" in p171, p171[:4000]
+    assert "CartesianProduct" not in p171
+    assert "BroadcastNestedLoopJoin" not in p171
+
+    p172 = plan_string(
+        QUERIES["q172_ds_topn_per_group_ties"](spark, SF), "formatted"
+    )
+    assert "WindowGroupLimit" in p172, p172[:4000]
+
+    p174 = plan_string(QUERIES["q174_ds_multi_distinct"](spark, SF), "formatted")
+    assert "Expand" in p174, p174[:4000]
