@@ -1283,6 +1283,14 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q170_table_bloom_upsert"] = q170_table_bloom_upsert
 ORACLES["q170_table_bloom_upsert"] = ORACLE_Q170
+# q175: read-side data skipping (manifest min/max group pruning)
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q175,
+    q175_table_data_skipping,
+)
+
+QUERIES["q175_table_data_skipping"] = q175_table_data_skipping
+ORACLES["q175_table_data_skipping"] = ORACLE_Q175
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -295,6 +295,54 @@ FROM documents
 """
 
 
+def q175_table_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side data skipping (Delta-style): orders land in THREE
+    groups bucketed by order year (≤1994 / 1995-1996 / ≥1997), so
+    every group's manifest carries o_orderdate min/max; a
+    read_between over mid-1995..mid-1996 must prune the first and
+    third groups from the MANIFEST alone (asserted in-entry — the
+    year buckets make the decision deterministic at every sf) and
+    still return exactly the oracle's full-scan filter."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_skip")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    t = SifTable.create(spark, base, o.filter(yr <= 1994), key_col="o_orderkey")
+    t.append(o.filter(yr.isin(1995, 1996)))
+    t.append(o.filter(yr >= 1997))
+    import datetime as _dt
+
+    lo = _dt.datetime(1995, 6, 1)
+    hi = _dt.datetime(1996, 6, 1)
+    m = t._load()
+    from sif_spark.table import _stat_bound
+
+    kept = t._prune_groups(m, "o_orderdate", _stat_bound(lo), _stat_bound(hi))
+    assert len(kept) == 1, f"data skipping must keep 1 of 3 groups, kept {len(kept)}"
+    return t.read_between("o_orderdate", lo, hi).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORACLE_Q175 = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+  AND o_orderdate <= TIMESTAMP '1996-06-01'
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

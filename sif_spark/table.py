@@ -149,6 +149,39 @@ def _bloom_maybe_contains(bloom: dict, hash_pairs) -> bool:
     return bool(hit.any())
 
 
+_STAT_SKIP = object()
+_STAT_MAX_STR = 256  # strings longer than this carry no stats
+
+
+def _stat_json(v):
+    """A min/max aggregate value → its JSON-manifest form, or
+    _STAT_SKIP when the type can't be order-compared after JSON
+    round-tripping. date/timestamp become ISO strings — ISO order IS
+    value order, so pruning comparisons stay lexicographic-correct."""
+    import datetime as _dt
+
+    if v is None:  # all-null column: keep as [null, null] (prunable)
+        return None
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= _STAT_MAX_STR else _STAT_SKIP
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return _STAT_SKIP
+
+
+def _stat_bound(v):
+    """A caller-supplied pruning bound → the same JSON form used by
+    _stat_json, so comparisons are like-vs-like."""
+    out = _stat_json(v)
+    if out is _STAT_SKIP:
+        raise TypeError(f"read_between cannot prune on values of {type(v)}")
+    return out
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
@@ -303,6 +336,22 @@ class SifTable:
         has_key = bool(key_col) and key_col in df.columns
         if has_key:
             agg += [F.min(key_col).alias("kmin"), F.max(key_col).alias("kmax")]
+        # per-column min/max for read-side data skipping (read_between/
+        # lookup prune whole groups before the union) — same write job
+        stat_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(
+                f.dataType,
+                (
+                    T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+                    T.FloatType, T.DoubleType, T.StringType,
+                    T.DateType, T.TimestampType, T.BooleanType,
+                ),
+            )
+        ]
+        for c in stat_cols:
+            agg += [F.min(c).alias(f"min::{c}"), F.max(c).alias(f"max::{c}")]
         observed = df.observe(obs, *agg)
         if bucket:
             # bucketed group: hash-clustered files + a session-catalog
@@ -320,6 +369,14 @@ class SifTable:
             observed.write.mode("overwrite").parquet(gpath)
         row = obs.get
         stats: dict = {"rows": row["rows"]}
+        col_stats = {}
+        for c in stat_cols:
+            lo = _stat_json(row[f"min::{c}"])
+            hi = _stat_json(row[f"max::{c}"])
+            if lo is not _STAT_SKIP and hi is not _STAT_SKIP:
+                col_stats[c] = [lo, hi]
+        if col_stats:
+            stats["stats"] = col_stats
         if has_key:
             stats["key_min"] = row["kmin"]
             stats["key_max"] = row["kmax"]
@@ -451,6 +508,111 @@ class SifTable:
         """The highest epoch committed for ``app_id`` (-1 if none).
         O(1): the latest manifest carries the rolled-up txns map."""
         return int(self._load().get("txns", {}).get(app_id, -1))
+
+    def _prune_groups(self, m: dict, col: str, lo, hi) -> list[dict]:
+        """Groups that MAY hold a row with ``col`` in [lo, hi] — the
+        read-side data-skipping decision. Conservative by design:
+        groups without stats for the column always survive; an
+        all-null group never can (range predicates reject NULL)."""
+        keep = []
+        for g in m["groups"]:
+            st = g.get("stats", {}).get(col)
+            if st is None:
+                keep.append(g)
+                continue
+            gmin, gmax = st
+            if gmin is None and gmax is None:
+                continue  # every value NULL: no row satisfies a range
+            if lo is not None and gmax is not None and gmax < lo:
+                continue
+            if hi is not None and gmin is not None and gmin > hi:
+                continue
+            keep.append(g)
+        return keep
+
+    def _read_groups(self, groups: list[dict], target: T.StructType) -> DataFrame:
+        if not groups:
+            return self.spark.createDataFrame([], target)
+        parts = [
+            _align(self.spark.read.parquet(g["path"]), target) for g in groups
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_between(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot read of rows with ``col`` in [lo, hi] (either bound
+        optional), SKIPPING whole groups whose manifest min/max proves
+        they cannot match — Delta-style data skipping, one manifest
+        read, zero file I/O for pruned groups. The surviving groups
+        still carry the row-level filter (pruning is an optimization,
+        never the correctness input). Bounds must be the column's own
+        type (numbers, strings, date/datetime)."""
+        m = self._load(version)
+        target = T._parse_datatype_string(m["schema"])
+        if col not in [f.name for f in target.fields]:
+            raise ValueError(f"no column {col!r} in snapshot schema")
+        keep = self._prune_groups(
+            m,
+            col,
+            _stat_bound(lo) if lo is not None else None,
+            _stat_bound(hi) if hi is not None else None,
+        )
+        out = self._read_groups(keep, target)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        return out.filter(cond)
+
+    def lookup(self, value, version: int | None = None) -> DataFrame:
+        """Point lookup by the table's key_col: prunes groups by key
+        range AND (when present) the per-group key Bloom filter — on a
+        compacted 100 TB table a miss costs one manifest read and zero
+        data I/O; a hit reads only the group(s) that may hold the key.
+        The survivors still carry the row filter (bloom false
+        positives read-and-filter, never corrupt)."""
+        m = self._load(version)
+        key = m.get("key_col")
+        if not key:
+            raise ValueError("lookup needs a table created with key_col=")
+        if value is None:
+            raise ValueError("lookup(None) is not a range-key lookup")
+        target = T._parse_datatype_string(m["schema"])
+        key_type = target[key].dataType
+        bound = _stat_bound(value)
+        candidates = []
+        for g in self._prune_groups(m, key, bound, bound):
+            gmin, gmax = g.get("key_min"), g.get("key_max")
+            if gmin is not None and gmax is not None:
+                b = _stat_bound(gmin), _stat_bound(gmax)
+                if bound < b[0] or bound > b[1]:
+                    continue
+            candidates.append(g)
+        if any(g.get("key_bloom") for g in candidates):
+            # the value's seeded probes, hashed by Spark itself so the
+            # hash matches the write side's column hashing exactly
+            probe = self.spark.range(1).select(
+                *[
+                    F.xxhash64(F.lit(value).cast(key_type), F.lit(s)).alias(
+                        f"h{i}"
+                    )
+                    for i, s in enumerate(_BLOOM_SEEDS)
+                ]
+            ).collect()[0]
+            pair = [tuple(probe)]
+            candidates = [
+                g
+                for g in candidates
+                if not g.get("key_bloom")
+                or _bloom_maybe_contains(g["key_bloom"], pair)
+            ]
+        out = self._read_groups(candidates, target)
+        return out.filter(F.col(key) == F.lit(value).cast(key_type))
 
     def append(
         self, df: DataFrame, txn: tuple[str, int] | None = None, retries: int = 3

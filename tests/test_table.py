@@ -318,3 +318,57 @@ def test_bloom_saturation_falls_back_to_range_skipping(spark, tdir, monkeypatch)
     t.upsert(_df(spark, 5, 7, "u"))
     got = {r["k"]: r["v"] for r in t.read().collect()}
     assert len(got) == 100 and got[5] == "u" and got[0] == "a"
+
+
+def test_read_between_prunes_groups_and_matches_full_filter(spark, tdir):
+    """Three appends with disjoint key ranges: a read_between touching
+    one range must prune the other two groups (manifest-only decision)
+    and return exactly what a full-scan filter returns."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 100, "a"), key_col="k")
+    t.append(_df(spark, 100, 200, "b"))
+    t.append(_df(spark, 200, 300, "c"))
+    m = t._load()
+    assert all("stats" in g and "k" in g["stats"] for g in m["groups"])
+    kept = t._prune_groups(m, "k", 120, 180)
+    assert len(kept) == 1 and kept[0]["stats"]["k"] == [100, 199]
+    got = _rows(t.read_between("k", 120, 180))
+    exp = _rows(t.read().filter("k BETWEEN 120 AND 180"))
+    assert got == exp and len(got) == 61
+    # open-ended bounds and string-column stats prune too
+    assert len(t._prune_groups(m, "k", 200, None)) == 1
+    assert len(t._prune_groups(m, "v", "b", "b")) == 1
+    # a no-match range reads ZERO groups but still returns the schema
+    empty = t.read_between("k", 500, 600)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_read_between_skips_all_null_groups(spark, tdir):
+    from pyspark.sql import functions as F
+
+    t = SifTable.create(spark, tdir, _df(spark, 0, 10, "a"), key_col="k")
+    t.append(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit(None).cast("string").alias("v")
+        )
+    )
+    m = t._load()
+    assert m["groups"][1]["stats"]["v"] == [None, None]
+    assert len(t._prune_groups(m, "v", "a", "a")) == 1  # null group skipped
+    assert t.read_between("v", "a", "a").count() == 10
+
+
+def test_lookup_uses_range_and_bloom(spark, tdir):
+    """Point lookup: range-prunes to the right group; with key_bloom
+    an absent key inside the range is proven absent by the filter
+    (content-exact either way — bloom fp only reads more)."""
+    even = spark.range(0, 200, 2).select(F.col("id").alias("k"), F.lit("e").alias("v"))
+    odd = spark.range(1, 201, 2).select(F.col("id").alias("k"), F.lit("o").alias("v"))
+    t = SifTable.create(spark, tdir, even, key_col="k", key_bloom=True)
+    t.append(odd)
+    hit = t.lookup(42).collect()
+    assert len(hit) == 1 and hit[0]["v"] == "e"
+    assert t.lookup(999).count() == 0
+    # timestamps of the decision: the manifest alone (no data I/O for
+    # range misses) — structural check via the pruning helpers
+    m = t._load()
+    assert len(t._prune_groups(m, "k", 999, 999)) == 0
