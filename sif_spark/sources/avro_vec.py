@@ -45,7 +45,11 @@ ROWLENS_META_KEY = "sif.rowlens"
 _VEC_KINDS = {
     "boolean", "int", "long", "float", "double", "string", "bytes",
     "timestamp-micros", "date",
-}  # + decimal:p:s (prefix-matched); array:* stays on the reference path
+}
+# array items the fast path takes: fixed-width (flat byte gather) and
+# varint (wave decode). array:string/bytes stay on the reference path.
+_VEC_ARRAY_ITEMS = {"float", "double", "boolean", "int", "long"}
+_FIXED_WIDTHS = {"float": 4, "double": 8, "boolean": 1}
 
 
 class AvroVecUnsupported(Exception):
@@ -54,9 +58,12 @@ class AvroVecUnsupported(Exception):
 
 
 def _vec_ok(kinds) -> bool:
-    return all(
-        k in _VEC_KINDS or k.startswith("decimal:") for k, _null in kinds
-    )
+    def ok(k: str) -> bool:
+        if k in _VEC_KINDS or k.startswith("decimal:"):
+            return True
+        return k.startswith("array:") and k.split(":", 1)[1] in _VEC_ARRAY_ITEMS
+
+    return all(ok(k) for k, _null in kinds)
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +255,53 @@ def _encode_values(kind: str, vals):
     if kind.startswith("decimal:"):
         _, _p, s = kind.split(":")
         return _enc_decimal_bytes(_decimal_unscaled(list(vals), int(s)))
+    if kind.startswith("array:"):
+        return _enc_array(kind.split(":", 1)[1], vals)
     raise AvroVecUnsupported(f"encode: kind {kind!r} not vectorized")
+
+
+def _enc_array(item: str, vals):
+    """Arrays of primitives (the embeddings / token-id interchange
+    case), spec layout per row: varint(count) + items + varint(0)
+    terminator (empty arrays are the bare terminator — matching the
+    reference encoder byte for byte). Items flatten through Arrow;
+    fixed-width items are one dtype view, varint items one flat
+    _venc_zigzag with per-row byte lengths by prefix-sum gather."""
+    import pyarrow as pa
+
+    if item not in _VEC_ARRAY_ITEMS:
+        raise AvroVecUnsupported(f"array items {item!r} not vectorized")
+    pa_item = {
+        "float": pa.float32(), "double": pa.float64(),
+        "boolean": pa.bool_(), "int": pa.int64(), "long": pa.int64(),
+    }[item]
+    arr = pa.array(list(vals), pa.list_(pa_item))
+    flat = arr.flatten()
+    if flat.null_count:
+        raise ValueError("NULL inside an Avro array of primitives")
+    offsets = arr.offsets.to_numpy().astype(np.int64)
+    counts = np.diff(offsets)
+    nz = counts > 0
+    cflat, clens_nz = _venc_zigzag(counts[nz])
+    clens = np.zeros(len(counts), np.int64)
+    clens[nz] = clens_nz
+    cells = [(cflat, clens)]
+    fvals = flat.to_numpy(zero_copy_only=False)
+    if item in _FIXED_WIDTHS:
+        w = _FIXED_WIDTHS[item]
+        if item == "float":
+            data = fvals.astype("<f4").view(np.uint8)
+        elif item == "double":
+            data = fvals.astype("<f8").view(np.uint8)
+        else:
+            data = fvals.astype(np.uint8)
+        cells.append((data, counts * w))
+    else:
+        iflat, ilens_item = _venc_zigzag(fvals.astype(np.int64))
+        cum = np.concatenate(([0], np.cumsum(ilens_item)))
+        cells.append((iflat, cum[offsets[1:]] - cum[offsets[:-1]]))
+    cells.append((np.zeros(len(counts), np.uint8), np.ones(len(counts), np.int64)))
+    return cells
 
 
 # ---------------------------------------------------------------------------
@@ -313,13 +366,19 @@ def _gather_fixed(buf: np.ndarray, pos: np.ndarray, width: int, dtype: str):
 
 
 def _gather_var(buf: np.ndarray, pos: np.ndarray, lens: np.ndarray):
-    """Variable slices -> (contiguous data, int32 offsets) for Arrow."""
-    total = int(lens.sum())
-    idx = np.repeat(pos, lens) + _grouped_arange(lens)
-    data = buf[idx]
+    """Variable slices -> (contiguous data, int32 offsets) for Arrow.
+    Constant-length slices (fixed-dim embeddings, fixed-width codes)
+    gather through one 2-D fancy index instead of a per-byte
+    repeat+arange walk."""
     offsets = np.zeros(len(pos) + 1, np.int32)
     np.cumsum(lens, out=offsets[1:])
-    return data, offsets
+    if len(lens):
+        w = int(lens[0])
+        if w and (lens == w).all():
+            data = buf[pos[:, None] + np.arange(w)].ravel()
+            return data, offsets
+    idx = np.repeat(pos, lens) + _grouped_arange(lens)
+    return buf[idx], offsets
 
 
 def decode_block_columns(payload: bytes, row_lens: np.ndarray, kinds):
@@ -404,7 +463,64 @@ def _decode_values(kind: str, buf: np.ndarray, pos: np.ndarray):
             dtype=object,
         )
         return vals, pos + lens
+    if kind.startswith("array:"):
+        return _dec_array(kind.split(":", 1)[1], buf, pos)
     raise AvroVecUnsupported(f"decode: kind {kind!r} not vectorized")
+
+
+def _dec_array(item: str, buf: np.ndarray, pos: np.ndarray):
+    """Single-block array decode (the only shape this module's writers
+    emit): varint(count), items, 0x00 terminator. Fixed-width items
+    come back as one flat gather + split; varint items decode in
+    WAVES — pass r decodes item r of every still-active row, so the
+    work is O(total items) in vectorized batches, not per-value
+    Python. Multi-block arrays (negative counts / nonzero terminator)
+    raise — a sif.rowlens-indexed file can only come from this writer,
+    which never authors them."""
+    if item not in _VEC_ARRAY_ITEMS:
+        raise AvroVecUnsupported(f"array items {item!r} not vectorized")
+    counts, pos = _vdec(buf, pos)
+    if len(counts) and (counts < 0).any():
+        raise ValueError("multi-block Avro array outside the indexed fast path")
+    if item in _FIXED_WIDTHS:
+        w = _FIXED_WIDTHS[item]
+        blens = counts * w
+        data, _off = _gather_var(buf, pos, blens)
+        raw = data.tobytes()
+        if item == "float":
+            flat = np.frombuffer(raw, "<f4")
+        elif item == "double":
+            flat = np.frombuffer(raw, "<f8")
+        else:
+            flat = np.frombuffer(raw, np.uint8) != 0
+        pos = pos + blens
+    else:
+        max_c = int(counts.max()) if len(counts) else 0
+        mat = np.zeros((len(pos), max_c), np.int64)
+        pos = pos.copy()
+        for r in range(max_c):
+            active = counts > r
+            v, newp = _vdec(buf, pos[active])
+            mat[active, r] = v
+            pos[active] = newp
+        flat = (
+            mat[np.arange(max_c) < counts[:, None]]
+            if max_c
+            else np.empty(0, np.int64)
+        )
+    has_items = counts > 0
+    if has_items.any():
+        if (buf[pos[has_items]] != 0).any():
+            raise ValueError(
+                "multi-block Avro array outside the indexed fast path"
+            )
+    pos = pos + has_items.astype(np.int64)
+    out = np.empty(len(counts), object)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    for i in range(len(counts)):  # plain slices — np.split costs 6x this
+        out[i] = flat[starts[i] : ends[i]]
+    return out, pos
 
 
 # ---------------------------------------------------------------------------
@@ -447,7 +563,11 @@ def columns_from_pandas(kinds, names, pdf):
             vals = sub.to_numpy()
             if vals.dtype == object:
                 vals = vals.astype(bool)
-        elif kind in ("string", "bytes") or kind.startswith("decimal:"):
+        elif (
+            kind in ("string", "bytes")
+            or kind.startswith("decimal:")
+            or kind.startswith("array:")
+        ):
             vals = list(sub)
         else:
             raise AvroVecUnsupported(f"pandas bridge: kind {kind!r}")
