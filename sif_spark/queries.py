@@ -1291,6 +1291,18 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q175_table_data_skipping"] = q175_table_data_skipping
 ORACLES["q175_table_data_skipping"] = ORACLE_Q175
+# q176-q177: the table change feed and the sif_table streaming source
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q176,
+    ORACLE_Q177,
+    q176_table_change_feed,
+    q177_table_stream_source,
+)
+
+QUERIES["q176_table_change_feed"] = q176_table_change_feed
+ORACLES["q176_table_change_feed"] = ORACLE_Q176
+QUERIES["q177_table_stream_source"] = q177_table_stream_source
+ORACLES["q177_table_stream_source"] = ORACLE_Q177
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -343,6 +343,123 @@ WHERE o_orderdate >= TIMESTAMP '1995-06-01'
 """
 
 
+def q176_table_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed (SifTable.changes): after create(%3==0) /
+    append(%3==1) / upsert(lang='cc' onto %5==0) / delete(%7==0), the
+    feed after v1 must contain EXACTLY the appended rows and the
+    upsert batch — replaced-row copies, deleted rows, and compaction
+    rewrites never appear. Grouped by _commit_version so any leak
+    lands in the wrong bucket and flips the hash."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_cdf")
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = SifTable.create(
+        spark, base, d.filter(F.col("doc_id") % 3 == 0), key_col="doc_id"
+    )
+    t.append(d.filter(F.col("doc_id") % 3 == 1))
+    t.upsert(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", F.lit("cc").alias("lang"), "n_chars"
+        )
+    )
+    t.delete("doc_id % 7 = 0")
+    t.compact()
+    return (
+        t.changes(1)
+        .groupBy("_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.when(F.col("lang") == "cc", 1).otherwise(0)).alias("n_cc"),
+        )
+        .orderBy("_commit_version")
+    )
+
+
+ORACLE_Q176 = """
+SELECT 2 AS _commit_version,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(0 AS BIGINT) AS n_cc
+FROM documents WHERE doc_id % 3 = 1
+UNION ALL
+SELECT 3,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM documents WHERE doc_id % 5 = 0
+ORDER BY _commit_version
+"""
+
+
+def q177_table_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the table (`sif_table` custom streaming source,
+    sources/table_stream.py): version offsets make each committed
+    append one exactly-once micro-batch whose files are read by the
+    EXECUTORS as Arrow batches (the driver only lists manifests). The
+    stream starts after v1, so v2/v3's rows — tagged with their
+    _commit_version — must be exactly the two appended event slices;
+    a delete version mid-stream must deliver nothing."""
+    from sif_spark.sources.table_stream import register_table_source
+    from sif_spark.table import SifTable
+
+    register_table_source(spark)
+    base = _fresh_dir(sf_dir, "table_src")
+    ckpt = _fresh_dir(sf_dir, "table_src_ckpt")
+    e = read_table(spark, sf_dir, "events").select("event_id", "event_type")
+    t = SifTable.create(
+        spark, base, e.filter(F.col("event_id") % 3 == 0), key_col="event_id"
+    )
+    t.append(e.filter(F.col("event_id") % 3 == 1))
+    t.append(e.filter(F.col("event_id") % 3 == 2))
+    t.delete("event_id % 11 = 3")  # a no-feed version mid-stream
+    name = f"cat_table_src_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        spark.readStream.format("sif_table")
+        .option("path", base)
+        .option("starting_version", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("sum_id"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("_commit_version")
+    )
+
+
+ORACLE_Q177 = """
+SELECT 2 AS _commit_version,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events WHERE event_id % 3 = 1
+UNION ALL
+SELECT 3,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT)
+FROM events WHERE event_id % 3 = 2
+ORDER BY _commit_version
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

@@ -1,0 +1,168 @@
+"""`sif_table` streaming source — readStream over a SifTable's
+version history, the complement of `streaming.stream_into_table`.
+
+Each micro-batch is the table's CHANGE FEED between two committed
+versions (SifTable.changes semantics: create/append groups and upsert
+update batches; delete/compact emit nothing). Offsets ARE table
+versions, so Structured Streaming's checkpoint gives exactly-once
+delivery of every committed row with no file-listing heuristics — the
+manifest chain is the log. Together with stream_into_table this
+closes the loop: tables feed incremental pipelines that feed tables.
+
+Built on PySpark 4's DataSource API (same extension point as
+sources/custom.py — the reference's datasource.go:21-27 analogue).
+Planner-side calls (schema, offsets, partition listing) read manifest
+JSON straight off the shared filesystem; the DATA never touches the
+driver — each changed parquet file becomes one InputPartition and the
+executors read it with pyarrow, yielding Arrow batches.
+
+Shared-FS contract (local/NFS/HDFS-mounted): the same one the epoch
+stores and SifTable itself already require. Schema is pinned at
+stream start (the latest manifest's DDL); later evolved columns are
+ignored until a new stream starts — the usual streaming-source rule.
+
+Usage:
+    register_table_source(spark)
+    stream = (spark.readStream.format("sif_table")
+              .option("path", "/data/events_table").load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+_MANIFESTS = "_manifests"
+
+
+def _versions_on_disk(table_path: str) -> list[int]:
+    mdir = os.path.join(table_path, _MANIFESTS)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _load_manifest(table_path: str, version: int) -> dict:
+    p = os.path.join(table_path, _MANIFESTS, f"v{version:010d}.json")
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+class _GroupFilePartition(InputPartition):
+    def __init__(self, file_path: str, version: int):
+        self.file_path = file_path
+        self.version = version
+
+
+class _SifTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.table_path = options["path"]
+        self.schema = schema
+        self.start_after = int(options.get("starting_version", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_after}
+
+    def latestOffset(self) -> dict:
+        versions = _versions_on_disk(self.table_path)
+        return {"version": versions[-1] if versions else self.start_after}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in _versions_on_disk(self.table_path):
+            if not start["version"] < v <= end["version"]:
+                continue
+            m = _load_manifest(self.table_path, v)
+            if "added" not in m:
+                raise ValueError(
+                    f"version {v} predates the change feed (no 'added')"
+                )
+            by_id = {g["id"]: g for g in m["groups"]}
+            for gid in m["added"]:
+                gpath = by_id[gid]["path"]
+                for name in sorted(os.listdir(gpath)):
+                    if name.endswith(".parquet"):
+                        parts.append(
+                            _GroupFilePartition(os.path.join(gpath, name), v)
+                        )
+        return parts
+
+    def read(self, partition: _GroupFilePartition) -> Iterator:
+        # executor-side: one parquet file -> Arrow batches aligned to
+        # the stream schema by NAME (missing columns null-filled,
+        # extra columns dropped, types cast) + the commit version
+        import pyarrow as pa
+        import pyarrow.compute  # noqa: F401  (registers cast kernels)
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(
+            StructType(
+                self.schema.fields
+                + [StructField("_commit_version", IntegerType(), False)]
+            )
+        )
+        table = pq.read_table(partition.file_path)
+        n = table.num_rows
+        cols = []
+        for field in target:
+            if field.name == "_commit_version":
+                cols.append(
+                    pa.array([partition.version] * n, type=field.type)
+                )
+            elif field.name in table.column_names:
+                cols.append(
+                    table.column(field.name)
+                    .combine_chunks()
+                    .cast(field.type)
+                )
+            else:
+                cols.append(pa.nulls(n, type=field.type))
+        out = pa.Table.from_arrays(cols, schema=target)
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; manifests are immutable
+
+
+class SifTableDataSource(DataSource):
+    """``sif_table`` — stream a SifTable's committed change feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sif_table"
+
+    def schema(self) -> str:
+        # a DDL STRING, not a StructType: this runs in a sessionless
+        # planner worker where _parse_datatype_string cannot run
+        table_path = self.options["path"]
+        versions = _versions_on_disk(table_path)
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed snapshots under {table_path}"
+            )
+        ddl = _load_manifest(table_path, versions[-1])["schema"]
+        return f"{ddl}, _commit_version int"
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        base = StructType(
+            [f for f in schema.fields if f.name != "_commit_version"]
+        )
+        return _SifTableStreamReader(base, self.options)
+
+
+def register_table_source(spark: SparkSession) -> None:
+    spark.dataSource.register(SifTableDataSource)

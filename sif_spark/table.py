@@ -445,6 +445,7 @@ class SifTable:
                 "bucket": bucket,
                 "key_bloom": key_bloom,
                 "txns": {txn[0]: int(txn[1])} if txn else {},
+                "added": [group["id"]],
                 "schema": ", ".join(
                     f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
                 ),
@@ -614,6 +615,54 @@ class SifTable:
         out = self._read_groups(candidates, target)
         return out.filter(F.col(key) == F.lit(value).cast(key_type))
 
+    def changes(
+        self, after_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """The change feed: rows ADDED by versions in
+        (after_version, to_version] — create/append contribute their
+        new group, upsert contributes its UPDATE batch (replaced rows
+        appear as their new values; the rewritten survivors are
+        carried copies, not changes), delete and compact contribute
+        nothing (an append-mostly feed — deletion tombstones are out
+        of scope, like Delta's default CDF-off reads). Each row
+        carries its _commit_version. This is what an incremental
+        downstream consumer reads instead of re-scanning the table —
+        and the batch half of the `sif_table` streaming source."""
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshots under {self.path}")
+        hi = to_version if to_version is not None else versions[-1]
+        target = T._parse_datatype_string(self._load(hi)["schema"])
+        parts = []
+        for v in versions:
+            if not after_version < v <= hi:
+                continue
+            m = self._load(v)
+            if "added" not in m:
+                raise ValueError(
+                    f"version {v} predates the change feed (no 'added' "
+                    "record in its manifest)"
+                )
+            by_id = {g["id"]: g for g in m["groups"]}
+            for gid in m["added"]:
+                parts.append(
+                    _align(
+                        self.spark.read.parquet(by_id[gid]["path"]), target
+                    ).withColumn("_commit_version", F.lit(v).cast("int"))
+                )
+        if not parts:
+            return self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    target.fields
+                    + [T.StructField("_commit_version", T.IntegerType(), False)]
+                ),
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def append(
         self, df: DataFrame, txn: tuple[str, int] | None = None, retries: int = 3
     ) -> int:
@@ -651,6 +700,7 @@ class SifTable:
                         "bucket": m.get("bucket"),
                         "key_bloom": m.get("key_bloom", False),
                         "txns": txns,
+                        "added": [group["id"]],
                         "schema": ", ".join(
                             f"{f.name} {f.dataType.simpleString()}"
                             for f in merged.fields
@@ -737,15 +787,15 @@ class SifTable:
                 )
             )
             seq += 1
-        groups.append(
-            self._write_group(_align(updates, merged), v, seq, key,
-                              m.get("bucket"), m.get("key_bloom", False))
-        )
+        upd_group = self._write_group(_align(updates, merged), v, seq, key,
+                                      m.get("bucket"), m.get("key_bloom", False))
+        groups.append(upd_group)
         return self._commit(
             {
                 "version": v,
                 "parent": m["version"],
                 "op": "upsert",
+                "added": [upd_group["id"]],
                 "txns": m.get("txns", {}),
                 "key_col": key,
                 "bucket": m.get("bucket"),
@@ -783,6 +833,7 @@ class SifTable:
                 "version": v,
                 "parent": m["version"],
                 "op": "delete",
+                "added": [],
                 "txns": m.get("txns", {}),
                 "key_col": m.get("key_col"),
                 "bucket": m.get("bucket"),
@@ -818,6 +869,7 @@ class SifTable:
                 "version": v,
                 "parent": m["version"],
                 "op": "compact",
+                "added": [],
                 "txns": m.get("txns", {}),
                 "key_col": key,
                 "bucket": bucket,

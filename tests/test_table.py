@@ -372,3 +372,86 @@ def test_lookup_uses_range_and_bloom(spark, tdir):
     # range misses) — structural check via the pruning helpers
     m = t._load()
     assert len(t._prune_groups(m, "k", 999, 999)) == 0
+
+
+def test_changes_feed_semantics(spark, tdir):
+    """create/append contribute their rows, upsert contributes the
+    update batch only (not rewritten survivors), delete/compact
+    contribute nothing; every change row carries _commit_version."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 5, "a"), key_col="k")  # v1
+    t.append(_df(spark, 5, 8, "b"))                                       # v2
+    t.upsert(_df(spark, 2, 4, "u"))                                       # v3
+    t.delete("k = 7")                                                     # v4
+    t.compact()                                                           # v5
+    ch = t.changes(0)
+    rows = sorted((r["k"], r["v"], r["_commit_version"]) for r in ch.collect())
+    assert rows == sorted(
+        [(i, "a", 1) for i in range(5)]
+        + [(i, "b", 2) for i in range(5, 8)]
+        + [(2, "u", 3), (3, "u", 3)]
+    )
+    # incremental windows and empty tails
+    assert t.changes(2).count() == 2         # just the upsert batch
+    assert t.changes(3).count() == 0         # delete+compact: no changes
+    assert t.changes(0, to_version=1).count() == 5
+    assert "_commit_version" in t.changes(4).columns  # empty, schema intact
+
+
+@pytest.mark.cluster
+def test_sif_table_stream_source_exactly_once(spark, tdir):
+    """readStream over the table: each committed version arrives as a
+    micro-batch through the checkpoint offsets; a restarted stream
+    re-delivers nothing; delete/compact versions deliver nothing."""
+    from sif_spark.sources.table_stream import register_table_source
+
+    register_table_source(spark)
+    t = SifTable.create(spark, tdir, _df(spark, 0, 5, "a"), key_col="k")
+    ckpt = f"{tdir}-src-ckpt"
+    sink = f"{tdir}-src-sink"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+
+    def start():  # parquet sink: the recoverable-from-checkpoint kind
+        return (
+            spark.readStream.format("sif_table")
+            .option("path", tdir)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    def sunk():
+        return spark.read.parquet(sink)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert sunk().count() == 5
+        t.append(_df(spark, 5, 9, "b"))
+        t.delete("k = 0")  # must deliver nothing
+        q.processAllAvailable()
+        got = {(r["k"], r["v"], r["_commit_version"])
+               for r in sunk().collect()}
+        assert got == {(i, "a", 1) for i in range(5)} | {
+            (i, "b", 2) for i in range(5, 9)
+        }
+    finally:
+        q.stop()
+        q.awaitTermination()
+    # restart from the same checkpoint: nothing re-delivered
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        assert sunk().count() == 9
+        t.append(_df(spark, 9, 10, "c"))
+        q2.processAllAvailable()
+        assert sunk().count() == 10
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
