@@ -1,0 +1,122 @@
+"""Incremental materialized views over SifTable change feeds.
+
+`incremental_aggregate_view` maintains
+
+    dst = src.groupBy(key).agg(SUM(expr) AS name, ...)
+
+without ever re-scanning `src`: the `sif_table` streaming source
+(sources/table_stream.py) delivers each committed version's ADDED rows
+exactly once, the batch folds them into per-key partials (one small
+shuffle over the batch, never the table), and the partials merge into
+the view with a key-joined upsert — additive aggregates compose, so
+old + partial is the exact new value. Exactly-once end to end:
+
+- upstream: version offsets through the streaming checkpoint;
+- downstream: `SifTable.upsert(..., txn=(app_id, epoch))` — the
+  manifest's txn high-water makes a crash-replayed micro-batch a
+  committed no-op, so the merge can never double-count (the same
+  contract stream_into_table proves for appends, here on upsert).
+
+Scope: ADDITIVE aggregates (SUM; COUNT is SUM(1)) over an append-mostly
+source — the change feed carries no deletion tombstones, matching
+SifTable.changes semantics. AVG et al. decompose into (sum, count)
+pairs by the caller; non-additive aggregates (MIN under deletes,
+percentiles) need a recompute, not a fold, and are out of scope by
+design.
+
+100 TB notes: per micro-batch the cost is O(batch) + an upsert that
+rewrites only the view groups holding touched keys (key-range + bloom
+file skipping) — the view itself is never fully rewritten. The view
+table can be bucketed on its key for zero-shuffle downstream joins.
+
+Reference basis: go-sif has neither storage nor incremental queries
+(SURVEY §2.1/§3.3); this is north-star surface composing this repo's
+table layer with Structured Streaming, in the spirit of the public
+lakehouse engines' MV maintenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def incremental_aggregate_view(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key: str,
+    sums: dict[str, str],
+    checkpoint_dir: str,
+    app_id: str = "mv",
+    starting_version: int = 0,
+    trigger_seconds: float = 0.0,
+) -> StreamingQuery:
+    """Start maintaining ``dst = src.groupBy(key).agg(SUM(expr))``.
+
+    ``sums`` maps output column name → a SQL expression over the source
+    columns (evaluated per change row, then SUM-folded). Returns the
+    StreamingQuery; stop it and restart with the same checkpoint to
+    resume incrementally."""
+    from sif_spark.sources.table_stream import register_table_source
+
+    register_table_source(spark)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_partials(batch_df, int(epoch_id), dst_path, key, sums, app_id)
+
+    stream = (
+        spark.readStream.format("sif_table")
+        .option("path", src_path)
+        .option("starting_version", starting_version)
+        .load()
+    )
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+def merge_partials(
+    batch_df: DataFrame,
+    epoch_id: int,
+    dst_path: str,
+    key: str,
+    sums: dict[str, str],
+    app_id: str,
+) -> None:
+    """One micro-batch of change rows → fold into the view table.
+    Idempotent per (app_id, epoch_id): a crash-replayed batch is a
+    committed no-op at BOTH guards (the early epoch check and the
+    upsert's own txn high-water), so the additive merge can never
+    double-count."""
+    from sif_spark.table import SifTable
+
+    session = batch_df.sparkSession
+    names = list(sums)
+    partial = batch_df.groupBy(key).agg(
+        *[F.sum(F.expr(expr)).alias(n) for n, expr in sums.items()]
+    )
+    dst = SifTable(session, dst_path)
+    try:
+        dst._load()
+    except FileNotFoundError:
+        SifTable.create(
+            session, dst_path, partial, key_col=key, txn=(app_id, epoch_id)
+        )
+        return
+    if dst.last_txn_epoch(app_id) >= epoch_id:
+        return  # replayed epoch: the merge already committed
+    current = dst.read().select(
+        F.col(key), *[F.col(n).alias(f"__cur_{n}") for n in names]
+    )
+    merged = partial.join(current, on=key, how="left").select(
+        F.col(key),
+        *[
+            (F.coalesce(F.col(f"__cur_{n}"), F.lit(0)) + F.col(n)).alias(n)
+            for n in names
+        ],
+    )
+    dst.upsert(merged, txn=(app_id, epoch_id))

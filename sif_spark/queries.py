@@ -1303,6 +1303,14 @@ QUERIES["q176_table_change_feed"] = q176_table_change_feed
 ORACLES["q176_table_change_feed"] = ORACLE_Q176
 QUERIES["q177_table_stream_source"] = q177_table_stream_source
 ORACLES["q177_table_stream_source"] = ORACLE_Q177
+# q178: incremental materialized view over the change feed
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q178,
+    q178_incremental_mv,
+)
+
+QUERIES["q178_incremental_mv"] = q178_incremental_mv
+ORACLES["q178_incremental_mv"] = ORACLE_Q178
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

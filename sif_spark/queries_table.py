@@ -460,6 +460,63 @@ ORDER BY _commit_version
 """
 
 
+def q178_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view (sif_spark/mview.py): the orders
+    table lands in three committed slices; the view
+    ``revenue by custkey-bucket`` is maintained by FOLDING each
+    slice's change feed into the view table (additive partials +
+    txn-idempotent upsert merge — never a source re-scan). The final
+    view must equal DuckDB's one-shot GROUP BY over all of orders; a
+    dropped batch, a double-fold, or a leaked rewrite all flip the
+    per-bucket sums."""
+    from sif_spark.mview import incremental_aggregate_view
+    from sif_spark.table import SifTable
+
+    src_path = _fresh_dir(sf_dir, "mv_src")
+    dst_path = _fresh_dir(sf_dir, "mv_dst")
+    ckpt = _fresh_dir(sf_dir, "mv_ckpt")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("bucket"),
+        "o_totalprice",
+    )
+    src = SifTable.create(
+        spark, src_path, o.filter(F.col("o_orderkey") % 3 == 0),
+        key_col="o_orderkey",
+    )
+    src.append(o.filter(F.col("o_orderkey") % 3 == 1))
+    src.append(o.filter(F.col("o_orderkey") % 3 == 2))
+    q = incremental_aggregate_view(
+        spark, src_path, dst_path, key="bucket",
+        sums={
+            "n": "1",
+            "rev_cents": "CAST(ROUND(o_totalprice*100) AS BIGINT)",
+        },
+        checkpoint_dir=ckpt, app_id="q178",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        SifTable(spark, dst_path)
+        .read()
+        .select("bucket", "n", "rev_cents")
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q178 = """
+SELECT o_custkey % 50 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+FROM orders
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

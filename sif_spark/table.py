@@ -712,7 +712,12 @@ class SifTable:
                 last = e
         raise last  # type: ignore[misc]
 
-    def upsert(self, updates: DataFrame, retries: int = 3) -> int:
+    def upsert(
+        self,
+        updates: DataFrame,
+        retries: int = 3,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """MERGE by the table's key_col: rows whose key exists are
         replaced, new keys append. Copy-on-write at GROUP granularity
         with two-tier file skipping: groups whose recorded
@@ -722,17 +727,28 @@ class SifTable:
         (a bloom miss proves the group holds no matched key; a false
         positive just rewrites — never wrong, only slower). The
         nightly cost is O(batch + touched groups), never O(table).
-        Retries optimistic-commit losses against the fresh snapshot."""
+        Retries optimistic-commit losses against the fresh snapshot.
+        ``txn=(app_id, epoch)`` gives the same crash-replay
+        idempotence as append(txn=) — the contract incremental
+        materialized-view maintenance needs."""
         last: Exception | None = None
         for _ in range(retries):
             try:
-                return self._upsert_once(updates)
+                return self._upsert_once(updates, txn)
             except ConcurrentCommitError as e:
                 last = e
         raise last  # type: ignore[misc]
 
-    def _upsert_once(self, updates: DataFrame) -> int:
+    def _upsert_once(
+        self, updates: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
         m = self._load()
+        txns = dict(m.get("txns", {}))
+        if txn is not None:
+            app_id, epoch = txn
+            if int(txns.get(app_id, -1)) >= int(epoch):
+                return m["version"]  # replayed epoch: committed no-op
+            txns[app_id] = int(epoch)
         key = m.get("key_col")
         if not key:
             raise ValueError("upsert needs a table created with key_col=")
@@ -796,7 +812,7 @@ class SifTable:
                 "parent": m["version"],
                 "op": "upsert",
                 "added": [upd_group["id"]],
-                "txns": m.get("txns", {}),
+                "txns": txns,
                 "key_col": key,
                 "bucket": m.get("bucket"),
                 "schema": ", ".join(
