@@ -455,3 +455,42 @@ def test_sif_table_stream_source_exactly_once(spark, tdir):
         q2.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
+
+
+@pytest.mark.cluster
+def test_concurrent_writers_serialize_through_cas(spark, tdir):
+    """Two writer threads race appends through the optimistic-commit
+    CAS: every append must land exactly once (losers re-read and
+    retry), the version chain must be contiguous, and the final table
+    must hold every row exactly once."""
+    import threading
+
+    t = SifTable.create(spark, tdir, _df(spark, 0, 1, "seed"), key_col="k")
+    errors = []
+
+    def writer(tag, lo):
+        try:
+            for i in range(5):
+                base = lo + i * 10
+                t.append(_df(spark, base, base + 10, tag), retries=30)
+        except Exception as e:  # surface into the main thread
+            errors.append((tag, e))
+
+    threads = [
+        threading.Thread(target=writer, args=("a", 1000)),
+        threading.Thread(target=writer, args=("b", 2000)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    versions = t._versions()
+    assert versions == list(range(1, 12)), versions  # contiguous chain
+    got = sorted(r["k"] for r in t.read().collect())
+    exp = sorted(
+        [0]
+        + [1000 + i for i in range(50)]
+        + [2000 + i for i in range(50)]
+    )
+    assert got == exp
