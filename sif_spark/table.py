@@ -859,18 +859,43 @@ class SifTable:
             }
         )
 
-    def compact(self, num_files: int | None = None) -> int:
+    def compact(
+        self,
+        num_files: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """Rewrite ALL live groups into one group (optionally
-        repartitioned, sorted by key_col when set so parquet min/max
+        repartitioned; sorted by key_col when set so parquet min/max
         footers stay selective) — same logical rows, fewer files.
-        Readers pinned on any older version are untouched: their
-        groups stay on disk until vacuum()."""
+        ``zorder_by=[c1, c2, ...]`` clusters the rewrite on a Morton
+        key instead (operators/layout.zorder_key): every output file
+        covers a small hyper-rectangle of the column space, so
+        read_between / Spark's own footer pruning stay selective on
+        ANY of the listed dimensions — the multi-tenant answer when a
+        single sort column can't serve every query. Readers pinned on
+        any older version are untouched: their groups stay on disk
+        until vacuum()."""
         m = self._load()
         df = self.read(m["version"])
         key = m.get("key_col")
         bucket = m.get("bucket")
         if bucket:
+            if zorder_by:
+                raise ValueError(
+                    "bucketed tables own their layout — zorder_by does "
+                    "not compose with bucket_by"
+                )
             pass  # bucketBy owns the layout — the write clusters it
+        elif zorder_by:
+            from sif_spark.operators.layout import zorder_key
+
+            df2, zk = zorder_key(df, zorder_by)
+            df = df2.withColumn("__zkey", zk)
+            df = (
+                df.repartitionByRange(num_files, "__zkey")
+                if num_files
+                else df.repartitionByRange("__zkey")
+            ).sortWithinPartitions("__zkey").drop("__zkey")
         elif num_files and key:
             df = df.repartitionByRange(num_files, key).sortWithinPartitions(key)
         elif num_files:

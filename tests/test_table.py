@@ -494,3 +494,48 @@ def test_concurrent_writers_serialize_through_cas(spark, tdir):
         + [2000 + i for i in range(50)]
     )
     assert got == exp
+
+
+def test_compact_zorder_by_keeps_both_dims_prunable(spark, tdir):
+    """compact(zorder_by=[x, y]): content identical, and every output
+    file's parquet footer covers a small hyper-rectangle on BOTH
+    clustered columns (key-sorted compaction would leave the second
+    column's per-file range at ~the global range)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    grid = spark.range(0, 16384).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 128).alias("x"),
+        F.floor(F.col("id") / 128).alias("y"),
+    )
+    t = SifTable.create(spark, tdir, grid.filter("k % 2 = 0"), key_col="k")
+    t.append(grid.filter("k % 2 = 1"))
+    before = _rows(t.read())
+    with pytest.raises(ValueError, match="zorder"):
+        bt = SifTable.create(spark, f"{tdir}-b", grid, key_col="k",
+                             bucket_by="k", n_buckets=4)
+        bt.compact(zorder_by=["x", "y"])
+    v = t.compact(num_files=16, zorder_by=["x", "y"])
+    assert _rows(t.read(v)) == before
+    gpath = t._load(v)["groups"][0]["path"]
+
+    def avg_frac(col_name):
+        fracs = []
+        for f in glob.glob(f"{gpath}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col_name:
+                        st = c.statistics
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            fracs.append((hi - lo) / 127.0)
+        return sum(fracs) / len(fracs)
+
+    assert avg_frac("x") <= 0.55, avg_frac("x")
+    assert avg_frac("y") <= 0.55, avg_frac("y")
+    shutil.rmtree(f"{tdir}-b", ignore_errors=True)
