@@ -130,6 +130,28 @@ TAIL = [
     "q154_disjunctive_revenue",
     "q155_mpeg1_injected_codec",
     "q156_avro_roundtrip",
+    "q157_avro_type_matrix",
+    "q158_table_time_travel",
+    "q159_table_schema_evolution",
+    "q160_table_compaction",
+    "q161_ds_grouping_sets",
+    "q162_ds_window_over_join",
+    "q163_ds_disjunctive_star",
+    "q164_ds_dynamic_partition_pruning",
+    "q165_ds_returns_above_avg",
+    "q166_ds_channel_union",
+    "q167_sessions_tws",
+    "q168_interval_join_tws",
+    "q169_stream_table_exactly_once",
+    "q170_table_bloom_upsert",
+    "q171_ds_exists_pairs",
+    "q172_ds_topn_per_group_ties",
+    "q173_ds_yoy_decline",
+    "q174_ds_multi_distinct",
+    "q175_table_data_skipping",
+    "q176_table_change_feed",
+    "q177_table_stream_source",
+    "q178_incremental_mv",
 ]
 
 
