@@ -768,7 +768,11 @@ def q157_avro_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
     )
     out = _io_dir(sf_dir, "orders_avro_types")
-    write_avro(src, out, codec="deflate")
+    # shard the authoring across 8 files: the OCF scale axis is
+    # per-FILE parallelism on both sides (module docstring), and the
+    # single-parquet-file orders scan would otherwise serialize the
+    # whole encode on one core
+    write_avro(src.repartition(8), out, codec="deflate")
     v2 = _json.dumps(
         {
             "type": "record",
