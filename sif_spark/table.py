@@ -919,6 +919,36 @@ class SifTable:
             }
         )
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (the
+        lakehouse RESTORE shape): the old snapshot's groups are
+        re-referenced — nothing is copied or deleted — so the undone
+        versions stay time-travelable until vacuum, and a vacuum after
+        restore keeps the restored groups live because the HEAD
+        references them. The txn high-water map carries forward
+        (streams do not replay into a restored table — re-ingest under
+        a new app_id if that is the intent); the change feed emits
+        nothing for a restore (append-mostly contract: removals are
+        not tombstoned)."""
+        old = self._load(version)  # raises on unknown version
+        m = self._load()
+        v = m["version"] + 1
+        return self._commit(
+            {
+                "version": v,
+                "parent": m["version"],
+                "op": "restore",
+                "restored_from": version,
+                "added": [],
+                "txns": m.get("txns", {}),
+                "key_col": old.get("key_col"),
+                "bucket": old.get("bucket"),
+                "key_bloom": old.get("key_bloom", False),
+                "schema": old["schema"],
+                "groups": old["groups"],
+            }
+        )
+
     def vacuum(self, retain_last: int = 2) -> list[str]:
         """Physically delete data groups referenced ONLY by versions
         older than the last ``retain_last`` snapshots (and drop those

@@ -539,3 +539,33 @@ def test_compact_zorder_by_keeps_both_dims_prunable(spark, tdir):
     assert avg_frac("x") <= 0.55, avg_frac("x")
     assert avg_frac("y") <= 0.55, avg_frac("y")
     shutil.rmtree(f"{tdir}-b", ignore_errors=True)
+
+
+def test_restore_rolls_back_by_reference(spark, tdir):
+    """restore(v): content returns to the old snapshot without copying
+    a byte (same group paths re-referenced); undone versions stay
+    time-travelable; a vacuum after restore keeps the restored groups
+    live because the head references them; the change feed emits
+    nothing for the restore."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 5, "a"), key_col="k")  # v1
+    t.append(_df(spark, 5, 9, "b"))                                       # v2
+    t.delete("k <= 1")                                                    # v3
+    v1_groups = {g["path"] for g in t._load(1)["groups"]}
+    v = t.restore(1)                                                      # v4
+    assert _rows(t.read()) == _rows(_df(spark, 0, 5, "a"))
+    m = t._load(v)
+    assert m["op"] == "restore" and m["restored_from"] == 1
+    assert {g["path"] for g in m["groups"]} == v1_groups  # by reference
+    assert t.changes(3).count() == 0  # restores emit no change rows
+    # undone versions still time-travel until vacuum
+    assert t.read(version=2).count() == 9
+    # vacuum keeps the restored groups (the head references them)
+    t.vacuum(retain_last=1)
+    assert _rows(t.read()) == _rows(_df(spark, 0, 5, "a"))
+    # schema rolls back too
+    t2 = SifTable.create(spark, f"{tdir}/evo", _df(spark, 0, 2, "a"),
+                         key_col="k")
+    t2.append(_df(spark, 2, 4, "b").withColumn("extra", F.lit(1.0)))
+    assert "extra" in t2.read().columns
+    t2.restore(1)
+    assert t2.read().columns == ["k", "v"]
