@@ -569,3 +569,64 @@ def test_restore_rolls_back_by_reference(spark, tdir):
     assert "extra" in t2.read().columns
     t2.restore(1)
     assert t2.read().columns == ["k", "v"]
+
+
+@pytest.mark.heavy
+def test_random_op_sequences_match_dict_model(spark, tdir):
+    """Model-based check: a seeded random sequence of
+    append/upsert/delete/compact/restore must leave the table equal to
+    a plain {key: value} dict evolved by the same ops — and every
+    historical version equal to the model's snapshot at that version.
+    Catches cross-op interactions no single-op test covers (e.g.
+    restore after compact after delete, upsert onto a restored
+    snapshot)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    t = SifTable.create(spark, tdir, _df(spark, 0, 10, "v0"), key_col="k")
+    model = {k: "v0" for k in range(10)}
+    history = {1: dict(model)}
+    next_val = 1
+
+    def frame(keys, val):
+        rows = [(k, val) for k in keys]
+        return spark.createDataFrame(rows, "k bigint, v string")
+
+    for _step in range(24):
+        op = rng.choice(["append", "upsert", "upsert", "delete",
+                         "compact", "restore"])
+        val = f"v{next_val}"
+        if op == "append":
+            lo = rng.randrange(1000, 9000)
+            keys = list(range(lo, lo + rng.randrange(1, 8)))
+            t.append(frame(keys, val))
+            for k in keys:
+                model[k] = val  # fresh key ranges: appends never dup
+            next_val += 1
+        elif op == "upsert":
+            pool = list(model) or [0]
+            keys = sorted(
+                set(rng.sample(pool, min(len(pool), rng.randrange(1, 6))))
+                | {rng.randrange(1000, 9000)}
+            )
+            t.upsert(frame(keys, val))
+            for k in keys:
+                model[k] = val
+            next_val += 1
+        elif op == "delete":
+            m_, r_ = rng.choice([(3, 0), (5, 2), (7, 4)])
+            t.delete(f"k % {m_} = {r_}")
+            model = {k: v for k, v in model.items() if k % m_ != r_}
+        elif op == "compact":
+            t.compact()
+        else:  # restore to a random committed version
+            v = rng.choice(sorted(history))
+            t.restore(v)
+            model = dict(history[v])
+        history[t._load()["version"]] = dict(model)
+        got = dict(t.read().collect())
+        assert got == model, f"step {_step} op {op}: table diverged"
+
+    # every recorded version time-travels to its model snapshot
+    for v in rng.sample(sorted(history), min(6, len(history))):
+        assert dict(t.read(version=v).collect()) == history[v], v
