@@ -72,15 +72,28 @@ class _SifTableStreamReader(DataSourceStreamReader):
         self.table_path = options["path"]
         self.schema = schema
         self.start_after = int(options.get("starting_version", 0))
+        # backlog rate limit: at most N table versions per micro-batch
+        # (a restart against a month of backlog must not become one
+        # giant batch). Tracked from the offsets Spark actually asks
+        # us to plan — the first trigger after a restart is uncapped
+        # (latestOffset has no view of the checkpoint), every
+        # subsequent one is capped; documented operational contract.
+        self.max_versions = int(options.get("max_versions_per_trigger", 0))
+        self._planned_through: int | None = None
 
     def initialOffset(self) -> dict:
+        self._planned_through = self.start_after
         return {"version": self.start_after}
 
     def latestOffset(self) -> dict:
         versions = _versions_on_disk(self.table_path)
-        return {"version": versions[-1] if versions else self.start_after}
+        latest = versions[-1] if versions else self.start_after
+        if self.max_versions and self._planned_through is not None:
+            latest = min(latest, self._planned_through + self.max_versions)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._planned_through = int(end["version"])  # rate-limit anchor
         parts: list[InputPartition] = []
         for v in _versions_on_disk(self.table_path):
             if not start["version"] < v <= end["version"]:
