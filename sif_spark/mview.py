@@ -96,6 +96,12 @@ def merge_partials(
 
     session = batch_df.sparkSession
     names = list(sums)
+    if batch_df.isEmpty():
+        # a version window of deletes/compactions feeds an empty batch:
+        # nothing to fold, nothing to commit — skipping is replay-safe
+        # because an epoch that committed nothing can't double anything
+        # (the txn high-water stays behind; it only needs monotonicity)
+        return
     partial = batch_df.groupBy(key).agg(
         *[F.sum(F.expr(expr)).alias(n) for n, expr in sums.items()]
     )

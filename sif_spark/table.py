@@ -773,11 +773,16 @@ class SifTable:
         keep, rewrite = [], []
         for g in m["groups"]:
             gmin, gmax = g.get("key_min"), g.get("key_max")
-            disjoint = (
-                kmin is not None
-                and gmin is not None
-                and (gmax < kmin or gmin > kmax)
-            )
+            if kmin is None and kmax is None:
+                # empty batch or all-null keys: null never equi-matches,
+                # so no existing row can be replaced — rewrite nothing
+                disjoint = True
+            else:
+                disjoint = (
+                    kmin is not None
+                    and gmin is not None
+                    and (gmax < kmin or gmin > kmax)
+                )
             if not disjoint and probe_pairs is not None and g.get("key_bloom"):
                 # range overlaps but no update key survives the bloom:
                 # the group provably holds none of the matched keys

@@ -673,3 +673,21 @@ def test_stream_source_rate_limit_caps_versions_per_batch(spark, tdir):
         q.awaitTermination()
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_empty_or_null_key_upsert_rewrites_nothing(spark, tdir):
+    """An empty update batch (or all-null keys — null never
+    equi-matches) must carry every group by reference instead of
+    rewriting the table for nothing (the MV fold hits this on
+    delete-only change windows)."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 50, "a"), key_col="k")
+    before = {g["id"] for g in t._load()["groups"]}
+    empty = spark.createDataFrame([], "k bigint, v string")
+    t.upsert(empty)
+    after = t._load()["groups"]
+    assert before <= {g["id"] for g in after}, "groups were rewritten"
+    assert t.read().count() == 50
+    nulls = spark.createDataFrame([(None, "x")], "k bigint, v string")
+    t.upsert(nulls)
+    assert before <= {g["id"] for g in t._load()["groups"]}
+    assert t.read().count() == 51  # the null-key row itself appends
