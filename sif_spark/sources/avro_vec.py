@@ -434,8 +434,8 @@ def _decode_values(kind: str, buf: np.ndarray, pos: np.ndarray):
         import pyarrow as pa
 
         lens, pos = _vdec(buf, pos)
-        if (lens < 0).any():
-            raise ValueError(f"negative Avro {kind} length")
+        if len(lens) and ((lens < 0).any() or (pos + lens > len(buf)).any()):
+            raise ValueError(f"Avro {kind} length runs past the block")
         data, offsets = _gather_var(buf, pos, lens)
         arr = pa.Array.from_buffers(
             pa.utf8() if kind == "string" else pa.binary(),
@@ -449,8 +449,10 @@ def _decode_values(kind: str, buf: np.ndarray, pos: np.ndarray):
         _, _p, s = kind.split(":")
         sc = int(s)
         lens, pos = _vdec(buf, pos)
-        if (lens <= 0).any():
-            raise ValueError("Avro decimal with non-positive length")
+        if len(lens) and (
+            (lens <= 0).any() or (pos + lens > len(buf)).any()
+        ):
+            raise ValueError("Avro decimal length runs past the block")
         data, offsets = _gather_var(buf, pos, lens)
         db = data.tobytes()
         vals = np.array(
@@ -482,9 +484,17 @@ def _dec_array(item: str, buf: np.ndarray, pos: np.ndarray):
     counts, pos = _vdec(buf, pos)
     if len(counts) and (counts < 0).any():
         raise ValueError("multi-block Avro array outside the indexed fast path")
+    # every item costs >= 1 byte, so total items are bounded by the
+    # payload; the wave matrix is additionally bounded before allocation
+    if len(counts) and int(counts.sum()) > len(buf):
+        raise ValueError("Avro array counts run past the block")
+    if len(counts) and int(counts.max()) * len(counts) > (1 << 27):
+        raise ValueError("Avro array wave matrix would exceed the 1 GiB cap")
     if item in _FIXED_WIDTHS:
         w = _FIXED_WIDTHS[item]
         blens = counts * w
+        if len(blens) and (pos + blens > len(buf)).any():
+            raise ValueError("Avro array items run past the block")
         data, _off = _gather_var(buf, pos, blens)
         raw = data.tobytes()
         if item == "float":
