@@ -24,6 +24,13 @@ pairs by the caller; non-additive aggregates (MIN under deletes,
 percentiles) need a recompute, not a fold, and are out of scope by
 design.
 
+Single writer per view: the merge frame embeds the view values read
+BEFORE the upsert, so only the view's own (serial) streaming query may
+write the view table — exactly what a Structured Streaming query is.
+A second concurrent writer to the SAME view would make a CAS-retried
+merge stale; the txn guard still prevents double-folds of the same
+epoch, but cross-writer merges are not a supported topology.
+
 100 TB notes: per micro-batch the cost is O(batch) + an upsert that
 rewrites only the view groups holding touched keys (key-range + bloom
 file skipping) — the view itself is never fully rewritten. The view
