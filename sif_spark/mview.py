@@ -58,6 +58,7 @@ def incremental_aggregate_view(
     app_id: str = "mv",
     starting_version: int = 0,
     trigger_seconds: float = 0.0,
+    max_versions_per_trigger: int = 0,
 ) -> StreamingQuery:
     """Start maintaining ``dst = src.groupBy(key).agg(SUM(expr))``.
 
@@ -72,12 +73,16 @@ def incremental_aggregate_view(
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         merge_partials(batch_df, int(epoch_id), dst_path, key, sums, app_id)
 
-    stream = (
+    reader = (
         spark.readStream.format("sif_table")
         .option("path", src_path)
         .option("starting_version", starting_version)
-        .load()
     )
+    if max_versions_per_trigger:
+        reader = reader.option(
+            "max_versions_per_trigger", max_versions_per_trigger
+        ).option("rate_anchor_dir", f"{checkpoint_dir}/sif_anchor")
+    stream = reader.load()
     return (
         stream.writeStream.foreachBatch(fold)
         .option("checkpointLocation", checkpoint_dir)

@@ -74,26 +74,50 @@ class _SifTableStreamReader(DataSourceStreamReader):
         self.start_after = int(options.get("starting_version", 0))
         # backlog rate limit: at most N table versions per micro-batch
         # (a restart against a month of backlog must not become one
-        # giant batch). Tracked from the offsets Spark actually asks
-        # us to plan — the first trigger after a restart is uncapped
-        # (latestOffset has no view of the checkpoint), every
-        # subsequent one is capped; documented operational contract.
+        # giant batch). The argless latestOffset() cannot see the
+        # checkpoint — and is called BEFORE initialOffset — so the
+        # anchor (the highest version ever PLANNED) persists in a
+        # caller-supplied sidecar dir via tmp+rename. planned >=
+        # committed always, so a restarted reader's capped offsets
+        # never move backward and never stall.
         self.max_versions = int(options.get("max_versions_per_trigger", 0))
-        self._planned_through: int | None = None
+        self.anchor_dir = options.get("rate_anchor_dir")
+        if self.max_versions and not self.anchor_dir:
+            raise ValueError(
+                "max_versions_per_trigger needs rate_anchor_dir= (a "
+                "writable sidecar path, e.g. <checkpoint>/sif_anchor)"
+            )
+
+    def _anchor(self) -> int:
+        try:
+            with open(os.path.join(self.anchor_dir, "anchor.json")) as fh:
+                return max(self.start_after, int(json.load(fh)["planned"]))
+        except (OSError, ValueError, KeyError):
+            return self.start_after
+
+    def _write_anchor(self, planned: int) -> None:
+        try:
+            os.makedirs(self.anchor_dir, exist_ok=True)
+            tmp = os.path.join(self.anchor_dir, ".anchor.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"planned": planned}, fh)
+            os.replace(tmp, os.path.join(self.anchor_dir, "anchor.json"))
+        except OSError:
+            pass  # degraded = uncapped next trigger; never wrong rows
 
     def initialOffset(self) -> dict:
-        self._planned_through = self.start_after
         return {"version": self.start_after}
 
     def latestOffset(self) -> dict:
         versions = _versions_on_disk(self.table_path)
         latest = versions[-1] if versions else self.start_after
-        if self.max_versions and self._planned_through is not None:
-            latest = min(latest, self._planned_through + self.max_versions)
+        if self.max_versions:
+            latest = min(latest, self._anchor() + self.max_versions)
         return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        self._planned_through = int(end["version"])  # rate-limit anchor
+        if self.max_versions:
+            self._write_anchor(int(end["version"]))  # rate-limit anchor
         parts: list[InputPartition] = []
         for v in _versions_on_disk(self.table_path):
             if not start["version"] < v <= end["version"]:

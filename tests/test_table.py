@@ -646,13 +646,23 @@ def test_stream_source_rate_limit_caps_versions_per_batch(spark, tdir):
     ckpt, sink = f"{tdir}-rl-ck", f"{tdir}-rl-sink"
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
+    batch_windows = []
+
+    def record(df, _eid):
+        vs = sorted(
+            r["_commit_version"]
+            for r in df.select("_commit_version").distinct().collect()
+        )
+        batch_windows.append(vs)
+        df.write.mode("append").parquet(sink)
+
     q = (
         spark.readStream.format("sif_table")
         .option("path", tdir)
         .option("max_versions_per_trigger", 2)
+        .option("rate_anchor_dir", f"{ckpt}/sif_anchor")
         .load()
-        .writeStream.format("parquet")
-        .option("path", sink)
+        .writeStream.foreachBatch(record)
         .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
         .start()
@@ -661,9 +671,10 @@ def test_stream_source_rate_limit_caps_versions_per_batch(spark, tdir):
         q.processAllAvailable()
         got = spark.read.parquet(sink)
         assert got.count() == 30
-        # the cap produced multiple batches: commit versions arrive in
-        # >= 3 distinct batches (6 versions / 2 per trigger); proxy:
-        # every version's rows present exactly once
+        # the cap REALLY produced capped batches: no window spans more
+        # than 2 versions, and it took >= 3 batches to drain 6
+        assert all(len(w) <= 2 for w in batch_windows), batch_windows
+        assert len([w for w in batch_windows if w]) >= 3, batch_windows
         per_v = {r["_commit_version"]: r["n"]
                  for r in got.groupBy("_commit_version").count()
                  .withColumnRenamed("count", "n").collect()}
