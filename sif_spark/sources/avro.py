@@ -203,9 +203,16 @@ def _encode_value(kind: str, v, out: bytearray) -> None:
     elif kind.startswith("decimal:"):
         # bytes: two's-complement big-endian unscaled integer
         _, _p, s = kind.split(":")
+        import decimal
         from decimal import Decimal
 
-        unscaled = int(Decimal(v).scaleb(int(s)).to_integral_value())
+        d = Decimal(v)
+        with decimal.localcontext() as ctx:
+            # the default 28-digit context silently ROUNDS wide
+            # decimals (e.g. decimal(38,x)) during scaleb — widen the
+            # working precision so the unscaled integer is exact
+            ctx.prec = len(d.as_tuple().digits) + abs(int(s)) + 4
+            unscaled = int(d.scaleb(int(s)).to_integral_value())
         n = max(1, (unscaled.bit_length() + 8) // 8)  # +1 sign bit
         b = unscaled.to_bytes(n, "big", signed=True)
         out += zigzag_encode(len(b)) + b
@@ -262,7 +269,10 @@ def _decode_value(kind: str, buf: bytes, pos: int):
         if n <= 0 or pos + n > len(buf):
             raise ValueError(f"Avro decimal length {n} runs past the block")
         unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
-        return Decimal(unscaled).scaleb(-int(s)), pos + n
+        # tuple construction is context-exact; scaleb would round wide
+        # decimals at the default 28-digit context
+        t = Decimal(unscaled).as_tuple()
+        return Decimal((t.sign, t.digits, t.exponent - int(s))), pos + n
     if kind == "timestamp-micros":
         import datetime as _dt
 

@@ -253,7 +253,15 @@ def _encode_values(kind: str, vals):
         data, blens = _pa_flat([bytes(v) for v in vals], pa.binary())
         return _enc_lenprefixed(data, blens)
     if kind.startswith("decimal:"):
-        _, _p, s = kind.split(":")
+        _, p, s = kind.split(":")
+        if int(p) > 18:
+            # the vectorized unscaled path is int64; precision > 18
+            # (e.g. Spark's default decimal(38,x)) would raise
+            # OverflowError mid-encode instead of engaging the
+            # documented per-row fallback (ADVICE r10 low)
+            raise AvroVecUnsupported(
+                f"decimal({p},{s}) exceeds the int64 unscaled fast path"
+            )
         return _enc_decimal_bytes(_decimal_unscaled(list(vals), int(s)))
     if kind.startswith("array:"):
         return _enc_array(kind.split(":", 1)[1], vals)
@@ -318,8 +326,22 @@ def pack_rowlens(blocks: list[np.ndarray]) -> bytes:
     return zlib.compress(b"".join(parts), 6)
 
 
+# inflate cap for the metadata index: 4 bytes per row + 4 per block,
+# so 256 MiB covers ~64M rows/file — far beyond anything this writer
+# authors (blocks flush at 100k rows / 16 MiB), while a crafted
+# deflate bomb in the attacker-controlled metadata map stops here
+# instead of bypassing the block path's caps (ADVICE r10 medium)
+_ROWLENS_RAW_CAP = 1 << 28
+
+
 def unpack_rowlens(blob: bytes) -> list[np.ndarray]:
-    raw = zlib.decompress(blob)
+    d = zlib.decompressobj()
+    raw = d.decompress(blob, _ROWLENS_RAW_CAP)
+    if not d.eof:
+        raise ValueError(
+            "sif.rowlens index exceeds the 256 MiB decompression cap "
+            "(or is truncated)"
+        )
     out, pos = [], 0
     while pos < len(raw):
         if pos + 4 > len(raw):
@@ -455,11 +477,18 @@ def _decode_values(kind: str, buf: np.ndarray, pos: np.ndarray):
             raise ValueError("Avro decimal length runs past the block")
         data, offsets = _gather_var(buf, pos, lens)
         db = data.tobytes()
+
+        def _exact(u: int) -> Decimal:
+            # context-exact shift (scaleb would round wide decimals
+            # at the default 28-digit context)
+            t = Decimal(u).as_tuple()
+            return Decimal((t.sign, t.digits, t.exponent - sc))
+
         vals = np.array(
             [
-                Decimal(
+                _exact(
                     int.from_bytes(db[offsets[i] : offsets[i + 1]], "big", signed=True)
-                ).scaleb(-sc)
+                )
                 for i in range(len(pos))
             ],
             dtype=object,

@@ -96,7 +96,12 @@ class _SifTableStreamReader(DataSourceStreamReader):
             return self.start_after
 
     def _write_anchor(self, planned: int) -> None:
+        """Persist the highest version ever planned. MONOTONIC: never
+        moves backward, so a transiently-low end (e.g. computed off a
+        lost anchor) cannot lower the cap base under versions that
+        were already delivered (ADVICE r10 medium)."""
         try:
+            planned = max(planned, self._anchor())
             os.makedirs(self.anchor_dir, exist_ok=True)
             tmp = os.path.join(self.anchor_dir, ".anchor.tmp")
             with open(tmp, "w") as fh:
@@ -117,7 +122,26 @@ class _SifTableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         if self.max_versions:
-            self._write_anchor(int(end["version"]))  # rate-limit anchor
+            # rate-limit anchor: max(start, end) — ``start`` is the
+            # checkpoint's committed offset, so even if the anchor
+            # file was lost (latestOffset fell back to start_after and
+            # produced a too-low end) the repair below re-seats the
+            # anchor AT the committed high-water before any batch with
+            # a regressed end can reach the offset WAL
+            self._write_anchor(max(int(start["version"]), int(end["version"])))
+        if int(end["version"]) < int(start["version"]):
+            # a batch whose end regressed below the committed start
+            # would commit a lower offset to the WAL and make the NEXT
+            # batch re-deliver (start', end'] rows that already went
+            # out — exactly-once violated silently. The anchor was
+            # just repaired from ``start``; fail THIS query loudly and
+            # a restart resumes exact from the checkpoint.
+            raise ValueError(
+                f"sif_table offset regressed: end v{end['version']} < "
+                f"committed v{start['version']} (rate-limit anchor was "
+                "lost?). Anchor re-seated from the checkpoint — restart "
+                "the query to resume exactly-once."
+            )
         parts: list[InputPartition] = []
         for v in _versions_on_disk(self.table_path):
             if not start["version"] < v <= end["version"]:

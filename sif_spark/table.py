@@ -21,16 +21,17 @@ Commit protocol — the ONLY mutation is manifest creation:
 
 1. write the new data group dirs (Spark parquet writes, each with its
    own _SUCCESS);
-2. serialize the new manifest to `_manifests/.tmp-<id>` and
-   `FileSystem.rename()` it to `v<N+1>.json`. Hadoop rename fails when
-   the destination exists, so two writers racing to version N+1 get
-   exactly one winner — the loser re-reads the new snapshot and
-   retries (optimistic concurrency). A SIGKILL anywhere before the
-   rename leaves orphan data dirs and/or a .tmp manifest, both
-   invisible to every reader; the rename itself is atomic on local FS
-   and HDFS. (S3-class stores without atomic rename need a commit
-   service or a conditional PUT — same caveat as Delta's LogStore;
-   documented, not hidden.)
+2. publish the manifest at `v<N+1>.json` via the table's LogStore
+   (logstore.py) — an atomic put-if-absent, so two writers racing to
+   version N+1 get exactly one winner; the loser re-reads the new
+   snapshot and retries (optimistic concurrency). A SIGKILL anywhere
+   before the publish leaves orphan data dirs and/or a .tmp manifest,
+   both invisible to every reader. The default store is Hadoop
+   tmp+rename (atomic on local FS and HDFS); S3-class stores without
+   atomic rename plug in a conditional-put store
+   (PosixExclLogStore / ConditionalPutLogStore) — same division of
+   labor as Delta's LogStore, proven here under an adversarial
+   non-atomic-rename shim (tests/test_logstore.py).
 
 Snapshot isolation: a reader resolves a manifest once (`read()` pins
 the version it saw; `read(version=N)` is explicit time travel) and
@@ -100,9 +101,15 @@ def _bloom_bits_for(rows: int) -> int:
 
 
 def _bloom_of(df: DataFrame, key: str, rows: int) -> dict | None:
-    """{"m": bits, "bits": base64 bitmap} of every key's probe
-    positions, or None when saturated. One column-pruned scan of the
-    group's key column."""
+    """{"m": bits, "bits": base64 bitmap, "ktype": hashed dtype} of
+    every key's probe positions, or None when saturated. One
+    column-pruned scan of the group's key column. ``ktype`` records
+    the EXACT dtype the hashes were computed over (xxhash64 is
+    type-sensitive: int and bigint hash differently), so probe-side
+    hashing can cast to the same type even after the table's key
+    column widens — otherwise every probe against a pre-widening
+    group is a false negative and upsert silently duplicates keys
+    (ADVICE r10 high)."""
     import base64
 
     import numpy as np
@@ -126,7 +133,11 @@ def _bloom_of(df: DataFrame, key: str, rows: int) -> dict | None:
     bits = np.zeros(m // 8, np.uint8)
     idx = np.array([r["p"] for r in pos], np.int64)
     np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
-    return {"m": m, "bits": base64.b64encode(bits.tobytes()).decode("ascii")}
+    return {
+        "m": m,
+        "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
+        "ktype": df.schema[key].dataType.simpleString(),
+    }
 
 
 def _bloom_maybe_contains(bloom: dict, hash_pairs) -> bool:
@@ -192,27 +203,6 @@ def _fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
-def _read_text(spark: SparkSession, path: str) -> str:
-    fs, p, jvm = _fs(spark, path)
-    stream = fs.open(p)
-    try:
-        # commons-io ships on Spark's classpath; a py4j-side buffer
-        # loop can't work (Java writes into a COPY of the bytearray)
-        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-        return bytes(data).decode("utf-8")
-    finally:
-        stream.close()
-
-
-def _write_text(spark: SparkSession, path: str, content: str) -> None:
-    fs, p, _ = _fs(spark, path)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(content.encode("utf-8")))
-    finally:
-        out.close()
-
-
 # ---------------------------------------------------------------------------
 # schema merge / align
 # ---------------------------------------------------------------------------
@@ -271,11 +261,20 @@ def _align(df: DataFrame, target: T.StructType) -> DataFrame:
 
 class SifTable:
     """Handle on a versioned table directory. Cheap to construct —
-    every operation re-resolves the latest committed manifest."""
+    every operation re-resolves the latest committed manifest.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``log_store`` selects the manifest commit protocol (logstore.py):
+    default HadoopRenameLogStore (rename-CAS, local FS/HDFS); pass
+    PosixExclLogStore / a ConditionalPutLogStore for stores whose
+    rename is not atomic-and-exclusive (S3-class object stores) — the
+    table logic is identical, only the publish primitive changes."""
+
+    def __init__(self, spark: SparkSession, path: str, log_store=None):
+        from sif_spark.logstore import HadoopRenameLogStore
+
         self.spark = spark
         self.path = path.rstrip("/")
+        self.log = log_store or HadoopRenameLogStore(spark)
 
     # -- manifest plumbing -------------------------------------------------
 
@@ -283,12 +282,8 @@ class SifTable:
         return f"{self.path}/{_MANIFESTS}/v{version:010d}.json"
 
     def _versions(self) -> list[int]:
-        fs, p, _ = _fs(self.spark, f"{self.path}/{_MANIFESTS}")
-        if not fs.exists(p):
-            return []
         out = []
-        for status in fs.listStatus(p):
-            name = status.getPath().getName()
+        for name in self.log.list_names(f"{self.path}/{_MANIFESTS}"):
             if name.startswith("v") and name.endswith(".json"):
                 out.append(int(name[1:-5]))
         return sorted(out)
@@ -300,18 +295,16 @@ class SifTable:
         v = version if version is not None else versions[-1]
         if v not in versions:
             raise ValueError(f"version {v} not in {versions}")
-        return json.loads(_read_text(self.spark, self._manifest_path(v)))
+        return json.loads(self.log.read_text(self._manifest_path(v)))
 
     def _commit(self, manifest: dict) -> int:
-        """Atomic CAS on the manifest name: rename fails if the
-        destination exists, so exactly one writer wins a version."""
+        """Publish the manifest via the log store's put-if-absent:
+        exactly one writer wins a version; the loser re-reads the new
+        snapshot and retries."""
         v = manifest["version"]
-        tmp = f"{self.path}/{_MANIFESTS}/.tmp-{uuid.uuid4().hex[:12]}"
-        _write_text(self.spark, tmp, json.dumps(manifest, indent=1))
-        fs, src, jvm = _fs(self.spark, tmp)
-        dst = jvm.org.apache.hadoop.fs.Path(self._manifest_path(v))
-        if not fs.rename(src, dst):
-            fs.delete(src, False)
+        if not self.log.put_if_absent(
+            self._manifest_path(v), json.dumps(manifest, indent=1)
+        ):
             raise ConcurrentCommitError(
                 f"version {v} was committed by another writer — re-read "
                 "the table and retry"
@@ -414,6 +407,7 @@ class SifTable:
         n_buckets: int | None = None,
         txn: tuple[str, int] | None = None,
         key_bloom: bool = False,
+        log_store=None,
     ) -> "SifTable":
         """``txn=(app_id, epoch)`` records the creating writer's epoch
         in the first manifest, so a crash-replay of the CREATING
@@ -429,7 +423,7 @@ class SifTable:
         forever" contract, here enforced by construction)."""
         if bool(bucket_by) != bool(n_buckets):
             raise ValueError("bucket_by and n_buckets come together")
-        t = SifTable(spark, path)
+        t = SifTable(spark, path, log_store=log_store)
         if t._versions():
             raise ValueError(f"table already exists at {path}")
         if key_bloom and not key_col:
@@ -556,6 +550,11 @@ class SifTable:
         target = T._parse_datatype_string(m["schema"])
         if col not in [f.name for f in target.fields]:
             raise ValueError(f"no column {col!r} in snapshot schema")
+        if lo is None and hi is None:
+            # no bounds = full snapshot. Pruning would still drop
+            # all-null groups (whose rows pass the lit(True) filter) —
+            # silent row loss in the degenerate call (ADVICE r10)
+            return self._read_groups(m["groups"], target)
         keep = self._prune_groups(
             m,
             col,
@@ -596,21 +595,34 @@ class SifTable:
             candidates.append(g)
         if any(g.get("key_bloom") for g in candidates):
             # the value's seeded probes, hashed by Spark itself so the
-            # hash matches the write side's column hashing exactly
-            probe = self.spark.range(1).select(
-                *[
-                    F.xxhash64(F.lit(value).cast(key_type), F.lit(s)).alias(
-                        f"h{i}"
-                    )
-                    for i, s in enumerate(_BLOOM_SEEDS)
-                ]
-            ).collect()[0]
-            pair = [tuple(probe)]
+            # hash matches the write side's column hashing exactly —
+            # cast to each group's RECORDED bloom dtype (groups written
+            # before a key widening hashed the narrow type; probing
+            # with the snapshot type would false-negative every one)
+            snap_kt = key_type.simpleString()
+            pair_by_ktype: dict[str, list] = {}
+            for kt in {
+                g["key_bloom"].get("ktype", snap_kt)
+                for g in candidates
+                if g.get("key_bloom")
+            }:
+                probe = self.spark.range(1).select(
+                    *[
+                        F.xxhash64(F.lit(value).cast(kt), F.lit(s)).alias(
+                            f"h{i}"
+                        )
+                        for i, s in enumerate(_BLOOM_SEEDS)
+                    ]
+                ).collect()[0]
+                pair_by_ktype[kt] = [tuple(probe)]
             candidates = [
                 g
                 for g in candidates
                 if not g.get("key_bloom")
-                or _bloom_maybe_contains(g["key_bloom"], pair)
+                or _bloom_maybe_contains(
+                    g["key_bloom"],
+                    pair_by_ktype[g["key_bloom"].get("ktype", snap_kt)],
+                )
             ]
         out = self._read_groups(candidates, target)
         return out.filter(F.col(key) == F.lit(value).cast(key_type))
@@ -758,17 +770,37 @@ class SifTable:
         ).collect()[0]
         kmin, kmax = row["kmin"], row["kmax"]
         # Bloom probe pairs of the update keys (capped — a huge update
-        # batch touches most groups anyway, range skipping suffices)
-        probe_pairs = None
-        if any(g.get("key_bloom") for g in m["groups"]):
+        # batch touches most groups anyway, range skipping suffices).
+        # Hashed ONCE PER DISTINCT GROUP KTYPE: each group's bloom was
+        # built over its on-disk key dtype, so the probe must cast the
+        # update keys to that exact type (xxhash64(int 5) !=
+        # xxhash64(bigint 5)) — a narrowing cast can only wrap values
+        # that could never equi-match the narrow group anyway, so a
+        # wrap is at worst a false positive (harmless rewrite), never
+        # a false negative.
+        snap_ktype = T._parse_datatype_string(m["schema"])[key].dataType.simpleString()
+        probe_by_ktype: dict[str, list | None] = {}
+        for kt in {
+            g["key_bloom"].get("ktype", snap_ktype)
+            for g in m["groups"]
+            if g.get("key_bloom")
+        }:
             pairs = (
-                updates.select(*_bloom_hash_cols(key))
+                updates.select(
+                    *[
+                        F.xxhash64(F.col(key).cast(kt), F.lit(seed)).alias(f"h{i}")
+                        for i, seed in enumerate(_BLOOM_SEEDS)
+                    ]
+                )
                 .distinct()
                 .limit(_BLOOM_UPDATE_KEY_CAP + 1)
                 .collect()
             )
-            if len(pairs) <= _BLOOM_UPDATE_KEY_CAP:
-                probe_pairs = [tuple(p) for p in pairs]
+            probe_by_ktype[kt] = (
+                [tuple(p) for p in pairs]
+                if len(pairs) <= _BLOOM_UPDATE_KEY_CAP
+                else None
+            )
         v = m["version"] + 1
         keep, rewrite = [], []
         for g in m["groups"]:
@@ -783,10 +815,12 @@ class SifTable:
                     and gmin is not None
                     and (gmax < kmin or gmin > kmax)
                 )
-            if not disjoint and probe_pairs is not None and g.get("key_bloom"):
-                # range overlaps but no update key survives the bloom:
-                # the group provably holds none of the matched keys
-                disjoint = not _bloom_maybe_contains(g["key_bloom"], probe_pairs)
+            if not disjoint and g.get("key_bloom"):
+                pp = probe_by_ktype.get(g["key_bloom"].get("ktype", snap_ktype))
+                if pp is not None:
+                    # range overlaps but no update key survives the bloom:
+                    # the group provably holds none of the matched keys
+                    disjoint = not _bloom_maybe_contains(g["key_bloom"], pp)
             (keep if disjoint else rewrite).append(g)
         groups = list(keep)
         seq = 0
@@ -978,5 +1012,5 @@ class SifTable:
         for path in doomed:
             fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
         for v in doomed_manifests:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(self._manifest_path(v)), False)
+            self.log.delete(self._manifest_path(v))
         return doomed

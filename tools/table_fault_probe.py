@@ -46,7 +46,15 @@ def expected_state(ops_done: int) -> dict[int, int]:
     return state
 
 
-def writer(table_dir: str, from_op: int) -> None:
+def _store(kind: str):
+    if kind == "excl":
+        from sif_spark.logstore import PosixExclLogStore
+
+        return PosixExclLogStore()
+    return None  # default HadoopRenameLogStore
+
+
+def writer(table_dir: str, from_op: int, store_kind: str = "rename") -> None:
     from pyspark.sql import functions as F
 
     from sif_spark.session import get_session
@@ -59,11 +67,13 @@ def writer(table_dir: str, from_op: int) -> None:
             F.col("id").alias("k"), F.lit(val).cast("int").alias("v")
         )
 
+    store = _store(store_kind)
     if from_op == 0:
-        t = SifTable.create(spark, table_dir, frame(0, BASE_ROWS, 0), key_col="k")
+        t = SifTable.create(spark, table_dir, frame(0, BASE_ROWS, 0), key_col="k",
+                            log_store=store)
         start = 1
     else:
-        t = SifTable(spark, table_dir)
+        t = SifTable(spark, table_dir, log_store=store)
         start = from_op
     for s in range(start, N_OPS + 1):
         t.upsert(frame(5 * s, 5 * s + 50, s))
@@ -98,12 +108,13 @@ def verify(table_dir: str) -> dict:
     }
 
 
-def one_round(delay: float, workdir: str) -> dict:
+def one_round(delay: float, workdir: str, store_kind: str = "rename") -> dict:
     table_dir = f"{workdir}/table"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
     child = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--writer", table_dir, "0"],
+        [sys.executable, os.path.abspath(__file__), "--writer", table_dir, "0",
+         store_kind],
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
     )
@@ -123,6 +134,7 @@ def one_round(delay: float, workdir: str) -> dict:
             "--writer",
             table_dir,
             str(max(from_op, 0)),
+            store_kind,
         ],
         capture_output=True,
         text=True,
@@ -138,11 +150,17 @@ def one_round(delay: float, workdir: str) -> dict:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--writer":
-        writer(sys.argv[2], int(sys.argv[3]))
+        writer(sys.argv[2], int(sys.argv[3]),
+               sys.argv[4] if len(sys.argv) > 4 else "rename")
         return 0
+    # --logstore excl: same kill windows through the conditional-put
+    # (link(2)) store — the object-store-shaped commit protocol must
+    # survive SIGKILL exactly like the rename CAS (VERDICT r10 #1)
+    store_kind = "excl" if "--logstore=excl" in sys.argv[1:] else "rename"
     rounds = []
     for delay in (9.0, 13.0, 18.0):
-        rounds.append(one_round(delay, f"/tmp/sif_table_fault_{delay}"))
+        rounds.append(one_round(delay, f"/tmp/sif_table_fault_{delay}",
+                                store_kind))
         print(f"  delay {delay}: {rounds[-1]}", file=sys.stderr)
     ok = all(
         r["chain_ok"] and r["values_ok"] and r["resume_rc"] == 0
