@@ -17,12 +17,23 @@ old + partial is the exact new value. Exactly-once end to end:
   committed no-op, so the merge can never double-count (the same
   contract stream_into_table proves for appends, here on upsert).
 
-Scope: ADDITIVE aggregates (SUM; COUNT is SUM(1)) over an append-mostly
-source — the change feed carries no deletion tombstones, matching
-SifTable.changes semantics. AVG et al. decompose into (sum, count)
-pairs by the caller; non-additive aggregates (MIN under deletes,
-percentiles) need a recompute, not a fold, and are out of scope by
-design.
+Scope: ADDITIVE aggregates (SUM; COUNT is SUM(1)). Two source modes:
+
+- default (append feed): the source table must stay add-only, and the
+  assumption is ENFORCED, not assumed — the stream reader plans with
+  fail_on_content_removal (it refuses any version whose exact
+  replaced_rows/deleted_rows counter is non-zero or unrecorded), and
+  merge_partials re-checks the manifests of every version it folds.
+  The r10 silent-drift case (an upsert's post-image folding on top of
+  the already-folded old value) is now a typed error, never a wrong
+  sum.
+- ``cdf=True`` (change-data feed): the source was created with
+  SifTable.create(..., cdf=True); every fold is SIGNED —
+  insert/update_postimage add, update_preimage/delete subtract — so
+  upserts and deletes maintain the view EXACTLY (still additive-only;
+  MIN/percentiles under retraction need a recompute by design).
+
+AVG et al. decompose into (sum, count) pairs by the caller.
 
 Single writer per view: the merge frame embeds the view values read
 BEFORE the upsert, so only the view's own (serial) streaming query may
@@ -59,25 +70,37 @@ def incremental_aggregate_view(
     starting_version: int = 0,
     trigger_seconds: float = 0.0,
     max_versions_per_trigger: int = 0,
+    cdf: bool = False,
 ) -> StreamingQuery:
     """Start maintaining ``dst = src.groupBy(key).agg(SUM(expr))``.
 
     ``sums`` maps output column name → a SQL expression over the source
-    columns (evaluated per change row, then SUM-folded). Returns the
-    StreamingQuery; stop it and restart with the same checkpoint to
-    resume incrementally."""
+    columns (evaluated per change row, then SUM-folded; in cdf mode the
+    fold is signed by _change_type, so replaced/deleted rows retract).
+    Returns the StreamingQuery; stop it and restart with the same
+    checkpoint to resume incrementally."""
     from sif_spark.sources.table_stream import register_table_source
 
     register_table_source(spark)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_partials(batch_df, int(epoch_id), dst_path, key, sums, app_id)
+        merge_partials(
+            batch_df, int(epoch_id), dst_path, key, sums, app_id,
+            src_path=src_path, cdf=cdf,
+        )
 
     reader = (
         spark.readStream.format("sif_table")
         .option("path", src_path)
         .option("starting_version", starting_version)
     )
+    if cdf:
+        reader = reader.option("cdf", "true")
+    else:
+        # the append-only assumption is ENFORCED at plan time: any
+        # version that replaced/removed rows fails the query instead
+        # of silently drifting the view
+        reader = reader.option("fail_on_content_removal", "true")
     if max_versions_per_trigger:
         reader = reader.option(
             "max_versions_per_trigger", max_versions_per_trigger
@@ -98,13 +121,20 @@ def merge_partials(
     key: str,
     sums: dict[str, str],
     app_id: str,
+    src_path: str | None = None,
+    cdf: bool = False,
 ) -> None:
     """One micro-batch of change rows → fold into the view table.
     Idempotent per (app_id, epoch_id): a crash-replayed batch is a
     committed no-op at BOTH guards (the early epoch check and the
     upsert's own txn high-water), so the additive merge can never
-    double-count."""
-    from sif_spark.table import SifTable
+    double-count. With ``src_path`` and cdf=False, the fold REFUSES
+    versions whose manifest records replacements (belt to the stream
+    reader's plan-time braces — a fold that reached here with an
+    upsert's post-images would silently stack them on the folded old
+    values). With cdf=True the fold is signed by _change_type and
+    replacements/deletes maintain the view exactly."""
+    from sif_spark.table import ChangeFeedIncompleteError, SifTable
 
     session = batch_df.sparkSession
     names = list(sums)
@@ -114,9 +144,39 @@ def merge_partials(
         # because an epoch that committed nothing can't double anything
         # (the txn high-water stays behind; it only needs monotonicity)
         return
-    partial = batch_df.groupBy(key).agg(
-        *[F.sum(F.expr(expr)).alias(n) for n, expr in sums.items()]
-    )
+    if not cdf and src_path is not None:
+        src = SifTable(session, src_path)
+        batch_versions = [
+            r["_commit_version"]
+            for r in batch_df.select("_commit_version").distinct().collect()
+        ]
+        for v in batch_versions:
+            m = src._load(int(v))
+            if m.get("op") == "upsert":
+                r = m.get("replaced_rows")
+                if r is None or r > 0:
+                    raise ChangeFeedIncompleteError(
+                        f"mview fold over append feed hit version {v} "
+                        f"(upsert, {'unrecorded' if r is None else r} "
+                        "replaced rows) — folding its post-images would "
+                        "corrupt the view. Use cdf=True on a table "
+                        "created with cdf=True."
+                    )
+    if cdf:
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        partial = batch_df.groupBy(key).agg(
+            *[
+                F.sum(F.expr(expr) * sign).alias(n)
+                for n, expr in sums.items()
+            ]
+        )
+    else:
+        partial = batch_df.groupBy(key).agg(
+            *[F.sum(F.expr(expr)).alias(n) for n, expr in sums.items()]
+        )
     dst = SifTable(session, dst_path)
     try:
         dst._load()

@@ -1311,6 +1311,15 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q178_incremental_mv"] = q178_incremental_mv
 ORACLES["q178_incremental_mv"] = ORACLE_Q178
+# q179: CDC-mode incremental MV — the source upserts AND deletes; the
+# signed fold over the change-data feed must equal a one-shot GROUP BY
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q179,
+    q179_incremental_mv_cdf,
+)
+
+QUERIES["q179_incremental_mv_cdf"] = q179_incremental_mv_cdf
+ORACLES["q179_incremental_mv_cdf"] = ORACLE_Q179
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

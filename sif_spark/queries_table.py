@@ -517,6 +517,75 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def q179_incremental_mv_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV over a MUTATING source (the r10 verdict's #2
+    ask): the source table is created with cdf=True, receives an
+    append, an UPSERT that replaces existing keys (+1.00 on every
+    %5==0 order) and a DELETE (%7==0); the view folds the change-data
+    feed with SIGNED partials — insert/update_postimage add,
+    update_preimage/delete subtract — so it must equal DuckDB's
+    one-shot GROUP BY over the FINAL table state. The r10 engine could
+    only refuse this topology; a missed retraction, a double fold, or
+    a leaked pre-image flips a bucket's sums."""
+    from sif_spark.mview import incremental_aggregate_view
+    from sif_spark.table import SifTable
+
+    src_path = _fresh_dir(sf_dir, "mv_cdf_src")
+    dst_path = _fresh_dir(sf_dir, "mv_cdf_dst")
+    ckpt = _fresh_dir(sf_dir, "mv_cdf_ckpt")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 50).alias("bucket"),
+        "o_totalprice",
+    )
+    k = F.col("o_orderkey")
+    src = SifTable.create(
+        spark, src_path, o.filter(k % 3 == 0), key_col="o_orderkey",
+        cdf=True,
+    )
+    src.append(o.filter(k % 3 == 1))
+    src.upsert(
+        o.filter(k % 5 == 0).select(
+            "o_orderkey", "bucket",
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        )
+    )
+    src.delete("o_orderkey % 7 = 0")
+    q = incremental_aggregate_view(
+        spark, src_path, dst_path, key="bucket",
+        sums={
+            "n": "1",
+            "rev_cents": "CAST(ROUND(o_totalprice*100) AS BIGINT)",
+        },
+        checkpoint_dir=ckpt, app_id="q179", cdf=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        SifTable(spark, dst_path)
+        .read()
+        .filter(F.col("n") > 0)  # a fully-retracted bucket leaves a 0-row
+        .select("bucket", "n", "rev_cents")
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q179 = """
+SELECT o_custkey % 50 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(
+           (o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0 END)
+           * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders
+WHERE (o_orderkey % 3 IN (0, 1) OR o_orderkey % 5 = 0)
+  AND o_orderkey % 7 != 0
+GROUP BY 1 ORDER BY bucket
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

@@ -39,7 +39,7 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 _MANIFESTS = "_manifests"
 
@@ -62,9 +62,74 @@ def _load_manifest(table_path: str, version: int) -> dict:
 
 
 class _GroupFilePartition(InputPartition):
-    def __init__(self, file_path: str, version: int):
+    def __init__(self, file_path: str, version: int,
+                 change_type: str | None = None):
         self.file_path = file_path
         self.version = version
+        # 'insert' = tag rows with this constant _change_type; None =
+        # the file carries its own _change_type column (cdc change
+        # files); only meaningful when the stream runs in cdf mode
+        self.change_type = change_type
+
+
+def _raise_if_removal(m: dict) -> None:
+    """Planner-side guard (fail_on_content_removal): refuse to plan a
+    micro-batch over a version that replaced or removed rows — an
+    append-feed consumer folding such a version drifts SILENTLY (the
+    r10 mview bug). Runs sessionless, so it raises ValueError (the
+    driver-side SifTable API raises the ChangeFeedIncompleteError
+    subtype)."""
+    v, op = m["version"], m.get("op")
+    if op == "restore":
+        raise ValueError(
+            f"sif_table version {v} is a restore — an append-feed "
+            "consumer cannot represent it; start after it or rebuild"
+        )
+    if op == "upsert":
+        r = m.get("replaced_rows")
+        if r is None or r > 0:
+            raise ValueError(
+                f"sif_table version {v} (upsert) replaced "
+                f"{'unrecorded' if r is None else r} rows — an "
+                "append-feed fold would double-count them. Use "
+                "cdf=true (table created with cdf=True) instead."
+            )
+    if op == "delete":
+        d = m.get("deleted_rows")
+        if d is None or d > 0:
+            raise ValueError(
+                f"sif_table version {v} (delete) removed "
+                f"{'unrecorded' if d is None else d} rows — an "
+                "append-feed fold would never hear about them. Use "
+                "cdf=true (table created with cdf=True) instead."
+            )
+
+
+def _cdc_partitions_for_version(table_path: str, m: dict) -> list:
+    """CDF-mode partition plan for one version: its materialized
+    change file when present; otherwise its added groups tagged
+    'insert' — but ONLY when the manifest's exact counters prove the
+    version added rows and nothing else (anything less raises)."""
+    v = m["version"]
+    parts: list[InputPartition] = []
+    if m.get("cdc"):
+        cpath = m["cdc"]["path"]
+        for name in sorted(os.listdir(cpath)):
+            if name.endswith(".parquet"):
+                parts.append(
+                    _GroupFilePartition(os.path.join(cpath, name), v, None)
+                )
+        return parts
+    _raise_if_removal(m)  # no change file: must be provably add-only
+    by_id = {g["id"]: g for g in m["groups"]}
+    for gid in m["added"]:
+        gpath = by_id[gid]["path"]
+        for name in sorted(os.listdir(gpath)):
+            if name.endswith(".parquet"):
+                parts.append(
+                    _GroupFilePartition(os.path.join(gpath, name), v, "insert")
+                )
+    return parts
 
 
 class _SifTableStreamReader(DataSourceStreamReader):
@@ -81,6 +146,16 @@ class _SifTableStreamReader(DataSourceStreamReader):
         # committed always, so a restarted reader's capped offsets
         # never move backward and never stall.
         self.max_versions = int(options.get("max_versions_per_trigger", 0))
+        # cdf: emit every row change with _change_type (insert/
+        # update_preimage/update_postimage/delete) from the table's
+        # materialized change files; fail_on_content_removal: stay an
+        # append feed but REFUSE to plan past a version that replaced/
+        # removed rows (the guard incremental MVs set)
+        self.cdf = str(options.get("cdf", "false")).lower() == "true"
+        self.guard = (
+            str(options.get("fail_on_content_removal", "false")).lower()
+            == "true"
+        )
         self.anchor_dir = options.get("rate_anchor_dir")
         if self.max_versions and not self.anchor_dir:
             raise ValueError(
@@ -151,6 +226,11 @@ class _SifTableStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"version {v} predates the change feed (no 'added')"
                 )
+            if self.cdf:
+                parts.extend(_cdc_partitions_for_version(self.table_path, m))
+                continue
+            if self.guard:
+                _raise_if_removal(m)
             by_id = {g["id"]: g for g in m["groups"]}
             for gid in m["added"]:
                 gpath = by_id[gid]["path"]
@@ -164,15 +244,23 @@ class _SifTableStreamReader(DataSourceStreamReader):
     def read(self, partition: _GroupFilePartition) -> Iterator:
         # executor-side: one parquet file -> Arrow batches aligned to
         # the stream schema by NAME (missing columns null-filled,
-        # extra columns dropped, types cast) + the commit version
+        # extra columns dropped, types cast) + the commit version and,
+        # in cdf mode, the _change_type (constant 'insert' for data
+        # groups; the file's own column for cdc change files)
         import pyarrow as pa
         import pyarrow.compute  # noqa: F401  (registers cast kernels)
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        extra = (
+            [StructField("_change_type", StringType(), False)]
+            if self.cdf
+            else []
+        )
         target = to_arrow_schema(
             StructType(
                 self.schema.fields
+                + extra
                 + [StructField("_commit_version", IntegerType(), False)]
             )
         )
@@ -183,6 +271,10 @@ class _SifTableStreamReader(DataSourceStreamReader):
             if field.name == "_commit_version":
                 cols.append(
                     pa.array([partition.version] * n, type=field.type)
+                )
+            elif field.name == "_change_type" and partition.change_type:
+                cols.append(
+                    pa.array([partition.change_type] * n, type=field.type)
                 )
             elif field.name in table.column_names:
                 cols.append(
@@ -216,11 +308,17 @@ class SifTableDataSource(DataSource):
                 f"no committed snapshots under {table_path}"
             )
         ddl = _load_manifest(table_path, versions[-1])["schema"]
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            return f"{ddl}, _change_type string, _commit_version int"
         return f"{ddl}, _commit_version int"
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         base = StructType(
-            [f for f in schema.fields if f.name != "_commit_version"]
+            [
+                f
+                for f in schema.fields
+                if f.name not in ("_commit_version", "_change_type")
+            ]
         )
         return _SifTableStreamReader(base, self.options)
 

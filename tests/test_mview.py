@@ -88,3 +88,75 @@ def test_incremental_view_matches_recompute_and_survives_replay(spark, dirs):
     finally:
         q2.stop()
         q2.awaitTermination()
+
+
+def test_mview_guard_raises_on_source_replacement(spark, dirs):
+    """The r10 silent-drift bug as a typed error: a non-cdf MV over a
+    source that UPSERTS an existing key must fail loudly at both
+    guards (planner option + merge_partials manifest check), never
+    fold the post-image on top of the folded old value."""
+    src_path, dst_path, ck = dirs
+    src = SifTable.create(spark, src_path, _src(spark, 0, 40), key_col="k")
+    src.upsert(
+        _src(spark, 0, 5).select("k", "bucket", (F.col("val") + 1).alias("val"))
+    )
+    q = incremental_aggregate_view(
+        spark, src_path, dst_path, key="bucket",
+        sums={"n": "1", "sum_val": "val"}, checkpoint_dir=ck, app_id="g",
+    )
+    with pytest.raises(Exception, match="replaced"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+    # merge_partials' own belt (bypassing the stream planner): a batch
+    # carrying the upsert version's rows must refuse to fold
+    from sif_spark.table import ChangeFeedIncompleteError
+
+    batch = src.changes(1, to_version=2)
+    with pytest.raises(ChangeFeedIncompleteError, match="post-images"):
+        merge_partials(
+            batch, 0, dst_path, "bucket", {"n": "1"}, "g2",
+            src_path=src_path,
+        )
+
+
+def test_mview_cdf_mode_exact_under_upserts_and_deletes(spark, dirs):
+    """cdf=True MV: signed folds (insert/postimage add, preimage/
+    delete subtract) keep the view EXACTLY equal to a one-shot GROUP
+    BY over the final table state, through upserts that replace keys
+    and a delete — the completion of the r10 append-only restriction."""
+    src_path, dst_path, ck = dirs
+    src = SifTable.create(
+        spark, src_path, _src(spark, 0, 40), key_col="k", cdf=True
+    )
+    src.append(_src(spark, 40, 70))
+    src.upsert(
+        _src(spark, 10, 30).select(
+            "k", "bucket", (F.col("val") + 1000).alias("val")
+        )
+    )
+    src.delete("k % 5 = 0")
+    q = incremental_aggregate_view(
+        spark, src_path, dst_path, key="bucket",
+        sums={"n": "1", "sum_val": "val"}, checkpoint_dir=ck,
+        app_id="cdf", cdf=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        (r["bucket"], r["n"], r["sum_val"])
+        for r in SifTable(spark, dst_path).read().collect()
+    }
+    want = {
+        (r["bucket"], r["n"], r["sum_val"])
+        for r in src.read()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+        .collect()
+    }
+    assert got == want
