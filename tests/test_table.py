@@ -989,3 +989,96 @@ def test_stream_planner_guard_and_cdc_partitions(spark, tdir):
     tags = {p.change_type for p in parts}
     assert "insert" in tags and None in tags  # data files + change file
     assert any("/cdc/" in p.file_path for p in parts)
+
+
+def test_batch_datasource_read_pushdown_and_time_travel(spark, tdir):
+    """spark.read.format('sif_table'): snapshot content matches the
+    API read, version= time-travels, a WHERE prunes group files via
+    pushFilters (12 files/3 groups -> 1 group), and schema evolution
+    aligns old groups by name."""
+    import os
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+    from pyspark.sql.types import StructType
+
+    from sif_spark.sources.table_stream import (
+        _SifTableBatchReader,
+        register_table_source,
+    )
+
+    register_table_source(spark)
+    t = SifTable.create(spark, tdir, _df(spark, 0, 100, "a"), key_col="k")
+    t.append(_df(spark, 100, 200, "b"))
+    t.append(
+        spark.range(200, 300).select(
+            F.col("id").alias("k"), F.lit("c").alias("v"),
+            F.lit(1).cast("long").alias("extra"),
+        )
+    )
+    r = spark.read.format("sif_table").option("path", tdir).load()
+    assert r.count() == 300
+    assert set(r.columns) == {"k", "v", "extra", "_commit_version"}
+    # old groups surface the evolved column as NULL
+    assert r.filter("extra IS NULL").count() == 200
+    # row-level filters stay correct regardless of pruning
+    assert r.filter("k >= 150 AND k < 160").count() == 10
+    # time travel via option
+    r1 = (
+        spark.read.format("sif_table")
+        .option("path", tdir)
+        .option("version", 1)
+        .load()
+    )
+    assert r1.count() == 100 and "extra" not in r1.columns
+    # structural: pushed bounds prune to one group's files (opt-in)
+    rd = _SifTableBatchReader(StructType([]), {"path": tdir, "pushdown": "true"})
+    full = {os.path.dirname(p.file_path) for p in rd.partitions()}
+    rd2 = _SifTableBatchReader(StructType([]), {"path": tdir, "pushdown": "true"})
+    list(
+        rd2.pushFilters(
+            [GreaterThanOrEqual(("k",), 210), LessThanOrEqual(("k",), 220)]
+        )
+    )
+    pruned = {os.path.dirname(p.file_path) for p in rd2.partitions()}
+    assert len(full) == 3 and len(pruned) == 1
+    # end-to-end: the planned scan really shrinks under the WHERE on a
+    # pushdown-enabled load (fresh relation per filtered pattern)
+    rp = (
+        spark.read.format("sif_table")
+        .option("path", tdir)
+        .option("pushdown", "true")
+        .load()
+    )
+    flt = rp.filter("k >= 210 AND k <= 220")
+    n_flt = flt.rdd.getNumPartitions()
+    rp2 = (
+        spark.read.format("sif_table")
+        .option("path", tdir)
+        .option("pushdown", "true")
+        .load()
+    )
+    assert n_flt < rp2.rdd.getNumPartitions()
+    assert flt.count() == 11
+
+
+def test_batch_datasource_default_mode_immune_to_readinfo_cache(spark, tdir):
+    """Spark 4.1's PythonDataSourceV2 keeps ONE mutable readInfo per
+    relation: a filtered query overwrites it and a later unfiltered
+    query on the same lineage reuses it STALE. With pruning opt-in
+    (default off) every plan lists the full snapshot, so the replayed
+    cache is always a correct plan — the filtered-then-full sequence
+    must return all rows. (With pushdown=true the same sequence would
+    lose rows — which is exactly why it is opt-in and documented.)"""
+    from sif_spark.sources.table_stream import register_table_source
+
+    register_table_source(spark)
+    t = SifTable.create(spark, tdir, _df(spark, 0, 100, "a"), key_col="k")
+    t.append(_df(spark, 100, 200, "b"))
+    t.append(_df(spark, 200, 300, "c"))
+    r = spark.read.format("sif_table").option("path", tdir).load()
+    assert r.count() == 300
+    assert r.filter("k >= 210 AND k <= 220").count() == 11
+    # the poisoning sequence: unfiltered AFTER filtered, same lineage
+    assert r.count() == 300
+    assert r.filter("k <= 50").count() == 51
+    assert r.count() == 300
