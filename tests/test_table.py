@@ -1082,3 +1082,95 @@ def test_batch_datasource_default_mode_immune_to_readinfo_cache(spark, tdir):
     assert r.count() == 300
     assert r.filter("k <= 50").count() == 51
     assert r.count() == 300
+
+
+def test_mixed_writer_stress_upsert_compact_delete(spark, tdir):
+    """VERDICT r10 'Next round' #4: racing upsert vs compact vs delete
+    through the CAS. Snapshot isolation under REWRITE races is where
+    lost-update bugs live — a retried upsert recomputing against a
+    freshly compacted/deleted manifest must stay content-exact. Every
+    thread records the version its commit actually won; the final
+    table must equal a SERIAL replay of the same ops in commit order,
+    and the version chain must be contiguous with no orphan refs."""
+    import threading
+
+    from sif_spark.table import ConcurrentCommitError
+
+    t = SifTable.create(spark, tdir, _df(spark, 0, 200, "base"), key_col="k")
+    t.append(_df(spark, 200, 400, "base2"))
+    committed: list[tuple[int, str, tuple]] = []
+    lock = threading.Lock()
+    errors: list = []
+
+    def record(v, op, args):
+        with lock:
+            committed.append((v, op, args))
+
+    def retry(fn, *args):
+        for _ in range(60):
+            try:
+                return fn(*args)
+            except ConcurrentCommitError:
+                continue
+        raise TimeoutError("writer starved through 60 CAS retries")
+
+    def upserter(tag, slices):
+        try:
+            for lo, hi in slices:
+                v = t.upsert(_df(spark, lo, hi, tag), retries=60)
+                record(v, "upsert", (lo, hi, tag))
+        except Exception as e:
+            errors.append((tag, e))
+
+    def compactor(n):
+        try:
+            for _ in range(n):
+                v = retry(t.compact)
+                record(v, "compact", ())
+        except Exception as e:
+            errors.append(("compact", e))
+
+    def deleter(mods):
+        try:
+            for m_ in mods:
+                v = retry(t.delete, f"k % 17 = {m_}")
+                record(v, "delete", (m_,))
+        except Exception as e:
+            errors.append(("delete", e))
+
+    threads = [
+        threading.Thread(
+            target=upserter, args=("A", [(50, 120), (300, 360), (10, 40)])
+        ),
+        threading.Thread(
+            target=upserter, args=("B", [(100, 170), (330, 420), (0, 30)])
+        ),
+        threading.Thread(target=compactor, args=(3,)),
+        threading.Thread(target=deleter, args=([3, 11],)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    versions = t._versions()
+    assert versions == list(range(1, len(versions) + 1)), versions
+    assert len(committed) == 11  # 6 upserts + 3 compacts + 2 deletes
+    assert len({v for v, _, _ in committed}) == len(committed)
+    # serial replay in commit order must reproduce the exact content
+    replay_dir = f"{tdir}-replay"
+    shutil.rmtree(replay_dir, ignore_errors=True)
+    rt = SifTable.create(
+        spark, replay_dir, _df(spark, 0, 200, "base"), key_col="k"
+    )
+    rt.append(_df(spark, 200, 400, "base2"))
+    for v, op, args in sorted(committed):
+        if op == "upsert":
+            lo, hi, tag = args
+            rt.upsert(_df(spark, lo, hi, tag))
+        elif op == "delete":
+            rt.delete(f"k % 17 = {args[0]}")
+        else:
+            rt.compact()
+    assert _rows(t.read()) == _rows(rt.read())
+    shutil.rmtree(replay_dir, ignore_errors=True)
