@@ -487,6 +487,118 @@ def save_ivf_index(index: IVFIndex, path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
+def assign_cells(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(nid, cell) assignment of ``vectors`` against a FIXED centroid
+    matrix — nearest center by Euclidean argmin (the same rule
+    KMeans.transform applies at build time, first minimum on ties),
+    one Arrow-batched GEMM per batch against the broadcast centroids.
+    The shared kernel of extend_ivf_index and the streaming index
+    maintainer."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+    schema = T.StructType(
+        [
+            T.StructField("nid", T.LongType(), False),
+            T.StructField("cell", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value  # argmin ||v - c||^2 = argmin -2 v.c + ||c||^2
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = _batch_matrix(pdf, vec_col, normalize=False)
+            cells = np.argmin(-2.0 * (V @ C.T) + c_sq, axis=1)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf[id_col].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def maintain_ivf_index_table(
+    spark,
+    corpus_table_path: str,
+    index_table_path: str,
+    centroids: np.ndarray,
+    checkpoint_dir: str,
+    app_id: str = "ivf-maint",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    starting_version: int = 0,
+    trigger_seconds: float = 0.0,
+    max_versions_per_trigger: int = 0,
+):
+    """Maintain an IVF index AS a SifTable, incrementally, from a
+    corpus SifTable's change feed (VERDICT r10 "Next round" #6 — the
+    table stack composed with similarity): each committed corpus
+    version's rows are assigned to their nearest FIXED centroid (one
+    GEMM per Arrow batch — the historical corpus is never re-scanned,
+    the k-means fit is never re-paid) and MERGED into the index table
+    keyed on nid, exactly-once via txn=(app_id, epoch).
+
+    Corpus upserts (re-embeddings) arrive as post-image rows and fold
+    as keyed REPLACEMENTS — exact for a keyed materialization, no
+    pre-image needed (unlike additive MVs). Corpus deletes are out of
+    scope: the change feed emits no tombstone and the stale index row
+    lingers; retention needs a cdf-mode consumer or a rebuild —
+    documented, matching ivf_knn's corpus_rows provenance check which
+    refuses to serve a drifted index.
+
+    Returns the StreamingQuery; the index table is readable mid-stream
+    (snapshot isolation) and `IVFIndex(centroids, table.read()...)`
+    serves queries."""
+    from sif_spark.sources.table_stream import register_table_source
+    from sif_spark.table import SifTable
+
+    register_table_source(spark)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # delete/compact window: nothing to assign
+        session = batch_df.sparkSession
+        assigned = assign_cells(
+            batch_df, centroids, vec_col=vec_col, id_col=id_col
+        )
+        dst = SifTable(session, index_table_path)
+        try:
+            dst._load()
+        except FileNotFoundError:
+            SifTable.create(
+                session, index_table_path, assigned, key_col="nid",
+                txn=(app_id, int(epoch_id)),
+            )
+            return
+        dst.upsert(assigned, txn=(app_id, int(epoch_id)))
+
+    reader = (
+        spark.readStream.format("sif_table")
+        .option("path", corpus_table_path)
+        .option("starting_version", starting_version)
+    )
+    if max_versions_per_trigger:
+        reader = reader.option(
+            "max_versions_per_trigger", max_versions_per_trigger
+        ).option("rate_anchor_dir", f"{checkpoint_dir}/sif_anchor")
+    return (
+        reader.load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def extend_ivf_index(
     index: IVFIndex,
     new_vectors: DataFrame,
@@ -519,31 +631,9 @@ def extend_ivf_index(
         raise ValueError(
             f"IVF index dim {index.dim} != new vector dim {probe['d']}"
         )
-    spark = new_vectors.sparkSession
-    bc = spark.sparkContext.broadcast(index.centroids)
-    schema = T.StructType(
-        [
-            T.StructField("nid", T.LongType(), False),
-            T.StructField("cell", T.IntegerType(), False),
-        ]
+    new_assigned = assign_cells(
+        new_vectors, index.centroids, vec_col=vec_col, id_col=id_col
     )
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = bc.value  # raw centers: argmin ||v - c||^2 = argmin -2 v.c + ||c||^2
-        c_sq = (C * C).sum(axis=1)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            V = _batch_matrix(pdf, vec_col, normalize=False)
-            cells = np.argmin(-2.0 * (V @ C.T) + c_sq, axis=1)
-            yield pd.DataFrame(
-                {
-                    "nid": pdf[id_col].to_numpy(),
-                    "cell": cells.astype(np.int32),
-                }
-            )
-
-    new_assigned = new_vectors.select(id_col, vec_col).mapInPandas(assign, schema)
     if check_duplicates:
         dup = new_assigned.join(
             index.assigned.select("nid"), "nid", "inner"

@@ -1329,6 +1329,14 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q180_table_sql_pushdown"] = q180_table_sql_pushdown
 ORACLES["q180_table_sql_pushdown"] = ORACLE_Q180
+# q181: IVF index maintained incrementally from the table change feed
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q181,
+    q181_incremental_ann_index,
+)
+
+QUERIES["q181_incremental_ann_index"] = q181_incremental_ann_index
+ORACLES["q181_incremental_ann_index"] = ORACLE_Q181
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

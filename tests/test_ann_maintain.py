@@ -1,0 +1,88 @@
+"""Incremental IVF index maintenance over the SifTable change feed
+(operators/similarity.maintain_ivf_index_table): exactly-once folds,
+keyed replacement on re-embedding upserts, and checkpoint resume —
+the index table must always equal a from-scratch assignment of the
+current corpus against the fixed centroids."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sif_spark.operators import similarity as sgsim
+from sif_spark.table import SifTable
+
+BASE = "/tmp/sif_ann_maint_test"
+
+
+@pytest.fixture()
+def dirs():
+    paths = (f"{BASE}-src", f"{BASE}-idx", f"{BASE}-ck")
+    for d in paths:
+        shutil.rmtree(d, ignore_errors=True)
+    yield paths
+    for d in paths:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _vecs(spark, lo, hi, dim=8, flip=False):
+    sign = -1.0 if flip else 1.0
+    return spark.range(lo, hi).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (F.lit(sign) * F.cos(F.col("id") * (i + 1))).cast("float")
+                for i in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def _assert_index_exact(spark, idx_path, corpus, centroids):
+    incr = SifTable(spark, idx_path).read().select("nid", "cell")
+    fresh = sgsim.assign_cells(corpus, centroids)
+    assert incr.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(incr).count() == 0
+
+
+def test_maintain_resumes_and_folds_reembedding(spark, dirs):
+    src_path, idx_path, ck = dirs
+    src = SifTable.create(
+        spark, src_path, _vecs(spark, 0, 60), key_col="vec_id"
+    )
+    centroids = sgsim.build_ivf_index(
+        _vecs(spark, 0, 60), n_cells=4, max_iter=2
+    ).centroids
+    src.append(_vecs(spark, 60, 120))
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="m",
+        max_versions_per_trigger=1,
+    )
+    _drain(q)
+    _assert_index_exact(spark, idx_path, src.read(), centroids)
+    # new corpus versions AFTER the stream stopped: an append and a
+    # re-embedding upsert (negated vectors -> different cells)
+    src.append(_vecs(spark, 120, 150))
+    src.upsert(_vecs(spark, 10, 30, flip=True))
+    # restart with the SAME checkpoint: resumes exactly where it left
+    q2 = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="m",
+        max_versions_per_trigger=1,
+    )
+    _drain(q2)
+    _assert_index_exact(spark, idx_path, src.read(), centroids)
+    # keyed fold: index holds each nid exactly once despite the upsert
+    idx = SifTable(spark, idx_path).read()
+    assert idx.count() == 150
+    assert idx.select("nid").distinct().count() == 150
