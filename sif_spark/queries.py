@@ -1337,6 +1337,14 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q181_incremental_ann_index"] = q181_incremental_ann_index
 ORACLES["q181_incremental_ann_index"] = ORACLE_Q181
+# q182: df.write.format("sif_table") — the write half of the SQL surface
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q182,
+    q182_table_sql_write,
+)
+
+QUERIES["q182_table_sql_write"] = q182_table_sql_write
+ORACLES["q182_table_sql_write"] = ORACLE_Q182
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -766,6 +766,72 @@ SELECT qid, nid, rank FROM (
 """
 
 
+def q182_table_sql_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the SQL surface: ``df.write.format(
+    "sif_table")`` — executors stage Arrow batches straight to
+    parquet (stats ride the commit messages), the driver-side commit
+    moves them into a version-named group and publishes the manifest
+    through the conditional-put log store. The entry creates the table
+    with one DS write, appends a second slice with txn options, then
+    REPLAYS the exact same txn write — the crash-replay a foreachBatch
+    sink performs — which must be a committed no-op (version pinned
+    in-entry). The aggregate over the DS-read-back table must equal
+    DuckDB over all of orders; a doubled replay or a dropped slice
+    flips every column."""
+    from sif_spark.sources.table_stream import register_table_source
+    from sif_spark.table import SifTable
+
+    register_table_source(spark)
+    base = _fresh_dir(sf_dir, "table_sqlwrite")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    (
+        o.filter(k % 2 == 0)
+        .write.format("sif_table")
+        .option("path", base)
+        .option("key_col", "o_orderkey")
+        .mode("append")
+        .save()
+    )
+    second = (
+        o.filter(k % 2 == 1)
+        .write.format("sif_table")
+        .option("path", base)
+        .option("txn_app", "q182")
+        .option("txn_epoch", "7")
+    )
+    second.mode("append").save()
+    t = SifTable(spark, base)
+    assert t._load()["version"] == 2
+    # crash-replay of the same epoch: committed no-op, version pinned
+    second.mode("append").save()
+    assert t._load()["version"] == 2, "txn replay must not commit"
+    r = spark.read.format("sif_table").option("path", base).load()
+    return r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+ORACLE_Q182 = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+       min(o_orderdate) AS min_date,
+       max(o_orderdate) AS max_date
+FROM orders
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

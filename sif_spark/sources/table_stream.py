@@ -36,6 +36,7 @@ from collections.abc import Iterator
 from pyspark.sql import SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -46,6 +47,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
@@ -88,9 +90,9 @@ def _raise_if_removal(m: dict) -> None:
     driver-side SifTable API raises the ChangeFeedIncompleteError
     subtype)."""
     v, op = m["version"], m.get("op")
-    if op == "restore":
+    if op in ("restore", "overwrite"):
         raise ValueError(
-            f"sif_table version {v} is a restore — an append-feed "
+            f"sif_table version {v} is a {op} — an append-feed "
             "consumer cannot represent it; start after it or rebuild"
         )
     if op == "upsert":
@@ -416,6 +418,238 @@ class _SifTableBatchReader(DataSourceReader):
         yield from _aligned_arrow_batches(partition, self.schema, False)
 
 
+class _SifWriteMessage(WriterCommitMessage):
+    def __init__(self, file: str | None, rows: int, stats: dict):
+        self.file = file
+        self.rows = rows
+        self.stats = stats  # col -> [lo, hi] in manifest JSON-stat form
+
+
+_STAT_ARROW_KINDS = ("int", "uint", "float", "double", "bool", "string",
+                     "large_string", "date", "timestamp")
+
+
+def _arrow_col_minmax(col) -> tuple | None:
+    """Arrow column → (lo, hi) in the manifest's JSON-stat form, or
+    None when the type/values can't be order-compared after JSON
+    round-tripping (mirrors table._stat_json exactly — the stats feed
+    the SAME prune_groups decisions)."""
+    import pyarrow.compute as pc
+
+    from sif_spark.table import _STAT_SKIP, _stat_json
+
+    try:
+        mm = pc.min_max(col)
+        lo = _stat_json(mm["min"].as_py())
+        hi = _stat_json(mm["max"].as_py())
+    except Exception:
+        return None
+    if lo is _STAT_SKIP or hi is _STAT_SKIP:
+        return None
+    return (lo, hi)
+
+
+class _SifTableBatchWriter(DataSourceArrowWriter):
+    """``df.write.format("sif_table")`` — the write half of the SQL
+    surface. mode('append') commits one new data group (exactly the
+    append() manifest shape, so the change feed / streaming source /
+    pruning stats all see it identically); mode('overwrite') commits a
+    snapshot referencing ONLY the new group (old versions stay
+    time-travelable until vacuum; an overwrite is unrepresentable in
+    the change feeds and both feed guards refuse to cross it).
+
+    Mechanics: executors stream Arrow batches straight into staged
+    parquet files under <table>/_staging/<write_id>/ and return
+    per-file row counts + min/max stats in their commit messages; the
+    driver-side commit() (a sessionless Python worker — everything is
+    plain file I/O on the shared FS, the same contract the planner
+    already relies on) moves the staged files into a version-named
+    group dir and publishes the manifest through the PosixExclLogStore
+    conditional put, retrying CAS losses against the fresh snapshot. A
+    failure anywhere before the publish leaves an invisible staging
+    orphan. ``txn_app``/``txn_epoch`` options give appends the same
+    crash-replay idempotence as SifTable.append(txn=).
+
+    Boundaries (raise, never corrupt): the incoming schema must equal
+    the snapshot schema exactly (evolution goes through the
+    SifTable API, which can plan widening casts); bucketed tables
+    refuse DS writes (bucketBy owns their layout); groups written here
+    carry range stats but no bloom (blooms are optional per group —
+    probes only consult groups that have one)."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import uuid
+
+        self.table_path = options["path"]
+        self.schema = schema
+        self.overwrite = overwrite
+        self.key_col = options.get("key_col")
+        self.txn = None
+        if options.get("txn_app") is not None:
+            self.txn = (str(options["txn_app"]), int(options["txn_epoch"]))
+        self.write_id = uuid.uuid4().hex[:12]
+        self.staging = os.path.join(self.table_path, "_staging", self.write_id)
+
+    # -- executor side -------------------------------------------------------
+
+    def write(self, iterator) -> _SifWriteMessage:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        writer = None
+        rows = 0
+        stats: dict[str, list] = {}
+        fpath = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                writer = pq.ParquetWriter(fpath, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+            tbl = pa.Table.from_batches([batch])
+            for name in tbl.column_names:
+                col = tbl.column(name)
+                kind = str(col.type)
+                if not kind.startswith(_STAT_ARROW_KINDS):
+                    continue
+                mm = _arrow_col_minmax(col)
+                if mm is None:
+                    stats.pop(name, None)  # poison: drop the column's stats
+                    continue
+                cur = stats.get(name)
+                if cur is None:
+                    stats[name] = [mm[0], mm[1]]
+                else:
+                    # None = all-null batch: min/max of values seen so far
+                    if mm[0] is not None and (cur[0] is None or mm[0] < cur[0]):
+                        cur[0] = mm[0]
+                    if mm[1] is not None and (cur[1] is None or mm[1] > cur[1]):
+                        cur[1] = mm[1]
+        if writer is None:
+            return _SifWriteMessage(None, 0, {})
+        writer.close()
+        return _SifWriteMessage(fpath, rows, stats)
+
+    # -- driver side -----------------------------------------------------------
+
+    def _ddl(self) -> str:
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in self.schema.fields
+        )
+
+    def commit(self, messages) -> None:
+        import shutil
+        import uuid
+
+        from sif_spark.logstore import PosixExclLogStore
+
+        files = [m for m in messages if m is not None and m.file]
+        total_rows = sum(m.rows for m in files)
+        if not files and not self.overwrite:
+            shutil.rmtree(self.staging, ignore_errors=True)
+            return  # empty append: no version
+        # merge per-file stats (a column missing from ANY file's stats
+        # carries no group stats — conservative, prune-safe)
+        col_stats: dict[str, list] = {}
+        if files:
+            common = set(files[0].stats)
+            for m in files[1:]:
+                common &= set(m.stats)
+            for c in common:
+                los = [m.stats[c][0] for m in files if m.stats[c][0] is not None]
+                his = [m.stats[c][1] for m in files if m.stats[c][1] is not None]
+                col_stats[c] = [min(los) if los else None,
+                                max(his) if his else None]
+        ddl = self._ddl()
+        store = PosixExclLogStore()
+        mdir = os.path.join(self.table_path, _MANIFESTS)
+        gpath = None
+        for _ in range(30):
+            versions = _versions_on_disk(self.table_path)
+            if not versions:
+                m = None
+                v = 1
+                op = "create"
+            else:
+                m = _load_manifest(self.table_path, versions[-1])
+                if m.get("bucket"):
+                    raise ValueError(
+                        "bucketed tables own their layout — write through "
+                        "SifTable.append(), which plans the bucketed write"
+                    )
+                if m["schema"] != ddl:
+                    raise ValueError(
+                        f"sif_table writer schema {ddl!r} != snapshot schema "
+                        f"{m['schema']!r} — schema evolution goes through "
+                        "the SifTable API"
+                    )
+                v = m["version"] + 1
+                op = "overwrite" if self.overwrite else "append"
+            txns = dict(m.get("txns", {})) if m else {}
+            if self.txn is not None:
+                app, epoch = self.txn
+                if int(txns.get(app, -1)) >= epoch:
+                    shutil.rmtree(self.staging, ignore_errors=True)
+                    return  # replayed epoch: committed no-op
+                txns[app] = epoch
+            gid = f"g-{v:010d}-000-{uuid.uuid4().hex[:8]}"
+            new_gpath = os.path.join(self.table_path, "data", gid)
+            if gpath is None:
+                os.makedirs(new_gpath, exist_ok=True)
+                for msg in files:
+                    os.rename(
+                        msg.file,
+                        os.path.join(new_gpath, os.path.basename(msg.file)),
+                    )
+            else:
+                os.rename(gpath, new_gpath)  # CAS retry: re-mint the version
+            gpath = new_gpath
+            group = {"id": gid, "path": gpath, "schema": ddl,
+                     "rows": total_rows}
+            if col_stats:
+                group["stats"] = {c: list(b) for c, b in col_stats.items()}
+            key = (m or {}).get("key_col") or self.key_col
+            if key and key in col_stats:
+                group["key_min"], group["key_max"] = col_stats[key]
+            groups = [group] if (self.overwrite or m is None) else (
+                m["groups"] + [group]
+            )
+            manifest = {
+                "version": v,
+                "parent": m["version"] if m else None,
+                "op": op,
+                "key_col": key,
+                "bucket": None,
+                "key_bloom": bool(m.get("key_bloom", False)) if m else False,
+                "cdf": bool(m.get("cdf", False)) if m else False,
+                "txns": txns,
+                "added": [gid],
+                "schema": ddl,
+                "groups": groups,
+            }
+            os.makedirs(mdir, exist_ok=True)
+            target = os.path.join(mdir, f"v{v:010d}.json")
+            if store.put_if_absent(target, json.dumps(manifest, indent=1)):
+                shutil.rmtree(
+                    os.path.join(self.table_path, "_staging", self.write_id),
+                    ignore_errors=True,
+                )
+                return
+            # lost the CAS: loop re-reads the fresh snapshot
+        raise RuntimeError(
+            "sif_table writer starved through 30 commit retries"
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class SifTableDataSource(DataSource):
     """``sif_table`` — batch-read a SifTable snapshot (with automatic
     manifest-stats data skipping under pushed filters) or stream its
@@ -454,6 +688,9 @@ class SifTableDataSource(DataSource):
             [f for f in schema.fields if f.name != "_commit_version"]
         )
         return _SifTableBatchReader(base, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _SifTableBatchWriter(schema, self.options, overwrite)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         base = StructType(

@@ -556,16 +556,12 @@ class SifTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (default: latest; explicit version = time
         travel). Every group aligns to the SNAPSHOT's schema by name —
-        groups written before a column existed surface it as NULL."""
+        groups written before a column existed surface it as NULL. An
+        empty snapshot (e.g. after an overwrite with an empty frame)
+        reads as zero rows with the schema intact."""
         m = self._load(version)
         target = T._parse_datatype_string(m["schema"])
-        parts = [
-            _align(self.spark.read.parquet(g["path"]), target) for g in m["groups"]
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        return self._read_groups(m["groups"], target)
 
     def last_txn_epoch(self, app_id: str) -> int:
         """The highest epoch committed for ``app_id`` (-1 if none).
@@ -827,9 +823,9 @@ class SifTable:
         v, op = m["version"], m.get("op")
         if m.get("cdc"):
             return
-        if op == "restore":
+        if op in ("restore", "overwrite"):
             raise ChangeFeedIncompleteError(
-                f"version {v} is a restore — its logical diff is not "
+                f"version {v} is a {op} — its logical diff is not "
                 "materialized; start the CDC read after it"
             )
         if op == "upsert":

@@ -1174,3 +1174,60 @@ def test_mixed_writer_stress_upsert_compact_delete(spark, tdir):
             rt.compact()
     assert _rows(t.read()) == _rows(rt.read())
     shutil.rmtree(replay_dir, ignore_errors=True)
+
+
+def test_batch_datasource_writer_roundtrip_txn_and_guards(spark, tdir):
+    """df.write.format('sif_table'): create + append + overwrite via
+    the DS writer interoperate with the full API (upsert, lookup,
+    change feed, time travel); txn options make replays no-ops;
+    schema drift raises; staged files never leak; both feed guards
+    refuse to cross an overwrite."""
+    import os
+
+    from sif_spark.sources.table_stream import register_table_source
+    from sif_spark.table import ChangeFeedIncompleteError
+
+    register_table_source(spark)
+    df = _df(spark, 0, 100, "a")
+    (df.filter("k < 50").write.format("sif_table").option("path", tdir)
+       .option("key_col", "k").mode("append").save())
+    (df.filter("k >= 50").write.format("sif_table").option("path", tdir)
+       .option("txn_app", "w").option("txn_epoch", "3").mode("append").save())
+    t = SifTable(spark, tdir)
+    assert [(h["version"], h["op"]) for h in t.history()] == [
+        (1, "create"), (2, "append")
+    ]
+    assert t.read().count() == 100
+    m = t._load()
+    g1 = m["groups"][0]
+    assert g1["key_min"] == 0 and g1["key_max"] == 49  # stats rode messages
+    # replayed txn epoch: committed no-op
+    (df.filter("k >= 50").write.format("sif_table").option("path", tdir)
+       .option("txn_app", "w").option("txn_epoch", "3").mode("append").save())
+    assert t._load()["version"] == 2 and t.read().count() == 100
+    # feed + API interop over DS-written groups
+    assert t.changes(1).count() == 50
+    t.upsert(spark.createDataFrame([(7, "z")], "k long, v string"))
+    assert t.lookup(7).collect()[0]["v"] == "z"
+    # schema drift raises instead of writing a torn group
+    with pytest.raises(Exception, match="snapshot schema"):
+        (df.selectExpr("k").write.format("sif_table")
+           .option("path", tdir).mode("append").save())
+    assert not os.listdir(os.path.join(tdir, "_staging"))
+    # overwrite: new snapshot references ONLY the new group; history
+    # stays; both feed guards refuse to cross it
+    (df.filter("k < 10").write.format("sif_table").option("path", tdir)
+       .mode("overwrite").save())
+    assert t.read().count() == 10
+    assert t.read(version=2).count() == 100
+    with pytest.raises(ChangeFeedIncompleteError, match="overwrite"):
+        t.changes(3, cdf=True).count()
+    from pyspark.sql.types import StructType
+
+    from sif_spark.sources.table_stream import _SifTableStreamReader
+
+    guard = _SifTableStreamReader(
+        StructType([]), {"path": tdir, "fail_on_content_removal": "true"}
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        guard.partitions({"version": 3}, {"version": t._load()["version"]})
