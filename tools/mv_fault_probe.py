@@ -21,10 +21,18 @@ Protocol per round:
    source row (any double-fold or dropped window flips a sum), and
    that the view's manifest chain is contiguous.
 
+Round 11 adds ``--cdf``: the same adaptive-kill protocol over a
+MUTATING source — the history interleaves a keyed UPSERT (replacing
+live keys) and a DELETE among the appends, the view folds the
+change-data feed with SIGNED partials (preimage/delete subtract), and
+the verifier replays the mutations through a pure-Python keyed state
+dict. A replayed epoch after the kill would double BOTH the adds and
+the retractions; either corrupts a sum.
+
 Prints one JSON line; tests/test_mview_fault.py asserts.
 
-Run directly:  python tools/mv_fault_probe.py
-Writer mode:   python tools/mv_fault_probe.py --writer <src> <view> <ckpt>
+Run directly:  python tools/mv_fault_probe.py [--cdf]
+Writer mode:   python tools/mv_fault_probe.py --writer <src> <view> <ckpt> <mode>
 """
 
 from __future__ import annotations
@@ -75,7 +83,58 @@ def build_source(spark, src_dir: str) -> None:
         t.append(frame(s))
 
 
-def writer(src_dir: str, view_dir: str, ckpt: str) -> None:
+# --- the cdf-mode mutating history ------------------------------------------
+# appends 0..6, then an UPSERT replacing every live k%5==0 (and
+# inserting the same-rule keys in the inter-slice gaps), a DELETE of
+# k%9==0, then appends 9..12. All arithmetic is deterministic, so the
+# verifier replays it through a plain dict.
+
+CDF_UPSERT_AT = 7   # after slices 0..6
+CDF_DELETE_AT = 8
+
+
+def _cdf_upsert_rows():
+    return [(k, k % 7, 3 * k + 1000) for k in range(0, 700, 5)]
+
+
+def cdf_build_source(spark, src_dir: str) -> None:
+    from sif_spark.table import SifTable
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k bigint, bucket bigint, val bigint"
+        )
+
+    t = SifTable.create(spark, src_dir, frame(_rows_for(0)), key_col="k",
+                        cdf=True)
+    for s in range(1, 7):
+        t.append(frame(_rows_for(s)))
+    t.upsert(frame(_cdf_upsert_rows()))
+    t.delete("k % 9 = 0")
+    for s in range(9, N_APPENDS + 1):
+        t.append(frame(_rows_for(s)))
+
+
+def cdf_expected_view() -> dict[int, tuple[int, int]]:
+    state: dict[int, tuple[int, int]] = {}
+    for s in range(0, 7):
+        for k, b, v in _rows_for(s):
+            state[k] = (b, v)
+    for k, b, v in _cdf_upsert_rows():
+        state[k] = (b, v)
+    for k in [k for k in state if k % 9 == 0]:
+        del state[k]
+    for s in range(9, N_APPENDS + 1):
+        for k, b, v in _rows_for(s):
+            state[k] = (b, v)
+    agg: dict[int, tuple[int, int]] = {}
+    for _k, (b, v) in state.items():
+        n, sv = agg.get(b, (0, 0))
+        agg[b] = (n + 1, sv + v)
+    return agg
+
+
+def writer(src_dir: str, view_dir: str, ckpt: str, mode: str) -> None:
     from sif_spark.mview import incremental_aggregate_view
     from sif_spark.session import get_session
 
@@ -83,6 +142,7 @@ def writer(src_dir: str, view_dir: str, ckpt: str) -> None:
     q = incremental_aggregate_view(
         spark, src_dir, view_dir, key="bucket", sums=SUMS,
         checkpoint_dir=ckpt, app_id="mvprobe", max_versions_per_trigger=1,
+        cdf=(mode == "cdf"),
     )
     q.processAllAvailable()
     q.stop()
@@ -90,7 +150,7 @@ def writer(src_dir: str, view_dir: str, ckpt: str) -> None:
     print("drained", flush=True)
 
 
-def verify(spark, view_dir: str) -> dict:
+def verify(spark, view_dir: str, mode: str) -> dict:
     from sif_spark.table import SifTable
 
     t = SifTable(spark, view_dir)
@@ -99,10 +159,11 @@ def verify(spark, view_dir: str) -> dict:
     got = {
         r["bucket"]: (r["n"], r["sum_val"]) for r in t.read().collect()
     }
+    want = cdf_expected_view() if mode == "cdf" else expected_view()
     return {
         "view_versions": versions[-1] if versions else 0,
         "chain_ok": chain_ok,
-        "values_ok": got == expected_view(),
+        "values_ok": got == want,
     }
 
 
@@ -115,13 +176,15 @@ def _view_commits(view_dir: str) -> int:
     )
 
 
-def one_round(spark, kill_at_commits: int, workdir: str) -> dict:
+def one_round(spark, kill_at_commits: int, workdir: str,
+              mode: str = "append") -> dict:
     src, view, ckpt = f"{workdir}/src", f"{workdir}/view", f"{workdir}/ckpt"
     shutil.rmtree(workdir, ignore_errors=True)
     os.makedirs(workdir)
-    build_source(spark, src)
+    (cdf_build_source if mode == "cdf" else build_source)(spark, src)
     child = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--writer", src, view, ckpt],
+        [sys.executable, os.path.abspath(__file__), "--writer", src, view,
+         ckpt, mode],
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
     )
@@ -141,12 +204,13 @@ def one_round(spark, kill_at_commits: int, workdir: str) -> dict:
         os.kill(child.pid, signal.SIGKILL)
     child.wait()
     rc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--writer", src, view, ckpt],
+        [sys.executable, os.path.abspath(__file__), "--writer", src, view,
+         ckpt, mode],
         capture_output=True,
         text=True,
         timeout=600,
     )
-    res = verify(spark, view)
+    res = verify(spark, view, mode)
     res["killed_mid_run"] = killed_running
     res["commits_at_kill"] = commits_at_kill
     res["resume_rc"] = rc.returncode
@@ -156,21 +220,30 @@ def one_round(spark, kill_at_commits: int, workdir: str) -> dict:
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--writer":
-        writer(sys.argv[2], sys.argv[3], sys.argv[4])
+        mode = sys.argv[5] if len(sys.argv) > 5 else "append"
+        writer(sys.argv[2], sys.argv[3], sys.argv[4], mode)
         return 0
     from sif_spark.session import get_session
 
+    mode = "cdf" if "--cdf" in sys.argv[1:] else "append"
     spark = get_session("mv_fault_parent")
     rounds = []
-    for kill_at in (2, 6, 11):
-        rounds.append(one_round(spark, kill_at, f"/tmp/sif_mv_fault_{kill_at}"))
-        print(f"  kill_at {kill_at}: {rounds[-1]}", file=sys.stderr)
+    # cdf kill points bracket the mutation window: fold commits 7/8
+    # are the upsert's signed fold and the delete's retraction
+    kill_points = (3, 8) if mode == "cdf" else (2, 6, 11)
+    for kill_at in kill_points:
+        rounds.append(
+            one_round(
+                spark, kill_at, f"/tmp/sif_mv_fault_{mode}_{kill_at}", mode
+            )
+        )
+        print(f"  [{mode}] kill_at {kill_at}: {rounds[-1]}", file=sys.stderr)
     ok = all(
         r["chain_ok"] and r["values_ok"] and r["resume_rc"] == 0
         and r["killed_mid_run"] and r["commits_at_kill"] >= r["kill_at_commits"]
         for r in rounds
     )
-    print(json.dumps({"ok": ok, "rounds": rounds}))
+    print(json.dumps({"ok": ok, "mode": mode, "rounds": rounds}))
     return 0 if ok else 1
 
 
