@@ -54,6 +54,18 @@ from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 _MANIFESTS = "_manifests"
 
 
+def _local_path(p: str) -> str:
+    """SQL DDL (CREATE TABLE ... USING sif_table) hands the path
+    option through the catalog as a ``file:`` URI; the planner/
+    executor helpers here are plain-POSIX (the shared-FS contract), so
+    strip the scheme."""
+    if p.startswith("file://"):
+        return p[len("file://"):] or "/"
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
 def _versions_on_disk(table_path: str) -> list[int]:
     mdir = os.path.join(table_path, _MANIFESTS)
     if not os.path.isdir(mdir):
@@ -144,7 +156,7 @@ def _cdc_partitions_for_version(table_path: str, m: dict) -> list:
 
 class _SifTableStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
-        self.table_path = options["path"]
+        self.table_path = _local_path(options["path"])
         self.schema = schema
         self.start_after = int(options.get("starting_version", 0))
         # backlog rate limit: at most N table versions per micro-batch
@@ -329,7 +341,7 @@ class _SifTableBatchReader(DataSourceReader):
     contract in docs/table.md."""
 
     def __init__(self, schema: StructType, options: dict):
-        self.table_path = options["path"]
+        self.table_path = _local_path(options["path"])
         self.schema = schema
         self.version = (
             int(options["version"]) if options.get("version") else None
@@ -480,7 +492,7 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         import uuid
 
-        self.table_path = options["path"]
+        self.table_path = _local_path(options["path"])
         self.schema = schema
         self.overwrite = overwrite
         self.key_col = options.get("key_col")
@@ -662,7 +674,7 @@ class SifTableDataSource(DataSource):
     def schema(self) -> str:
         # a DDL STRING, not a StructType: this runs in a sessionless
         # planner worker where _parse_datatype_string cannot run
-        table_path = self.options["path"]
+        table_path = _local_path(self.options["path"])
         versions = _versions_on_disk(table_path)
         if not versions:
             raise FileNotFoundError(
