@@ -26,12 +26,13 @@ Commit protocol — the ONLY mutation is manifest creation:
    version N+1 get exactly one winner; the loser re-reads the new
    snapshot and retries (optimistic concurrency). A SIGKILL anywhere
    before the publish leaves orphan data dirs and/or a .tmp manifest,
-   both invisible to every reader. The default store is Hadoop
-   tmp+rename (atomic on local FS and HDFS); S3-class stores without
-   atomic rename plug in a conditional-put store
-   (PosixExclLogStore / ConditionalPutLogStore) — same division of
-   labor as Delta's LogStore, proven here under an adversarial
-   non-atomic-rename shim (tests/test_logstore.py).
+   both invisible to every reader. The default store is the link(2)
+   conditional put for local paths (kernel-atomic; Hadoop's LOCAL
+   rename is POSIX rename(2) under a check-then-act wrapper) and
+   Hadoop tmp+rename for schemed paths (atomic-and-exclusive by HDFS
+   contract); S3-class stores plug in a ConditionalPutLogStore — same
+   division of labor as Delta's LogStore, proven here under an
+   adversarial non-atomic-rename shim (tests/test_logstore.py).
 
 Snapshot isolation: a reader resolves a manifest once (`read()` pins
 the version it saw; `read(version=N)` is explicit time travel) and
@@ -299,18 +300,38 @@ class SifTable:
     """Handle on a versioned table directory. Cheap to construct —
     every operation re-resolves the latest committed manifest.
 
-    ``log_store`` selects the manifest commit protocol (logstore.py):
-    default HadoopRenameLogStore (rename-CAS, local FS/HDFS); pass
-    PosixExclLogStore / a ConditionalPutLogStore for stores whose
-    rename is not atomic-and-exclusive (S3-class object stores) — the
-    table logic is identical, only the publish primitive changes."""
+    ``log_store`` selects the manifest commit protocol (logstore.py).
+    Default: PosixExclLogStore (link(2) conditional put — the
+    kernel-atomic primitive) for local/`file:` paths, and
+    HadoopRenameLogStore (rename-CAS, atomic-and-exclusive by HDFS
+    contract) for schemed paths. The local choice matters twice over:
+    (a) Hadoop's LOCAL rename is java.io.File.renameTo — POSIX
+    rename(2), which overwrites an existing destination; the deployed
+    wrapper's fail-on-existing is a check-then-act, not a CAS — and
+    (b) the `sif_table` DataSource writer (a sessionless Python
+    worker) publishes through the link store, so all writers of a
+    local table now share ONE atomic primitive. Pass a
+    ConditionalPutLogStore for S3-class object stores."""
 
     def __init__(self, spark: SparkSession, path: str, log_store=None):
-        from sif_spark.logstore import HadoopRenameLogStore
+        from sif_spark.logstore import (
+            HadoopRenameLogStore,
+            PosixExclLogStore,
+        )
 
         self.spark = spark
-        self.path = path.rstrip("/")
-        self.log = log_store or HadoopRenameLogStore(spark)
+        path = path.rstrip("/")
+        if path.startswith("file://"):
+            path = path[len("file://"):] or "/"
+        elif path.startswith("file:"):
+            path = path[len("file:"):]
+        self.path = path
+        if log_store is not None:
+            self.log = log_store
+        elif "://" in path or ":" in path.split("/", 1)[0]:
+            self.log = HadoopRenameLogStore(spark)  # hdfs:// and friends
+        else:
+            self.log = PosixExclLogStore()
 
     # -- manifest plumbing -------------------------------------------------
 
