@@ -538,6 +538,7 @@ def maintain_ivf_index_table(
     starting_version: int = 0,
     trigger_seconds: float = 0.0,
     max_versions_per_trigger: int = 0,
+    pq_codebook: "PQCodebook | None" = None,
 ):
     """Maintain an IVF index AS a SifTable, incrementally, from a
     corpus SifTable's change feed (VERDICT r10 "Next round" #6 — the
@@ -555,6 +556,13 @@ def maintain_ivf_index_table(
     documented, matching ivf_knn's corpus_rows provenance check which
     refuses to serve a drifted index.
 
+    ``pq_codebook`` (a trained PQCodebook) additionally ENCODES each
+    batch — the index table rows become (nid, cell, codes), i.e. the
+    full IVF-PQ artifact maintained incrementally: new vectors are
+    assigned AND encoded per batch against the FIXED codebook, so the
+    serving path (ADC prefilter + exact re-rank, q109's shape) never
+    waits on a rebuild.
+
     Returns the StreamingQuery; the index table is readable mid-stream
     (snapshot isolation) and `IVFIndex(centroids, table.read()...)`
     serves queries."""
@@ -570,6 +578,11 @@ def maintain_ivf_index_table(
         assigned = assign_cells(
             batch_df, centroids, vec_col=vec_col, id_col=id_col
         )
+        if pq_codebook is not None:
+            codes = pq_encode(
+                batch_df, pq_codebook, vec_col=vec_col, id_col=id_col
+            )
+            assigned = assigned.join(codes, "nid")  # batch-local join
         dst = SifTable(session, index_table_path)
         try:
             dst._load()

@@ -1345,6 +1345,15 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q182_table_sql_write"] = q182_table_sql_write
 ORACLES["q182_table_sql_write"] = ORACLE_Q182
+# q183: the full IVF-PQ artifact (assigned AND encoded per batch)
+# maintained incrementally; serves q109's ADC+rerank shape, and the
+# oracle is q181's exact-kNN SQL over the same final corpus
+from sif_spark.queries_table import (  # noqa: E402
+    q183_incremental_pq_index,
+)
+
+QUERIES["q183_incremental_pq_index"] = q183_incremental_pq_index
+ORACLES["q183_incremental_pq_index"] = ORACLE_Q181
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -832,6 +832,73 @@ FROM orders
 """
 
 
+def q183_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF-PQ artifact maintained incrementally (completing
+    VERDICT r10 #6's 'assigned/encoded per batch'): the streaming
+    maintainer folds each corpus version into a SifTable of
+    (nid, cell, codes) — nearest-centroid assignment AND 8×256 PQ
+    encoding against the codebook trained ONCE on the day-1 slice,
+    exactly-once via txn=, keyed replacement on the re-embedding
+    upsert. In-entry pins: incremental (cell, codes) rows EQUAL a
+    from-scratch assignment+encode of the final corpus. Serving is
+    q109's production shape — ADC prefilter to 200 candidates from
+    the MAINTAINED codes, raw vectors join back for only that subset,
+    exact cosine re-ranks top-5 — gated against the same exact-kNN
+    SQL, so the oracle measures candidate recall of the incrementally
+    maintained codes directly."""
+    from sif_spark.operators import similarity as sgsim
+    from sif_spark.table import SifTable
+
+    corpus_path = _fresh_dir(sf_dir, "pq_corpus")
+    idx_path = _fresh_dir(sf_dir, "pq_idx")
+    ckpt = _fresh_dir(sf_dir, "pq_ckpt")
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k3 = F.col("vec_id") % 3
+    day1 = emb.filter(k3 == 0)
+    corpus = SifTable.create(
+        spark, corpus_path, day1, key_col="vec_id"
+    )
+    seed_index = sgsim.build_ivf_index(day1, n_cells=16, max_iter=2)
+    cb = sgsim.train_pq(day1, m=8, ksub=256, sample_rows=4096, iters=8)
+    corpus.append(emb.filter(k3 == 1))
+    corpus.append(emb.filter(k3 == 2))
+    corpus.upsert(
+        emb.filter(F.col("vec_id") % 10 == 3).select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    q = sgsim.maintain_ivf_index_table(
+        spark, corpus_path, idx_path, seed_index.centroids, ckpt,
+        app_id="q183", max_versions_per_trigger=1, pq_codebook=cb,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    idx_table = SifTable(spark, idx_path)
+    final_corpus = corpus.read()
+    incr = idx_table.read().select("nid", "cell", "codes")
+    fresh = sgsim.assign_cells(final_corpus, seed_index.centroids).join(
+        sgsim.pq_encode(final_corpus, cb), "nid"
+    )
+    drift = incr.exceptAll(fresh).count() + fresh.exceptAll(incr).count()
+    assert drift == 0, f"incremental IVF-PQ drifted from rebuild: {drift}"
+    queries = final_corpus.filter(F.col("vec_id") < 5)
+    cand = (
+        sgsim.pq_knn(incr.select("nid", "codes"), cb, queries, k=200)
+        .select("nid")
+        .distinct()
+    )
+    subset = final_corpus.join(
+        cand, final_corpus.vec_id == cand.nid, "left_semi"
+    )
+    return sgsim.brute_force_knn(subset, queries, k=5).select(
+        "qid", "nid", "rank"
+    )
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,
