@@ -845,7 +845,14 @@ def q183_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MAINTAINED codes, raw vectors join back for only that subset,
     exact cosine re-ranks top-5 — gated against the same exact-kNN
     SQL, so the oracle measures candidate recall of the incrementally
-    maintained codes directly."""
+    maintained codes directly.
+
+    Candidate count scales WITH the corpus (max(200, n/10)): the
+    day-1-only codebook quantizes the post-upsert NEGATED vectors
+    poorly, so the worst true-neighbor ADC rank grows faster than
+    linearly with corpus size (measured: 63 of 2k at sf0.1 → 834 of
+    20k at sf1); a fixed candidate count that passes at gate scale
+    silently loses recall at 10×. n/10 held a 2.4× margin at sf1."""
     from sif_spark.operators import similarity as sgsim
     from sif_spark.table import SifTable
 
@@ -886,8 +893,12 @@ def q183_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift = incr.exceptAll(fresh).count() + fresh.exceptAll(incr).count()
     assert drift == 0, f"incremental IVF-PQ drifted from rebuild: {drift}"
     queries = final_corpus.filter(F.col("vec_id") < 5)
+    n_corpus = final_corpus.count()
     cand = (
-        sgsim.pq_knn(incr.select("nid", "codes"), cb, queries, k=200)
+        sgsim.pq_knn(
+            incr.select("nid", "codes"), cb, queries,
+            k=max(200, n_corpus // 10),
+        )
         .select("nid")
         .distinct()
     )
