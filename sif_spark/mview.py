@@ -152,7 +152,14 @@ def merge_partials(
         ]
         for v in batch_versions:
             m = src._load(int(v))
-            if m.get("op") == "upsert":
+            op = m.get("op")
+            if op in ("restore", "overwrite"):
+                raise ChangeFeedIncompleteError(
+                    f"mview fold over append feed hit version {v} ({op}) "
+                    "— its removals are not representable; rebuild the "
+                    "view or start after it."
+                )
+            if op == "upsert":
                 r = m.get("replaced_rows")
                 if r is None or r > 0:
                     raise ChangeFeedIncompleteError(
@@ -161,6 +168,15 @@ def merge_partials(
                         "replaced rows) — folding its post-images would "
                         "corrupt the view. Use cdf=True on a table "
                         "created with cdf=True."
+                    )
+            if op == "delete":
+                d = m.get("deleted_rows")
+                if d is None or d > 0:
+                    raise ChangeFeedIncompleteError(
+                        f"mview fold over append feed hit version {v} "
+                        f"(delete, {'unrecorded' if d is None else d} "
+                        "removed rows) — the view would never hear the "
+                        "removals. Use cdf=True."
                     )
     if cdf:
         sign = F.when(

@@ -58,12 +58,10 @@ def _local_path(p: str) -> str:
     """SQL DDL (CREATE TABLE ... USING sif_table) hands the path
     option through the catalog as a ``file:`` URI; the planner/
     executor helpers here are plain-POSIX (the shared-FS contract), so
-    strip the scheme."""
-    if p.startswith("file://"):
-        return p[len("file://"):] or "/"
-    if p.startswith("file:"):
-        return p[len("file:"):]
-    return p
+    strip the scheme (one shared implementation in table.py)."""
+    from sif_spark.table import strip_file_scheme
+
+    return strip_file_scheme(p)
 
 
 def _versions_on_disk(table_path: str) -> list[int]:
@@ -296,6 +294,11 @@ def _aligned_arrow_batches(
             + [StructField("_commit_version", IntegerType(), False)]
         )
     )
+    if partition is None:
+        # a fully-pruned batch scan plans ZERO partitions; pyspark's
+        # read worker substitutes [None] — a legitimate empty result,
+        # not an error
+        return
     table = pq.read_table(partition.file_path)
     n = table.num_rows
     cols = []
@@ -514,6 +517,11 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
         writer = None
         rows = 0
         stats: dict[str, list] = {}
+        # STICKY poison: once any batch's min/max is unusable for a
+        # column, the column carries no stats for the whole file — a
+        # re-created entry from a later batch would exclude earlier
+        # batches' values and make pruning silently lose rows
+        dead: set[str] = set()
         fpath = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
         for batch in iterator:
             if batch.num_rows == 0:
@@ -524,13 +532,16 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
             rows += batch.num_rows
             tbl = pa.Table.from_batches([batch])
             for name in tbl.column_names:
+                if name in dead:
+                    continue
                 col = tbl.column(name)
                 kind = str(col.type)
                 if not kind.startswith(_STAT_ARROW_KINDS):
                     continue
                 mm = _arrow_col_minmax(col)
                 if mm is None:
-                    stats.pop(name, None)  # poison: drop the column's stats
+                    stats.pop(name, None)
+                    dead.add(name)
                     continue
                 cur = stats.get(name)
                 if cur is None:
@@ -608,27 +619,40 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                     shutil.rmtree(self.staging, ignore_errors=True)
                     return  # replayed epoch: committed no-op
                 txns[app] = epoch
-            gid = f"g-{v:010d}-000-{uuid.uuid4().hex[:8]}"
-            new_gpath = os.path.join(self.table_path, "data", gid)
-            if gpath is None:
-                os.makedirs(new_gpath, exist_ok=True)
-                for msg in files:
-                    os.rename(
-                        msg.file,
-                        os.path.join(new_gpath, os.path.basename(msg.file)),
-                    )
-            else:
-                os.rename(gpath, new_gpath)  # CAS retry: re-mint the version
-            gpath = new_gpath
-            group = {"id": gid, "path": gpath, "schema": ddl,
-                     "rows": total_rows}
-            if col_stats:
-                group["stats"] = {c: list(b) for c, b in col_stats.items()}
             key = (m or {}).get("key_col") or self.key_col
-            if key and key in col_stats:
-                group["key_min"], group["key_max"] = col_stats[key]
-            groups = [group] if (self.overwrite or m is None) else (
-                m["groups"] + [group]
+            added: list[str] = []
+            new_groups: list[dict] = []
+            if files:
+                gid = f"g-{v:010d}-000-{uuid.uuid4().hex[:8]}"
+                new_gpath = os.path.join(self.table_path, "data", gid)
+                if gpath is None:
+                    os.makedirs(new_gpath, exist_ok=True)
+                    for msg in files:
+                        os.rename(
+                            msg.file,
+                            os.path.join(
+                                new_gpath, os.path.basename(msg.file)
+                            ),
+                        )
+                else:
+                    # CAS retry: re-mint the version in the group name
+                    os.rename(gpath, new_gpath)
+                gpath = new_gpath
+                group = {"id": gid, "path": gpath, "schema": ddl,
+                         "rows": total_rows}
+                if col_stats:
+                    group["stats"] = {
+                        c: list(b) for c, b in col_stats.items()
+                    }
+                if key and key in col_stats:
+                    group["key_min"], group["key_max"] = col_stats[key]
+                added = [gid]
+                new_groups = [group]
+            # an empty-frame OVERWRITE commits groups=[] (a readable
+            # empty snapshot) — a zero-file group dir would make the
+            # new latest version unreadable
+            groups = new_groups if (self.overwrite or m is None) else (
+                m["groups"] + new_groups
             )
             manifest = {
                 "version": v,
@@ -639,7 +663,7 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                 "key_bloom": bool(m.get("key_bloom", False)) if m else False,
                 "cdf": bool(m.get("cdf", False)) if m else False,
                 "txns": txns,
-                "added": [gid],
+                "added": added,
                 "schema": ddl,
                 "groups": groups,
             }

@@ -194,6 +194,18 @@ def _stat_bound(v):
     return out
 
 
+def strip_file_scheme(p: str) -> str:
+    """``file:``-URI → plain POSIX path (SQL DDL and some Spark APIs
+    hand paths through as URIs; the table's POSIX-side helpers and the
+    link(2) log store need the raw path). The single shared
+    implementation — sources/table_stream.py reuses it."""
+    if p.startswith("file://"):
+        return p[len("file://"):] or "/"
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — re-read and retry."""
 
@@ -320,11 +332,7 @@ class SifTable:
         )
 
         self.spark = spark
-        path = path.rstrip("/")
-        if path.startswith("file://"):
-            path = path[len("file://"):] or "/"
-        elif path.startswith("file:"):
-            path = path[len("file:"):]
+        path = strip_file_scheme(path.rstrip("/"))
         self.path = path
         if log_store is not None:
             self.log = log_store
@@ -673,15 +681,28 @@ class SifTable:
                 for g in candidates
                 if g.get("key_bloom")
             }:
+                # try_cast (ANSI-safe): a value that does not fit the
+                # group's narrow recorded dtype provably is not in
+                # that group — an empty probe list excludes it
                 probe = self.spark.range(1).select(
+                    F.lit(value).try_cast(kt).alias("__k"),
                     *[
-                        F.xxhash64(F.lit(value).cast(kt), F.lit(s)).alias(
-                            f"h{i}"
-                        )
+                        F.xxhash64(
+                            F.lit(value).try_cast(kt), F.lit(s)
+                        ).alias(f"h{i}")
                         for i, s in enumerate(_BLOOM_SEEDS)
-                    ]
+                    ],
                 ).collect()[0]
-                pair_by_ktype[kt] = [tuple(probe)]
+                pair_by_ktype[kt] = (
+                    []
+                    if probe["__k"] is None
+                    else [
+                        tuple(
+                            probe[f"h{i}"]
+                            for i in range(len(_BLOOM_SEEDS))
+                        )
+                    ]
+                )
             candidates = [
                 g
                 for g in candidates
@@ -979,10 +1000,19 @@ class SifTable:
             for g in m["groups"]
             if g.get("key_bloom")
         }:
+            # try_cast, not cast: under Spark 4's default ANSI mode a
+            # narrowing cast of an out-of-range key RAISES
+            # (CAST_OVERFLOW) instead of wrapping. A key that does not
+            # fit the group's narrow recorded dtype provably cannot
+            # equi-match that group, so it simply drops from the probe
+            # set (an empty probe set proves no match — disjoint).
+            casted = updates.select(
+                F.col(key).try_cast(kt).alias("__k")
+            ).filter(F.col("__k").isNotNull())
             pairs = (
-                updates.select(
+                casted.select(
                     *[
-                        F.xxhash64(F.col(key).cast(kt), F.lit(seed)).alias(f"h{i}")
+                        F.xxhash64(F.col("__k"), F.lit(seed)).alias(f"h{i}")
                         for i, seed in enumerate(_BLOOM_SEEDS)
                     ]
                 )

@@ -1231,3 +1231,110 @@ def test_batch_datasource_writer_roundtrip_txn_and_guards(spark, tdir):
     )
     with pytest.raises(ValueError, match="overwrite"):
         guard.partitions({"version": 3}, {"version": t._load()["version"]})
+
+
+# ---------------------------------------------------------------------------
+# round 11 review findings (code-review r11): each fixed with a pin
+# ---------------------------------------------------------------------------
+
+
+def test_writer_stats_poison_is_sticky_across_batches(spark, tdir):
+    """A batch whose min/max is unusable (>256-char string) must kill
+    the column's stats for the WHOLE file — a later batch re-creating
+    them from its own values would make pushdown pruning silently
+    lose the earlier batch's rows."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    from sif_spark.sources.table_stream import _SifTableBatchWriter
+
+    w = _SifTableBatchWriter(StructType([]), {"path": tdir}, False)
+    b1 = pa.record_batch({"c": pa.array(["aaa", "z" * 300])})
+    b2 = pa.record_batch({"c": pa.array(["mmm", "nnn"])})
+    msg = w.write(iter([b1, b2]))
+    assert msg.rows == 4
+    assert "c" not in msg.stats, msg.stats  # poisoned: no partial stats
+    w.abort([msg])
+
+
+def test_batch_reader_fully_pruned_returns_zero_rows(spark, tdir):
+    """A pushdown filter that prunes EVERY group is a legitimate query
+    — it must return 0 rows, not crash on Spark's [None] partition
+    substitution."""
+    from sif_spark.sources.table_stream import register_table_source
+
+    register_table_source(spark)
+    SifTable.create(spark, tdir, _df(spark, 0, 50, "a"), key_col="k")
+    r = (
+        spark.read.format("sif_table")
+        .option("path", tdir)
+        .option("pushdown", "true")
+        .load()
+    )
+    assert r.filter("k > 1000").count() == 0
+
+
+def test_writer_empty_overwrite_commits_readable_empty_snapshot(spark, tdir):
+    from sif_spark.sources.table_stream import register_table_source
+
+    register_table_source(spark)
+    df = _df(spark, 0, 50, "a")
+    df.write.format("sif_table").option("path", tdir).mode("append").save()
+    df.filter("k > 1000").write.format("sif_table").option(
+        "path", tdir
+    ).mode("overwrite").save()
+    t = SifTable(spark, tdir)
+    assert t._load()["op"] == "overwrite" and t._load()["groups"] == []
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "v"]  # schema intact
+    assert t.read(version=1).count() == 50  # time travel still works
+
+
+def test_bloom_probe_try_cast_survives_out_of_range_keys(spark, tdir):
+    """ANSI mode: a key wider than a group's recorded bloom dtype must
+    DROP from that group's probe set (it provably cannot match),
+    not raise CAST_OVERFLOW and kill the upsert/lookup."""
+    t = SifTable.create(
+        spark, tdir,
+        spark.range(0, 50).select(
+            F.col("id").cast("int").alias("k"), F.lit("a").alias("v")
+        ),
+        key_col="k", key_bloom=True,
+    )
+    # widen the key; the v1 group's bloom stays recorded as ktype int
+    t.append(
+        spark.createDataFrame([(5_000_000_000, "b")], "k long, v string")
+    )
+    # a MIXED update batch (one in-int-range key + one overflowing
+    # key) makes the batch's key range OVERLAP the int group, so its
+    # bloom is actually probed — with a plain cast() this raised
+    # CAST_OVERFLOW under ANSI before any skipping decision
+    t.upsert(
+        spark.createDataFrame(
+            [(3, "c"), (5_000_000_000, "c2")], "k long, v string"
+        )
+    )
+    got = dict(t.read().collect())
+    assert got[3] == "c" and got[5_000_000_000] == "c2"
+    assert t.read().count() == 51
+    # lookup of the out-of-range key: no crash, exact row back
+    assert t.lookup(5_000_000_000).collect()[0]["v"] == "c2"
+    assert t.lookup(7_000_000_000).count() == 0
+
+
+def test_mview_belt_rejects_overwrite_versions(spark, tdir):
+    from sif_spark.mview import merge_partials
+    from sif_spark.sources.table_stream import register_table_source
+    from sif_spark.table import ChangeFeedIncompleteError
+
+    register_table_source(spark)
+    df = _df(spark, 0, 30, "a")
+    df.write.format("sif_table").option("path", tdir).mode("append").save()
+    df.write.format("sif_table").option("path", tdir).mode("overwrite").save()
+    t = SifTable(spark, tdir)
+    batch = t.changes(1)  # the overwrite's group arrives as plain adds
+    with pytest.raises(ChangeFeedIncompleteError, match="overwrite"):
+        merge_partials(
+            batch, 0, f"{tdir}-view", "v", {"n": "1"}, "belt",
+            src_path=tdir,
+        )

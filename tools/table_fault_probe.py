@@ -46,12 +46,19 @@ def expected_state(ops_done: int) -> dict[int, int]:
     return state
 
 
-def _store(kind: str):
+def _store(kind: str, spark):
     if kind == "excl":
         from sif_spark.logstore import PosixExclLogStore
 
         return PosixExclLogStore()
-    return None  # default HadoopRenameLogStore
+    # "rename" must be EXPLICIT: since round 11 SifTable's default for
+    # local paths is the link(2) store, so log_store=None would test
+    # the same protocol as --logstore=excl and the Hadoop rename-CAS
+    # path (still the default for hdfs:// tables) would silently lose
+    # its SIGKILL coverage
+    from sif_spark.logstore import HadoopRenameLogStore
+
+    return HadoopRenameLogStore(spark)
 
 
 def writer(table_dir: str, from_op: int, store_kind: str = "rename") -> None:
@@ -67,7 +74,7 @@ def writer(table_dir: str, from_op: int, store_kind: str = "rename") -> None:
             F.col("id").alias("k"), F.lit(val).cast("int").alias("v")
         )
 
-    store = _store(store_kind)
+    store = _store(store_kind, spark)
     if from_op == 0:
         t = SifTable.create(spark, table_dir, frame(0, BASE_ROWS, 0), key_col="k",
                             log_store=store)
