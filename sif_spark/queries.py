@@ -1354,6 +1354,14 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q183_incremental_pq_index"] = q183_incremental_pq_index
 ORACLES["q183_incremental_pq_index"] = ORACLE_Q181
+# q184: the batch half of the CDC feed (changes(cdf=True) value-gated)
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q184,
+    q184_table_cdf_batch,
+)
+
+QUERIES["q184_table_cdf_batch"] = q184_table_cdf_batch
+ORACLES["q184_table_cdf_batch"] = ORACLE_Q184
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -910,6 +910,87 @@ def q183_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q184_table_cdf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH half of the CDC feed (q179 gates the streaming half):
+    a cdf=True table takes an append, a replacing UPSERT (%5==0 →
+    lang='zz', n_chars+7) and a DELETE (%11==0); changes(0, cdf=True)
+    grouped by (_commit_version, _change_type) must equal DuckDB's
+    closed-form replay — pre-images carry OLD values, post-images and
+    tombstones carry the CURRENT (post-upsert) values, inserts split
+    exactly at key existence. Any leaked survivor copy, missed
+    tombstone, or image mix-up lands in the wrong bucket."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_cdf_batch")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    k = F.col("doc_id")
+    t = SifTable.create(
+        spark, base, d.filter(k % 3 == 0), key_col="doc_id", cdf=True
+    )
+    t.append(d.filter(k % 3 == 1))
+    t.upsert(
+        d.filter(k % 5 == 0).select(
+            "doc_id", F.lit("zz").alias("lang"),
+            (F.col("n_chars") + 7).alias("n_chars"),
+        )
+    )
+    t.delete("doc_id % 11 = 0")
+    return (
+        t.changes(0, cdf=True)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.when(F.col("lang") == "zz", 1).otherwise(0)).alias(
+                "n_zz"
+            ),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )
+
+
+# closed-form CDC replay: each branch aggregates the slice of
+# documents the corresponding change class covers; empty branches are
+# dropped (Spark's groupBy emits no group for them)
+ORACLE_Q184 = """
+WITH branches AS (
+  SELECT 1 AS _commit_version, 'insert' AS _change_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(0 AS BIGINT) AS n_zz
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 2, 'insert', CAST(count(*) AS BIGINT),
+         CAST(sum(n_chars) AS BIGINT), CAST(0 AS BIGINT)
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT 3, 'insert', CAST(count(*) AS BIGINT),
+         CAST(sum(n_chars + 7) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 2
+  UNION ALL
+  SELECT 3, 'update_postimage', CAST(count(*) AS BIGINT),
+         CAST(sum(n_chars + 7) AS BIGINT), CAST(count(*) AS BIGINT)
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 IN (0, 1)
+  UNION ALL
+  SELECT 3, 'update_preimage', CAST(count(*) AS BIGINT),
+         CAST(sum(n_chars) AS BIGINT), CAST(0 AS BIGINT)
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 IN (0, 1)
+  UNION ALL
+  SELECT 4, 'delete', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+                       ELSE n_chars END) AS BIGINT),
+         CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  WHERE doc_id % 11 = 0
+    AND (doc_id % 3 IN (0, 1) OR doc_id % 5 = 0)
+)
+SELECT * FROM branches WHERE n > 0
+ORDER BY _commit_version, _change_type
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,
