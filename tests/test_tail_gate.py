@@ -152,6 +152,12 @@ TAIL = [
     "q176_table_change_feed",
     "q177_table_stream_source",
     "q178_incremental_mv",
+    "q179_incremental_mv_cdf",
+    "q180_table_sql_pushdown",
+    "q181_incremental_ann_index",
+    "q182_table_sql_write",
+    "q183_incremental_pq_index",
+    "q184_table_cdf_batch",
 ]
 
 
