@@ -1338,3 +1338,77 @@ def test_mview_belt_rejects_overwrite_versions(spark, tdir):
             batch, 0, f"{tdir}-view", "v", {"n": "1"}, "belt",
             src_path=tdir,
         )
+
+
+def test_ds_writer_races_api_writer_through_cas(spark, tdir):
+    """The DS writer's commit CAS loop under real contention: a thread
+    of API appends races a thread of DS-format appends. A lost CAS
+    makes the DS commit re-mint its group dir under the next version
+    (os.rename) — every append must land exactly once, the chain must
+    be contiguous, and every group dir must carry its manifest's
+    version in its name (the changes() version-derivation contract)."""
+    import threading
+
+    t = SifTable.create(spark, tdir, _df(spark, 0, 10, "seed"), key_col="k")
+    errors: list = []
+
+    def api_writer():
+        try:
+            for i in range(4):
+                t.append(_df(spark, 1000 + 100 * i, 1000 + 100 * i + 50, "api"),
+                         retries=60)
+        except Exception as e:
+            errors.append(("api", e))
+
+    def ds_writer():
+        try:
+            # a fresh driver thread has no JVM-side active session, and
+            # Python data-source lookup resolves through it — without
+            # this, format('sif_table') falls back to Java class
+            # loading and dies with ClassNotFoundException (documented
+            # in docs/table.md)
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            for i in range(4):
+                (
+                    _df(spark, 5000 + 100 * i, 5000 + 100 * i + 50, "ds")
+                    .write.format("sif_table")
+                    .option("path", tdir)
+                    .mode("append")
+                    .save()
+                )
+            pass
+        except Exception as e:
+            errors.append(("ds", e))
+
+    from sif_spark.sources.table_stream import register_table_source
+
+    register_table_source(spark)
+    threads = [
+        threading.Thread(target=api_writer),
+        threading.Thread(target=ds_writer),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    versions = t._versions()
+    assert versions == list(range(1, 10)), versions  # 1 create + 8 appends
+    assert t.read().count() == 10 + 8 * 50
+    # every added group's dir name carries its committing version
+    for v in versions:
+        m = t._load(v)
+        by_id = {g["id"]: g for g in m["groups"]}
+        for gid in m["added"]:
+            assert gid.startswith(f"g-{v:010d}-"), (v, gid)
+    # and the change feed tags every row with the right version
+    per_v = {
+        r["_commit_version"]: r["n"]
+        for r in t.changes(1)
+        .groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_v == {v: 50 for v in range(2, 10)}, per_v
