@@ -1412,3 +1412,36 @@ def test_ds_writer_races_api_writer_through_cas(spark, tdir):
         .collect()
     }
     assert per_v == {v: 50 for v in range(2, 10)}, per_v
+
+
+def test_cdf_preimages_align_across_schema_evolution(spark, tdir):
+    """CDC × schema evolution: pre-images of rows written BEFORE a
+    column existed must surface the evolved column as NULL, and
+    post-images carry the new values — the change file is written at
+    the upsert's MERGED schema, and the feed aligns it to the window's
+    final schema by name."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 5, "a"), key_col="k",
+                        cdf=True)                                     # v1
+    t.append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("b").alias("v"),
+            (F.col("id") * 10).alias("w"),
+        )
+    )                                                                 # v2 evolves
+    t.upsert(
+        spark.createDataFrame([(1, "u", 111), (6, "u", 666)],
+                              "k long, v string, w long")
+    )                                                                 # v3
+    ch = t.changes(2, cdf=True)  # just the upsert's CDC
+    rows = sorted(
+        (r["k"], r["v"], r["w"], r["_change_type"]) for r in ch.collect()
+    )
+    assert rows == sorted(
+        [
+            (1, "a", None, "update_preimage"),   # pre-column row: w NULL
+            (6, "b", 60, "update_preimage"),
+            (1, "u", 111, "update_postimage"),
+            (6, "u", 666, "update_postimage"),
+        ]
+    )
+    assert t._load(3)["replaced_rows"] == 2
