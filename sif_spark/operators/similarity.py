@@ -539,6 +539,7 @@ def maintain_ivf_index_table(
     trigger_seconds: float = 0.0,
     max_versions_per_trigger: int = 0,
     pq_codebook: "PQCodebook | None" = None,
+    cdf: bool = False,
 ):
     """Maintain an IVF index AS a SifTable, incrementally, from a
     corpus SifTable's change feed (VERDICT r10 "Next round" #6 — the
@@ -550,11 +551,15 @@ def maintain_ivf_index_table(
 
     Corpus upserts (re-embeddings) arrive as post-image rows and fold
     as keyed REPLACEMENTS — exact for a keyed materialization, no
-    pre-image needed (unlike additive MVs). Corpus deletes are out of
-    scope: the change feed emits no tombstone and the stale index row
-    lingers; retention needs a cdf-mode consumer or a rebuild —
-    documented, matching ivf_knn's corpus_rows provenance check which
-    refuses to serve a drifted index.
+    pre-image needed (unlike additive MVs). Corpus DELETES need
+    ``cdf=True`` (on a corpus table created with cdf=True): the fold
+    then consumes the change-data feed — inserts/post-images
+    assign+merge as before, delete tombstones retire their index rows
+    via ``SifTable.delete_keys`` (range+bloom-skipped bulk delete),
+    each under the same txn epoch so a crash-replayed batch re-commits
+    neither half. Without cdf, a delete version fails the stream
+    loudly (the append feed cannot represent it) rather than leaving
+    stale index rows.
 
     ``pq_codebook`` (a trained PQCodebook) additionally ENCODES each
     batch — the index table rows become (nid, cell, codes), i.e. the
@@ -571,34 +576,82 @@ def maintain_ivf_index_table(
 
     register_table_source(spark)
 
-    def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return  # delete/compact window: nothing to assign
-        session = batch_df.sparkSession
-        assigned = assign_cells(
-            batch_df, centroids, vec_col=vec_col, id_col=id_col
-        )
+    def _assign(df: DataFrame) -> DataFrame:
+        assigned = assign_cells(df, centroids, vec_col=vec_col, id_col=id_col)
         if pq_codebook is not None:
-            codes = pq_encode(
-                batch_df, pq_codebook, vec_col=vec_col, id_col=id_col
-            )
+            codes = pq_encode(df, pq_codebook, vec_col=vec_col, id_col=id_col)
             assigned = assigned.join(codes, "nid")  # batch-local join
+        return assigned
+
+    def _merge(session, assigned: DataFrame, txn: tuple) -> "SifTable | None":
         dst = SifTable(session, index_table_path)
         try:
             dst._load()
         except FileNotFoundError:
-            SifTable.create(
-                session, index_table_path, assigned, key_col="nid",
-                txn=(app_id, int(epoch_id)),
+            return SifTable.create(
+                session, index_table_path, assigned, key_col="nid", txn=txn
             )
+        dst.upsert(assigned, txn=txn)
+        return dst
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # compact/no-op window: nothing to fold
+        session = batch_df.sparkSession
+        if not cdf:
+            _merge(session, _assign(batch_df), (app_id, int(epoch_id)))
             return
-        dst.upsert(assigned, txn=(app_id, int(epoch_id)))
+        # cdf: reduce the batch to each nid's FINAL image (a key may
+        # be replaced in one version and deleted in a later one inside
+        # the same window — only the last change matters; pre-images
+        # are irrelevant to a keyed materialization)
+        from pyspark.sql import Window
+
+        fin = (
+            batch_df.filter(
+                F.col("_change_type").isin(
+                    "insert", "update_postimage", "delete"
+                )
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("_commit_version").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        ups = fin.filter(F.col("_change_type") != "delete")
+        dels = fin.filter(F.col("_change_type") == "delete").select(
+            F.col(id_col).alias("nid")
+        )
+        # two sub-epochs per micro-batch (2e for the merge, 2e+1 for
+        # the retire): both monotonic, so a crash between the halves
+        # replays exactly — the committed half no-ops, the lost half
+        # commits
+        base = 2 * int(epoch_id)
+        dst = None
+        if not ups.isEmpty():
+            dst = _merge(session, _assign(ups), (app_id, base))
+        else:
+            dst = SifTable(session, index_table_path)
+            try:
+                dst._load()
+            except FileNotFoundError:
+                dst = None  # nothing to retire from yet
+        if dst is not None and not dels.isEmpty():
+            dst.delete_keys(dels, txn=(app_id, base + 1))
 
     reader = (
         spark.readStream.format("sif_table")
         .option("path", corpus_table_path)
         .option("starting_version", starting_version)
     )
+    if cdf:
+        reader = reader.option("cdf", "true")
     if max_versions_per_trigger:
         reader = reader.option(
             "max_versions_per_trigger", max_versions_per_trigger

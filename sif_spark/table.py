@@ -1124,6 +1124,142 @@ class SifTable:
             manifest["cdc"] = cdc
         return self._commit(manifest)
 
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        retries: int = 3,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Bulk delete by the table's key_col — the ``DELETE WHERE key
+        IN (<millions>)`` shape a predicate string cannot express.
+        Exactly the upsert's two-tier file skipping (range-disjoint
+        groups carry by reference; range-overlapping groups also skip
+        on a bloom miss), with the matched rows anti-joined out and no
+        update group appended. Records the EXACT deleted count; on a
+        cdf=True table the deleted rows are materialized as 'delete'
+        tombstones in the version's change file. ``txn=`` gives the
+        crash-replay idempotence the cdf-mode ANN index maintainer
+        needs (a replayed micro-batch of deletions must not commit
+        twice)."""
+        last: Exception | None = None
+        for _ in range(retries):
+            try:
+                return self._delete_keys_once(keys, txn)
+            except ConcurrentCommitError as e:
+                last = e
+        raise last  # type: ignore[misc]
+
+    def _delete_keys_once(
+        self, keys: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int:
+        m = self._load()
+        txns = dict(m.get("txns", {}))
+        if txn is not None:
+            app_id, epoch = txn
+            if int(txns.get(app_id, -1)) >= int(epoch):
+                return m["version"]  # replayed epoch: committed no-op
+            txns[app_id] = int(epoch)
+        key = m.get("key_col")
+        if not key:
+            raise ValueError("delete_keys needs a table created with key_col=")
+        target = T._parse_datatype_string(m["schema"])
+        keys_df = keys.select(F.col(key)).distinct()
+        row = keys_df.agg(
+            F.min(key).alias("kmin"), F.max(key).alias("kmax")
+        ).collect()[0]
+        kmin, kmax = row["kmin"], row["kmax"]
+        snap_ktype = target[key].dataType.simpleString()
+        probe_by_ktype: dict[str, list | None] = {}
+        for kt in {
+            g["key_bloom"].get("ktype", snap_ktype)
+            for g in m["groups"]
+            if g.get("key_bloom")
+        }:
+            casted = keys_df.select(
+                F.col(key).try_cast(kt).alias("__k")
+            ).filter(F.col("__k").isNotNull())
+            pairs = (
+                casted.select(
+                    *[
+                        F.xxhash64(F.col("__k"), F.lit(seed)).alias(f"h{i}")
+                        for i, seed in enumerate(_BLOOM_SEEDS)
+                    ]
+                )
+                .distinct()
+                .limit(_BLOOM_UPDATE_KEY_CAP + 1)
+                .collect()
+            )
+            probe_by_ktype[kt] = (
+                [tuple(p) for p in pairs]
+                if len(pairs) <= _BLOOM_UPDATE_KEY_CAP
+                else None
+            )
+        v = m["version"] + 1
+        keep, rewrite = [], []
+        for g in m["groups"]:
+            gmin, gmax = g.get("key_min"), g.get("key_max")
+            if kmin is None and kmax is None:
+                disjoint = True  # empty/all-null key batch deletes nothing
+            else:
+                disjoint = (
+                    gmin is not None and (gmax < kmin or gmin > kmax)
+                )
+            if not disjoint and g.get("key_bloom"):
+                pp = probe_by_ktype.get(g["key_bloom"].get("ktype", snap_ktype))
+                if pp is not None:
+                    disjoint = not _bloom_maybe_contains(g["key_bloom"], pp)
+            (keep if disjoint else rewrite).append(g)
+        groups = list(keep)
+        surv_group = None
+        old_union = None
+        if rewrite:
+            old = [
+                _align(self.spark.read.parquet(g["path"]), target)
+                for g in rewrite
+            ]
+            old_union = old[0]
+            for p in old[1:]:
+                old_union = old_union.unionByName(p)
+            survivors = old_union.join(keys_df, on=key, how="left_anti")
+            surv_group = self._write_group(
+                survivors, v, 0, key, m.get("bucket"),
+                m.get("key_bloom", False)
+            )
+            if int(surv_group["rows"]) > 0:
+                groups.append(surv_group)
+            # else: every row of the rewritten groups was deleted — the
+            # zero-row dir stays an invisible orphan, never referenced
+        deleted = (
+            sum(int(g["rows"]) for g in rewrite) - int(surv_group["rows"])
+            if rewrite
+            else 0
+        )
+        cdc = None
+        if m.get("cdf", False) and deleted > 0:
+            cdc = self._write_cdc(
+                old_union.join(keys_df, on=key, how="left_semi").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                v,
+            )
+        manifest = {
+            "version": v,
+            "parent": m["version"],
+            "op": "delete",
+            "added": [],
+            "deleted_rows": deleted,
+            "txns": txns,
+            "key_col": key,
+            "bucket": m.get("bucket"),
+            "key_bloom": m.get("key_bloom", False),
+            "cdf": m.get("cdf", False),
+            "schema": m["schema"],
+            "groups": groups,
+        }
+        if cdc:
+            manifest["cdc"] = cdc
+        return self._commit(manifest)
+
     def delete(self, predicate: str) -> int:
         """Delete rows matching the SQL predicate — groups with no
         matches carry over by reference; matched groups rewrite. The

@@ -86,3 +86,49 @@ def test_maintain_resumes_and_folds_reembedding(spark, dirs):
     idx = SifTable(spark, idx_path).read()
     assert idx.count() == 150
     assert idx.select("nid").distinct().count() == 150
+
+
+def test_cdf_maintain_retires_deleted_vectors(spark, dirs):
+    """cdf=True maintenance: corpus deletes retire their index rows
+    (delete_keys under the batch's second sub-epoch), re-embeddings
+    replace, and a key replaced then deleted inside one window folds
+    to its FINAL image — the index always equals a fresh assignment
+    of the current corpus, including after restart."""
+    src_path, idx_path, ck = dirs
+    src = SifTable.create(
+        spark, src_path, _vecs(spark, 0, 80), key_col="vec_id", cdf=True
+    )
+    centroids = sgsim.build_ivf_index(
+        _vecs(spark, 0, 80), n_cells=4, max_iter=2
+    ).centroids
+    src.append(_vecs(spark, 80, 140))
+    src.upsert(_vecs(spark, 20, 40, flip=True))  # re-embed
+    src.delete("vec_id % 6 = 1")                 # tombstones
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="c",
+        cdf=True,
+    )
+    _drain(q)
+    _assert_index_exact(spark, idx_path, src.read(), centroids)
+    idx = SifTable(spark, idx_path).read()
+    assert idx.count() == src.read().count()
+    # stopped stream; more churn including replace-then-delete of the
+    # same keys across versions, then resume from the same checkpoint
+    src.upsert(_vecs(spark, 50, 60, flip=True))
+    src.delete("vec_id >= 50 AND vec_id < 55")
+    src.append(_vecs(spark, 140, 160))
+    q2 = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="c",
+        cdf=True,
+    )
+    _drain(q2)
+    _assert_index_exact(spark, idx_path, src.read(), centroids)
+    # rows deleted at v4 stay retired — except keys the LATER upsert
+    # legitimately re-inserted (50..59 includes 55, 55 % 6 == 1)
+    assert (
+        SifTable(spark, idx_path)
+        .read()
+        .filter("nid % 6 = 1 AND nid < 140 AND NOT (nid >= 50 AND nid < 60)")
+        .count()
+        == 0
+    )

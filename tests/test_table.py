@@ -1445,3 +1445,37 @@ def test_cdf_preimages_align_across_schema_evolution(spark, tdir):
         ]
     )
     assert t._load(3)["replaced_rows"] == 2
+
+
+def test_delete_keys_bulk_with_skipping_cdc_and_txn(spark, tdir):
+    """delete_keys: the DELETE-WHERE-key-IN-(huge set) shape — groups
+    provably not holding any doomed key carry by reference (range +
+    bloom, try_cast-safe), the manifest records the exact count, cdf
+    tables materialize tombstones, and txn= makes replays no-ops."""
+    t = SifTable.create(
+        spark, tdir, _df(spark, 0, 100, "a"), key_col="k",
+        key_bloom=True, cdf=True,
+    )
+    t.append(_df(spark, 1000, 1100, "b"))  # range-disjoint from doomed
+    far = t._load()["groups"][1]
+    doomed = spark.range(0, 100, 7).select(F.col("id").alias("k"))
+    v = t.delete_keys(doomed, txn=("dk", 0))
+    m = t._load(v)
+    assert m["op"] == "delete" and m["deleted_rows"] == 15  # ceil(100/7)
+    assert any(g["path"] == far["path"] for g in m["groups"])  # skipped
+    assert t.read().count() == 200 - 15
+    assert t.read().filter("k % 7 = 0 AND k < 100").count() == 0
+    # cdc tombstones: exactly the deleted rows, old values
+    tomb = t.changes(2, cdf=True)
+    assert tomb.count() == 15
+    assert {r["_change_type"] for r in tomb.collect()} == {"delete"}
+    # replayed epoch: committed no-op
+    assert t.delete_keys(doomed, txn=("dk", 0)) == v
+    assert t._load()["version"] == v
+    # deleting EVERYTHING in a group leaves no zero-row group behind
+    t2_path = f"{tdir}-all"
+    shutil.rmtree(t2_path, ignore_errors=True)
+    t2 = SifTable.create(spark, t2_path, _df(spark, 0, 10, "a"), key_col="k")
+    t2.delete_keys(spark.range(0, 10).select(F.col("id").alias("k")))
+    assert t2.read().count() == 0 and t2._load()["groups"] == []
+    shutil.rmtree(t2_path, ignore_errors=True)
