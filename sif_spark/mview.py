@@ -146,9 +146,23 @@ def merge_partials(
         return
     if not cdf and src_path is not None:
         src = SifTable(session, src_path)
-        batch_versions = [
-            r["_commit_version"]
+        row_versions = [
+            int(r["_commit_version"])
             for r in batch_df.select("_commit_version").distinct().collect()
+        ]
+        # Scan the full CONTIGUOUS manifest range covered by this
+        # batch, not just the versions that contributed rows: a pure
+        # removal version (delete/restore) emits no rows, so a
+        # rows-only scan could never see it (ADVICE r11 low). A
+        # removal version strictly AFTER the last row-bearing version
+        # of the window is still invisible to this fold-level belt —
+        # that case is covered by the stream reader's plan-time
+        # fail_on_content_removal guard, which iterates EVERY version
+        # in the offset window (incremental_view always sets it).
+        batch_versions = [
+            v
+            for v in src._versions()
+            if min(row_versions) <= v <= max(row_versions)
         ]
         for v in batch_versions:
             m = src._load(int(v))
@@ -178,6 +192,17 @@ def merge_partials(
                         "removed rows) — the view would never hear the "
                         "removals. Use cdf=True."
                     )
+            if op == "merge":
+                for counter in ("replaced_rows", "deleted_rows"):
+                    c = m.get(counter)
+                    if c is None or c > 0:
+                        raise ChangeFeedIncompleteError(
+                            f"mview fold over append feed hit version {v} "
+                            f"(merge, {counter}="
+                            f"{'unrecorded' if c is None else c}) — "
+                            "folding it would corrupt the view. Use "
+                            "cdf=True."
+                        )
     if cdf:
         sign = F.when(
             F.col("_change_type").isin("insert", "update_postimage"),

@@ -598,15 +598,31 @@ def maintain_ivf_index_table(
         if batch_df.isEmpty():
             return  # compact/no-op window: nothing to fold
         session = batch_df.sparkSession
+        from pyspark.sql import Window
+
         if not cdf:
-            _merge(session, _assign(batch_df), (app_id, int(epoch_id)))
+            # one micro-batch can span an append AND a later upsert of
+            # the same keys (e.g. a restart over backlog with no rate
+            # limit): keep each nid's LATEST image only — upserting a
+            # frame with duplicate keys would land both rows
+            latest = (
+                batch_df.withColumn(
+                    "__rn",
+                    F.row_number().over(
+                        Window.partitionBy(id_col).orderBy(
+                            F.col("_commit_version").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            _merge(session, _assign(latest), (app_id, int(epoch_id)))
             return
         # cdf: reduce the batch to each nid's FINAL image (a key may
         # be replaced in one version and deleted in a later one inside
         # the same window — only the last change matters; pre-images
         # are irrelevant to a keyed materialization)
-        from pyspark.sql import Window
-
         fin = (
             batch_df.filter(
                 F.col("_change_type").isin(
@@ -652,6 +668,14 @@ def maintain_ivf_index_table(
     )
     if cdf:
         reader = reader.option("cdf", "true")
+    else:
+        # the docstring's "a delete version fails the stream loudly"
+        # promise, ENFORCED at plan time (ADVICE r11 high): without
+        # this, a corpus delete/overwrite/restore version adds no
+        # groups, plans zero partitions, and is silently skipped —
+        # stale index rows forever. Upserts still pass (their
+        # post-images fold correctly as keyed replacements).
+        reader = reader.option("fail_on_removal_ops", "true")
     if max_versions_per_trigger:
         reader = reader.option(
             "max_versions_per_trigger", max_versions_per_trigger

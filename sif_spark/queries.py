@@ -1362,6 +1362,23 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q184_table_cdf_batch"] = q184_table_cdf_batch
 ORACLES["q184_table_cdf_batch"] = ORACLE_Q184
+# q185: conditional MERGE (update-subset / conditional-delete /
+# insert) — ANSI MERGE semantics replayed closed-form by the oracle
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q185,
+    q185_table_merge,
+)
+
+QUERIES["q185_table_merge"] = q185_table_merge
+ORACLES["q185_table_merge"] = ORACLE_Q185
+# q186: column rename/drop via stable ids across a three-era history
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q186,
+    q186_table_column_evolution,
+)
+
+QUERIES["q186_table_column_evolution"] = q186_table_column_evolution
+ORACLES["q186_table_column_evolution"] = ORACLE_Q186
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

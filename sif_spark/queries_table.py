@@ -991,6 +991,263 @@ ORDER BY _commit_version, _change_type
 """
 
 
+def q185_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE (VERDICT r11 "Next round" #2 — the
+    Debezium-style CDC-apply shape): a cdf=True table built from the
+    %4!=3 documents slice takes ONE merge of an external change batch
+    (the %6==0 slice, column-subset: no `source` column) that
+    conditionally DELETES matched rows (t.doc_id % 30 = 0), updates a
+    COLUMN SUBSET of the rest (lang + n_chars recomputed from BOTH
+    sides, gated on s.n_chars % 2 = 0; `source` keeps its target
+    value), and INSERTS the unmatched keys (their `source` surfaces
+    NULL — the aligned column-subset contract). The oracle replays the
+    exact ANSI MERGE semantics as a closed-form LEFT JOIN + CASE in
+    DuckDB (1.0 has no MERGE statement). In-entry pins: the txn
+    replay of the same merge is a committed no-op, and the change
+    file's image counts balance the counters exactly."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_merge")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    t = SifTable.create(
+        spark, base, d.filter(F.col("doc_id") % 4 != 3),
+        key_col="doc_id", cdf=True,
+    )
+    cdc_batch = d.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id",
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    v = t.merge(
+        cdc_batch,
+        when_matched_delete="t.doc_id % 30 = 0",
+        when_matched_update={
+            "lang": "s.lang",
+            "n_chars": "t.n_chars + s.n_chars",
+        },
+        when_matched_update_condition="s.n_chars % 2 = 0",
+        when_not_matched_insert=True,
+        txn=("q185", 1),
+    )
+    # pin 1: crash-replay of the same epoch is a committed no-op
+    v2 = t.merge(
+        cdc_batch,
+        when_matched_delete="true",
+        txn=("q185", 1),
+    )
+    if (v, v2) != (2, 2) or t._versions()[-1] != 2:
+        raise AssertionError(f"merge txn replay not a no-op: {v} {v2}")
+    # pin 2: the change file's images balance the manifest counters
+    m = t._load(2)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in t.changes(1, cdf=True)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if by_type.get("delete", 0) != m["deleted_rows"] or by_type.get(
+        "update_postimage", 0
+    ) != m["replaced_rows"] or by_type.get("update_preimage", 0) != m[
+        "replaced_rows"
+    ]:
+        raise AssertionError(f"cdc images vs counters: {by_type} vs {m}")
+    return (
+        t.read()
+        .groupBy((F.col("doc_id") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.when(F.col("lang") == "xx", 1).otherwise(0)).alias(
+                "n_xx"
+            ),
+            F.sum(
+                F.when(F.col("source").isNull(), 1).otherwise(0)
+            ).alias("n_nosrc"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# closed-form ANSI MERGE replay: matched+delete-cond rows vanish,
+# matched+update-cond rows recompute lang/n_chars (source kept),
+# other matched rows carry, unmatched source keys insert with NULL
+# source (the column-subset alignment)
+ORACLE_Q185 = """
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 4 <> 3
+), s AS (
+  SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 6 = 0
+), merged AS (
+  SELECT t.doc_id,
+         CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 2 = 0
+              THEN s.lang ELSE t.lang END AS lang,
+         t.source,
+         CASE WHEN s.doc_id IS NOT NULL AND s.n_chars % 2 = 0
+              THEN t.n_chars + s.n_chars ELSE t.n_chars END AS n_chars
+  FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+  WHERE NOT (s.doc_id IS NOT NULL AND t.doc_id % 30 = 0)
+  UNION ALL
+  SELECT s.doc_id, s.lang, NULL AS source, s.n_chars
+  FROM s LEFT JOIN t ON s.doc_id = t.doc_id
+  WHERE t.doc_id IS NULL
+)
+SELECT doc_id % 7 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN lang = 'xx' THEN 1 ELSE 0 END) AS BIGINT) AS n_xx,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nosrc
+FROM merged
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q186_table_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename + drop via stable column ids (VERDICT r11 "Next
+    round" #3), read across a SEVEN-version, three-era history:
+    era 1 (old names): create the %3!=2 documents slice + an upsert
+    ('zz', +7 chars on %5==0) that materializes a change file under
+    the OLD name; era 2: rename lang→language (metadata-only), append
+    the %3==2 slice under the new name, then DROP `source`; era 3: an
+    upsert ('yy', +1000 on %11==0) and an append of shifted-id rows
+    that RE-ADDS `source` with a fresh column id. The final read must
+    surface era-1 files under the new name, show NULL `source` for
+    every pre-drop row (the old bytes may never resurface under the
+    re-added id), and carry the re-added values for era-3 rows — all
+    recomputed closed-form by DuckDB from the source parquet.
+    In-entry pins: time travel keeps the OLD name; the CDC feed
+    surfaces the era-1 change file's images under the NEW name; the
+    rename and drop commits rewrote no data group; rename-collision /
+    drop-merge-key raise typed errors."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_col_evo")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    k = F.col("doc_id")
+    t = SifTable.create(
+        spark, base, d.filter(k % 3 != 2), key_col="doc_id", cdf=True
+    )
+    t.upsert(
+        d.filter((k % 5 == 0) & (k % 3 != 2)).select(
+            "doc_id", F.lit("zz").alias("lang"), "source",
+            (F.col("n_chars") + 7).alias("n_chars"),
+        )
+    )
+    groups_v2 = {g["id"] for g in t._load(2)["groups"]}
+    t.rename_column("lang", "language")                      # v3
+    m3 = t._load(3)
+    if {g["id"] for g in m3["groups"]} != groups_v2:
+        raise AssertionError("rename rewrote data groups")
+    t.append(
+        d.filter(k % 3 == 2).select(
+            "doc_id", F.col("lang").alias("language"), "source", "n_chars"
+        )
+    )                                                        # v4
+    t.drop_column("source")                                  # v5
+    t.upsert(
+        d.filter(k % 11 == 0).select(
+            "doc_id", F.lit("yy").alias("language"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+    )                                                        # v6
+    t.append(
+        d.filter(k % 9 == 0).select(
+            (k + 10000000).alias("doc_id"),
+            F.lit("xx").alias("language"),
+            (F.col("n_chars") + 3).alias("n_chars"),
+            F.lit("new").alias("source"),
+        )
+    )                                                        # v7
+    # pin: time travel keeps the old name; typed errors
+    if "lang" not in t.read(version=2).columns:
+        raise AssertionError("time travel lost the pre-rename name")
+    # a feed pinned at the PRE-rename version keeps the old name...
+    if "lang" not in t.changes(1, to_version=2, cdf=True).columns:
+        raise AssertionError("pre-rename feed window lost the old name")
+    # ...and the full-history feed surfaces the SAME era-1 change file
+    # under the new name, values mapped (not just the header)
+    ch = t.changes(1, cdf=True)
+    if "language" not in ch.columns:
+        raise AssertionError("CDC feed did not map the rename")
+    post2 = ch.filter(
+        "_change_type = 'update_postimage' AND _commit_version = 2"
+    )
+    n_post = post2.count()
+    if n_post != t._load(2)["replaced_rows"]:
+        raise AssertionError(f"cdc/counter imbalance: {n_post}")
+    if post2.filter("language = 'zz'").count() != n_post:
+        raise AssertionError("era-1 images not mapped under new name")
+    for fn in (
+        lambda: t.rename_column("language", "n_chars"),
+        lambda: t.drop_column("doc_id"),
+    ):
+        try:
+            fn()
+            raise AssertionError("schema guard did not raise")
+        except ValueError:
+            pass
+    return (
+        t.read()
+        .groupBy((F.col("doc_id") % 6).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                F.when(F.col("language") == "zz", 1).otherwise(0)
+            ).alias("n_zz"),
+            F.sum(
+                F.when(F.col("language") == "yy", 1).otherwise(0)
+            ).alias("n_yy"),
+            F.sum(
+                F.when(F.col("source").isNull(), 1).otherwise(0)
+            ).alias("n_nullsrc"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# closed-form replay of the three eras: every original doc_id is
+# present once (%3!=2 from create, %3==2 from the era-2 append), the
+# %11 upsert wins over the %5 one (later version), `source` reads
+# NULL for every pre-drop row, and the shifted-id era-3 rows carry
+# the re-added source
+ORACLE_Q186 = """
+WITH final_state AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'yy'
+              WHEN doc_id % 5 = 0 AND doc_id % 3 <> 2 THEN 'zz'
+              ELSE lang END AS language,
+         CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+              WHEN doc_id % 5 = 0 AND doc_id % 3 <> 2 THEN n_chars + 7
+              ELSE n_chars END AS n_chars,
+         CAST(NULL AS VARCHAR) AS source
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, 'xx', n_chars + 3, 'new'
+  FROM documents WHERE doc_id % 9 = 0
+)
+SELECT doc_id % 6 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN language = 'zz' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zz,
+       CAST(sum(CASE WHEN language = 'yy' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_yy,
+       CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nullsrc
+FROM final_state
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 TABLE_QUERIES = {
     "q158_table_time_travel": q158_table_time_travel,
     "q159_table_schema_evolution": q159_table_schema_evolution,

@@ -83,13 +83,61 @@ def _load_manifest(table_path: str, version: int) -> dict:
 
 class _GroupFilePartition(InputPartition):
     def __init__(self, file_path: str, version: int,
-                 change_type: str | None = None):
+                 change_type: str | None = None,
+                 colmap: dict | None = None):
         self.file_path = file_path
         self.version = version
         # 'insert' = tag rows with this constant _change_type; None =
         # the file carries its own _change_type column (cdc change
         # files); only meaningful when the stream runs in cdf mode
         self.change_type = change_type
+        # {schema_name: written_name_or_None} when the file predates a
+        # column rename/drop (id-mapped at plan time); None = by-name
+        self.colmap = colmap
+
+
+def _plan_colmap(
+    written_ids: dict | None,
+    columns: list | None,
+    schema_names: list,
+) -> dict | None:
+    """Planner-side: resolve the column-id mapping of one file group
+    against the read schema into an explicit {schema_name:
+    written_name | None} map the executor can apply without the
+    manifest. None when plain by-name alignment is already exact."""
+    from sif_spark.table import _dead_written_names, _rename_map
+
+    if not written_ids or not columns:
+        return None
+    ren = _rename_map(written_ids, columns)
+    dead = _dead_written_names(written_ids, columns)
+    if not ren and not dead:
+        return None
+    cur_to_written = {cur: w for w, cur in ren.items()}
+    blocked = dead | set(ren)
+    out = {}
+    for n in schema_names:
+        w = cur_to_written.get(n)
+        if w is None:
+            w = n if n not in blocked else None
+        out[n] = w
+    return out
+
+
+def _ids_of_group(g: dict, m: dict) -> dict | None:
+    """A group's written-name→id map: its own record, else derived
+    from the manifest's columns over the group's written schema."""
+    if g.get("col_ids") is not None:
+        return g["col_ids"]
+    cols = m.get("columns")
+    if cols is None:
+        return None
+    from sif_spark.table import _schema_names
+
+    by_name = {c["name"]: c["id"] for c in cols}
+    return {
+        n: by_name[n] for n in _schema_names(g["schema"]) if n in by_name
+    } or None
 
 
 def _raise_if_removal(m: dict) -> None:
@@ -123,31 +171,97 @@ def _raise_if_removal(m: dict) -> None:
                 "append-feed fold would never hear about them. Use "
                 "cdf=true (table created with cdf=True) instead."
             )
+    if op == "merge":
+        for counter in ("replaced_rows", "deleted_rows"):
+            c = m.get(counter)
+            if c is None or c > 0:
+                raise ValueError(
+                    f"sif_table version {v} (merge) has {counter}="
+                    f"{'unrecorded' if c is None else c} — an append-feed "
+                    "fold cannot represent it. Use cdf=true (table "
+                    "created with cdf=True) instead."
+                )
 
 
-def _cdc_partitions_for_version(table_path: str, m: dict) -> list:
+def _raise_if_removal_op(m: dict) -> None:
+    """Planner-side guard (fail_on_removal_ops) for KEYED folds: a
+    consumer that materializes each key's latest image (e.g. the ANN
+    index maintainer) folds upsert post-images correctly as keyed
+    REPLACEMENTS, so upserts pass — but a delete / overwrite / restore
+    (or a merge that deleted rows) removes keys the append feed never
+    mentions, leaving stale rows in the materialization (ADVICE r11
+    high). Refuse to plan past such a version instead of silently
+    skipping it."""
+    v, op = m["version"], m.get("op")
+    if op in ("restore", "overwrite"):
+        raise ValueError(
+            f"sif_table version {v} is a {op} — a keyed fold over the "
+            "append feed cannot represent its removals; use cdf=true "
+            "(table created with cdf=True) or rebuild downstream"
+        )
+    if op in ("delete", "merge"):
+        d = m.get("deleted_rows")
+        if d is None or d > 0:
+            raise ValueError(
+                f"sif_table version {v} ({op}) removed "
+                f"{'unrecorded' if d is None else d} rows — a keyed "
+                "fold over the append feed would keep their stale "
+                "images forever. Use cdf=true (table created with "
+                "cdf=True) instead."
+            )
+
+
+def _cdc_partitions_for_version(
+    table_path: str, m: dict, read_columns: list | None,
+    schema_names: list,
+) -> list:
     """CDF-mode partition plan for one version: its materialized
     change file when present; otherwise its added groups tagged
     'insert' — but ONLY when the manifest's exact counters prove the
-    version added rows and nothing else (anything less raises)."""
+    version added rows and nothing else (anything less raises).
+    ``read_columns`` is the column-id list the stream pinned at start,
+    so files written before a later rename still land under the
+    pinned names."""
     v = m["version"]
     parts: list[InputPartition] = []
     if m.get("cdc"):
         cpath = m["cdc"]["path"]
+        if not os.path.isdir(cpath):
+            raise ValueError(
+                f"sif_table version {v}'s change file was reclaimed by "
+                "vacuum(cdf_retain_last=...) — this CDC stream cannot "
+                f"replay it; restart from a version after {v}"
+            )
+        from sif_spark.table import _schema_names
+
+        cdc_ids = m["cdc"].get("col_ids")
+        if cdc_ids is None and m.get("columns") is not None:
+            by_name = {c["name"]: c["id"] for c in m["columns"]}
+            cdc_ids = {
+                n: by_name[n]
+                for n in _schema_names(m["cdc"]["schema"])
+                if n in by_name
+            } or None
+        cmap = _plan_colmap(cdc_ids, read_columns, schema_names)
         for name in sorted(os.listdir(cpath)):
             if name.endswith(".parquet"):
                 parts.append(
-                    _GroupFilePartition(os.path.join(cpath, name), v, None)
+                    _GroupFilePartition(
+                        os.path.join(cpath, name), v, None, cmap
+                    )
                 )
         return parts
     _raise_if_removal(m)  # no change file: must be provably add-only
     by_id = {g["id"]: g for g in m["groups"]}
     for gid in m["added"]:
-        gpath = by_id[gid]["path"]
-        for name in sorted(os.listdir(gpath)):
+        g = by_id[gid]
+        cmap = _plan_colmap(_ids_of_group(g, m), read_columns, schema_names)
+        for name in sorted(os.listdir(g["path"])):
             if name.endswith(".parquet"):
                 parts.append(
-                    _GroupFilePartition(os.path.join(gpath, name), v, "insert")
+                    _GroupFilePartition(
+                        os.path.join(g["path"], name), v, "insert", cmap
+                    )
                 )
     return parts
 
@@ -176,7 +290,25 @@ class _SifTableStreamReader(DataSourceStreamReader):
             str(options.get("fail_on_content_removal", "false")).lower()
             == "true"
         )
+        # fail_on_removal_ops: the weaker guard KEYED folds need —
+        # upserts pass (their post-images fold as keyed replacements);
+        # delete/overwrite/restore/deleting-merge versions raise
+        # instead of planning zero partitions and silently leaving
+        # stale keys downstream (ADVICE r11 high)
+        self.guard_removal_ops = (
+            str(options.get("fail_on_removal_ops", "false")).lower()
+            == "true"
+        )
         self.anchor_dir = options.get("rate_anchor_dir")
+        # pin the column-id list alongside the schema: files written
+        # under pre-rename names map BY ID to the pinned names; a
+        # restarted stream re-pins both from the then-latest manifest
+        vs = _versions_on_disk(self.table_path)
+        self.pinned_columns = (
+            _load_manifest(self.table_path, vs[-1]).get("columns")
+            if vs
+            else None
+        )
         if self.max_versions and not self.anchor_dir:
             raise ValueError(
                 "max_versions_per_trigger needs rate_anchor_dir= (a "
@@ -246,18 +378,31 @@ class _SifTableStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"version {v} predates the change feed (no 'added')"
                 )
+            names = [f.name for f in self.schema.fields]
             if self.cdf:
-                parts.extend(_cdc_partitions_for_version(self.table_path, m))
+                parts.extend(
+                    _cdc_partitions_for_version(
+                        self.table_path, m, self.pinned_columns, names
+                    )
+                )
                 continue
             if self.guard:
                 _raise_if_removal(m)
+            if self.guard_removal_ops:
+                _raise_if_removal_op(m)
             by_id = {g["id"]: g for g in m["groups"]}
             for gid in m["added"]:
-                gpath = by_id[gid]["path"]
-                for name in sorted(os.listdir(gpath)):
+                g = by_id[gid]
+                cmap = _plan_colmap(
+                    _ids_of_group(g, m), self.pinned_columns, names
+                )
+                for name in sorted(os.listdir(g["path"])):
                     if name.endswith(".parquet"):
                         parts.append(
-                            _GroupFilePartition(os.path.join(gpath, name), v)
+                            _GroupFilePartition(
+                                os.path.join(g["path"], name), v,
+                                colmap=cmap,
+                            )
                         )
         return parts
 
@@ -301,17 +446,26 @@ def _aligned_arrow_batches(
         return
     table = pq.read_table(partition.file_path)
     n = table.num_rows
+    colmap = getattr(partition, "colmap", None)
     cols = []
     for field in target:
         if field.name == "_commit_version":
             cols.append(pa.array([partition.version] * n, type=field.type))
-        elif field.name == "_change_type" and partition.change_type:
+            continue
+        if field.name == "_change_type" and partition.change_type:
             cols.append(
                 pa.array([partition.change_type] * n, type=field.type)
             )
-        elif field.name in table.column_names:
+            continue
+        # id-mapped source name: files written before a rename carry
+        # the old name; a dropped-and-readded column reads NULL from
+        # old files (colmap entry None)
+        src_name = (
+            colmap.get(field.name, field.name) if colmap else field.name
+        )
+        if src_name is not None and src_name in table.column_names:
             cols.append(
-                table.column(field.name).combine_chunks().cast(field.type)
+                table.column(src_name).combine_chunks().cast(field.type)
             )
         else:
             cols.append(pa.nulls(n, type=field.type))
@@ -418,13 +572,15 @@ class _SifTableBatchReader(DataSourceReader):
         for col, (lo, hi) in self._bounds.items():
             groups = prune_groups({**m, "groups": groups}, col, lo, hi)
         parts: list[InputPartition] = []
+        names = [f.name for f in self.schema.fields]
         for g in groups:
             gv = int(g["id"].split("-")[1])  # the version that minted it
+            cmap = _plan_colmap(_ids_of_group(g, m), m.get("columns"), names)
             for name in sorted(os.listdir(g["path"])):
                 if name.endswith(".parquet"):
                     parts.append(
                         _GroupFilePartition(
-                            os.path.join(g["path"], name), gv
+                            os.path.join(g["path"], name), gv, colmap=cmap
                         )
                     )
         return parts
@@ -566,6 +722,26 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         import shutil
+
+        # Error paths (bucketed-table / schema-mismatch ValueError,
+        # CAS starvation) must reclaim the staging dir AND a group dir
+        # already moved under data/ on a lost CAS iteration — Spark is
+        # not guaranteed to call abort() after a driver-side commit
+        # failure, and vacuum never lists _staging, so the orphans
+        # would accumulate forever (ADVICE r11 low). A dir under
+        # data/ that never made a manifest is invisible to readers,
+        # so removing it here is safe at any point before the publish.
+        self._moved_gpath = None
+        try:
+            self._commit_inner(messages)
+        except BaseException:
+            shutil.rmtree(self.staging, ignore_errors=True)
+            if self._moved_gpath is not None:
+                shutil.rmtree(self._moved_gpath, ignore_errors=True)
+            raise
+
+    def _commit_inner(self, messages) -> None:
+        import shutil
         import uuid
 
         from sif_spark.logstore import PosixExclLogStore
@@ -620,6 +796,18 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                     return  # replayed epoch: committed no-op
                 txns[app] = epoch
             key = (m or {}).get("key_col") or self.key_col
+            if m is not None:
+                columns = m.get("columns")
+            else:
+                # fresh table: mint column ids (the rename/drop
+                # machinery's anchor — same rule as SifTable.create)
+                columns = [
+                    {"id": i, "name": f.name}
+                    for i, f in enumerate(self.schema.fields)
+                ]
+            col_ids = (
+                {c["name"]: c["id"] for c in columns} if columns else None
+            )
             added: list[str] = []
             new_groups: list[dict] = []
             if files:
@@ -638,8 +826,11 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                     # CAS retry: re-mint the version in the group name
                     os.rename(gpath, new_gpath)
                 gpath = new_gpath
+                self._moved_gpath = gpath  # reclaimed if commit fails
                 group = {"id": gid, "path": gpath, "schema": ddl,
                          "rows": total_rows}
+                if col_ids:
+                    group["col_ids"] = col_ids
                 if col_stats:
                     group["stats"] = {
                         c: list(b) for c, b in col_stats.items()
@@ -658,6 +849,7 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                 "version": v,
                 "parent": m["version"] if m else None,
                 "op": op,
+                "columns": columns,
                 "key_col": key,
                 "bucket": None,
                 "key_bloom": bool(m.get("key_bloom", False)) if m else False,
@@ -670,6 +862,7 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
             os.makedirs(mdir, exist_ok=True)
             target = os.path.join(mdir, f"v{v:010d}.json")
             if store.put_if_absent(target, json.dumps(manifest, indent=1)):
+                self._moved_gpath = None  # committed: now owned by readers
                 shutil.rmtree(
                     os.path.join(self.table_path, "_staging", self.write_id),
                     ignore_errors=True,
@@ -739,9 +932,23 @@ class SifTableDataSource(DataSource):
         return _SifTableStreamReader(base, self.options)
 
 
-def register_table_source(spark: SparkSession) -> None:
+def register_table_source(
+    spark: SparkSession, set_filter_pushdown_conf: bool = True
+) -> None:
+    """Register the ``sif_table`` DataSource on this session.
+
+    SIDE EFFECT (ADVICE r11): by default this also sets the
+    SESSION-WIDE runtime conf ``spark.sql.python.filterPushdown.
+    enabled=true`` — the batch reader implements pushFilters and Spark
+    refuses to plan ANY pushdown-capable Python source while the conf
+    is off, so registration without it would make every
+    ``spark.read.format("sif_table")`` raise. The conf changes
+    planning for every OTHER Python data source in the session too
+    (their pushFilters starts being called — a behavior change, not a
+    correctness change: the API contract requires unhandled filters to
+    be yielded back). Pass ``set_filter_pushdown_conf=False`` to leave
+    the conf alone and manage it yourself (batch reads will fail until
+    it is set; the streaming source is unaffected)."""
     spark.dataSource.register(SifTableDataSource)
-    # the batch reader implements pushFilters; Spark refuses to plan a
-    # pushdown-capable Python source while the conf is off (runtime
-    # SQL conf, safe to set here)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if set_filter_pushdown_conf:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

@@ -132,3 +132,42 @@ def test_cdf_maintain_retires_deleted_vectors(spark, dirs):
         .count()
         == 0
     )
+
+
+def test_non_cdf_maintain_fails_loudly_on_corpus_delete(spark, dirs):
+    """ADVICE r11 high: a NON-cdf maintainer must FAIL when the corpus
+    commits a delete — the delete version adds no groups, so without
+    the plan-time fail_on_removal_ops guard it planned zero partitions
+    and was silently skipped, leaving stale index rows forever. The
+    docstring's 'a delete version fails the stream loudly' is now
+    enforced. Upserts, by contrast, keep folding fine (keyed
+    replacement)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src_path, idx_path, ck = dirs
+    src = SifTable.create(
+        spark, src_path, _vecs(spark, 0, 60), key_col="vec_id"
+    )
+    centroids = sgsim.build_ivf_index(
+        _vecs(spark, 0, 60), n_cells=4, max_iter=2
+    ).centroids
+    src.upsert(_vecs(spark, 10, 20, flip=True))  # upserts still pass
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="g",
+    )
+    _drain(q)
+    _assert_index_exact(spark, idx_path, src.read(), centroids)
+    src.delete("vec_id % 5 = 0")
+    q2 = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="g",
+    )
+    with pytest.raises(StreamingQueryException, match="delete|removed"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+    # the index was NOT silently drifted past the delete: the deleted
+    # keys' rows are still present (stale) and the stream refused to
+    # advance — the operator told the truth instead of skipping
+    stale = SifTable(spark, idx_path).read().filter("nid % 5 = 0").count()
+    assert stale > 0

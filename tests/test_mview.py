@@ -160,3 +160,29 @@ def test_mview_cdf_mode_exact_under_upserts_and_deletes(spark, dirs):
         .collect()
     }
     assert got == want
+
+
+def test_merge_partials_belt_sees_rowless_interior_delete(spark, dirs):
+    """ADVICE r11 low: merge_partials' manifest re-check used to
+    inspect only versions whose rows appear in the batch — a PURE
+    delete version contributes no rows, so the belt could never see
+    it. The belt now scans the full contiguous manifest range of the
+    batch, so an interior delete between two row-bearing appends
+    raises even when the stream planner guard is bypassed."""
+    from sif_spark.table import ChangeFeedIncompleteError
+
+    src_path, dst_path, ck = dirs
+    src = SifTable.create(spark, src_path, _src(spark, 0, 40), key_col="k")
+    src.append(_src(spark, 40, 60))     # v2 (rows in batch)
+    src.delete("k < 10")                # v3 (row-less in append feed)
+    src.append(_src(spark, 60, 80))     # v4 (rows in batch)
+    batch = src.changes(1, to_version=4)
+    assert sorted(
+        r["_commit_version"]
+        for r in batch.select("_commit_version").distinct().collect()
+    ) == [2, 4]  # v3 truly contributes no rows
+    with pytest.raises(ChangeFeedIncompleteError, match="delete"):
+        merge_partials(
+            batch, 0, dst_path, "bucket", {"n": "1"}, "belt",
+            src_path=src_path,
+        )

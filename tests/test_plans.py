@@ -108,27 +108,27 @@ def test_bucketed_join_avoids_shuffle(spark):
     assert joined.count() == 500
 
 
-def test_no_global_windows_in_catalog(spark):
-    """No catalog query may plan a partition-less Window (single-task
-    global sort — round-1 VERDICT's scale-killer in q32), except
-    q31_moving_avg, whose window input is pre-aggregated to one row per
-    calendar day (cardinality bounded at any corpus size — accepted in
-    the same VERDICT)."""
+@pytest.mark.heavy
+def test_no_global_windows_anywhere_in_catalog(spark):
+    """Catalog-WIDE invariant (VERDICT r11 "Next round" #5, upgrading
+    the r1-era enumerated list the same way r8 upgraded the
+    CartesianProduct pin): NO entry may plan a partition-less Window
+    (single-task global sort — the round-1 scale-killer in q32),
+    except q31_moving_avg, whose window input is pre-aggregated to one
+    row per calendar day (cardinality bounded at any corpus size —
+    adjudicated in the r1 VERDICT). A NEW entry that plans a global
+    window is now auto-caught instead of relying on the author to add
+    it to a list."""
     from sif_spark.plans import global_windows
 
-    window_queries = [
-        "q04_topk_orders_per_customer",
-        "q14_sessionization",
-        "q31_moving_avg",
-        "q32_customer_quartiles",
-        "q56_window_suite",
-        "q60_exact_percentiles",
-        "q79_gap_fill",
-    ]
-    offenders = {
-        q: gw for q in window_queries
-        if (gw := global_windows(QUERIES[q](spark, SF)))
-    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF)
+        if df.isStreaming:
+            continue
+        gw = global_windows(df)
+        if gw:
+            offenders[name] = gw
     assert set(offenders) <= {"q31_moving_avg"}, offenders
 
 
@@ -1004,3 +1004,74 @@ def test_ds_round10b_plan_pins(spark):
 
     p174 = plan_string(QUERIES["q174_ds_multi_distinct"](spark, SF), "formatted")
     assert "Expand" in p174, p174[:4000]
+
+
+def test_sif_table_dim_auto_broadcasts_and_ds_boundary(spark):
+    """VERDICT r11 'Next round' #4, adjudicated: SifTable.read() (and
+    register_view, the documented SQL surface) is plain parquet scans,
+    so Catalyst sees the snapshot's EXACT bytes and a small dimension
+    joined to lineitem plans BroadcastHashJoin with NO user hint —
+    both the DataFrame and SQL routes pinned here. The
+    spark.read.format('sif_table') route can NOT carry statistics:
+    Spark 4.1's PythonScan implements Scan+SupportsMetadata only (no
+    SupportsReportStatistics — verified by javap against the shipped
+    jar), so its first plan sort-merges and AQE's runtime re-plan is
+    the broadcast path; that boundary is pinned too, so an upstream
+    Spark fix will surface as this assertion flipping. size_bytes()
+    itself (manifest-exact, write-time recorded) is value-checked
+    against the filesystem."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sif_spark.sources.parquet import read_table
+    from sif_spark.sources.table_stream import register_table_source
+    from sif_spark.table import SifTable
+
+    d = tempfile.mkdtemp(prefix="sif_dim_bcast_")
+    shutil.rmtree(d, ignore_errors=True)
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("l_suppkey"),
+        F.concat(F.lit("tier"), F.col("id") % 5).alias("tier"),
+    )
+    t = SifTable.create(spark, d, dim, key_col="l_suppkey")
+    t.append(dim.filter("l_suppkey < 0"))  # second (empty) group
+    fs_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs_ in os.walk(os.path.join(d, "data"))
+        for f in fs_
+        if not f.startswith(("_", "."))
+    )
+    # threshold pinned BETWEEN dim (~6 KB) and lineitem's PRUNED scan
+    # estimate (the join reads one fact column; at sf0.01 that is
+    # ~60 KB of a 1 MB file) so only a stats-visible dim can
+    # broadcast — at real scale the fact side is out of reach anyway
+    assert 0 < t.size_bytes() == fs_bytes < 32 << 10
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 << 10))
+        fact = read_table(spark, "/root/testdata/sf0.01", "lineitem")
+        # DataFrame route: native parquet stats -> broadcast, no hint
+        api = fact.join(t.read(), "l_suppkey").groupBy("tier").count()
+        assert join_strategies(api) == ["BroadcastHashJoin"]
+        # SQL route through register_view: same stats, same plan
+        t.register_view("dim_bcast_v")
+        fact.createOrReplaceTempView("fact_bcast_v")
+        sql = spark.sql(
+            "SELECT d.tier, count(*) AS n FROM fact_bcast_v f "
+            "JOIN dim_bcast_v d USING (l_suppkey) GROUP BY d.tier"
+        )
+        assert join_strategies(sql) == ["BroadcastHashJoin"]
+        # the DSV2 route: stats cannot cross PythonScan -> first plan
+        # sort-merges (AQE rescues at runtime; upstream boundary)
+        register_table_source(spark)
+        ds = spark.read.format("sif_table").option("path", d).load()
+        ds_join = fact.join(
+            ds.drop("_commit_version"), "l_suppkey"
+        ).groupBy("tier").count()
+        assert "BroadcastHashJoin" not in join_strategies(ds_join)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    shutil.rmtree(d, ignore_errors=True)

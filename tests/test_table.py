@@ -1138,6 +1138,20 @@ def test_mixed_writer_stress_upsert_compact_delete(spark, tdir):
         except Exception as e:
             errors.append(("delete", e))
 
+    def merger(slices):
+        try:
+            for lo, hi in slices:
+                v = t.merge(
+                    _df(spark, lo, hi, "M"),
+                    when_matched_delete="t.k % 19 = 0",
+                    when_matched_update={"v": "s.v"},
+                    when_not_matched_insert=True,
+                    retries=60,
+                )
+                record(v, "merge", (lo, hi))
+        except Exception as e:
+            errors.append(("merge", e))
+
     threads = [
         threading.Thread(
             target=upserter, args=("A", [(50, 120), (300, 360), (10, 40)])
@@ -1147,6 +1161,7 @@ def test_mixed_writer_stress_upsert_compact_delete(spark, tdir):
         ),
         threading.Thread(target=compactor, args=(3,)),
         threading.Thread(target=deleter, args=([3, 11],)),
+        threading.Thread(target=merger, args=([(150, 220), (380, 450)],)),
     ]
     for th in threads:
         th.start()
@@ -1155,7 +1170,8 @@ def test_mixed_writer_stress_upsert_compact_delete(spark, tdir):
     assert not errors, errors
     versions = t._versions()
     assert versions == list(range(1, len(versions) + 1)), versions
-    assert len(committed) == 11  # 6 upserts + 3 compacts + 2 deletes
+    # 6 upserts + 3 compacts + 2 deletes + 2 merges
+    assert len(committed) == 13
     assert len({v for v, _, _ in committed}) == len(committed)
     # serial replay in commit order must reproduce the exact content
     replay_dir = f"{tdir}-replay"
@@ -1170,6 +1186,14 @@ def test_mixed_writer_stress_upsert_compact_delete(spark, tdir):
             rt.upsert(_df(spark, lo, hi, tag))
         elif op == "delete":
             rt.delete(f"k % 17 = {args[0]}")
+        elif op == "merge":
+            lo, hi = args
+            rt.merge(
+                _df(spark, lo, hi, "M"),
+                when_matched_delete="t.k % 19 = 0",
+                when_matched_update={"v": "s.v"},
+                when_not_matched_insert=True,
+            )
         else:
             rt.compact()
     assert _rows(t.read()) == _rows(rt.read())
@@ -1479,3 +1503,262 @@ def test_delete_keys_bulk_with_skipping_cdc_and_txn(spark, tdir):
     t2.delete_keys(spark.range(0, 10).select(F.col("id").alias("k")))
     assert t2.read().count() == 0 and t2._load()["groups"] == []
     shutil.rmtree(t2_path, ignore_errors=True)
+
+
+def test_strip_file_scheme_authority_handling():
+    """ADVICE r11 low: 'file://host/path' used to become the RELATIVE
+    path 'host/path' — a silently wrong table location. Remote
+    authorities now raise; empty/localhost authorities resolve."""
+    from sif_spark.table import strip_file_scheme
+
+    assert strip_file_scheme("/a/b") == "/a/b"
+    assert strip_file_scheme("file:/a/b") == "/a/b"
+    assert strip_file_scheme("file:///a/b") == "/a/b"
+    assert strip_file_scheme("file://localhost/a/b") == "/a/b"
+    assert strip_file_scheme("file://") == "/"
+    with pytest.raises(ValueError, match="remote authority"):
+        strip_file_scheme("file://nas01/a/b")
+
+
+def test_ds_writer_commit_failure_reclaims_staging(spark, tdir):
+    """ADVICE r11 low: a driver-side commit failure (here: schema
+    mismatch against the snapshot) must reclaim _staging/<write_id> —
+    Spark is not guaranteed to call abort() after commit() raises, and
+    vacuum never lists _staging, so the orphan files would accumulate
+    forever."""
+    import os
+
+    from sif_spark.sources.table_stream import register_table_source
+
+    register_table_source(spark)
+    SifTable.create(spark, tdir, _df(spark, 0, 10, "a"), key_col="k")
+    bad = spark.range(5).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )  # v: string in the snapshot, double here -> commit raises
+    with pytest.raises(Exception, match="schema"):
+        bad.write.format("sif_table").option("path", tdir).mode(
+            "append"
+        ).save()
+    staging = os.path.join(tdir, "_staging")
+    leftovers = os.listdir(staging) if os.path.isdir(staging) else []
+    assert leftovers == [], leftovers
+    # and the table itself is untouched
+    t = SifTable(spark, tdir)
+    assert t.read().count() == 10 and t._versions() == [1]
+
+
+def _merge_src(spark, lo, hi, delta=100):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("src"), F.col("id")).alias("v"),
+        (F.col("id") + delta).alias("delta"),
+    )
+
+
+def test_merge_update_subset_delete_insert(spark, tdir):
+    """Conditional MERGE (VERDICT r11 #2): one commit updates a column
+    SUBSET of matched rows, conditionally deletes others, inserts the
+    unmatched — and every unlisted column keeps its target value."""
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("t"), F.col("id")).alias("v"),
+        F.lit(1).alias("gen"),
+    )
+    t = SifTable.create(spark, tdir, base, key_col="k")
+    src = spark.range(50, 150).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("v"),
+        F.lit(2).alias("gen"),
+    )
+    v = t.merge(
+        src,
+        when_matched_delete="s.k % 10 = 0",          # 50,60,70,80,90 go
+        when_matched_update={"v": "s.v"},            # gen stays 1
+        when_matched_update_condition="s.k % 2 = 1",  # odd matched only
+        when_not_matched_insert=True,                # 100..149 arrive
+    )
+    assert v == 2
+    out = t.read()
+    assert out.count() == 100 - 5 + 50
+    # deleted
+    assert out.filter("k IN (50, 60, 70, 80, 90)").count() == 0
+    # updated subset: v from source, gen KEPT at 1
+    r51 = out.filter("k = 51").collect()[0]
+    assert r51["v"] == "s51" and r51["gen"] == 1
+    # matched but condition-false: untouched
+    r52 = out.filter("k = 52").collect()[0]
+    assert r52["v"] == "t52" and r52["gen"] == 1
+    # unmatched target rows untouched
+    assert out.filter("k = 10").collect()[0]["v"] == "t10"
+    # inserts carry source values
+    r120 = out.filter("k = 120").collect()[0]
+    assert r120["v"] == "s120" and r120["gen"] == 2
+    # exact counters in the manifest
+    m = t._load(2)
+    assert m["op"] == "merge"
+    assert m["replaced_rows"] == 25  # odd keys in 51..99 minus none deleted
+    assert m["deleted_rows"] == 5
+
+
+def test_merge_skips_disjoint_groups_and_counts_zero(spark, tdir):
+    """Two-tier skipping carries range-disjoint groups BY REFERENCE
+    (same group ids), and an insert-only merge rewrites nothing."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 100, "a"), key_col="k")
+    t.append(_df(spark, 1000, 1100, "b"))
+    g_before = {g["id"] for g in t._load()["groups"]}
+    t.merge(
+        _df(spark, 1050, 1080, "patch"),
+        when_matched_update={"v": "s.v"},
+    )
+    m = t._load()
+    # the disjoint group (0..99) carried by reference
+    kept = {g["id"] for g in m["groups"]} & g_before
+    assert any(g["id"] in kept for g in m["groups"] if g.get("key_max") == 99)
+    assert m["replaced_rows"] == 30 and m["deleted_rows"] == 0
+    # insert-only merge: NO group rewrite at all, one added group
+    g2 = {g["id"] for g in m["groups"]}
+    t.merge(_df(spark, 2000, 2010, "new"), when_not_matched_insert=True)
+    m3 = t._load()
+    assert g2 <= {g["id"] for g in m3["groups"]}
+    assert len(m3["added"]) == 1
+    assert m3["replaced_rows"] == 0 and m3["deleted_rows"] == 0
+    assert t.read().count() == 210
+
+
+def test_merge_cdf_images_and_txn_replay(spark, tdir):
+    """cdf=True merge materializes exact pre/post-images, tombstones
+    and inserts; a txn replay is a committed no-op."""
+    t = SifTable.create(
+        spark, tdir, _df(spark, 0, 50, "a"), key_col="k", cdf=True
+    )
+    v = t.merge(
+        _df(spark, 40, 70, "m"),
+        when_matched_delete="s.k >= 48",
+        when_matched_update={"v": "concat(t.v, '+', s.v)"},
+        when_not_matched_insert=True,
+        txn=("mrg", 7),
+    )
+    ch = t.changes(1, cdf=True)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert by_type == {
+        "delete": 2,            # 48, 49
+        "update_preimage": 8,   # 40..47
+        "update_postimage": 8,
+        "insert": 20,           # 50..69
+    }
+    pre = ch.filter("_change_type = 'update_preimage' AND k = 41").collect()[0]
+    post = ch.filter("_change_type = 'update_postimage' AND k = 41").collect()[0]
+    assert pre["v"] == "a" and post["v"] == "a+m"
+    # replayed epoch: committed no-op
+    assert t.merge(
+        _df(spark, 40, 70, "m"),
+        when_matched_update={"v": "s.v"},
+        txn=("mrg", 7),
+    ) == v
+    assert t._versions()[-1] == v
+
+
+def test_merge_guards(spark, tdir):
+    """Cardinality violation raises; a deleting merge poisons the
+    append feed (stream + keyed-fold + mview + batch-CDC guards all
+    see op=merge); key update is rejected."""
+    from sif_spark.sources.table_stream import (
+        _raise_if_removal,
+        _raise_if_removal_op,
+    )
+    from sif_spark.table import ChangeFeedIncompleteError
+
+    t = SifTable.create(spark, tdir, _df(spark, 0, 20, "a"), key_col="k")
+    dup = _df(spark, 5, 10, "x").unionAll(_df(spark, 5, 6, "y"))
+    with pytest.raises(ValueError, match="distinct"):
+        t.merge(dup, when_matched_update={"v": "s.v"})
+    with pytest.raises(ValueError, match="merge key"):
+        t.merge(_df(spark, 0, 5, "x"), when_matched_update={"k": "s.k + 1"})
+    with pytest.raises(ValueError, match="no-op"):
+        t.merge(_df(spark, 0, 5, "x"))
+    t.merge(_df(spark, 10, 25, "m"), when_matched_delete="s.k >= 18",
+            when_not_matched_insert=True)
+    m = t._load()
+    assert m["deleted_rows"] == 2 and m["replaced_rows"] == 0
+    for guard in (_raise_if_removal, _raise_if_removal_op):
+        with pytest.raises(ValueError, match="merge"):
+            guard(m)
+    with pytest.raises(ChangeFeedIncompleteError, match="merge"):
+        SifTable._check_cdf_version(m)
+    # an updating (non-deleting) merge passes the KEYED-fold guard but
+    # not the additive append-feed guard
+    t2_dir = tdir + "-2"
+    shutil.rmtree(t2_dir, ignore_errors=True)
+    t2 = SifTable.create(spark, t2_dir, _df(spark, 0, 20, "a"), key_col="k")
+    t2.merge(_df(spark, 0, 5, "u"), when_matched_update={"v": "s.v"})
+    m2 = t2._load()
+    _raise_if_removal_op(m2)  # keyed fold: updates are replacements — OK
+    with pytest.raises(ValueError, match="merge"):
+        _raise_if_removal(m2)
+    shutil.rmtree(t2_dir, ignore_errors=True)
+
+
+def test_cdf_retention_typed_errors_never_silent_gaps(spark, tdir):
+    """VERDICT r11 'Next round' #8: the cdc/ directory gets its own
+    retention (vacuum(cdf_retain_last=)) independent of snapshot
+    retention; consuming a reclaimed stretch — whether the change
+    file or the whole manifest went — raises a typed
+    ChangeFeedIncompleteError NAMING the range, and within retention
+    the feed stays exact."""
+    from sif_spark.table import ChangeFeedIncompleteError
+
+    t = SifTable.create(
+        spark, tdir, _df(spark, 0, 40, "a"), key_col="k", cdf=True
+    )
+    t.upsert(_df(spark, 0, 10, "u1"))    # v2: change file
+    t.append(_df(spark, 40, 60, "b"))    # v3
+    t.upsert(_df(spark, 50, 55, "u2"))   # v4: change file
+    t.append(_df(spark, 60, 70, "c"))    # v5
+    # inside retention: exact feed
+    assert t.changes(0, cdf=True).count() > 0
+    # reclaim v2's change file only (snapshots stay time-travelable)
+    doomed = t.vacuum(retain_last=5, cdf_retain_last=2)
+    assert len(doomed) == 1 and "/cdc/" in doomed[0]
+    assert t.read(version=2).count() == 40  # snapshot untouched
+    with pytest.raises(ChangeFeedIncompleteError, match="reclaimed"):
+        t.changes(1, cdf=True)  # window needs v2's images
+    # a window past the reclaimed file still works
+    assert (
+        t.changes(3, cdf=True)
+        .filter("_change_type = 'update_postimage'")
+        .count()
+        == 5
+    )
+    # the streaming CDC source refuses the reclaimed batch too
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from sif_spark.sources.table_stream import register_table_source
+
+    register_table_source(spark)
+    ck = tdir + "-ck"
+    shutil.rmtree(ck, ignore_errors=True)
+    q = (
+        spark.readStream.format("sif_table")
+        .option("path", tdir)
+        .option("cdf", "true")
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="reclaimed"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    shutil.rmtree(ck, ignore_errors=True)
+    # manifest-dropping vacuum: a window reaching below the oldest
+    # surviving manifest names the missing range
+    t.vacuum(retain_last=2)
+    with pytest.raises(ChangeFeedIncompleteError, match="1..3"):
+        t.changes(0, cdf=True)
+    assert t.changes(3, cdf=True).count() > 0

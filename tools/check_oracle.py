@@ -122,6 +122,18 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    # an unknown name must be a LOUD error: a typo'd/prefix name used
+    # to select nothing and print "0 failures" — a vacuous pass that
+    # looks exactly like a real one (caught in round 12: `q186` vs
+    # `q186_table_column_evolution`)
+    unknown = only - set(qs)
+    if unknown:
+        matches = {
+            o: [n for n in qs if n.startswith(o)] for o in sorted(unknown)
+        }
+        print(f"unknown queries: {matches} — use exact catalog names")
+        return 2
+
     spark = get_session("check_oracle")
     con = duckdb.connect()
     for t in TABLES:

@@ -36,8 +36,50 @@ def main() -> int:
     ap.add_argument("--sf1", default="/tmp/sif_sf1")
     ap.add_argument("--timeout", type=float, default=900.0)
     ap.add_argument("--out", default="/tmp/sf1_gate.json")
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument(
+        "--resweep",
+        nargs=2,
+        metavar=("OLD_BENCH", "NEW_BENCH"),
+        help="two bench captures (bench_local_*.json): every EXISTING "
+        "entry whose plan_fp differs between them is re-swept at sf1 "
+        "alongside the named new entries — VERDICT r11 #7's rule that "
+        "a plan change re-earns its 10x evidence, not just new code",
+    )
+    ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
+    resweep: list[str] = []
+    if args.resweep:
+        with open(args.resweep[0]) as fh:
+            old_fp = {
+                k: v.get("plan_fp")
+                for k, v in json.load(fh).get("queries_detail", {}).items()
+            }
+        with open(args.resweep[1]) as fh:
+            new_fp = {
+                k: v.get("plan_fp")
+                for k, v in json.load(fh).get("queries_detail", {}).items()
+            }
+        resweep = sorted(
+            k
+            for k in old_fp.keys() & new_fp.keys()
+            if old_fp[k] is not None
+            and new_fp[k] is not None
+            and old_fp[k] != new_fp[k]
+            and k not in args.queries
+        )
+        if resweep:
+            print(
+                f"plan_fp changed since {args.resweep[0]} — re-sweeping: "
+                + " ".join(resweep),
+                file=sys.stderr,
+            )
+        args.queries = list(args.queries) + resweep
+    if not args.queries:
+        out = {"resweep": resweep, "note": "no entries to gate"}
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(json.dumps(out))
+        return 0
     if not os.path.isdir(args.sf1):
         print(
             f"sf1 dataset missing at {args.sf1} — run tools/build_sf1.py",
@@ -99,6 +141,8 @@ def main() -> int:
         print(proc2.stdout[-2000:], file=sys.stderr)
         print(proc2.stderr[-2000:], file=sys.stderr)
 
+    if resweep:
+        results["_resweep"] = resweep  # type: ignore[assignment]
     with open(args.out, "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps(results))

@@ -33,16 +33,25 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N_OPS = 20  # op k (1-based): upsert keys [5k, 5k+50) with val=k
+N_OPS = 20  # op k (1-based), keys [5k, 5k+50): odd k = whole-row
+# upsert val=k; even k = conditional MERGE (matched & k%13==0 →
+# DELETE, other matched → update val=k, unmatched → insert) — the
+# merge ops run on a cdf=True table, so every kill window also covers
+# the change-file write that precedes the manifest (round 12)
 BASE_ROWS = 100  # create: keys [0, 100) val=0
 
 
 def expected_state(ops_done: int) -> dict[int, int]:
-    """Pure-Python replay: table content after CREATE + ops_done upserts."""
+    """Pure-Python replay: table content after CREATE + ops_done ops."""
     state = {k: 0 for k in range(BASE_ROWS)}
     for s in range(1, ops_done + 1):
         for k in range(5 * s, 5 * s + 50):
-            state[k] = s
+            if s % 2 == 1 or k not in state:
+                state[k] = s  # upsert, or merge-insert of a new key
+            elif k % 13 == 0:
+                del state[k]  # merge: matched + delete condition
+            else:
+                state[k] = s  # merge: matched + update
     return state
 
 
@@ -77,13 +86,21 @@ def writer(table_dir: str, from_op: int, store_kind: str = "rename") -> None:
     store = _store(store_kind, spark)
     if from_op == 0:
         t = SifTable.create(spark, table_dir, frame(0, BASE_ROWS, 0), key_col="k",
-                            log_store=store)
+                            log_store=store, cdf=True)
         start = 1
     else:
         t = SifTable(spark, table_dir, log_store=store)
         start = from_op
     for s in range(start, N_OPS + 1):
-        t.upsert(frame(5 * s, 5 * s + 50, s))
+        if s % 2 == 1:
+            t.upsert(frame(5 * s, 5 * s + 50, s))
+        else:
+            t.merge(
+                frame(5 * s, 5 * s + 50, s),
+                when_matched_delete="t.k % 13 = 0",
+                when_matched_update={"v": "s.v"},
+                when_not_matched_insert=True,
+            )
         print(f"op {s} committed", flush=True)
 
 
@@ -108,10 +125,32 @@ def verify(table_dir: str) -> dict:
         if got != expected_state(v - 1):  # version 1 = create = 0 ops
             values_ok = False
             break
+    # 2b. every committed version's change file balances its manifest
+    # counters (the change file is written BEFORE the manifest — a
+    # torn pair would show up as an imbalance here)
+    cdc_ok = True
+    for v in versions:
+        m = t._load(v)
+        if not m.get("cdc"):
+            continue
+        by_type = {
+            r["_change_type"]: r["n"]
+            for r in spark.read.parquet(m["cdc"]["path"])
+            .groupBy("_change_type")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        }
+        if by_type.get("delete", 0) != m.get("deleted_rows", 0):
+            cdc_ok = False
+        if by_type.get("update_postimage", 0) != m.get(
+            "replaced_rows", 0
+        ) or by_type.get("update_preimage", 0) != m.get("replaced_rows", 0):
+            cdc_ok = False
     return {
         "committed_ops": versions[-1] - 1,
         "chain_ok": chain_ok,
-        "values_ok": values_ok,
+        "values_ok": values_ok and cdc_ok,
     }
 
 
@@ -165,7 +204,11 @@ def main() -> int:
     # survive SIGKILL exactly like the rename CAS (VERDICT r10 #1)
     store_kind = "excl" if "--logstore=excl" in sys.argv[1:] else "rename"
     rounds = []
-    for delay in (9.0, 13.0, 18.0):
+    # delays chosen to land the SIGKILL around ops 1-6 (~13 s JVM
+    # startup + cdf ops at ~3-5 s each): ops 2/4/6 are MERGEs on a
+    # cdf table, so the later windows cover the change-file write
+    # that precedes the manifest (round 12)
+    for delay in (13.0, 22.0, 31.0):
         rounds.append(one_round(delay, f"/tmp/sif_table_fault_{delay}",
                                 store_kind))
         print(f"  delay {delay}: {rounds[-1]}", file=sys.stderr)
