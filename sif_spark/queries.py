@@ -1379,6 +1379,14 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q186_table_column_evolution"] = q186_table_column_evolution
 ORACLES["q186_table_column_evolution"] = ORACLE_Q186
+# q187: ANN refresh lifecycle — staleness trigger + atomic swap
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q187,
+    q187_ann_refresh_lifecycle,
+)
+
+QUERIES["q187_ann_refresh_lifecycle"] = q187_ann_refresh_lifecycle
+ORACLES["q187_ann_refresh_lifecycle"] = ORACLE_Q187
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

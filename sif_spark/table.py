@@ -2018,6 +2018,79 @@ class SifTable:
             manifest["cdc"] = cdc
         return self._commit(manifest)
 
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        retries: int = 3,
+    ) -> int:
+        """Replace the snapshot's CONTENT in one atomic commit (the
+        lakehouse `mode("overwrite")` — the same manifest shape the
+        `sif_table` DataSource writer publishes): a new version
+        referencing ONLY the new group. Readers pinned on older
+        versions are untouched (time travel until vacuum); both
+        change-feed modes REFUSE to cross an overwrite (its logical
+        diff is not materialized) — the contract a derived artifact
+        swap (e.g. the ANN index refresh) wants, since its consumers
+        read snapshots, not the feed. ``txn=`` gives append()'s
+        crash-replay idempotence; the txn high-water map carries
+        forward. Schema may change freely — an overwrite owns the new
+        snapshot's schema (column ids are re-minted for NEW names,
+        preserved for surviving ones, so later renames stay safe)."""
+        last: Exception | None = None
+        for _ in range(retries):
+            m = self._load()
+            txns = dict(m.get("txns", {}))
+            if txn is not None:
+                app_id, epoch = txn
+                if int(txns.get(app_id, -1)) >= int(epoch):
+                    return m["version"]  # replayed epoch: no-op
+                txns[app_id] = int(epoch)
+            cols = _columns_of(m)
+            if cols is not None:
+                by_name = {c["name"]: c["id"] for c in cols}
+                used = [c["id"] for c in cols]
+                for g in m["groups"]:
+                    used.extend((g.get("col_ids") or {}).values())
+                next_id = max(used, default=-1) + 1
+                new_cols = []
+                for f in df.schema.fields:
+                    cid = by_name.get(f.name)
+                    if cid is None:
+                        cid = next_id
+                        next_id += 1
+                    new_cols.append({"id": cid, "name": f.name})
+            else:
+                new_cols = None
+            v = m["version"] + 1
+            group = self._write_group(
+                df, v, 0, m.get("key_col"), m.get("bucket"),
+                m.get("key_bloom", False), new_cols,
+            )
+            try:
+                return self._commit(
+                    {
+                        "version": v,
+                        "parent": m["version"],
+                        "op": "overwrite",
+                        "columns": new_cols,
+                        "added": [group["id"]],
+                        "txns": txns,
+                        "key_col": m.get("key_col"),
+                        "bucket": m.get("bucket"),
+                        "key_bloom": m.get("key_bloom", False),
+                        "cdf": m.get("cdf", False),
+                        "schema": ", ".join(
+                            f"{f.name} {f.dataType.simpleString()}"
+                            for f in df.schema.fields
+                        ),
+                        "groups": [group],
+                    }
+                )
+            except ConcurrentCommitError as e:
+                last = e
+        raise last  # type: ignore[misc]
+
     def compact(
         self,
         num_files: int | None = None,

@@ -171,3 +171,69 @@ def test_non_cdf_maintain_fails_loudly_on_corpus_delete(spark, dirs):
     # advance — the operator told the truth instead of skipping
     stale = SifTable(spark, idx_path).read().filter("nid % 5 = 0").count()
     assert stale > 0
+
+
+def test_refresh_trips_on_drift_and_swaps_atomically(spark, dirs):
+    """VERDICT r11 'Next round' #1: the maintainer tracks staleness
+    per fold (batch mean assignment distance vs the generation's
+    anchor) and, when tripped, re-trains on the CURRENT corpus and
+    publishes rows+meta in ONE atomic overwrite — gen advances,
+    same-distribution appends never trip it, a pre-swap snapshot
+    stays coherent (old gen meta + old rows), and a crash-replay of
+    the refresh epoch is a committed no-op."""
+    from sif_spark.table import SifTable
+
+    src_path, idx_path, ck = dirs
+    src = SifTable.create(
+        spark, src_path, _vecs(spark, 0, 80), key_col="vec_id"
+    )
+    centroids = sgsim.build_ivf_index(
+        _vecs(spark, 0, 80), n_cells=4, max_iter=2
+    ).centroids
+    src.append(_vecs(spark, 80, 140))  # same distribution: no trip
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="r",
+        max_versions_per_trigger=1, refresh_staleness_ratio=1.2,
+    )
+    _drain(q)
+    assert sgsim._committed_gen(spark, idx_path) == 0  # no spurious trip
+    idx = SifTable(spark, idx_path)
+    v_pre_swap = idx._load()["version"]
+    # drift event: negate EVERY vector (mean distance to the old
+    # centroids rises well past the 1.2x threshold)
+    src.upsert(_vecs(spark, 0, 140, flip=True))
+    q2 = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="r",
+        max_versions_per_trigger=1, refresh_staleness_ratio=1.2,
+    )
+    _drain(q2)
+    meta, rows = sgsim.load_maintained_index(spark, idx_path)
+    assert meta.gen == 1
+    assert rows.filter("gen != 1").count() == 0  # never a mixed gen
+    # the swapped index equals a fresh assignment with the NEW meta
+    fresh = sgsim.assign_cells(src.read(), meta.centroids)
+    got = rows.select("nid", "cell")
+    assert got.exceptAll(fresh).count() == 0
+    assert fresh.exceptAll(got).count() == 0
+    # snapshot isolation: the pre-swap version still reads as gen 0
+    # and its meta file is intact (coherent old pair)
+    old_rows = idx.read(version=v_pre_swap)
+    assert old_rows.filter("gen != 0").count() == 0
+    assert sgsim.load_ann_meta(idx_path, 0).gen == 0
+    # crash-replay: the refresh epoch's overwrite is txn-guarded
+    last = idx.last_txn_epoch("r-refresh")
+    assert last >= 0
+    v_now = idx._load()["version"]
+    idx.overwrite(rows.limit(3), txn=("r-refresh", last))
+    assert idx._load()["version"] == v_now  # replayed: no commit
+    # and folds AFTER the swap keep maintaining against the new gen
+    src.append(_vecs(spark, 140, 160, flip=True))
+    q3 = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="r",
+        max_versions_per_trigger=1, refresh_staleness_ratio=1.2,
+    )
+    _drain(q3)
+    meta2, rows2 = sgsim.load_maintained_index(spark, idx_path)
+    assert rows2.count() == 160
+    fresh2 = sgsim.assign_cells(src.read(), meta2.centroids)
+    assert rows2.select("nid", "cell").exceptAll(fresh2).count() == 0
