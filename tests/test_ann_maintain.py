@@ -28,8 +28,8 @@ def dirs():
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _vecs(spark, lo, hi, dim=8, flip=False):
-    sign = -1.0 if flip else 1.0
+def _vecs(spark, lo, hi, dim=8, flip=False, scale=1.0):
+    sign = (-1.0 if flip else 1.0) * scale
     return spark.range(lo, hi).select(
         F.col("id").alias("vec_id"),
         F.array(
@@ -199,9 +199,12 @@ def test_refresh_trips_on_drift_and_swaps_atomically(spark, dirs):
     assert sgsim._committed_gen(spark, idx_path) == 0  # no spurious trip
     idx = SifTable(spark, idx_path)
     v_pre_swap = idx._load()["version"]
-    # drift event: negate EVERY vector (mean distance to the old
-    # centroids rises well past the 1.2x threshold)
-    src.upsert(_vecs(spark, 0, 140, flip=True))
+    # drift event: every vector re-embedded, negated AND x4 magnitude
+    # (mean squared distance to the old centroids grows quadratically
+    # — the ratio clears the threshold on ANY centroid draw; MLlib's
+    # random-init centers vary with the master's partitioning, which
+    # made a negate-only drift borderline under local-cluster)
+    src.upsert(_vecs(spark, 0, 140, flip=True, scale=4.0))
     q2 = sgsim.maintain_ivf_index_table(
         spark, src_path, idx_path, centroids, ck, app_id="r",
         max_versions_per_trigger=1, refresh_staleness_ratio=1.2,
@@ -227,7 +230,8 @@ def test_refresh_trips_on_drift_and_swaps_atomically(spark, dirs):
     idx.overwrite(rows.limit(3), txn=("r-refresh", last))
     assert idx._load()["version"] == v_now  # replayed: no commit
     # and folds AFTER the swap keep maintaining against the new gen
-    src.append(_vecs(spark, 140, 160, flip=True))
+    # (same post-drift distribution: no second trip)
+    src.append(_vecs(spark, 140, 160, flip=True, scale=4.0))
     q3 = sgsim.maintain_ivf_index_table(
         spark, src_path, idx_path, centroids, ck, app_id="r",
         max_versions_per_trigger=1, refresh_staleness_ratio=1.2,

@@ -243,3 +243,57 @@ def test_legacy_table_bootstraps_ids_on_first_rename(spark, tdir):
     assert set(out.columns) == {"k", "val", "m"}
     assert out.filter("val = 'b'").count() == 30
     assert out.count() == 80
+
+
+def test_restore_reverts_rename_and_future_groups_map_back(spark, tdir):
+    """restore() to a pre-rename version carries that version's
+    column ids, so groups written AFTER the rename (under the new
+    name) map BACK to the old name by id — time travel and rollback
+    stay coherent in both directions across a rename."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 30), key_col="k")
+    t.rename_column("m", "metric")                    # v2
+    t.append(                                          # v3: new-name group
+        spark.range(30, 50).select(
+            F.col("id").alias("k"), F.lit("b").alias("v"),
+            (F.col("id") * 2).alias("metric"),
+        )
+    )
+    t.restore(1)                                       # v4: old schema
+    out = t.read()
+    # v1's groups only — and the OLD name
+    assert set(out.columns) == {"k", "v", "m"}
+    assert out.count() == 30
+    # roll forward again: restore(3) brings the renamed schema AND
+    # both eras' groups, mapped by id
+    t.restore(3)
+    out = t.read()
+    assert set(out.columns) == {"k", "v", "metric"}
+    assert out.count() == 50
+    assert out.filter("metric = 14").count() == 1   # v1-era file, new name
+    assert out.filter("metric = 98").count() == 1   # v3-era file
+
+
+def test_merge_after_rename_touches_pre_rename_groups(spark, tdir):
+    """MERGE onto a renamed table: the update expressions use the
+    CURRENT names, the matched target rows come from PRE-rename
+    files (id-mapped), and unlisted columns keep their values."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 40), key_col="k")
+    t.rename_column("v", "val")
+    src = spark.range(30, 60).select(
+        F.col("id").alias("k"), F.lit("patch").alias("val"),
+        F.lit(-1).cast("long").alias("m"),
+    )
+    t.merge(
+        src,
+        when_matched_update={"val": "concat(t.val, '+', s.val)"},
+        when_matched_delete="t.k % 10 = 5",
+        when_not_matched_insert=True,
+    )
+    out = t.read()
+    assert out.count() == 40 - 1 + 20  # k=35 deleted; 40..59 inserted
+    r30 = out.filter("k = 30").collect()[0]
+    assert r30["val"] == "a+patch" and r30["m"] == 60  # m kept (t value)
+    assert out.filter("k = 35").count() == 0
+    assert out.filter("k = 50").collect()[0]["val"] == "patch"
+    m = t._load()
+    assert m["replaced_rows"] == 9 and m["deleted_rows"] == 1
