@@ -884,7 +884,7 @@ def q183_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, corpus_path, idx_path, seed_index.centroids, ckpt,
         app_id="q183", max_versions_per_trigger=1, pq_codebook=cb,
         refresh_candidates=200, refresh_k=5, refresh_probe_queries=8,
-        refresh_growth_check=1.5, refresh_margin=0.5,
+        refresh_growth_check=2.0, refresh_margin=0.5,
         refresh_sample_rows=32768,
     )
     try:

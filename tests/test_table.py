@@ -1762,3 +1762,68 @@ def test_cdf_retention_typed_errors_never_silent_gaps(spark, tdir):
     with pytest.raises(ChangeFeedIncompleteError, match="1..3"):
         t.changes(0, cdf=True)
     assert t.changes(3, cdf=True).count() > 0
+
+
+def test_merge_on_bucketed_table_keeps_layout(spark, tdir):
+    """MERGE on a bucketed table writes its rewritten + insert groups
+    hash-clustered like every other op, so a post-merge compact still
+    serves the zero-Exchange bucketed join."""
+    from sif_spark.plans import plan_string
+
+    t = SifTable.create(
+        spark, tdir, _df(spark, 0, 200, "a"), key_col="k",
+        bucket_by="k", n_buckets=4,
+    )
+    t.merge(
+        _df(spark, 150, 260, "m"),
+        when_matched_update={"v": "s.v"},
+        when_matched_delete="t.k % 13 = 0",
+        when_not_matched_insert=True,
+    )
+    out = t.read()
+    assert out.filter("k = 160").collect()[0]["v"] == "m"
+    assert out.filter("k = 156").count() == 0  # 156 = 12*13
+    assert out.filter("k = 220").count() == 1
+    t.compact()
+    bf = t.bucketed_frame()
+    other = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(1).alias("w")
+    )
+    spark.catalog.dropTempView("bkt_merge_other") if spark.catalog.tableExists("bkt_merge_other") else None
+    other.write.mode("overwrite").bucketBy(4, "k").option(
+        "path", tdir + "-other"
+    ).format("parquet").saveAsTable("bkt_merge_other")
+    joined = bf.join(spark.table("bkt_merge_other"), "k")
+    text = plan_string(joined, "simple")
+    # the sif_table side must not re-shuffle (its scan is bucketed)
+    assert text.count("Exchange hashpartitioning") <= 1
+    assert joined.count() > 0
+
+
+def test_merge_composite_key_pattern(spark, tdir):
+    """The documented composite-key pattern: the table's key machinery
+    is single-column by design — derive one key column from the parts
+    (functions.key_columns = xxhash64 chain) and merge on it; the
+    parts stay ordinary columns."""
+    from sif_spark import functions as SF
+
+    base = spark.range(0, 100).select(
+        (F.col("id") % 10).alias("region"),
+        (F.col("id") / 10).cast("long").alias("day"),
+        F.lit(5).alias("sales"),
+    ).withColumn("pk", SF.key_columns("region", "day"))
+    t = SifTable.create(spark, tdir, base, key_col="pk")
+    cdc = spark.range(0, 10).select(
+        F.col("id").alias("region"),
+        F.lit(3).cast("long").alias("day"),
+        (F.col("id") + 100).alias("sales"),
+    ).withColumn("pk", SF.key_columns("region", "day"))
+    t.merge(
+        cdc,
+        when_matched_update={"sales": "t.sales + s.sales"},
+        when_not_matched_insert=True,
+    )
+    out = t.read()
+    assert out.count() == 100  # all matched (region x day=3 exists)
+    assert out.filter("day = 3 AND region = 4").collect()[0]["sales"] == 109  # 5 + 104
+    assert out.filter("day != 3").agg(F.sum("sales")).collect()[0][0] == 90 * 5
