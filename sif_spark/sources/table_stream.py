@@ -199,16 +199,31 @@ def _raise_if_removal_op(m: dict) -> None:
             "append feed cannot represent its removals; use cdf=true "
             "(table created with cdf=True) or rebuild downstream"
         )
-    if op in ("delete", "merge"):
+    if op == "delete":
         d = m.get("deleted_rows")
         if d is None or d > 0:
             raise ValueError(
-                f"sif_table version {v} ({op}) removed "
+                f"sif_table version {v} (delete) removed "
                 f"{'unrecorded' if d is None else d} rows — a keyed "
                 "fold over the append feed would keep their stale "
                 "images forever. Use cdf=true (table created with "
                 "cdf=True) instead."
             )
+    if op == "merge":
+        # UNLIKE an upsert (whose post-images ARE the version's added
+        # group), a merge's updated rows live in the REWRITTEN group —
+        # invisible to the append feed — so a keyed fold would keep
+        # stale images for every updated key, and deleted keys forever
+        for counter in ("replaced_rows", "deleted_rows"):
+            c = m.get(counter)
+            if c is None or c > 0:
+                raise ValueError(
+                    f"sif_table version {v} (merge) has {counter}="
+                    f"{'unrecorded' if c is None else c} — its changed "
+                    "rows are not in the append feed's added groups, "
+                    "so a keyed fold would silently go stale. Use "
+                    "cdf=true (table created with cdf=True) instead."
+                )
 
 
 def _cdc_partitions_for_version(

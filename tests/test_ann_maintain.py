@@ -241,3 +241,64 @@ def test_refresh_trips_on_drift_and_swaps_atomically(spark, dirs):
     assert rows2.count() == 160
     fresh2 = sgsim.assign_cells(src.read(), meta2.centroids)
     assert rows2.select("nid", "cell").exceptAll(fresh2).count() == 0
+
+
+def test_maintainer_handles_corpus_merge(spark, dirs):
+    """A corpus MERGE (round 12) through both maintainer modes: the
+    non-cdf keyed fold must FAIL loudly (a merge's updated rows live
+    in the rewritten group — the append feed never emits them, unlike
+    an upsert's post-image group), and the cdf fold must consume the
+    merge's change file exactly (update postimages re-assign, deletes
+    retire, inserts add)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from sif_spark.table import SifTable
+
+    src_path, idx_path, ck = dirs
+    # non-cdf: update-only merge poisons the keyed fold
+    src = SifTable.create(
+        spark, src_path, _vecs(spark, 0, 60), key_col="vec_id"
+    )
+    centroids = sgsim.build_ivf_index(
+        _vecs(spark, 0, 60), n_cells=4, max_iter=2
+    ).centroids
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="mg",
+    )
+    _drain(q)
+    src.merge(
+        _vecs(spark, 10, 20, flip=True),
+        when_matched_update={"embedding": "s.embedding"},
+    )
+    q2 = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="mg",
+    )
+    with pytest.raises(StreamingQueryException, match="merge"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+    # cdf: the merge's change file folds exactly
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    src = SifTable.create(
+        spark, src_path, _vecs(spark, 0, 60), key_col="vec_id", cdf=True
+    )
+    q3 = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="mgc", cdf=True,
+    )
+    _drain(q3)
+    src.merge(
+        _vecs(spark, 40, 90, flip=True),
+        when_matched_update={"embedding": "s.embedding"},  # 40..59 flip
+        when_matched_delete="t.vec_id % 7 = 0",            # matched %7
+        when_not_matched_insert=True,                      # 60..89 add
+    )
+    q4 = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="mgc", cdf=True,
+    )
+    _drain(q4)
+    _assert_index_exact(spark, idx_path, src.read(), centroids)
+    idx = SifTable(spark, idx_path).read()
+    assert idx.count() == src.read().count()
+    # deleted keys retired: matched (40..59) where %7==0 -> 42,49,56
+    assert idx.filter("nid IN (42, 49, 56)").count() == 0

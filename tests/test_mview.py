@@ -186,3 +186,66 @@ def test_merge_partials_belt_sees_rowless_interior_delete(spark, dirs):
             batch, 0, dst_path, "bucket", {"n": "1"}, "belt",
             src_path=src_path,
         )
+
+
+def test_mview_handles_source_merge(spark, dirs):
+    """A source MERGE through both MV modes: the non-cdf additive
+    fold refuses it at plan time (op=merge, counters non-zero), and
+    the cdf signed fold consumes its change file exactly — preimages
+    subtract, postimages add, tombstones subtract, inserts add."""
+    src_path, dst_path, ck = dirs
+    src = SifTable.create(
+        spark, src_path, _src(spark, 0, 60), key_col="k", cdf=True
+    )
+    src.merge(
+        _src(spark, 40, 90).select(
+            "k", "bucket", (F.col("val") + 1000).alias("val")
+        ),
+        when_matched_update={"val": "s.val"},
+        when_matched_delete="t.k % 9 = 0",
+        when_not_matched_insert=True,
+    )
+    q = incremental_aggregate_view(
+        spark, src_path, dst_path, key="bucket",
+        sums={"n": "1", "sum_val": "val"}, checkpoint_dir=ck,
+        app_id="mv-merge", cdf=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = {
+        r["bucket"]: (r["n"], r["sum_val"])
+        for r in SifTable(spark, dst_path).read().collect()
+    }
+    want = {
+        r["bucket"]: (r["n"], r["sum_val"])
+        for r in src.read()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val"))
+        .collect()
+    }
+    assert got == want
+    # non-cdf additive fold: plan-time refusal
+    src2_path, ck2 = src_path + "-2", ck + "-2"
+    shutil.rmtree(src2_path, ignore_errors=True)
+    shutil.rmtree(ck2, ignore_errors=True)
+    src2 = SifTable.create(spark, src2_path, _src(spark, 0, 30), key_col="k")
+    src2.merge(
+        _src(spark, 10, 20).select("k", "bucket",
+                                   (F.col("val") + 1).alias("val")),
+        when_matched_update={"val": "s.val"},
+    )
+    q2 = incremental_aggregate_view(
+        spark, src2_path, dst_path + "-2", key="bucket",
+        sums={"n": "1"}, checkpoint_dir=ck2, app_id="mv-merge2",
+    )
+    with pytest.raises(Exception, match="merge"):
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+            q2.awaitTermination()
+    for d in (src2_path, ck2, dst_path + "-2"):
+        shutil.rmtree(d, ignore_errors=True)

@@ -1690,16 +1690,23 @@ def test_merge_guards(spark, tdir):
             guard(m)
     with pytest.raises(ChangeFeedIncompleteError, match="merge"):
         SifTable._check_cdf_version(m)
-    # an updating (non-deleting) merge passes the KEYED-fold guard but
-    # not the additive append-feed guard
+    # an updating (non-deleting) merge fails BOTH guards: unlike an
+    # upsert, its post-images live in the REWRITTEN group, which the
+    # append feed never emits — even a keyed fold would go stale
     t2_dir = tdir + "-2"
     shutil.rmtree(t2_dir, ignore_errors=True)
     t2 = SifTable.create(spark, t2_dir, _df(spark, 0, 20, "a"), key_col="k")
     t2.merge(_df(spark, 0, 5, "u"), when_matched_update={"v": "s.v"})
     m2 = t2._load()
-    _raise_if_removal_op(m2)  # keyed fold: updates are replacements — OK
-    with pytest.raises(ValueError, match="merge"):
-        _raise_if_removal(m2)
+    for guard in (_raise_if_removal, _raise_if_removal_op):
+        with pytest.raises(ValueError, match="merge"):
+            guard(m2)
+    # an INSERT-ONLY merge (both counters zero) passes both: its only
+    # change is the added group, which the feed emits completely
+    t2.merge(_df(spark, 100, 105, "n"), when_not_matched_insert=True)
+    m3 = t2._load()
+    _raise_if_removal(m3)
+    _raise_if_removal_op(m3)
     shutil.rmtree(t2_dir, ignore_errors=True)
 
 
