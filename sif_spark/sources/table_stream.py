@@ -860,6 +860,10 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
             groups = new_groups if (self.overwrite or m is None) else (
                 m["groups"] + new_groups
             )
+            # the monotonic column-id watermark carries forward (the
+            # DS writer never mints ids — schema must match exactly —
+            # but omitting it would reset the floor a later API-side
+            # drop/re-add relies on)
             manifest = {
                 "version": v,
                 "parent": m["version"] if m else None,
@@ -874,6 +878,15 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                 "schema": ddl,
                 "groups": groups,
             }
+            if columns is not None:
+                # the monotonic column-id watermark carries forward
+                # (the DS writer never mints ids — schema must match
+                # exactly — but omitting it would reset the floor a
+                # later API-side drop/re-add relies on)
+                manifest["last_column_id"] = max(
+                    [int((m or {}).get("last_column_id", -1))]
+                    + [int(c["id"]) for c in columns]
+                )
             os.makedirs(mdir, exist_ok=True)
             target = os.path.join(mdir, f"v{v:010d}.json")
             if store.put_if_absent(target, json.dumps(manifest, indent=1)):

@@ -365,23 +365,47 @@ def _columns_of(m: dict) -> list[dict] | None:
     return m.get("columns")
 
 
+def _mint_floor(m: dict) -> int:
+    """The highest column id this table is KNOWN to have ever minted:
+    the manifest's monotonic ``last_column_id`` watermark (Iceberg's
+    rule), belt-and-suspenders unioned with every id visible in live
+    columns/groups for manifests written before the watermark existed.
+    Fresh ids mint strictly above this. Scanning live state alone was
+    insufficient (ADVICE r12 low): once every group carrying a dropped
+    column's id is rewritten away, the id vanishes from view, and
+    re-adding a same-named column would re-mint it — resurfacing the
+    old bytes in changes() replay of pre-drop versions."""
+    ids = [int(m.get("last_column_id", -1))]
+    for c in m.get("columns") or []:
+        ids.append(int(c["id"]))
+    for g in m.get("groups", []):
+        ids.extend(int(i) for i in (g.get("col_ids") or {}).values())
+    return max(ids)
+
+
+def _last_col_id_after(m_prev: dict, new_columns: list[dict] | None) -> int:
+    """The ``last_column_id`` watermark for the NEXT manifest: the
+    previous floor advanced past any id the new snapshot minted —
+    never decreases (restore carries the HEAD's floor, not the
+    restored version's)."""
+    floor = _mint_floor(m_prev)
+    if new_columns:
+        floor = max(floor, max(int(c["id"]) for c in new_columns))
+    return floor
+
+
 def _next_columns(m: dict, merged: T.StructType) -> list[dict] | None:
     """The ``columns`` list for the NEXT manifest after evolving to
     ``merged``: existing names keep their ids, appended names mint
-    fresh ids. Legacy tables (no ids yet) stay legacy until a
+    fresh ids (strictly above the table's lifetime watermark — see
+    _mint_floor). Legacy tables (no ids yet) stay legacy until a
     rename/drop bootstraps them — by-name alignment is already exact
     for every group they hold."""
     cols = _columns_of(m)
     if cols is None:
         return None
     by_name = {c["name"]: c for c in cols}
-    # fresh ids must clear every id any LIVE group ever wrote, not
-    # just the live columns — re-minting a DROPPED column's id would
-    # resurface the old files' bytes under the re-added name
-    used = [c["id"] for c in cols]
-    for g in m["groups"]:
-        used.extend((g.get("col_ids") or {}).values())
-    next_id = max(used, default=-1) + 1
+    next_id = _mint_floor(m) + 1
     out = []
     for f in merged.fields:
         c = by_name.get(f.name)
@@ -531,6 +555,15 @@ class SifTable:
             raise ValueError(f"version {v} not in {versions}")
         return json.loads(self.log.read_text(self._manifest_path(v)))
 
+    def _stamp_floor(self, manifest: dict, m_prev: dict) -> dict:
+        """Record the monotonic ``last_column_id`` watermark on a
+        columns-bearing manifest (legacy manifests stay legacy)."""
+        if manifest.get("columns") is not None:
+            manifest["last_column_id"] = _last_col_id_after(
+                m_prev, manifest["columns"]
+            )
+        return manifest
+
     def _commit(self, manifest: dict) -> int:
         """Publish the manifest via the log store's put-if-absent:
         exactly one writer wins a version; the loser re-reads the new
@@ -662,27 +695,6 @@ class SifTable:
             total += int(b) if b is not None else self._dir_bytes(g["path"])
         return total
 
-    def _broadcast_threshold(self) -> int:
-        """The session's autoBroadcastJoinThreshold in bytes (-1 =
-        disabled). Spark reports it in forms like '10485760b' or
-        '10MB' depending on how it was set."""
-        raw = str(
-            self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        ).strip().lower()
-        mult = 1
-        for suffix, m_ in (
-            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
-        ):
-            if raw.endswith(suffix):
-                raw = raw[: -len(suffix)]
-                mult = m_
-                break
-        try:
-            return int(raw) * mult
-        except ValueError:
-            return -1
-
     def _group_table_name(self, gpath: str) -> str:
         import hashlib
 
@@ -763,7 +775,7 @@ class SifTable:
         ]
         group = t._write_group(df, 1, 0, key_col, bucket, key_bloom, columns)
         t._commit(
-            {
+            t._stamp_floor({
                 "version": 1,
                 "parent": None,
                 "op": "create",
@@ -778,7 +790,7 @@ class SifTable:
                 ),
                 "columns": columns,
                 "groups": [group],
-            }
+            }, {})
         )
         return t
 
@@ -1094,12 +1106,17 @@ class SifTable:
         # between after_version and the oldest surviving manifest was
         # reclaimed
         first = versions[0]
-        if after_version + 1 < first and hi >= first:
+        if after_version + 1 < first or hi < first:
+            # `hi < first` covers the window that lies ENTIRELY inside
+            # the vacuumed prefix (an explicit to_version older than
+            # every surviving manifest): the old guard let it fall
+            # through to _load(hi) and raise a raw not-found error
+            # instead of the documented typed one (ADVICE r12 low)
             raise ChangeFeedIncompleteError(
                 f"change-feed window ({after_version}, {hi}] needs "
-                f"versions {after_version + 1}..{first - 1}, which were "
-                "vacuumed — rebuild the consumer or start after "
-                f"version {first - 1}"
+                f"versions {after_version + 1}..{min(hi, first - 1)}, "
+                "which were vacuumed — rebuild the consumer or start "
+                f"after version {first - 1}"
             )
         hi_m = self._load(hi)
         target = T._parse_datatype_string(hi_m["schema"])
@@ -1111,10 +1128,51 @@ class SifTable:
             g["id"]: g.get("col_ids") for g in hi_m["groups"]
         }
 
+        # lazily resolved: the FIRST columns-bearing manifest's by-name
+        # id assignment. A pre-bootstrap version aligned by name up to
+        # the bootstrap commit, so that correspondence IS its id map —
+        # the same rule _bootstrap_columns applies to live groups. The
+        # old fallback (align by name against the POST-rename snapshot)
+        # silently NULLed the renamed column for pre-bootstrap versions
+        # whose group was later rewritten away (ADVICE r12 medium).
+        bootstrap_by_name: list[dict | None] = []
+
+        def _bootstrap_ids() -> dict | None:
+            if not bootstrap_by_name:
+                found = None
+                for v2 in versions:
+                    m2 = self._load(v2)
+                    cols2 = _columns_of(m2)
+                    if cols2 is not None:
+                        # the bootstrap commit may itself be the
+                        # rename/drop: its `columns` carry POST-change
+                        # names, but its groups' synthesized col_ids
+                        # record the by-name assignment as of the
+                        # bootstrap MOMENT — overlay them (they are
+                        # authoritative for written names, including
+                        # the renamed-from / dropped name)
+                        found = {c["name"]: c["id"] for c in cols2}
+                        for g2 in m2["groups"]:
+                            found.update(g2.get("col_ids") or {})
+                        break
+                bootstrap_by_name.append(found)
+            return bootstrap_by_name[0]
+
         def _ids_from_manifest(m_v: dict, ddl: str) -> dict | None:
             cols_v = _columns_of(m_v)
             if cols_v is None:
-                return None  # legacy end-to-end: by-name is exact
+                if hi_cols is None:
+                    return None  # legacy end-to-end: by-name is exact
+                # pre-bootstrap version under a columns-bearing HEAD:
+                # synthesize ids with the bootstrap rule (by-name
+                # against the first id assignment). Names outside it
+                # were invisible at bootstrap and stay invisible.
+                boot = _bootstrap_ids()
+                if boot is None:
+                    return None
+                return {
+                    n: boot[n] for n in _schema_names(ddl) if n in boot
+                } or None
             by_name = {c["name"]: c["id"] for c in cols_v}
             return {
                 n: by_name[n]
@@ -1278,7 +1336,7 @@ class SifTable:
                 }
                 if cols_next is not None:
                     manifest["columns"] = cols_next
-                return self._commit(manifest)
+                return self._commit(self._stamp_floor(manifest, m))
             except ConcurrentCommitError as e:
                 last = e
         raise last  # type: ignore[misc]
@@ -1473,7 +1531,7 @@ class SifTable:
         }
         if cdc:
             manifest["cdc"] = cdc
-        return self._commit(manifest)
+        return self._commit(self._stamp_floor(manifest, m))
 
     def merge(
         self,
@@ -1587,7 +1645,6 @@ class SifTable:
         target = T._parse_datatype_string(m["schema"])
         groups = list(keep)
         seq = 0
-        src = _align(source, merged) if not isinstance(ins, dict) else source
         # matched pairs: target rows of the touched groups joined to
         # the source on the key; the join is bounded by the skipping
         # (keep-groups PROVABLY hold no source key, so "unmatched"
@@ -1616,7 +1673,12 @@ class SifTable:
                 else F.lit(bool(dele))
             )
             del_c = F.coalesce(del_c, F.lit(False))
-            upd_c = F.lit(upd is not None) & ~del_c
+            # bool(upd), not `upd is not None`: an EMPTY update mapping
+            # is inert (it updates no columns), but `is not None` made
+            # it an active clause that counted every matched
+            # non-deleted row in replaced_rows and wrote identical
+            # pre/postimage pairs into the change file (ADVICE r12 low)
+            upd_c = F.lit(bool(upd)) & ~del_c
             if upd_cond is not None:
                 upd_c = upd_c & F.coalesce(F.expr(upd_cond), F.lit(False))
             t_cols = [F.col(f"t.`{f.name}`").alias(f.name)
@@ -1759,7 +1821,7 @@ class SifTable:
         }
         if cdc:
             manifest["cdc"] = cdc
-        return self._commit(manifest)
+        return self._commit(self._stamp_floor(manifest, m))
 
     def _split_groups_by_keys(
         self, m: dict, keyed_df: DataFrame, key: str, kmin, kmax
@@ -1949,7 +2011,7 @@ class SifTable:
         }
         if cdc:
             manifest["cdc"] = cdc
-        return self._commit(manifest)
+        return self._commit(self._stamp_floor(manifest, m))
 
     def delete(self, predicate: str) -> int:
         """Delete rows matching the SQL predicate — groups with no
@@ -2016,7 +2078,7 @@ class SifTable:
         }
         if cdc:
             manifest["cdc"] = cdc
-        return self._commit(manifest)
+        return self._commit(self._stamp_floor(manifest, m))
 
     def overwrite(
         self,
@@ -2049,10 +2111,7 @@ class SifTable:
             cols = _columns_of(m)
             if cols is not None:
                 by_name = {c["name"]: c["id"] for c in cols}
-                used = [c["id"] for c in cols]
-                for g in m["groups"]:
-                    used.extend((g.get("col_ids") or {}).values())
-                next_id = max(used, default=-1) + 1
+                next_id = _mint_floor(m) + 1
                 new_cols = []
                 for f in df.schema.fields:
                     cid = by_name.get(f.name)
@@ -2069,7 +2128,7 @@ class SifTable:
             )
             try:
                 return self._commit(
-                    {
+                    self._stamp_floor({
                         "version": v,
                         "parent": m["version"],
                         "op": "overwrite",
@@ -2085,7 +2144,7 @@ class SifTable:
                             for f in df.schema.fields
                         ),
                         "groups": [group],
-                    }
+                    }, m)
                 )
             except ConcurrentCommitError as e:
                 last = e
@@ -2138,7 +2197,7 @@ class SifTable:
         group = self._write_group(df, v, 0, key, bucket,
                                   m.get("key_bloom", False), _columns_of(m))
         return self._commit(
-            {
+            self._stamp_floor({
                 "version": v,
                 "parent": m["version"],
                 "op": "compact",
@@ -2151,7 +2210,7 @@ class SifTable:
                 "cdf": m.get("cdf", False),
                 "schema": m["schema"],
                 "groups": [group],
-            }
+            }, m)
         )
 
     def restore(self, version: int) -> int:
@@ -2169,7 +2228,7 @@ class SifTable:
         m = self._load()
         v = m["version"] + 1
         return self._commit(
-            {
+            self._stamp_floor({
                 "version": v,
                 "parent": m["version"],
                 "op": "restore",
@@ -2183,7 +2242,7 @@ class SifTable:
                 "cdf": m.get("cdf", False),
                 "schema": old["schema"],
                 "groups": old["groups"],
-            }
+            }, m)
         )
 
     def _bootstrap_columns(self, m: dict) -> tuple[list[dict], list[dict]]:
@@ -2246,7 +2305,7 @@ class SifTable:
             for f in target.fields
         )
         return self._commit(
-            {
+            self._stamp_floor({
                 "version": m["version"] + 1,
                 "parent": m["version"],
                 "op": "rename_column",
@@ -2260,7 +2319,7 @@ class SifTable:
                 "cdf": m.get("cdf", False),
                 "schema": ddl,
                 "groups": groups,
-            }
+            }, m)
         )
 
     def drop_column(self, name: str) -> int:
@@ -2291,7 +2350,7 @@ class SifTable:
             if f.name != name
         )
         return self._commit(
-            {
+            self._stamp_floor({
                 "version": m["version"] + 1,
                 "parent": m["version"],
                 "op": "drop_column",
@@ -2305,7 +2364,7 @@ class SifTable:
                 "cdf": m.get("cdf", False),
                 "schema": ddl,
                 "groups": groups,
-            }
+            }, m)
         )
 
     def vacuum(

@@ -1834,3 +1834,49 @@ def test_merge_composite_key_pattern(spark, tdir):
     assert out.count() == 100  # all matched (region x day=3 exists)
     assert out.filter("day = 3 AND region = 4").collect()[0]["sales"] == 109  # 5 + 104
     assert out.filter("day != 3").agg(F.sum("sales")).collect()[0][0] == 90 * 5
+
+
+def test_merge_empty_update_dict_is_inert(spark, tdir):
+    """when_matched_update={} updates NO columns — it must not count
+    matched rows as replaced nor write identical pre/postimage pairs
+    (ADVICE r12 low: F.lit(upd is not None) made an empty mapping an
+    active clause)."""
+    t = SifTable.create(
+        spark, f"{tdir}/tmei", _df(spark, 0, 20, "a"), key_col="k", cdf=True
+    )
+    src = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.lit("s").alias("v")
+    )
+    v = t.merge(
+        src,
+        when_matched_update={},
+        when_matched_delete="s.k >= 12",
+    )
+    m = t._load(v)
+    assert m["replaced_rows"] == 0
+    assert m["deleted_rows"] == 3  # 12, 13, 14
+    ch = t.changes(v - 1, to_version=v, cdf=True)
+    kinds = {r["_change_type"] for r in ch.select("_change_type").collect()}
+    assert kinds == {"delete"}
+    # matched-but-not-deleted rows carried over unchanged
+    assert t.read().filter("v = 'a'").count() == 17
+
+
+def test_changes_window_inside_vacuumed_prefix_raises_typed(spark, tdir):
+    """An explicit to_version that lies ENTIRELY inside the vacuumed
+    prefix raises ChangeFeedIncompleteError, not a raw not-found error
+    (ADVICE r12 low: the old guard only caught windows that REACHED
+    the surviving suffix)."""
+    from sif_spark.table import ChangeFeedIncompleteError
+
+    t = SifTable.create(spark, f"{tdir}/tvw", _df(spark, 0, 5, "a"))
+    t.append(_df(spark, 5, 10, "b"))
+    t.append(_df(spark, 10, 15, "c"))
+    t.append(_df(spark, 15, 20, "d"))
+    t.vacuum(retain_last=2)  # v1, v2 gone
+    with pytest.raises(ChangeFeedIncompleteError, match="vacuumed"):
+        t.changes(0, to_version=2)
+    with pytest.raises(ChangeFeedIncompleteError, match="vacuumed"):
+        t.changes(0, to_version=1)
+    # the surviving window still reads
+    assert t.changes(2).count() == 10

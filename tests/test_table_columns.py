@@ -297,3 +297,67 @@ def test_merge_after_rename_touches_pre_rename_groups(spark, tdir):
     assert out.filter("k = 50").collect()[0]["val"] == "patch"
     m = t._load()
     assert m["replaced_rows"] == 9 and m["deleted_rows"] == 1
+
+
+def test_changes_across_rename_for_prebootstrap_rewritten_group(spark, tdir):
+    """ADVICE r12 medium: a LEGACY (pre-id) version whose added group
+    was later rewritten away must replay in changes() with the
+    bootstrap-rule ids — by-name against the first columns-bearing
+    manifest — not by-name against the post-rename schema (which
+    silently NULLed the renamed column)."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 30), key_col="k")
+    t.append(_df(spark, 30, 50, "b"))
+    # simulate a legacy history: strip ids everywhere
+    mdir = os.path.join(tdir, "_manifests")
+    for name in os.listdir(mdir):
+        p = os.path.join(mdir, name)
+        with open(p) as fh:
+            m = json.load(fh)
+        m.pop("columns", None)
+        m.pop("last_column_id", None)
+        for g in m["groups"]:
+            g.pop("col_ids", None)
+        with open(p, "w") as fh:
+            json.dump(m, fh)
+    t2 = SifTable(spark, tdir)
+    t2.compact()                 # v3: the v1/v2 groups are no longer live
+    t2.rename_column("m", "metric")  # v4: bootstrap (on the compacted group)
+    ch = t2.changes(0)           # replays v1+v2's ORIGINAL group files
+    assert "metric" in ch.columns and "m" not in ch.columns
+    got = ch.filter("_commit_version <= 2").agg(
+        F.sum("metric").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert got["n"] == 50
+    # pre-bootstrap bytes surface under the NEW name, values intact
+    assert got["s"] == sum(2 * k for k in range(50))
+
+
+def test_dropped_column_id_never_reminted_after_group_turnover(spark, tdir):
+    """ADVICE r12 low: once every group carrying a dropped column's id
+    is rewritten away (compact), re-adding the same name must STILL
+    mint a fresh id — the manifest's monotonic last_column_id is the
+    guard, not a scan of live groups."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 25), key_col="k")
+    old_id = {c["name"]: c["id"] for c in t._load()["columns"]}["m"]
+    t.drop_column("m")   # v2
+    t.compact()          # v3: no live group carries old m's id anymore
+    assert all(
+        old_id not in (g.get("col_ids") or {}).values()
+        for g in t._load()["groups"]
+    )
+    t.append(             # v4: re-add the name
+        spark.range(25, 40).select(
+            F.col("id").alias("k"), F.lit("b").alias("v"),
+            (F.col("id") + 1).alias("m"),
+        )
+    )
+    m = t._load()
+    new_id = {c["name"]: c["id"] for c in m["columns"]}["m"]
+    assert new_id != old_id
+    assert m["last_column_id"] >= new_id
+    # changes() replay at HEAD: the PRE-drop version's bytes must stay
+    # invisible under the re-added column (time travel to v1 itself —
+    # to_version=1 — would rightly still show them: m was live there)
+    ch = t.changes(0).filter("_commit_version = 1")
+    assert ch.count() == 25
+    assert ch.filter("m IS NOT NULL").count() == 0

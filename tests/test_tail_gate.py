@@ -33,9 +33,18 @@ SF = "/root/testdata/sf0.01"
 # (This suite runs at sf0.01 — the gate scale q54/q61's read_blob
 # oracles carry verbatim, so they gate here too since round 9.)
 TAIL = [
+    "q51_schema_ops",
+    "q52_memorystream",
     "q53_lsh_similar_pairs",
     "q54_multimodal_blobs",
+    "q55_salted_agg",
+    "q56_window_suite",
+    "q57_streaming_sessions",
+    "q58_orc_roundtrip",
+    "q59_partition_pruning",
+    "q60_exact_percentiles",
     "q61_frame_sampling",
+    "q62_streaming_interval_join",
     "q63_lsh_knn_shuffle",
     "q64_asof_hot_key",
     "q65_ivf_knn_distributed",
@@ -158,7 +167,30 @@ TAIL = [
     "q182_table_sql_write",
     "q183_incremental_pq_index",
     "q184_table_cdf_batch",
+    "q185_table_merge",
+    "q186_table_column_evolution",
+    "q187_ann_refresh_lifecycle",
 ]
+
+
+def test_tail_is_complete():
+    """Self-enforcing gate (VERDICT r12 "Next round" #3): every
+    catalog entry beyond the driver's q01–q50 window MUST be in TAIL —
+    a new entry that lands without folding itself in fails the suite,
+    so the per-PR `pytest` run always differentially re-verifies the
+    whole tail, not just the round-close sweep."""
+    import __spark_entry__ as entrymod
+
+    import re
+
+    expected = {
+        q
+        for q in entrymod.queries()
+        if int(re.match(r"q(\d+)", q).group(1)) > 50
+    }
+    assert set(TAIL) == expected, (
+        sorted(expected - set(TAIL)), sorted(set(TAIL) - expected)
+    )
 
 
 @pytest.fixture(scope="module")
