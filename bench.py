@@ -62,6 +62,56 @@ from sif_spark.queries import QUERIES
 
 N_TIMED = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Control basket (VERDICT r12 "Next round" #5): a FIXED sample of
+# cheap, historically plan-stable entries spanning the catalog,
+# re-timed at three lifecycle points (start / mid-catalog / end).
+# Two captures' basket ratios give a drift estimator with a
+# measurable noise bound — unlike the single scan-agg calibration
+# probe, whose one start-of-run sample cannot distinguish "flat"
+# from a uniform ~15% shift (the r12 adjudication ambiguity). The
+# basket entries execute at the SAME lifecycle points in every
+# capture, so JIT/page-cache state cancels capture-to-capture.
+# Keep this list FROZEN (append-only) — a removed entry breaks
+# cross-round comparability.
+CONTROL_BASKET = [
+    "q02_filter_project",
+    "q09_text_stats_by_lang",
+    "q15_event_funnel",
+    "q31_moving_avg",
+    "q100_grouping_sets",
+    "q119_daily_ingest",
+    "q135_deterministic_split",
+    "q150_promo_revenue",
+]
+
+
+def _run_basket(spark, sf_dir: str, warm: bool) -> dict[str, float]:
+    """One timed pass of the control basket (warmup first on the cold
+    start phase only — mid/end are already JIT-warm from the catalog
+    loop). Failures record -1, never crash the bench."""
+    out: dict[str, float] = {}
+    for name in CONTROL_BASKET:
+        fn = QUERIES.get(name)
+        if fn is None:
+            out[name] = -1.0
+            continue
+        try:
+            run = (
+                lambda: fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            if warm:
+                run()
+            t0 = time.time()
+            run()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            print(f"control basket error in {name}: {e}", file=sys.stderr)
+            out[name] = -1.0
+    return out
+
 
 def calibration_query(spark, sf_dir: str):
     """Fixed host-speed probe (VERDICT r4 "Next round" #4): a constant
@@ -117,9 +167,16 @@ def main() -> None:
 
     from sif_spark.plans.audit import plan_fingerprint
 
+    control_phases: dict[str, dict[str, float]] = {}
+    control_phases["start"] = _run_basket(spark, sf_dir, warm=True)
+
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
-    for name in QUERIES:
+    names = list(QUERIES)
+    mid_at = len(names) // 2
+    for idx, name in enumerate(names):
+        if idx == mid_at:
+            control_phases["mid"] = _run_basket(spark, sf_dir, warm=False)
         try:
             d = timed_runs(
                 lambda: QUERIES[name](spark, sf_dir)
@@ -148,6 +205,27 @@ def main() -> None:
         # slower at the tail of a full run than standalone).
         gc.collect()
 
+    control_phases["end"] = _run_basket(spark, sf_dir, warm=False)
+    import statistics as _st
+
+    control = {
+        e: {
+            **{ph: control_phases[ph][e] for ph in control_phases},
+            "median": round(
+                _st.median(
+                    [
+                        control_phases[ph][e]
+                        for ph in control_phases
+                        if control_phases[ph][e] >= 0
+                    ]
+                    or [-1.0]
+                ),
+                3,
+            ),
+        }
+        for e in CONTROL_BASKET
+    }
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     line = json.dumps(
         {
@@ -156,6 +234,7 @@ def main() -> None:
             "unit": "sec",
             "calibration": calib_detail["median"],
             "calibration_detail": calib_detail,
+            "control": control,
             "runs_per_entry": N_TIMED,
             "queries": timings,
             "queries_detail": detail,

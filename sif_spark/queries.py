@@ -1387,6 +1387,15 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q187_ann_refresh_lifecycle"] = q187_ann_refresh_lifecycle
 ORACLES["q187_ann_refresh_lifecycle"] = ORACLE_Q187
+# q188: first-class composite merge keys — CDC batch applied by the
+# real (l_orderkey, l_linenumber) tuple, never a derived hash
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q188,
+    q188_table_composite_key,
+)
+
+QUERIES["q188_table_composite_key"] = q188_table_composite_key
+ORACLES["q188_table_composite_key"] = ORACLE_Q188
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -1390,3 +1390,130 @@ TABLE_ORACLES = {
     "q159_table_schema_evolution": ORACLE_Q159,
     "q160_table_compaction": ORACLE_Q160,
 }
+
+
+def q188_table_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class composite merge keys (VERDICT r12 "Next round" #1):
+    a cdf=True table keyed on the REAL two-column business key
+    (l_orderkey, l_linenumber) — never a derived hash, whose 64-bit
+    chain silently folds distinct keys at ~n^2/2^65 (and
+    deterministically on any null part: Spark's xxhash64 skips null
+    columns). One merge applies an external CDC batch by the tuple:
+    conditional delete (t.l_orderkey % 30 = 0), column-subset update
+    (qty accumulated from both sides, flag overwritten; gated on
+    s.l_linenumber % 2 = 0 — the key's second column steering the
+    clause), and inserts for the unmatched tuples (their `status`
+    surfaces NULL). Skipping runs per key COLUMN (range) plus the
+    key-TUPLE bloom (key_bloom=True). The oracle replays ANSI MERGE
+    as a closed-form LEFT JOIN + CASE on BOTH columns. In-entry pins:
+    txn replay is a committed no-op; cdc image counts balance the
+    manifest counters exactly."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_composite")
+    # the synthetic lineitem is NOT unique on (l_orderkey,
+    # l_linenumber) — canonicalize to one row per business tuple with
+    # a deterministic GROUP BY (same SQL on the oracle side)
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+            F.max("l_returnflag").alias("flag"),
+            F.max("l_linestatus").alias("status"),
+        )
+    )
+    t = SifTable.create(
+        spark, base, li.filter(F.col("l_orderkey") % 5 != 3),
+        key_cols=["l_orderkey", "l_linenumber"], cdf=True, key_bloom=True,
+    )
+    cdc_batch = li.filter(F.col("l_orderkey") % 6 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("qty") + 100).alias("qty"),
+        F.lit("Z").alias("flag"),
+    )
+    v = t.merge(
+        cdc_batch,
+        when_matched_delete="t.l_orderkey % 30 = 0",
+        when_matched_update={"qty": "t.qty + s.qty", "flag": "s.flag"},
+        when_matched_update_condition="s.l_linenumber % 2 = 0",
+        when_not_matched_insert=True,
+        txn=("q188", 1),
+    )
+    v2 = t.merge(cdc_batch, when_matched_delete="true", txn=("q188", 1))
+    if (v, v2) != (2, 2) or t._versions()[-1] != 2:
+        raise AssertionError(f"composite merge txn replay broke: {v} {v2}")
+    m = t._load(2)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in t.changes(1, cdf=True)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if by_type.get("delete", 0) != m["deleted_rows"] or by_type.get(
+        "update_postimage", 0
+    ) != m["replaced_rows"] or by_type.get("update_preimage", 0) != m[
+        "replaced_rows"
+    ]:
+        raise AssertionError(f"cdc images vs counters: {by_type} vs {m}")
+    return (
+        t.read()
+        .groupBy((F.col("l_orderkey") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty").alias("sum_qty"),
+            F.sum(F.when(F.col("flag") == "Z", 1).otherwise(0)).alias(
+                "n_z"
+            ),
+            F.sum(
+                F.when(F.col("status").isNull(), 1).otherwise(0)
+            ).alias("n_nostatus"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# closed-form ANSI MERGE replay joined on BOTH key columns: matched +
+# delete-cond rows vanish, matched + update-cond rows recompute
+# qty/flag (status kept), other matched rows carry, unmatched source
+# tuples insert with NULL status (the column-subset alignment)
+ORACLE_Q188 = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         max(l_returnflag) AS flag, max(l_linestatus) AS status
+  FROM lineitem GROUP BY 1, 2
+), t AS (
+  SELECT l_orderkey, l_linenumber, qty, flag, status
+  FROM li WHERE l_orderkey % 5 <> 3
+), s AS (
+  SELECT l_orderkey, l_linenumber, qty + 100 AS qty, 'Z' AS flag
+  FROM li WHERE l_orderkey % 6 = 0
+), merged AS (
+  SELECT t.l_orderkey,
+         CASE WHEN s.l_orderkey IS NOT NULL AND s.l_linenumber % 2 = 0
+              THEN t.qty + s.qty ELSE t.qty END AS qty,
+         CASE WHEN s.l_orderkey IS NOT NULL AND s.l_linenumber % 2 = 0
+              THEN s.flag ELSE t.flag END AS flag,
+         t.status
+  FROM t LEFT JOIN s
+    ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+  WHERE NOT (s.l_orderkey IS NOT NULL AND t.l_orderkey % 30 = 0)
+  UNION ALL
+  SELECT s.l_orderkey, s.qty, s.flag, NULL AS status
+  FROM s LEFT JOIN t
+    ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+  WHERE t.l_orderkey IS NULL
+)
+SELECT l_orderkey % 7 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(CASE WHEN flag = 'Z' THEN 1 ELSE 0 END) AS BIGINT) AS n_z,
+       CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nostatus
+FROM merged
+GROUP BY 1
+ORDER BY 1
+"""

@@ -870,6 +870,7 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                 "op": op,
                 "columns": columns,
                 "key_col": key,
+                "key_cols": (m or {}).get("key_cols"),
                 "bucket": None,
                 "key_bloom": bool(m.get("key_bloom", False)) if m else False,
                 "cdf": bool(m.get("cdf", False)) if m else False,

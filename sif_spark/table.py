@@ -87,11 +87,31 @@ _BLOOM_SEEDS = (1315423911, 2654435761)
 _BLOOM_UPDATE_KEY_CAP = 100_000
 
 
-def _bloom_hash_cols(key: str) -> list:
+def _bloom_hash_cols(keys: list[str]) -> list:
+    """Seeded probe hashes over the key TUPLE: one xxhash64 chain per
+    seed, columns in key order — the write side and every probe side
+    build the exact same expression, so the hash matches bit-for-bit
+    (xxhash64 chains each column's hash as the next column's seed)."""
     return [
-        F.xxhash64(F.col(key), F.lit(seed)).alias(f"h{i}")
+        F.xxhash64(*[F.col(k) for k in keys], F.lit(seed)).alias(f"h{i}")
         for i, seed in enumerate(_BLOOM_SEEDS)
     ]
+
+
+# bloom ktype separator: "|" never appears in a Spark simpleString
+# (commas do — decimal(10,2)), and splitting a legacy single-column
+# ktype like "bigint" on it yields the same one-element list
+_KTYPE_SEP = "|"
+
+
+def _key_cols(m: dict) -> list[str]:
+    """The table's merge-key columns: ``key_cols`` (composite,
+    round 13) or the 1-ary ``key_col``. Empty = unkeyed table."""
+    kc = m.get("key_cols")
+    if kc:
+        return list(kc)
+    k = m.get("key_col")
+    return [k] if k else []
 
 
 def _bloom_bits_for(rows: int) -> int:
@@ -101,16 +121,16 @@ def _bloom_bits_for(rows: int) -> int:
     return m
 
 
-def _bloom_of(df: DataFrame, key: str, rows: int) -> dict | None:
-    """{"m": bits, "bits": base64 bitmap, "ktype": hashed dtype} of
-    every key's probe positions, or None when saturated. One
-    column-pruned scan of the group's key column. ``ktype`` records
-    the EXACT dtype the hashes were computed over (xxhash64 is
-    type-sensitive: int and bigint hash differently), so probe-side
-    hashing can cast to the same type even after the table's key
-    column widens — otherwise every probe against a pre-widening
-    group is a false negative and upsert silently duplicates keys
-    (ADVICE r10 high)."""
+def _bloom_of(df: DataFrame, keys: list[str], rows: int) -> dict | None:
+    """{"m": bits, "bits": base64 bitmap, "ktype": hashed dtype(s)} of
+    every key tuple's probe positions, or None when saturated. One
+    column-pruned scan of the group's key column(s). ``ktype`` records
+    the EXACT dtype(s) the hashes were computed over, "|"-separated in
+    key order (xxhash64 is type-sensitive: int and bigint hash
+    differently), so probe-side hashing can cast to the same types
+    even after a key column widens — otherwise every probe against a
+    pre-widening group is a false negative and upsert silently
+    duplicates keys (ADVICE r10 high)."""
     import base64
 
     import numpy as np
@@ -121,7 +141,7 @@ def _bloom_of(df: DataFrame, key: str, rows: int) -> dict | None:
         df.select(
             F.explode(
                 F.array(
-                    *[F.pmod(h, F.lit(m)) for h in _bloom_hash_cols(key)]
+                    *[F.pmod(h, F.lit(m)) for h in _bloom_hash_cols(keys)]
                 )
             ).alias("p")
         )
@@ -137,7 +157,9 @@ def _bloom_of(df: DataFrame, key: str, rows: int) -> dict | None:
     return {
         "m": m,
         "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
-        "ktype": df.schema[key].dataType.simpleString(),
+        "ktype": _KTYPE_SEP.join(
+            df.schema[k].dataType.simpleString() for k in keys
+        ),
     }
 
 
@@ -286,6 +308,34 @@ def prune_groups(m: dict, col: str, lo, hi) -> list[dict]:
             continue
         keep.append(g)
     return keep
+
+
+_RANGE_ABSENT = object()   # group never held the column id: all NULL
+_RANGE_UNKNOWN = object()  # no stats recorded: cannot prune on this col
+
+
+def _group_stat_range(columns: list[dict] | None, g: dict, col: str):
+    """The group's recorded [min, max] for snapshot column ``col`` in
+    JSON-stat form, with prune_groups' id-aware written-name
+    translation: a renamed column's stats live under the group's
+    WRITTEN name; a group that never held the column id holds only
+    NULLs (_RANGE_ABSENT — prunable for equi-matches); no stats at all
+    is _RANGE_UNKNOWN (never prune)."""
+    stat_key = col
+    if columns is not None:
+        col_id = next(
+            (c["id"] for c in columns if c["name"] == col), None
+        )
+        ids = g.get("col_ids")
+        if col_id is not None and ids is not None:
+            written = [w for w, i in ids.items() if i == col_id]
+            if not written:
+                return _RANGE_ABSENT
+            stat_key = written[0]
+    st = g.get("stats", {}).get(stat_key)
+    if st is None:
+        return _RANGE_UNKNOWN
+    return st[0], st[1]
 
 
 # ---------------------------------------------------------------------------
@@ -581,7 +631,8 @@ class SifTable:
     # -- data groups ---------------------------------------------------------
 
     def _write_group(self, df: DataFrame, version: int, seq: int,
-                     key_col: str | None, bucket: dict | None = None,
+                     key_col: str | list[str] | None,
+                     bucket: dict | None = None,
                      key_bloom: bool = False,
                      columns: list[dict] | None = None) -> dict:
         from pyspark.sql import Observation
@@ -594,9 +645,13 @@ class SifTable:
         # which at compaction scale means reading the table twice
         obs = Observation()
         agg = [F.count(F.lit(1)).alias("rows")]
-        has_key = bool(key_col) and key_col in df.columns
+        keys = [key_col] if isinstance(key_col, str) else list(key_col or [])
+        # the dedicated key_min/key_max pair is the 1-ary fast path;
+        # composite keys skip via the per-column `stats` ranges (below)
+        # plus the key-TUPLE bloom
+        has_key = len(keys) == 1 and keys[0] in df.columns
         if has_key:
-            agg += [F.min(key_col).alias("kmin"), F.max(key_col).alias("kmax")]
+            agg += [F.min(keys[0]).alias("kmin"), F.max(keys[0]).alias("kmax")]
         # per-column min/max for read-side data skipping (read_between/
         # lookup prune whole groups before the union) — same write job
         stat_cols = [
@@ -646,14 +701,14 @@ class SifTable:
         if has_key:
             stats["key_min"] = row["kmin"]
             stats["key_max"] = row["kmax"]
-            if key_bloom:
-                # one column-pruned scan of the freshly written group
-                # (the key column only); None when saturated
-                bloom = _bloom_of(
-                    self.spark.read.parquet(gpath), key_col, int(row["rows"])
-                )
-                if bloom is not None:
-                    stats["key_bloom"] = bloom
+        if key_bloom and keys and all(k in df.columns for k in keys):
+            # one column-pruned scan of the freshly written group
+            # (the key column(s) only); None when saturated
+            bloom = _bloom_of(
+                self.spark.read.parquet(gpath), keys, int(row["rows"])
+            )
+            if bloom is not None:
+                stats["key_bloom"] = bloom
         out = {
             "id": gid,
             "path": gpath,
@@ -740,6 +795,7 @@ class SifTable:
         key_bloom: bool = False,
         cdf: bool = False,
         log_store=None,
+        key_cols: list[str] | None = None,
     ) -> "SifTable":
         """``cdf=True`` enables the full change-data feed: upserts and
         deletes materialize their change file (pre-images, post-images,
@@ -764,22 +820,39 @@ class SifTable:
         forever" contract, here enforced by construction)."""
         if bool(bucket_by) != bool(n_buckets):
             raise ValueError("bucket_by and n_buckets come together")
+        if key_col and key_cols:
+            raise ValueError("pass key_col= (1-ary) OR key_cols=, not both")
+        keys = [key_col] if key_col else list(key_cols or [])
+        if len(set(keys)) != len(keys):
+            raise ValueError(f"duplicate names in key_cols={keys}")
+        if key_cols:
+            # the composite surface validates up front (the 1-ary path
+            # keeps its lenient legacy contract); the REAL columns are
+            # the identity — never a derived hash (the xxhash64-chain
+            # pattern silently folds distinct business keys at
+            # ~n^2/2^65 expected collisions: ~270 on a 10^11-row table)
+            absent = [k for k in keys if k not in df.columns]
+            if absent:
+                raise ValueError(f"key_cols {absent} not in the frame")
         t = SifTable(spark, path, log_store=log_store)
         if t._versions():
             raise ValueError(f"table already exists at {path}")
-        if key_bloom and not key_col:
-            raise ValueError("key_bloom needs a table created with key_col=")
+        if key_bloom and not keys:
+            raise ValueError(
+                "key_bloom needs a table created with key_col=/key_cols="
+            )
         bucket = {"col": bucket_by, "n": n_buckets} if bucket_by else None
         columns = [
             {"id": i, "name": f.name} for i, f in enumerate(df.schema.fields)
         ]
-        group = t._write_group(df, 1, 0, key_col, bucket, key_bloom, columns)
+        group = t._write_group(df, 1, 0, keys, bucket, key_bloom, columns)
         t._commit(
             t._stamp_floor({
                 "version": 1,
                 "parent": None,
                 "op": "create",
-                "key_col": key_col,
+                "key_col": keys[0] if len(keys) == 1 else None,
+                "key_cols": keys if len(keys) > 1 else None,
                 "bucket": bucket,
                 "key_bloom": key_bloom,
                 "cdf": cdf,
@@ -925,57 +998,86 @@ class SifTable:
         return out.filter(cond)
 
     def lookup(self, value, version: int | None = None) -> DataFrame:
-        """Point lookup by the table's key_col: prunes groups by key
-        range AND (when present) the per-group key Bloom filter — on a
+        """Point lookup by the table's key: a scalar for 1-ary
+        ``key_col`` tables, a tuple/list in key order for composite
+        ``key_cols`` tables. Prunes groups by every key column's range
+        AND (when present) the per-group key-tuple Bloom filter — on a
         compacted 100 TB table a miss costs one manifest read and zero
         data I/O; a hit reads only the group(s) that may hold the key.
         The survivors still carry the row filter (bloom false
         positives read-and-filter, never corrupt)."""
         m = self._load(version)
-        key = m.get("key_col")
-        if not key:
-            raise ValueError("lookup needs a table created with key_col=")
-        if value is None:
+        keys = _key_cols(m)
+        if not keys:
+            raise ValueError(
+                "lookup needs a table created with key_col=/key_cols="
+            )
+        values = (
+            list(value) if isinstance(value, (tuple, list)) else [value]
+        )
+        if len(values) != len(keys):
+            raise ValueError(
+                f"lookup expects {len(keys)} key value(s) for {keys}, "
+                f"got {len(values)}"
+            )
+        if any(v is None for v in values):
             raise ValueError("lookup(None) is not a range-key lookup")
         target = T._parse_datatype_string(m["schema"])
-        key_type = target[key].dataType
-        bound = _stat_bound(value)
-        candidates = []
-        for g in self._prune_groups(m, key, bound, bound):
-            gmin, gmax = g.get("key_min"), g.get("key_max")
-            if gmin is not None and gmax is not None:
-                b = _stat_bound(gmin), _stat_bound(gmax)
-                if bound < b[0] or bound > b[1]:
-                    continue
-            candidates.append(g)
+        key_types = [target[k].dataType for k in keys]
+        bounds = [_stat_bound(v) for v in values]
+        candidates = m["groups"]
+        for k, b in zip(keys, bounds):
+            candidates = self._prune_groups(
+                {**m, "groups": candidates}, k, b, b
+            )
+        if len(keys) == 1:
+            # 1-ary fast path: the dedicated key_min/key_max pair
+            bound = bounds[0]
+            kept = []
+            for g in candidates:
+                gmin, gmax = g.get("key_min"), g.get("key_max")
+                if gmin is not None and gmax is not None:
+                    b = _stat_bound(gmin), _stat_bound(gmax)
+                    if bound < b[0] or bound > b[1]:
+                        continue
+                kept.append(g)
+            candidates = kept
         if any(g.get("key_bloom") for g in candidates):
-            # the value's seeded probes, hashed by Spark itself so the
+            # the tuple's seeded probes, hashed by Spark itself so the
             # hash matches the write side's column hashing exactly —
-            # cast to each group's RECORDED bloom dtype (groups written
-            # before a key widening hashed the narrow type; probing
-            # with the snapshot type would false-negative every one)
-            snap_kt = key_type.simpleString()
+            # each part cast to the group's RECORDED bloom dtype
+            # (groups written before a key widening hashed the narrow
+            # type; probing with the snapshot type would
+            # false-negative every one)
+            snap_kt = _KTYPE_SEP.join(t.simpleString() for t in key_types)
             pair_by_ktype: dict[str, list] = {}
             for kt in {
                 g["key_bloom"].get("ktype", snap_kt)
                 for g in candidates
                 if g.get("key_bloom")
             }:
+                kts = kt.split(_KTYPE_SEP)
+                if len(kts) != len(keys):
+                    pair_by_ktype[kt] = None  # other arity: never skip
+                    continue
                 # try_cast (ANSI-safe): a value that does not fit the
                 # group's narrow recorded dtype provably is not in
                 # that group — an empty probe list excludes it
+                casted = [
+                    F.lit(v).try_cast(t) for v, t in zip(values, kts)
+                ]
                 probe = self.spark.range(1).select(
-                    F.lit(value).try_cast(kt).alias("__k"),
+                    *[c.alias(f"__k{i}") for i, c in enumerate(casted)],
                     *[
-                        F.xxhash64(
-                            F.lit(value).try_cast(kt), F.lit(s)
-                        ).alias(f"h{i}")
+                        F.xxhash64(*casted, F.lit(s)).alias(f"h{i}")
                         for i, s in enumerate(_BLOOM_SEEDS)
                     ],
                 ).collect()[0]
                 pair_by_ktype[kt] = (
                     []
-                    if probe["__k"] is None
+                    if any(
+                        probe[f"__k{i}"] is None for i in range(len(keys))
+                    )
                     else [
                         tuple(
                             probe[f"h{i}"]
@@ -987,13 +1089,18 @@ class SifTable:
                 g
                 for g in candidates
                 if not g.get("key_bloom")
+                or pair_by_ktype[g["key_bloom"].get("ktype", snap_kt)]
+                is None
                 or _bloom_maybe_contains(
                     g["key_bloom"],
                     pair_by_ktype[g["key_bloom"].get("ktype", snap_kt)],
                 )
             ]
         out = self._read_groups(candidates, target, _columns_of(m))
-        return out.filter(F.col(key) == F.lit(value).cast(key_type))
+        cond = F.lit(True)
+        for k, v, t in zip(keys, values, key_types):
+            cond = cond & (F.col(k) == F.lit(v).cast(t))
+        return out.filter(cond)
 
     # every group/cdc dir is named [gc]-<version>-<seq>-<hex8>, so the
     # commit version of any data file is derivable from its OWN path —
@@ -1314,7 +1421,7 @@ class SifTable:
             merged = _merge_schema(T._parse_datatype_string(m["schema"]), df.schema)
             cols_next = _next_columns(m, merged)
             v = m["version"] + 1
-            group = self._write_group(df, v, 0, m.get("key_col"),
+            group = self._write_group(df, v, 0, _key_cols(m),
                                       m.get("bucket"), m.get("key_bloom", False),
                                       cols_next)
             try:
@@ -1323,6 +1430,7 @@ class SifTable:
                     "parent": m["version"],
                     "op": "append",
                     "key_col": m.get("key_col"),
+                    "key_cols": m.get("key_cols"),
                     "bucket": m.get("bucket"),
                     "key_bloom": m.get("key_bloom", False),
                     "cdf": m.get("cdf", False),
@@ -1378,83 +1486,25 @@ class SifTable:
             if int(txns.get(app_id, -1)) >= int(epoch):
                 return m["version"]  # replayed epoch: committed no-op
             txns[app_id] = int(epoch)
-        key = m.get("key_col")
-        if not key:
-            raise ValueError("upsert needs a table created with key_col=")
+        keys = _key_cols(m)
+        if not keys:
+            raise ValueError(
+                "upsert needs a table created with key_col=/key_cols="
+            )
+        missing = [k for k in keys if k not in updates.columns]
+        if missing:
+            raise ValueError(f"upsert batch lacks key column(s) {missing}")
         merged = _merge_schema(T._parse_datatype_string(m["schema"]), updates.schema)
         cols_next = _next_columns(m, merged)
-        row = updates.agg(
-            F.min(key).alias("kmin"), F.max(key).alias("kmax")
-        ).collect()[0]
-        kmin, kmax = row["kmin"], row["kmax"]
-        # Bloom probe pairs of the update keys (capped — a huge update
-        # batch touches most groups anyway, range skipping suffices).
-        # Hashed ONCE PER DISTINCT GROUP KTYPE: each group's bloom was
-        # built over its on-disk key dtype, so the probe must cast the
-        # update keys to that exact type (xxhash64(int 5) !=
-        # xxhash64(bigint 5)) — a narrowing cast can only wrap values
-        # that could never equi-match the narrow group anyway, so a
-        # wrap is at worst a false positive (harmless rewrite), never
-        # a false negative.
-        snap_ktype = T._parse_datatype_string(m["schema"])[key].dataType.simpleString()
-        probe_by_ktype: dict[str, list | None] = {}
-        for kt in {
-            g["key_bloom"].get("ktype", snap_ktype)
-            for g in m["groups"]
-            if g.get("key_bloom")
-        }:
-            # try_cast, not cast: under Spark 4's default ANSI mode a
-            # narrowing cast of an out-of-range key RAISES
-            # (CAST_OVERFLOW) instead of wrapping. A key that does not
-            # fit the group's narrow recorded dtype provably cannot
-            # equi-match that group, so it simply drops from the probe
-            # set (an empty probe set proves no match — disjoint).
-            casted = updates.select(
-                F.col(key).try_cast(kt).alias("__k")
-            ).filter(F.col("__k").isNotNull())
-            pairs = (
-                casted.select(
-                    *[
-                        F.xxhash64(F.col("__k"), F.lit(seed)).alias(f"h{i}")
-                        for i, seed in enumerate(_BLOOM_SEEDS)
-                    ]
-                )
-                .distinct()
-                .limit(_BLOOM_UPDATE_KEY_CAP + 1)
-                .collect()
-            )
-            probe_by_ktype[kt] = (
-                [tuple(p) for p in pairs]
-                if len(pairs) <= _BLOOM_UPDATE_KEY_CAP
-                else None
-            )
+        bounds = self._key_bounds(updates, keys)
         v = m["version"] + 1
-        keep, rewrite = [], []
-        for g in m["groups"]:
-            gmin, gmax = g.get("key_min"), g.get("key_max")
-            if kmin is None and kmax is None:
-                # empty batch or all-null keys: null never equi-matches,
-                # so no existing row can be replaced — rewrite nothing
-                disjoint = True
-            else:
-                disjoint = (
-                    kmin is not None
-                    and gmin is not None
-                    and (gmax < kmin or gmin > kmax)
-                )
-            if not disjoint and g.get("key_bloom"):
-                pp = probe_by_ktype.get(g["key_bloom"].get("ktype", snap_ktype))
-                if pp is not None:
-                    # range overlaps but no update key survives the bloom:
-                    # the group provably holds none of the matched keys
-                    disjoint = not _bloom_maybe_contains(g["key_bloom"], pp)
-            (keep if disjoint else rewrite).append(g)
+        keep, rewrite = self._split_groups_by_keys(m, updates, keys, bounds)
         groups = list(keep)
         seq = 0
         target = T._parse_datatype_string(m["schema"])
         old_union = None
         surv_group = None
-        upd_keys = updates.select(key).distinct()
+        upd_keys = updates.select(*keys).distinct()
         if rewrite:
             old = [
                 _align_ids(
@@ -1466,14 +1516,14 @@ class SifTable:
             old_union = old[0]
             for p in old[1:]:
                 old_union = old_union.unionByName(p)
-            survivors = old_union.join(upd_keys, on=key, how="left_anti")
+            survivors = old_union.join(upd_keys, on=keys, how="left_anti")
             surv_group = self._write_group(
-                _align(survivors, merged), v, seq, key, m.get("bucket"),
+                _align(survivors, merged), v, seq, keys, m.get("bucket"),
                 m.get("key_bloom", False), cols_next
             )
             groups.append(surv_group)
             seq += 1
-        upd_group = self._write_group(_align(updates, merged), v, seq, key,
+        upd_group = self._write_group(_align(updates, merged), v, seq, keys,
                                       m.get("bucket"), m.get("key_bloom", False),
                                       cols_next)
         groups.append(upd_group)
@@ -1492,9 +1542,9 @@ class SifTable:
             # post-images (updates whose key existed), inserts (the
             # rest) — one change file, read by changes(cdf=True)
             matched_old = _align(
-                old_union.join(upd_keys, on=key, how="left_semi"), merged
+                old_union.join(upd_keys, on=keys, how="left_semi"), merged
             )
-            matched_keys = matched_old.select(key).distinct()
+            matched_keys = matched_old.select(*keys).distinct()
             upd_aligned = _align(updates, merged)
             cdc_df = (
                 matched_old.withColumn(
@@ -1502,12 +1552,12 @@ class SifTable:
                 )
                 .unionByName(
                     upd_aligned.join(
-                        matched_keys, on=key, how="left_semi"
+                        matched_keys, on=keys, how="left_semi"
                     ).withColumn("_change_type", F.lit("update_postimage"))
                 )
                 .unionByName(
                     upd_aligned.join(
-                        matched_keys, on=key, how="left_anti"
+                        matched_keys, on=keys, how="left_anti"
                     ).withColumn("_change_type", F.lit("insert"))
                 )
             )
@@ -1520,7 +1570,8 @@ class SifTable:
             "added": [upd_group["id"]],
             "replaced_rows": replaced,
             "txns": txns,
-            "key_col": key,
+            "key_col": m.get("key_col"),
+            "key_cols": m.get("key_cols"),
             "bucket": m.get("bucket"),
             "key_bloom": m.get("key_bloom", False),
             "cdf": m.get("cdf", False),
@@ -1612,35 +1663,52 @@ class SifTable:
             if int(txns.get(app_id, -1)) >= int(epoch):
                 return m["version"]  # replayed epoch: committed no-op
             txns[app_id] = int(epoch)
-        key = m.get("key_col")
-        if not key:
-            raise ValueError("merge needs a table created with key_col=")
-        if upd and key in upd:
+        keys = _key_cols(m)
+        if not keys:
             raise ValueError(
-                f"when_matched_update cannot update the merge key {key!r}"
+                "merge needs a table created with key_col=/key_cols="
             )
-        if key not in source.columns:
-            raise ValueError(f"merge source has no key column {key!r}")
+        if upd:
+            clash = [k for k in keys if k in upd]
+            if clash:
+                raise ValueError(
+                    "when_matched_update cannot update the merge "
+                    f"key(s) {clash}"
+                )
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge source has no key column(s) {missing}")
         merged = _merge_schema(
             T._parse_datatype_string(m["schema"]), source.schema
         )
         cols_next = _next_columns(m, merged)
-        # ANSI MERGE cardinality rule + the range bounds for group
-        # skipping, in ONE aggregate job over the source
-        row = source.agg(
+        # ANSI MERGE cardinality rule + per-key-column range bounds for
+        # group skipping, in ONE aggregate job over the source. The
+        # distinct count is over fully-non-null key TUPLES (a null part
+        # never equi-matches, so such rows can only be dead weight);
+        # any shortfall vs the row count — duplicate tuples OR null
+        # parts — is rejected, the same contract as the 1-ary key.
+        nn = F.lit(True)
+        for k in keys:
+            nn = nn & F.col(k).isNotNull()
+        aggs = [
             F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(key)).alias("nk"),
-            F.min(key).alias("kmin"),
-            F.max(key).alias("kmax"),
-        ).collect()[0]
+            F.count_distinct(
+                F.when(nn, F.struct(*[F.col(k) for k in keys]))
+            ).alias("nk"),
+        ]
+        for i, k in enumerate(keys):
+            aggs += [F.min(k).alias(f"lo{i}"), F.max(k).alias(f"hi{i}")]
+        row = source.agg(*aggs).collect()[0]
         if int(row["n"]) != int(row["nk"]):
             raise ValueError(
                 f"merge source has {row['n']} rows but {row['nk']} "
-                f"distinct {key!r} values — ANSI MERGE forbids multiple "
-                "source rows matching one target row"
+                f"distinct non-null {keys} key tuples — ANSI MERGE "
+                "forbids multiple source rows matching one target row "
+                "(and a null key part never matches anything)"
             )
-        kmin, kmax = row["kmin"], row["kmax"]
-        keep, rewrite = self._split_groups_by_keys(m, source, key, kmin, kmax)
+        bounds = [(row[f"lo{i}"], row[f"hi{i}"]) for i in range(len(keys))]
+        keep, rewrite = self._split_groups_by_keys(m, source, keys, bounds)
         v = m["version"] + 1
         target = T._parse_datatype_string(m["schema"])
         groups = list(keep)
@@ -1663,10 +1731,11 @@ class SifTable:
             old_union = old[0]
             for p in old[1:]:
                 old_union = old_union.unionByName(p)
+            jcond = F.lit(True)
+            for k in keys:
+                jcond = jcond & (F.col(f"t.`{k}`") == F.col(f"s.`{k}`"))
             j = old_union.alias("t").join(
-                _align(source, merged).alias("s"),
-                F.col(f"t.`{key}`") == F.col(f"s.`{key}`"),
-                "inner",
+                _align(source, merged).alias("s"), jcond, "inner"
             )
             del_c = (
                 F.expr(dele) if isinstance(dele, str)
@@ -1703,7 +1772,7 @@ class SifTable:
             )
             untouched = j.filter(~del_c & ~upd_c).select(*t_cols)
             survivors = old_union.join(
-                source.select(key).distinct(), on=key, how="left_anti"
+                source.select(*keys).distinct(), on=keys, how="left_anti"
             )
             # exact counters: one count job each over the bounded
             # matched set (the cdc write re-uses the same frames)
@@ -1711,7 +1780,7 @@ class SifTable:
             n_deleted = deleted_pre.count()
             rewritten = survivors.unionByName(untouched).unionByName(updated)
             wg = self._write_group(
-                _align(rewritten, merged), v, seq, key, m.get("bucket"),
+                _align(rewritten, merged), v, seq, keys, m.get("bucket"),
                 m.get("key_bloom", False), cols_next
             )
             if int(wg["rows"]) > 0:
@@ -1735,12 +1804,12 @@ class SifTable:
         added: list[str] = []
         if ins:
             matched_keys = (
-                old_union.select(key).distinct()
+                old_union.select(*keys).distinct()
                 if old_union is not None
                 else None
             )
             s_new = (
-                source.join(matched_keys, on=key, how="left_anti")
+                source.join(matched_keys, on=keys, how="left_anti")
                 if matched_keys is not None
                 else source
             )
@@ -1749,10 +1818,11 @@ class SifTable:
                     F.coalesce(F.expr(ins_cond), F.lit(False))
                 )
             if isinstance(ins, dict):
-                if key not in ins:
+                unset = [k for k in keys if k not in ins]
+                if unset:
                     raise ValueError(
                         "when_not_matched_insert mapping must set the "
-                        f"merge key {key!r}"
+                        f"merge key(s) {unset}"
                     )
                 ins_sel = [
                     (
@@ -1766,7 +1836,7 @@ class SifTable:
             else:
                 inserts = _align(s_new, merged)
             ig = self._write_group(
-                inserts, v, seq, key, m.get("bucket"),
+                inserts, v, seq, keys, m.get("bucket"),
                 m.get("key_bloom", False), cols_next
             )
             if int(ig["rows"]) > 0:
@@ -1782,9 +1852,9 @@ class SifTable:
                     deleted_pre.withColumn("_change_type", F.lit("delete"))
                 )
             if n_updated:
-                pre_keys = updated.select(key)
+                pre_keys = updated.select(*keys)
                 parts.append(
-                    old_union.join(pre_keys, on=key, how="left_semi")
+                    old_union.join(pre_keys, on=keys, how="left_semi")
                     .withColumn("_change_type", F.lit("update_preimage"))
                 )
                 parts.append(
@@ -1809,7 +1879,8 @@ class SifTable:
             "replaced_rows": n_updated,
             "deleted_rows": n_deleted,
             "txns": txns,
-            "key_col": key,
+            "key_col": m.get("key_col"),
+            "key_cols": m.get("key_cols"),
             "bucket": m.get("bucket"),
             "key_bloom": m.get("key_bloom", False),
             "cdf": m.get("cdf", False),
@@ -1823,50 +1894,134 @@ class SifTable:
             manifest["cdc"] = cdc
         return self._commit(self._stamp_floor(manifest, m))
 
-    def _split_groups_by_keys(
-        self, m: dict, keyed_df: DataFrame, key: str, kmin, kmax
-    ) -> tuple[list[dict], list[dict]]:
-        """upsert/delete_keys/merge's shared two-tier group split:
-        (keep, rewrite) where keep-groups PROVABLY hold none of
-        ``keyed_df``'s keys (range-disjoint, or bloom-missed on every
-        key) — conservative, so a false positive only rewrites."""
-        snap_ktype = T._parse_datatype_string(m["schema"])[key].dataType.simpleString()
-        probe_by_ktype: dict[str, list | None] = {}
+    def _key_bounds(self, df: DataFrame, keys: list[str]) -> list[tuple]:
+        """Per-key-column (min, max) of the batch's non-null values —
+        ONE aggregate job regardless of key arity."""
+        aggs = []
+        for i, k in enumerate(keys):
+            aggs += [F.min(k).alias(f"lo{i}"), F.max(k).alias(f"hi{i}")]
+        row = df.agg(*aggs).collect()[0]
+        return [(row[f"lo{i}"], row[f"hi{i}"]) for i in range(len(keys))]
+
+    def _bloom_probe_sets(
+        self, m: dict, keyed_df: DataFrame, keys: list[str]
+    ) -> tuple[dict, str]:
+        """{bloom ktype: probe hash pairs (or None when capped/
+        unusable)} for every distinct ktype among the groups' blooms,
+        plus the snapshot's own ktype string. Hashed ONCE PER DISTINCT
+        KTYPE: each group's bloom was built over its on-disk key
+        dtype(s), so the probe must try_cast each key part to that
+        exact type (xxhash64(int 5) != xxhash64(bigint 5)); a tuple
+        with any part null — originally null (null never equi-matches)
+        or nulled by a narrowing try_cast (the value provably cannot
+        live in the narrow group) — simply drops from the probe set."""
+        target = T._parse_datatype_string(m["schema"])
+        snap_kt = _KTYPE_SEP.join(
+            target[k].dataType.simpleString() for k in keys
+        )
+        out: dict[str, list | None] = {}
         for kt in {
-            g["key_bloom"].get("ktype", snap_ktype)
+            g["key_bloom"].get("ktype", snap_kt)
             for g in m["groups"]
             if g.get("key_bloom")
         }:
+            kts = kt.split(_KTYPE_SEP)
+            if len(kts) != len(keys):
+                out[kt] = None  # written under another key arity: never skip
+                continue
             casted = keyed_df.select(
-                F.col(key).try_cast(kt).alias("__k")
-            ).filter(F.col("__k").isNotNull())
+                *[
+                    F.col(k).try_cast(t).alias(f"__k{i}")
+                    for i, (k, t) in enumerate(zip(keys, kts))
+                ]
+            )
+            nn = F.lit(True)
+            for i in range(len(keys)):
+                nn = nn & F.col(f"__k{i}").isNotNull()
             pairs = (
-                casted.select(
+                casted.filter(nn)
+                .select(
                     *[
-                        F.xxhash64(F.col("__k"), F.lit(seed)).alias(f"h{i}")
-                        for i, seed in enumerate(_BLOOM_SEEDS)
+                        F.xxhash64(
+                            *[F.col(f"__k{i}") for i in range(len(keys))],
+                            F.lit(seed),
+                        ).alias(f"h{j}")
+                        for j, seed in enumerate(_BLOOM_SEEDS)
                     ]
                 )
                 .distinct()
                 .limit(_BLOOM_UPDATE_KEY_CAP + 1)
                 .collect()
             )
-            probe_by_ktype[kt] = (
+            out[kt] = (
                 [tuple(p) for p in pairs]
                 if len(pairs) <= _BLOOM_UPDATE_KEY_CAP
                 else None
             )
+        return out, snap_kt
+
+    def _split_groups_by_keys(
+        self, m: dict, keyed_df: DataFrame, keys: list[str],
+        bounds: list[tuple],
+    ) -> tuple[list[dict], list[dict]]:
+        """upsert/delete_keys/merge's shared two-tier group split:
+        (keep, rewrite) where keep-groups PROVABLY hold none of
+        ``keyed_df``'s key tuples — conservative, so a false positive
+        only rewrites. Tier 1 is per-column range disjointness: a
+        tuple can only live in a group if EVERY key column's batch
+        range overlaps the group's recorded range (single-key tables
+        use the dedicated key_min/key_max; all arities also use the
+        per-column stats, translated to each group's WRITTEN name so
+        skipping survives renames — and a group that never held a key
+        column's id holds only NULLs there, which no tuple can
+        equi-match). Tier 2 is the key-tuple bloom."""
+        probe_by_ktype, snap_kt = self._bloom_probe_sets(m, keyed_df, keys)
+        columns = _columns_of(m)
+        single = len(keys) == 1
+        # JSON-stat form of each column's batch bounds, for comparison
+        # against manifest stats: "empty" = the batch has NO fully
+        # usable value for this column (all null — no tuple matches
+        # anything); None = the type can't be stat-compared (never
+        # prune via stats on this column)
+        jbounds: list = []
+        for lo, hi in bounds:
+            if lo is None and hi is None:
+                jbounds.append("empty")
+                continue
+            try:
+                jbounds.append((_stat_bound(lo), _stat_bound(hi)))
+            except TypeError:
+                jbounds.append(None)
         keep, rewrite = [], []
+        batch_empty = any(jb == "empty" for jb in jbounds)
         for g in m["groups"]:
-            gmin, gmax = g.get("key_min"), g.get("key_max")
-            if kmin is None and kmax is None:
-                disjoint = True  # empty/all-null keys match nothing
-            else:
-                disjoint = (
-                    gmin is not None and (gmax < kmin or gmin > kmax)
-                )
+            disjoint = batch_empty
+            if not disjoint and single:
+                lo, hi = bounds[0]
+                gmin, gmax = g.get("key_min"), g.get("key_max")
+                disjoint = gmin is not None and (gmax < lo or gmin > hi)
+            if not disjoint:
+                for k, jb in zip(keys, jbounds):
+                    if not isinstance(jb, tuple):
+                        continue
+                    rng = _group_stat_range(columns, g, k)
+                    if rng is _RANGE_ABSENT:
+                        disjoint = True
+                        break
+                    if rng is _RANGE_UNKNOWN:
+                        continue
+                    gmin, gmax = rng
+                    if gmin is None and gmax is None:
+                        disjoint = True  # group all-NULL on a key col
+                        break
+                    jlo, jhi = jb
+                    if (gmax is not None and gmax < jlo) or (
+                        gmin is not None and gmin > jhi
+                    ):
+                        disjoint = True
+                        break
             if not disjoint and g.get("key_bloom"):
-                pp = probe_by_ktype.get(g["key_bloom"].get("ktype", snap_ktype))
+                pp = probe_by_ktype.get(g["key_bloom"].get("ktype", snap_kt))
                 if pp is not None:
                     disjoint = not _bloom_maybe_contains(g["key_bloom"], pp)
             (keep if disjoint else rewrite).append(g)
@@ -1907,56 +2062,19 @@ class SifTable:
             if int(txns.get(app_id, -1)) >= int(epoch):
                 return m["version"]  # replayed epoch: committed no-op
             txns[app_id] = int(epoch)
-        key = m.get("key_col")
-        if not key:
-            raise ValueError("delete_keys needs a table created with key_col=")
+        kcols = _key_cols(m)
+        if not kcols:
+            raise ValueError(
+                "delete_keys needs a table created with key_col=/key_cols="
+            )
+        missing = [k for k in kcols if k not in keys.columns]
+        if missing:
+            raise ValueError(f"delete_keys batch lacks key column(s) {missing}")
         target = T._parse_datatype_string(m["schema"])
-        keys_df = keys.select(F.col(key)).distinct()
-        row = keys_df.agg(
-            F.min(key).alias("kmin"), F.max(key).alias("kmax")
-        ).collect()[0]
-        kmin, kmax = row["kmin"], row["kmax"]
-        snap_ktype = target[key].dataType.simpleString()
-        probe_by_ktype: dict[str, list | None] = {}
-        for kt in {
-            g["key_bloom"].get("ktype", snap_ktype)
-            for g in m["groups"]
-            if g.get("key_bloom")
-        }:
-            casted = keys_df.select(
-                F.col(key).try_cast(kt).alias("__k")
-            ).filter(F.col("__k").isNotNull())
-            pairs = (
-                casted.select(
-                    *[
-                        F.xxhash64(F.col("__k"), F.lit(seed)).alias(f"h{i}")
-                        for i, seed in enumerate(_BLOOM_SEEDS)
-                    ]
-                )
-                .distinct()
-                .limit(_BLOOM_UPDATE_KEY_CAP + 1)
-                .collect()
-            )
-            probe_by_ktype[kt] = (
-                [tuple(p) for p in pairs]
-                if len(pairs) <= _BLOOM_UPDATE_KEY_CAP
-                else None
-            )
+        keys_df = keys.select(*[F.col(k) for k in kcols]).distinct()
+        bounds = self._key_bounds(keys_df, kcols)
         v = m["version"] + 1
-        keep, rewrite = [], []
-        for g in m["groups"]:
-            gmin, gmax = g.get("key_min"), g.get("key_max")
-            if kmin is None and kmax is None:
-                disjoint = True  # empty/all-null key batch deletes nothing
-            else:
-                disjoint = (
-                    gmin is not None and (gmax < kmin or gmin > kmax)
-                )
-            if not disjoint and g.get("key_bloom"):
-                pp = probe_by_ktype.get(g["key_bloom"].get("ktype", snap_ktype))
-                if pp is not None:
-                    disjoint = not _bloom_maybe_contains(g["key_bloom"], pp)
-            (keep if disjoint else rewrite).append(g)
+        keep, rewrite = self._split_groups_by_keys(m, keys_df, kcols, bounds)
         groups = list(keep)
         surv_group = None
         old_union = None
@@ -1971,9 +2089,9 @@ class SifTable:
             old_union = old[0]
             for p in old[1:]:
                 old_union = old_union.unionByName(p)
-            survivors = old_union.join(keys_df, on=key, how="left_anti")
+            survivors = old_union.join(keys_df, on=kcols, how="left_anti")
             surv_group = self._write_group(
-                survivors, v, 0, key, m.get("bucket"),
+                survivors, v, 0, kcols, m.get("bucket"),
                 m.get("key_bloom", False), _columns_of(m)
             )
             if int(surv_group["rows"]) > 0:
@@ -1988,7 +2106,7 @@ class SifTable:
         cdc = None
         if m.get("cdf", False) and deleted > 0:
             cdc = self._write_cdc(
-                old_union.join(keys_df, on=key, how="left_semi").withColumn(
+                old_union.join(keys_df, on=kcols, how="left_semi").withColumn(
                     "_change_type", F.lit("delete")
                 ),
                 v,
@@ -2002,7 +2120,8 @@ class SifTable:
             "added": [],
             "deleted_rows": deleted,
             "txns": txns,
-            "key_col": key,
+            "key_col": m.get("key_col"),
+            "key_cols": m.get("key_cols"),
             "bucket": m.get("bucket"),
             "key_bloom": m.get("key_bloom", False),
             "cdf": m.get("cdf", False),
@@ -2045,7 +2164,7 @@ class SifTable:
             remaining = gdf.filter(f"NOT coalesce(({predicate}), false)")
             if remaining.limit(1).count() > 0:
                 wg = self._write_group(
-                    remaining, v, seq, m.get("key_col"), m.get("bucket"),
+                    remaining, v, seq, _key_cols(m), m.get("bucket"),
                     m.get("key_bloom", False), _columns_of(m)
                 )
                 kept_new += int(wg["rows"])
@@ -2070,6 +2189,7 @@ class SifTable:
             "deleted_rows": deleted,
             "txns": m.get("txns", {}),
             "key_col": m.get("key_col"),
+            "key_cols": m.get("key_cols"),
             "bucket": m.get("bucket"),
             "key_bloom": m.get("key_bloom", False),
             "cdf": cdf_on,
@@ -2123,7 +2243,7 @@ class SifTable:
                 new_cols = None
             v = m["version"] + 1
             group = self._write_group(
-                df, v, 0, m.get("key_col"), m.get("bucket"),
+                df, v, 0, _key_cols(m), m.get("bucket"),
                 m.get("key_bloom", False), new_cols,
             )
             try:
@@ -2136,6 +2256,7 @@ class SifTable:
                         "added": [group["id"]],
                         "txns": txns,
                         "key_col": m.get("key_col"),
+                        "key_cols": m.get("key_cols"),
                         "bucket": m.get("bucket"),
                         "key_bloom": m.get("key_bloom", False),
                         "cdf": m.get("cdf", False),
@@ -2168,7 +2289,7 @@ class SifTable:
         until vacuum()."""
         m = self._load()
         df = self.read(m["version"])
-        key = m.get("key_col")
+        keys = _key_cols(m)
         bucket = m.get("bucket")
         if bucket:
             if zorder_by:
@@ -2187,14 +2308,16 @@ class SifTable:
                 if num_files
                 else df.repartitionByRange("__zkey")
             ).sortWithinPartitions("__zkey").drop("__zkey")
-        elif num_files and key:
-            df = df.repartitionByRange(num_files, key).sortWithinPartitions(key)
+        elif num_files and keys:
+            df = df.repartitionByRange(num_files, *keys).sortWithinPartitions(
+                *keys
+            )
         elif num_files:
             df = df.repartition(num_files)
-        elif key:
-            df = df.repartitionByRange(key).sortWithinPartitions(key)
+        elif keys:
+            df = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
         v = m["version"] + 1
-        group = self._write_group(df, v, 0, key, bucket,
+        group = self._write_group(df, v, 0, keys, bucket,
                                   m.get("key_bloom", False), _columns_of(m))
         return self._commit(
             self._stamp_floor({
@@ -2204,7 +2327,8 @@ class SifTable:
                 "columns": _columns_of(m),
                 "added": [],
                 "txns": m.get("txns", {}),
-                "key_col": key,
+                "key_col": m.get("key_col"),
+                "key_cols": m.get("key_cols"),
                 "bucket": bucket,
                 "key_bloom": m.get("key_bloom", False),
                 "cdf": m.get("cdf", False),
@@ -2237,6 +2361,7 @@ class SifTable:
                 "added": [],
                 "txns": m.get("txns", {}),
                 "key_col": old.get("key_col"),
+                "key_cols": old.get("key_cols"),
                 "bucket": old.get("bucket"),
                 "key_bloom": old.get("key_bloom", False),
                 "cdf": m.get("cdf", False),
@@ -2314,6 +2439,11 @@ class SifTable:
                 "added": [],
                 "txns": m.get("txns", {}),
                 "key_col": new if m.get("key_col") == old else m.get("key_col"),
+                "key_cols": (
+                    [new if c == old else c for c in m["key_cols"]]
+                    if m.get("key_cols")
+                    else m.get("key_cols")
+                ),
                 "bucket": m.get("bucket"),
                 "key_bloom": m.get("key_bloom", False),
                 "cdf": m.get("cdf", False),
@@ -2335,7 +2465,7 @@ class SifTable:
         names = _schema_names(m["schema"])
         if name not in names:
             raise ValueError(f"no column {name!r} in snapshot schema")
-        if m.get("key_col") == name:
+        if name in _key_cols(m):
             raise ValueError("cannot drop the table's merge key")
         if m.get("bucket") and m["bucket"]["col"] == name:
             raise ValueError("cannot drop the bucket column")
@@ -2359,6 +2489,7 @@ class SifTable:
                 "added": [],
                 "txns": m.get("txns", {}),
                 "key_col": m.get("key_col"),
+                "key_cols": m.get("key_cols"),
                 "bucket": m.get("bucket"),
                 "key_bloom": m.get("key_bloom", False),
                 "cdf": m.get("cdf", False),

@@ -1808,10 +1808,12 @@ def test_merge_on_bucketed_table_keeps_layout(spark, tdir):
 
 
 def test_merge_composite_key_pattern(spark, tdir):
-    """The documented composite-key pattern: the table's key machinery
-    is single-column by design — derive one key column from the parts
-    (functions.key_columns = xxhash64 chain) and merge on it; the
-    parts stay ordinary columns."""
+    """The LEGACY derived-hash composite-key pattern still functions
+    for non-null keys (kept as a compatibility pin) — but it is no
+    longer the documented route: a 64-bit hash as table identity
+    silently folds distinct business tuples (~n^2/2^65, plus
+    deterministic null-skip collisions). First-class key_cols=[...]
+    is the real surface — tests/test_table_composite.py, q188."""
     from sif_spark import functions as SF
 
     base = spark.range(0, 100).select(

@@ -170,6 +170,7 @@ TAIL = [
     "q185_table_merge",
     "q186_table_column_evolution",
     "q187_ann_refresh_lifecycle",
+    "q188_table_composite_key",
 ]
 
 

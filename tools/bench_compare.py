@@ -87,17 +87,22 @@ import sys
 LEGACY_SPREAD = 0.30  # measured r6 capture-to-capture disagreement
 
 
-def load(path: str) -> tuple[dict[str, float], float, dict[str, dict]]:
+def load(
+    path: str,
+) -> tuple[dict[str, float], float, dict[str, dict], dict[str, dict]]:
     """Accept either bench.py's own JSON line or the driver's
     BENCH_r{N}.json wrapper, whose `tail` field holds a (possibly
     front-truncated) capture of that line — entries are
     regex-recovered, so a truncated head only loses the entries it
     physically cut off. Returns (queries, calibration, detail);
-    detail is {} for pre-median captures."""
+    detail is {} for pre-median captures; control is {} for
+    pre-round-13 captures (no basket — bench_compare falls back to
+    the retro plan-fp-identical basket)."""
     with open(path) as f:
         text = f.read()
     queries: dict[str, float] = {}
     detail: dict[str, dict] = {}
+    control: dict[str, dict] = {}
     cal = None
     for candidate in (text, text.strip().splitlines()[-1]):
         try:
@@ -107,6 +112,7 @@ def load(path: str) -> tuple[dict[str, float], float, dict[str, dict]]:
         if isinstance(d, dict) and "queries" in d:
             queries = d["queries"]
             detail = d.get("queries_detail") or {}
+            control = d.get("control") or {}
             cal = d.get("calibration")
         elif isinstance(d, dict) and "tail" in d:
             text = d["tail"]
@@ -121,7 +127,7 @@ def load(path: str) -> tuple[dict[str, float], float, dict[str, dict]]:
     if not cal:
         print(f"warning: {path} has no calibration field; using 1.0", file=sys.stderr)
         cal = 1.0
-    return queries, float(cal), detail
+    return queries, float(cal), detail, control
 
 
 def remeasure(entries: list[str], sf_dir: str, runs: int = 5) -> dict | None:
@@ -160,7 +166,7 @@ def history_check(
     or None when the entry isn't in history. Uses its own drift
     median and min-vs-min comparability rule — independent of the
     old-vs-new state main() may have mutated."""
-    hist_q, _, hist_d = load(hist_path)
+    hist_q, _, hist_d, _ = load(hist_path)
     nq = dict(new_q)
     hq = dict(hist_q)
     if bool(hist_d) != bool(new_d):  # min-vs-min vs a legacy capture
@@ -188,6 +194,56 @@ def history_check(
     return cleared, detail
 
 
+def basket_estimate(
+    old_q, new_q, old_d, new_d, old_ctrl, new_ctrl, shared, raw
+) -> tuple[float, float, str] | None:
+    """The control-basket drift estimator (VERDICT r12 "Next round"
+    #5): (estimate, spread_bound, mode).
+
+    mode "live": both captures carry the in-run control basket
+    (start/mid/end samples of the frozen entry list) — drift is the
+    median of per-entry basket ratios (median-of-phases each side),
+    and the bound is the robust spread of those ratios, which folds
+    in BOTH captures' within-run weather by construction.
+
+    mode "retro-fp": one/both captures predate the basket — the
+    basket is reconstructed from the shared entries whose physical-
+    plan fingerprints MATCH (code-untouched by definition of the
+    fingerprint), which every capture since round 8 carries. This is
+    what settles r11c→r12b's 0.96-vs-1.15 calibration ambiguity
+    retroactively.
+
+    The bound is (p75 - p25) / median of the ratio set (quartile
+    spread — a max-min bound over 180 retro entries would be all
+    outlier)."""
+    ratios: list[float] = []
+    mode = "live"
+    if old_ctrl and new_ctrl:
+        for e in set(old_ctrl) & set(new_ctrl):
+            o = old_ctrl[e].get("median", -1)
+            n = new_ctrl[e].get("median", -1)
+            if o and n and o > 0 and n > 0:
+                ratios.append(n / o)
+    if len(ratios) < 4:
+        mode = "retro-fp"
+        ratios = [
+            raw[q]
+            for q in shared
+            if old_d.get(q, {}).get("plan_fp")
+            and old_d.get(q, {}).get("plan_fp")
+            == new_d.get(q, {}).get("plan_fp")
+            and old_q[q] > 0
+            and min(old_q[q], new_q[q]) >= 0.1
+        ]
+    if len(ratios) < 4:
+        return None
+    est = statistics.median(ratios)
+    if est <= 0:
+        return None
+    q1, _, q3 = statistics.quantiles(ratios, n=4)
+    return est, (q3 - q1) / est, mode
+
+
 def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     no_remeasure = "--no-remeasure" in sys.argv
@@ -204,8 +260,8 @@ def main() -> None:
     if len(argv) != 2:
         print(__doc__)
         sys.exit(2)
-    old_q, old_cal, old_d = load(argv[0])
-    new_q, new_cal, new_d = load(argv[1])
+    old_q, old_cal, old_d, old_ctrl = load(argv[0])
+    new_q, new_cal, new_d, new_ctrl = load(argv[1])
     # min-vs-min when exactly one side carries detail (see module doc)
     stat = "median"
     if bool(old_d) != bool(new_d):
@@ -218,7 +274,21 @@ def main() -> None:
                     if old_q[q] >= 0 and new_q[q] >= 0)
     raw = {q: (new_q[q] / old_q[q] if old_q[q] > 0 else float("inf"))
            for q in shared}
-    drift = statistics.median(raw.values()) if raw else 1.0
+    drift_raw = statistics.median(raw.values()) if raw else 1.0
+    basket = basket_estimate(
+        old_q, new_q, old_d, new_d, old_ctrl, new_ctrl, shared, raw
+    )
+    if basket is not None:
+        drift_basket, basket_bound, basket_mode = basket
+        hi, lo = max(drift_raw, drift_basket), min(drift_raw, drift_basket)
+        basket_agree = lo > 0 and hi / lo <= 1.0 + max(basket_bound, 0.02)
+        # the basket IS the drift instrument when present; raw-median
+        # stays reported for the agreement check
+        drift = drift_basket
+    else:
+        drift_basket = basket_bound = None
+        basket_mode, basket_agree = "none", True
+        drift = drift_raw
     rows = []
     plan_changes_quiet = []  # plan changed, timing fine — informational
     pending: list[tuple[str, str]] = []  # (entry, tag) awaiting re-measure
@@ -340,8 +410,23 @@ def main() -> None:
 
     flagged = sum(r[5] for r in rows)
     rows.sort(reverse=True)
-    print(f"statistic: {stat}; host drift (median raw ratio): {drift:.2f}x; "
+    print(f"statistic: {stat}; host drift (median raw ratio): {drift_raw:.2f}x; "
           f"calibration (coarse): old={old_cal:.3f}s new={new_cal:.3f}s")
+    if drift_basket is not None:
+        print(
+            f"drift estimators: raw-median {drift_raw:.3f}x vs "
+            f"control-basket[{basket_mode}] {drift_basket:.3f}x "
+            f"(spread bound {basket_bound:.3f}) -> "
+            f"{'AGREE' if basket_agree else 'DISAGREE'}; "
+            f"per-entry correction uses the basket"
+        )
+        if not basket_agree:
+            print(
+                "  estimator DISAGREEMENT exceeds the basket's own "
+                "noise bound — treat the shared-entry total ratio as "
+                "unresolved and re-capture before adjudicating a "
+                "uniform shift",
+            )
     print(f"{'entry':38s} {'old_s':>7s} {'new_s':>7s} {'corr_ratio':>10s} {'noise_bound':>11s}")
     for ratio, q, o_s, n_s, noise, is_flag, verdict in rows:
         mark = f" <-- REGRESSION [{verdict}]" if is_flag else (

@@ -37,7 +37,11 @@ N_OPS = 20  # op k (1-based), keys [5k, 5k+50): odd k = whole-row
 # upsert val=k; even k = conditional MERGE (matched & k%13==0 →
 # DELETE, other matched → update val=k, unmatched → insert) — the
 # merge ops run on a cdf=True table, so every kill window also covers
-# the change-file write that precedes the manifest (round 12)
+# the change-file write that precedes the manifest (round 12).
+# Round 13: the table is keyed on the COMPOSITE tuple (k1, k2) =
+# (k // 7, k % 7) with key_bloom=True, so every kill window also
+# covers the tuple-bloom build and the per-column range stats, and
+# every upsert/merge pair-joins on the real two-column key.
 BASE_ROWS = 100  # create: keys [0, 100) val=0
 
 
@@ -79,13 +83,17 @@ def writer(table_dir: str, from_op: int, store_kind: str = "rename") -> None:
     spark = get_session("table_fault_writer")
 
     def frame(lo, hi, val):
+        # bijection k <-> (k1, k2): the composite key IS the identity
         return spark.range(lo, hi).select(
-            F.col("id").alias("k"), F.lit(val).cast("int").alias("v")
+            (F.col("id") / 7).cast("long").alias("k1"),
+            (F.col("id") % 7).alias("k2"),
+            F.lit(val).cast("int").alias("v"),
         )
 
     store = _store(store_kind, spark)
     if from_op == 0:
-        t = SifTable.create(spark, table_dir, frame(0, BASE_ROWS, 0), key_col="k",
+        t = SifTable.create(spark, table_dir, frame(0, BASE_ROWS, 0),
+                            key_cols=["k1", "k2"], key_bloom=True,
                             log_store=store, cdf=True)
         start = 1
     else:
@@ -97,7 +105,7 @@ def writer(table_dir: str, from_op: int, store_kind: str = "rename") -> None:
         else:
             t.merge(
                 frame(5 * s, 5 * s + 50, s),
-                when_matched_delete="t.k % 13 = 0",
+                when_matched_delete="(t.k1 * 7 + t.k2) % 13 = 0",
                 when_matched_update={"v": "s.v"},
                 when_not_matched_insert=True,
             )
@@ -121,7 +129,9 @@ def verify(table_dir: str) -> dict:
     # 2. every committed snapshot matches the deterministic replay
     values_ok = True
     for v in versions:
-        got = {r["k"]: r["v"] for r in t.read(v).collect()}
+        got = {
+            r["k1"] * 7 + r["k2"]: r["v"] for r in t.read(v).collect()
+        }
         if got != expected_state(v - 1):  # version 1 = create = 0 ops
             values_ok = False
             break
