@@ -1396,6 +1396,14 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q188_table_composite_key"] = q188_table_composite_key
 ORACLES["q188_table_composite_key"] = ORACLE_Q188
+# q189: deletion vectors — scattered deletes rewrite zero group files
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q189,
+    q189_table_deletion_vectors,
+)
+
+QUERIES["q189_table_deletion_vectors"] = q189_table_deletion_vectors
+ORACLES["q189_table_deletion_vectors"] = ORACLE_Q189
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

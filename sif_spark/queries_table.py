@@ -1517,3 +1517,71 @@ FROM merged
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def q189_table_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors — merge-on-read deletes (VERDICT r12 "Next
+    round" #2): a dv=True cdf table built from THREE full-keyrange
+    document slices (every group overlaps every delete batch — range
+    skipping cannot save copy-on-write here) takes TWO scattered
+    delete_keys batches (doc_id % 97 = 0, then % 89 = 3, overlapping
+    on 97*89 multiples). Each delete writes a (group id, key)
+    tombstone sidecar + the full pre-image change file and REWRITES
+    ZERO group files. In-entry pins: all group paths are unchanged
+    across both deletes; the CDF tombstone counts balance the exact
+    deleted_rows counters (the overlap counts once); time travel to
+    the pre-delete snapshot still reads every row. Reads apply the
+    sidecars as one broadcast anti-join. Oracle: the surviving rows
+    are a pure predicate over the source parquet."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_dv")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = SifTable.create(
+        spark, base, d.filter(F.col("doc_id") % 3 == 0),
+        key_col="doc_id", dv=True, cdf=True,
+    )
+    t.append(d.filter(F.col("doc_id") % 3 == 1))
+    t.append(d.filter(F.col("doc_id") % 3 == 2))       # v3: 3 groups
+    paths_v3 = [g["path"] for g in t._load(3)["groups"]]
+    n_v3 = t.read(version=3).count()
+    v4 = t.delete_keys(d.filter(F.col("doc_id") % 97 == 0).select("doc_id"))
+    v5 = t.delete_keys(d.filter(F.col("doc_id") % 89 == 3).select("doc_id"))
+    m5 = t._load(v5)
+    # pin 1: ZERO group rewrites across both scattered deletes
+    if [g["path"] for g in m5["groups"]] != paths_v3:
+        raise AssertionError("dv delete rewrote a group file")
+    # pin 2: CDF tombstones balance the exact counters (overlap once)
+    d4, d5 = t._load(v4)["deleted_rows"], m5["deleted_rows"]
+    tombs = (
+        t.changes(3, to_version=v5, cdf=True)
+        .filter("_change_type = 'delete'")
+        .count()
+    )
+    if tombs != d4 + d5 or sum(g.get("dv_rows", 0) for g in m5["groups"]) != d4 + d5:
+        raise AssertionError(f"tombstones {tombs} vs counters {d4}+{d5}")
+    # pin 3: time travel to the pre-delete snapshot is intact
+    if t.read(version=3).count() != n_v3:
+        raise AssertionError("time travel broken by dv delete")
+    return (
+        t.read()
+        .groupBy((F.col("doc_id") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_Q189 = """
+SELECT doc_id % 7 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 3
+GROUP BY 1
+ORDER BY 1
+"""

@@ -84,7 +84,8 @@ def _load_manifest(table_path: str, version: int) -> dict:
 class _GroupFilePartition(InputPartition):
     def __init__(self, file_path: str, version: int,
                  change_type: str | None = None,
-                 colmap: dict | None = None):
+                 colmap: dict | None = None,
+                 dv: dict | None = None):
         self.file_path = file_path
         self.version = version
         # 'insert' = tag rows with this constant _change_type; None =
@@ -94,6 +95,12 @@ class _GroupFilePartition(InputPartition):
         # {schema_name: written_name_or_None} when the file predates a
         # column rename/drop (id-mapped at plan time); None = by-name
         self.colmap = colmap
+        # deletion-vector spec for the file's OWNING group: {"gid",
+        # "keys" (current names, key order), "files": [(dv parquet
+        # file, {current_key: dv_written_name})]} — the worker
+        # anti-filters rows whose key tuple is tombstoned for this
+        # gid. None = no live dv touches this group (zero overhead).
+        self.dv = dv
 
 
 def _plan_colmap(
@@ -485,6 +492,29 @@ def _aligned_arrow_batches(
         else:
             cols.append(pa.nulls(n, type=field.type))
     out = pa.Table.from_arrays(cols, schema=target)
+    dv = getattr(partition, "dv", None)
+    if dv and out.num_rows:
+        import pandas as pd
+
+        keys = list(dv["keys"])
+        frames = []
+        for fpath, kmap in dv["files"]:
+            tb = pq.read_table(
+                fpath, columns=["_gid"] + [kmap[k] for k in keys]
+            )
+            tb = tb.filter(pa.compute.equal(tb.column("_gid"), dv["gid"]))
+            if tb.num_rows:
+                pdf = tb.to_pandas().rename(
+                    columns={kmap[k]: k for k in keys}
+                )
+                frames.append(pdf[keys])
+        if frames:
+            tomb = pd.concat(frames).drop_duplicates()
+            rows = out.select(keys).to_pandas()
+            hit = rows.merge(
+                tomb.assign(__tomb=1), on=keys, how="left"
+            )["__tomb"].isna()
+            out = out.filter(pa.array(hit.to_numpy()))
     yield from out.to_batches()
 
 
@@ -581,21 +611,53 @@ class _SifTableBatchReader(DataSourceReader):
         if v not in versions:
             raise ValueError(f"version {v} not in {versions}")
         m = _load_manifest(self.table_path, v)
-        from sif_spark.table import prune_groups
+        from sif_spark.table import _key_cols, prune_groups
 
         groups = m["groups"]
         for col, (lo, hi) in self._bounds.items():
             groups = prune_groups({**m, "groups": groups}, col, lo, hi)
+        # deletion vectors: resolve each live sidecar's parquet files
+        # + key-name mapping at PLAN time, attach to every file
+        # partition of a covered group — the worker applies the
+        # anti-filter after alignment (merge-on-read)
+        dv_keys = _key_cols(m)
+        id_of = {c["name"]: c["id"] for c in (m.get("columns") or [])}
+        dv_by_gid: dict[str, list] = {}
+        for d in m.get("dvs") or []:
+            files = [
+                os.path.join(d["path"], n)
+                for n in sorted(os.listdir(d["path"]))
+                if n.endswith(".parquet")
+            ]
+            ids = d.get("col_ids") or {}
+            written_by_id = {i: w for w, i in ids.items()}
+            kmap = {
+                k: written_by_id.get(id_of.get(k), k) for k in dv_keys
+            }
+            for gid in d["gids"]:
+                dv_by_gid.setdefault(gid, []).extend(
+                    (f, kmap) for f in files
+                )
         parts: list[InputPartition] = []
         names = [f.name for f in self.schema.fields]
         for g in groups:
             gv = int(g["id"].split("-")[1])  # the version that minted it
             cmap = _plan_colmap(_ids_of_group(g, m), m.get("columns"), names)
+            dv = (
+                {
+                    "gid": g["id"],
+                    "keys": dv_keys,
+                    "files": dv_by_gid[g["id"]],
+                }
+                if g["id"] in dv_by_gid
+                else None
+            )
             for name in sorted(os.listdir(g["path"])):
                 if name.endswith(".parquet"):
                     parts.append(
                         _GroupFilePartition(
-                            os.path.join(g["path"], name), gv, colmap=cmap
+                            os.path.join(g["path"], name), gv,
+                            colmap=cmap, dv=dv,
                         )
                     )
         return parts

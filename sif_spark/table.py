@@ -310,6 +310,32 @@ def prune_groups(m: dict, col: str, lo, hi) -> list[dict]:
     return keep
 
 
+# a data file's OWN path names the group that owns it — the deletion-
+# vector anti-join tags rows with their group id in one expression,
+# never one plan node per group (same trick as _VER_PAT)
+_GID_PAT = r".*/(g-\d{10}-\d{3}-[0-9a-f]{8})/[^/]*$"
+
+
+def _live_rows(g: dict) -> int:
+    """A group's LIVE row count: file rows minus its deletion-vector
+    tombstones. Every counter (replaced/deleted/history) must use
+    this, never the raw file rows, on a dv table."""
+    return int(g["rows"]) - int(g.get("dv_rows", 0))
+
+
+def _carry_dvs(m: dict, groups: list[dict]) -> list[dict]:
+    """The NEXT manifest's deletion-vector list: entries pruned to the
+    gids still live in ``groups`` (a rewritten/compacted group's
+    tombstones die with it — the rewrite already excluded them)."""
+    live = {g["id"] for g in groups}
+    out = []
+    for d in m.get("dvs") or []:
+        kept = [gid for gid in d["gids"] if gid in live]
+        if kept:
+            out.append({**d, "gids": kept} if kept != d["gids"] else d)
+    return out
+
+
 _RANGE_ABSENT = object()   # group never held the column id: all NULL
 _RANGE_UNKNOWN = object()  # no stats recorded: cannot prune on this col
 
@@ -796,6 +822,7 @@ class SifTable:
         cdf: bool = False,
         log_store=None,
         key_cols: list[str] | None = None,
+        dv: bool = False,
     ) -> "SifTable":
         """``cdf=True`` enables the full change-data feed: upserts and
         deletes materialize their change file (pre-images, post-images,
@@ -841,6 +868,11 @@ class SifTable:
             raise ValueError(
                 "key_bloom needs a table created with key_col=/key_cols="
             )
+        if dv and not keys:
+            raise ValueError(
+                "dv=True (deletion vectors) needs a keyed table — "
+                "tombstones identify rows by the merge key"
+            )
         bucket = {"col": bucket_by, "n": n_buckets} if bucket_by else None
         columns = [
             {"id": i, "name": f.name} for i, f in enumerate(df.schema.fields)
@@ -856,6 +888,7 @@ class SifTable:
                 "bucket": bucket,
                 "key_bloom": key_bloom,
                 "cdf": cdf,
+                "dv": dv,
                 "txns": {txn[0]: int(txn[1])} if txn else {},
                 "added": [group["id"]],
                 "schema": ", ".join(
@@ -877,6 +910,12 @@ class SifTable:
         bucket = m.get("bucket")
         if not bucket:
             raise ValueError("table was not created with bucket_by=")
+        if m.get("dvs"):
+            raise ValueError(
+                f"snapshot v{m['version']} carries live deletion "
+                "vectors — the raw bucketed scan cannot apply them; "
+                "run compact() to reconcile first"
+            )
         if len(m["groups"]) != 1:
             raise ValueError(
                 f"snapshot v{m['version']} holds {len(m['groups'])} groups — "
@@ -897,7 +936,7 @@ class SifTable:
             {
                 "version": m["version"],
                 "op": m["op"],
-                "rows": sum(g["rows"] for g in m["groups"]),
+                "rows": sum(_live_rows(g) for g in m["groups"]),
                 "groups": len(m["groups"]),
                 "schema": m["schema"],
             }
@@ -923,7 +962,7 @@ class SifTable:
         DataSource to keep the stats."""
         m = self._load(version)
         target = T._parse_datatype_string(m["schema"])
-        return self._read_groups(m["groups"], target, _columns_of(m))
+        return self._read_groups(m, m["groups"], target, _columns_of(m))
 
     def register_view(self, name: str, version: int | None = None) -> None:
         """Register the snapshot as a temp view for plain SQL — the
@@ -942,26 +981,82 @@ class SifTable:
     def _prune_groups(self, m: dict, col: str, lo, hi) -> list[dict]:
         return prune_groups(m, col, lo, hi)
 
+    def _dv_frame(
+        self, m: dict, dvs: list[dict], columns: list[dict] | None
+    ) -> DataFrame:
+        """The union of deletion-vector sidecars as (__gid, key cols
+        under their CURRENT names) — dv files record their written
+        names + col_ids, so tombstones stay exact across a key
+        rename. Small by contract (compact() reconciles), hence
+        broadcast by the caller."""
+        keys = _key_cols(m)
+        id_of = (
+            {c["name"]: c["id"] for c in columns} if columns else {}
+        )
+        parts = []
+        for d in dvs:
+            df = self.spark.read.parquet(d["path"])
+            ids = d.get("col_ids") or {}
+            written_by_id = {i: w for w, i in ids.items()}
+            sel = [F.col("_gid").alias("__gid")]
+            for k in keys:
+                w = written_by_id.get(id_of.get(k), k)
+                sel.append(F.col(w).alias(k))
+            parts.append(df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _read_groups(
         self,
+        m: dict,
         groups: list[dict],
         target: T.StructType,
         columns: list[dict] | None = None,
     ) -> DataFrame:
+        """Aligned union of ``groups``, with the snapshot's deletion
+        vectors applied as ONE broadcast anti-join on (group id, key
+        tuple) — group files are never rewritten by a dv delete, so
+        the read side is where tombstones take effect (merge-on-read).
+        Tables without live dvs keep the exact pre-dv plan (no _gid
+        projection, no join)."""
         if not groups:
             return self.spark.createDataFrame([], target)
-        parts = [
-            _align_ids(
-                self.spark.read.parquet(g["path"]),
-                g.get("col_ids"),
-                target,
-                columns,
-            )
-            for g in groups
+        gids = {g["id"] for g in groups}
+        dvs = [
+            d for d in m.get("dvs") or [] if gids & set(d["gids"])
         ]
+        gid_col = (
+            [
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), _GID_PAT, 1
+                ).alias("__gid")
+            ]
+            if dvs
+            else []
+        )
+        parts = []
+        for g in groups:
+            df = self.spark.read.parquet(g["path"])
+            parts.append(
+                df.select(
+                    *_align_ids_select(
+                        df.columns, g.get("col_ids"), target, columns
+                    ),
+                    *gid_col,
+                )
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dvs:
+            keys = _key_cols(m)
+            out = out.join(
+                F.broadcast(self._dv_frame(m, dvs, columns)),
+                on=["__gid"] + keys,
+                how="left_anti",
+            ).drop("__gid")
         return out
 
     def read_between(
@@ -982,14 +1077,14 @@ class SifTable:
             # no bounds = full snapshot. Pruning would still drop
             # all-null groups (whose rows pass the lit(True) filter) —
             # silent row loss in the degenerate call (ADVICE r10)
-            return self._read_groups(m["groups"], target, _columns_of(m))
+            return self._read_groups(m, m["groups"], target, _columns_of(m))
         keep = self._prune_groups(
             m,
             col,
             _stat_bound(lo) if lo is not None else None,
             _stat_bound(hi) if hi is not None else None,
         )
-        out = self._read_groups(keep, target, _columns_of(m))
+        out = self._read_groups(m, keep, target, _columns_of(m))
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(col) >= F.lit(lo))
@@ -1096,7 +1191,7 @@ class SifTable:
                     pair_by_ktype[g["key_bloom"].get("ktype", snap_kt)],
                 )
             ]
-        out = self._read_groups(candidates, target, _columns_of(m))
+        out = self._read_groups(m, candidates, target, _columns_of(m))
         cond = F.lit(True)
         for k, v, t in zip(keys, values, key_types):
             cond = cond & (F.col(k) == F.lit(v).cast(t))
@@ -1434,6 +1529,8 @@ class SifTable:
                     "bucket": m.get("bucket"),
                     "key_bloom": m.get("key_bloom", False),
                     "cdf": m.get("cdf", False),
+                    "dv": m.get("dv", False),
+                    "dvs": m.get("dvs") or [],
                     "txns": txns,
                     "added": [group["id"]],
                     "schema": ", ".join(
@@ -1506,16 +1603,9 @@ class SifTable:
         surv_group = None
         upd_keys = updates.select(*keys).distinct()
         if rewrite:
-            old = [
-                _align_ids(
-                    self.spark.read.parquet(g["path"]), g.get("col_ids"),
-                    target, _columns_of(m),
-                )
-                for g in rewrite
-            ]
-            old_union = old[0]
-            for p in old[1:]:
-                old_union = old_union.unionByName(p)
+            # dv-aware: tombstoned rows must not resurrect into the
+            # survivor rewrite
+            old_union = self._read_groups(m, rewrite, target, _columns_of(m))
             survivors = old_union.join(upd_keys, on=keys, how="left_anti")
             surv_group = self._write_group(
                 _align(survivors, merged), v, seq, keys, m.get("bucket"),
@@ -1532,7 +1622,7 @@ class SifTable:
         # bloom/range false positive rewrites a group but replaces 0 —
         # the counter (not the rewrite) is what guards downstream folds
         replaced = (
-            sum(int(g["rows"]) for g in rewrite) - int(surv_group["rows"])
+            sum(_live_rows(g) for g in rewrite) - int(surv_group["rows"])
             if rewrite
             else 0
         )
@@ -1575,6 +1665,8 @@ class SifTable:
             "bucket": m.get("bucket"),
             "key_bloom": m.get("key_bloom", False),
             "cdf": m.get("cdf", False),
+            "dv": m.get("dv", False),
+            "dvs": _carry_dvs(m, groups),
             "schema": ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in merged.fields
             ),
@@ -1721,16 +1813,7 @@ class SifTable:
         updated = deleted_pre = None
         n_updated = n_deleted = 0
         if rewrite and (upd or dele):
-            old = [
-                _align_ids(
-                    self.spark.read.parquet(g["path"]), g.get("col_ids"),
-                    merged, cols_next,
-                )
-                for g in rewrite
-            ]
-            old_union = old[0]
-            for p in old[1:]:
-                old_union = old_union.unionByName(p)
+            old_union = self._read_groups(m, rewrite, merged, cols_next)
             jcond = F.lit(True)
             for k in keys:
                 jcond = jcond & (F.col(f"t.`{k}`") == F.col(f"s.`{k}`"))
@@ -1790,16 +1873,7 @@ class SifTable:
             # insert-only merge: matched rows are untouched — carry the
             # touched groups BY REFERENCE, no rewrite at all
             groups = list(m["groups"])
-            old = [
-                _align_ids(
-                    self.spark.read.parquet(g["path"]), g.get("col_ids"),
-                    merged, cols_next,
-                )
-                for g in rewrite
-            ]
-            old_union = old[0]
-            for p in old[1:]:
-                old_union = old_union.unionByName(p)
+            old_union = self._read_groups(m, rewrite, merged, cols_next)
         inserts = None
         added: list[str] = []
         if ins:
@@ -1884,6 +1958,8 @@ class SifTable:
             "bucket": m.get("bucket"),
             "key_bloom": m.get("key_bloom", False),
             "cdf": m.get("cdf", False),
+            "dv": m.get("dv", False),
+            "dvs": _carry_dvs(m, groups),
             "schema": ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
                 for f in merged.fields
@@ -2075,20 +2151,20 @@ class SifTable:
         bounds = self._key_bounds(keys_df, kcols)
         v = m["version"] + 1
         keep, rewrite = self._split_groups_by_keys(m, keys_df, kcols, bounds)
+        if m.get("dv", False) and rewrite:
+            # merge-on-read: write a key-tombstone sidecar instead of
+            # rewriting the touched groups (VERDICT r12 "Next round"
+            # #2) — a scattered delete across a 100 TB table touches
+            # nearly every group; rewriting them all per batch is the
+            # scale-killer this mode removes
+            return self._delete_keys_dv(
+                m, keys_df, kcols, keep, rewrite, txns, v
+            )
         groups = list(keep)
         surv_group = None
         old_union = None
         if rewrite:
-            old = [
-                _align_ids(
-                    self.spark.read.parquet(g["path"]), g.get("col_ids"),
-                    target, _columns_of(m),
-                )
-                for g in rewrite
-            ]
-            old_union = old[0]
-            for p in old[1:]:
-                old_union = old_union.unionByName(p)
+            old_union = self._read_groups(m, rewrite, target, _columns_of(m))
             survivors = old_union.join(keys_df, on=kcols, how="left_anti")
             surv_group = self._write_group(
                 survivors, v, 0, kcols, m.get("bucket"),
@@ -2099,7 +2175,7 @@ class SifTable:
             # else: every row of the rewritten groups was deleted — the
             # zero-row dir stays an invisible orphan, never referenced
         deleted = (
-            sum(int(g["rows"]) for g in rewrite) - int(surv_group["rows"])
+            sum(_live_rows(g) for g in rewrite) - int(surv_group["rows"])
             if rewrite
             else 0
         )
@@ -2125,6 +2201,130 @@ class SifTable:
             "bucket": m.get("bucket"),
             "key_bloom": m.get("key_bloom", False),
             "cdf": m.get("cdf", False),
+            "dv": m.get("dv", False),
+            "dvs": _carry_dvs(m, groups),
+            "schema": m["schema"],
+            "groups": groups,
+        }
+        if cdc:
+            manifest["cdc"] = cdc
+        return self._commit(self._stamp_floor(manifest, m))
+
+    def _delete_keys_dv(
+        self,
+        m: dict,
+        keys_df: DataFrame,
+        kcols: list[str],
+        keep: list[dict],
+        touched: list[dict],
+        txns: dict,
+        v: int,
+    ) -> int:
+        """delete_keys on a ``dv=True`` table: ZERO group rewrites.
+        The newly deleted rows — matched by key in the touched
+        groups, minus rows already tombstoned — are written as ONE
+        (group id, key tuple) sidecar under <table>/dv/ (plus, on a
+        cdf table, their full pre-images as the version's change
+        file), both BEFORE the manifest commit: a SIGKILL between the
+        writes leaves invisible orphans, never a torn feed. Every
+        read path applies live sidecars as a broadcast anti-join;
+        compact() reconciles and clears them. Exact counters: one
+        bounded per-group count aggregate over the matched set."""
+        target = T._parse_datatype_string(m["schema"])
+        columns = _columns_of(m)
+        gid_expr = F.regexp_extract(
+            F.col("_metadata.file_path"), _GID_PAT, 1
+        ).alias("__gid")
+        parts = []
+        for g in touched:
+            df = self.spark.read.parquet(g["path"])
+            parts.append(
+                df.select(
+                    *_align_ids_select(
+                        df.columns, g.get("col_ids"), target, columns
+                    ),
+                    gid_expr,
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        gids_touched = {g["id"] for g in touched}
+        prior = [
+            d
+            for d in m.get("dvs") or []
+            if gids_touched & set(d["gids"])
+        ]
+        if prior:
+            # already-tombstoned rows must not re-count or re-tombstone
+            u = u.join(
+                F.broadcast(self._dv_frame(m, prior, columns)),
+                on=["__gid"] + kcols,
+                how="left_anti",
+            )
+        # lazily checkpointed: feeds the per-group counts, the sidecar
+        # write AND the cdc write without re-running the joins
+        doomed = u.join(keys_df, on=kcols, how="left_semi").localCheckpoint(
+            eager=False
+        )
+        per_gid = {
+            r["__gid"]: int(r["n"])
+            for r in doomed.groupBy("__gid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        deleted = sum(per_gid.values())
+        dv_entry = None
+        cdc = None
+        if deleted:
+            did = f"d-{v:010d}-000-{uuid.uuid4().hex[:8]}"
+            dpath = f"{self.path}/dv/{did}"
+            doomed.select(
+                F.col("__gid").alias("_gid"), *[F.col(k) for k in kcols]
+            ).write.mode("overwrite").parquet(dpath)
+            id_of = {c["name"]: c["id"] for c in columns} if columns else {}
+            kids = {k: id_of[k] for k in kcols if k in id_of}
+            dv_entry = {
+                "path": dpath,
+                "rows": deleted,
+                "gids": sorted(g for g, n in per_gid.items() if n),
+                **({"col_ids": kids} if kids else {}),
+            }
+            if m.get("cdf", False):
+                cdc = self._write_cdc(
+                    doomed.drop("__gid").withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    v,
+                    columns,
+                )
+        # groups carry BY REFERENCE in their original order — only the
+        # touched entries' dv_rows metadata advances (the q189 pin:
+        # zero group paths change under a scattered dv delete)
+        groups = []
+        for g in m["groups"]:
+            n = per_gid.get(g["id"], 0)
+            groups.append(
+                {**g, "dv_rows": int(g.get("dv_rows", 0)) + n} if n else g
+            )
+        dvs = _carry_dvs(m, groups)
+        if dv_entry:
+            dvs.append(dv_entry)
+        manifest = {
+            "version": v,
+            "parent": m["version"],
+            "op": "delete",
+            "columns": columns,
+            "added": [],
+            "deleted_rows": deleted,
+            "txns": txns,
+            "key_col": m.get("key_col"),
+            "key_cols": m.get("key_cols"),
+            "bucket": m.get("bucket"),
+            "key_bloom": m.get("key_bloom", False),
+            "cdf": m.get("cdf", False),
+            "dv": True,
+            "dvs": dvs,
             "schema": m["schema"],
             "groups": groups,
         }
@@ -2149,14 +2349,13 @@ class SifTable:
         matched_parts = []
         cdf_on = m.get("cdf", False)
         for g in m["groups"]:
-            gdf = _align_ids(
-                self.spark.read.parquet(g["path"]), g.get("col_ids"),
-                target, _columns_of(m),
-            )
+            # per-group dv-aware read: tombstoned rows neither match
+            # the predicate nor survive into the rewrite
+            gdf = self._read_groups(m, [g], target, _columns_of(m))
             if gdf.filter(predicate).limit(1).count() == 0:
                 groups.append(g)
                 continue
-            removed_old += int(g["rows"])
+            removed_old += _live_rows(g)
             if cdf_on:
                 matched_parts.append(gdf.filter(predicate))
             # SQL DELETE semantics: only pred=TRUE rows go; pred=NULL
@@ -2193,6 +2392,8 @@ class SifTable:
             "bucket": m.get("bucket"),
             "key_bloom": m.get("key_bloom", False),
             "cdf": cdf_on,
+            "dv": m.get("dv", False),
+            "dvs": _carry_dvs(m, groups),
             "schema": m["schema"],
             "groups": groups,
         }
@@ -2260,6 +2461,8 @@ class SifTable:
                         "bucket": m.get("bucket"),
                         "key_bloom": m.get("key_bloom", False),
                         "cdf": m.get("cdf", False),
+                        "dv": m.get("dv", False),
+                        "dvs": [],
                         "schema": ", ".join(
                             f"{f.name} {f.dataType.simpleString()}"
                             for f in df.schema.fields
@@ -2332,6 +2535,8 @@ class SifTable:
                 "bucket": bucket,
                 "key_bloom": m.get("key_bloom", False),
                 "cdf": m.get("cdf", False),
+                "dv": m.get("dv", False),
+                "dvs": [],
                 "schema": m["schema"],
                 "groups": [group],
             }, m)
@@ -2365,6 +2570,8 @@ class SifTable:
                 "bucket": old.get("bucket"),
                 "key_bloom": old.get("key_bloom", False),
                 "cdf": m.get("cdf", False),
+                "dv": m.get("dv", False),
+                "dvs": old.get("dvs") or [],
                 "schema": old["schema"],
                 "groups": old["groups"],
             }, m)
@@ -2447,6 +2654,8 @@ class SifTable:
                 "bucket": m.get("bucket"),
                 "key_bloom": m.get("key_bloom", False),
                 "cdf": m.get("cdf", False),
+                "dv": m.get("dv", False),
+                "dvs": m.get("dvs") or [],
                 "schema": ddl,
                 "groups": groups,
             }, m)
@@ -2493,6 +2702,8 @@ class SifTable:
                 "bucket": m.get("bucket"),
                 "key_bloom": m.get("key_bloom", False),
                 "cdf": m.get("cdf", False),
+                "dv": m.get("dv", False),
+                "dvs": m.get("dvs") or [],
                 "schema": ddl,
                 "groups": groups,
             }, m)
@@ -2537,9 +2748,13 @@ class SifTable:
             return doomed
         keep_versions = versions[-retain_last:]
         live = set()
+        live_dv = set()
         for v in keep_versions:
-            for g in self._load(v)["groups"]:
+            km = self._load(v)
+            for g in km["groups"]:
                 live.add(g["path"])
+            for d in km.get("dvs") or []:
+                live_dv.add(d["path"])
         doomed_manifests = versions[: -retain_last]
         doomed2 = []
         for v in doomed_manifests:
@@ -2547,6 +2762,12 @@ class SifTable:
             for g in dm["groups"]:
                 if g["path"] not in live:
                     doomed2.append(g["path"])
+            # dv sidecars are SHARED across versions (carried forward
+            # until their groups rewrite) — reclaim only when no
+            # retained manifest references them
+            for d in dm.get("dvs") or []:
+                if d["path"] not in live_dv and d["path"] not in doomed2:
+                    doomed2.append(d["path"])
             if dm.get("cdc") and dm["cdc"]["path"] not in doomed:
                 # a change file belongs to exactly its own version —
                 # dropping the manifest makes it unreachable

@@ -171,6 +171,7 @@ TAIL = [
     "q186_table_column_evolution",
     "q187_ann_refresh_lifecycle",
     "q188_table_composite_key",
+    "q189_table_deletion_vectors",
 ]
 
 

@@ -33,15 +33,19 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N_OPS = 20  # op k (1-based), keys [5k, 5k+50): odd k = whole-row
-# upsert val=k; even k = conditional MERGE (matched & k%13==0 →
-# DELETE, other matched → update val=k, unmatched → insert) — the
-# merge ops run on a cdf=True table, so every kill window also covers
+N_OPS = 20  # op s (1-based), keys [5s, 5s+50): odd s = whole-row
+# upsert val=s; s%4==2 = conditional MERGE (matched & k%13==0 →
+# DELETE, other matched → update val=s, unmatched → insert); s%4==0 =
+# dv DELETE_KEYS of keys [5(s-2), 5(s-2)+20) — the table is dv=True,
+# so those ops write a key-tombstone SIDECAR + the cdc change file
+# and rewrite NOTHING; the kill windows therefore cover the
+# sidecar-write → cdc-write → manifest one-way door (round 13).
+# All ops run on a cdf=True table, so every kill window also covers
 # the change-file write that precedes the manifest (round 12).
-# Round 13: the table is keyed on the COMPOSITE tuple (k1, k2) =
-# (k // 7, k % 7) with key_bloom=True, so every kill window also
-# covers the tuple-bloom build and the per-column range stats, and
-# every upsert/merge pair-joins on the real two-column key.
+# The table is keyed on the COMPOSITE tuple (k1, k2) = (k // 7,
+# k % 7) with key_bloom=True (round 13): every kill window also
+# covers the tuple-bloom build, and every op pair-joins on the real
+# two-column key.
 BASE_ROWS = 100  # create: keys [0, 100) val=0
 
 
@@ -49,6 +53,10 @@ def expected_state(ops_done: int) -> dict[int, int]:
     """Pure-Python replay: table content after CREATE + ops_done ops."""
     state = {k: 0 for k in range(BASE_ROWS)}
     for s in range(1, ops_done + 1):
+        if s % 4 == 0:
+            for k in range(5 * (s - 2), 5 * (s - 2) + 20):
+                state.pop(k, None)  # dv delete_keys (sidecar, no rewrite)
+            continue
         for k in range(5 * s, 5 * s + 50):
             if s % 2 == 1 or k not in state:
                 state[k] = s  # upsert, or merge-insert of a new key
@@ -94,7 +102,7 @@ def writer(table_dir: str, from_op: int, store_kind: str = "rename") -> None:
     if from_op == 0:
         t = SifTable.create(spark, table_dir, frame(0, BASE_ROWS, 0),
                             key_cols=["k1", "k2"], key_bloom=True,
-                            log_store=store, cdf=True)
+                            log_store=store, cdf=True, dv=True)
         start = 1
     else:
         t = SifTable(spark, table_dir, log_store=store)
@@ -102,6 +110,10 @@ def writer(table_dir: str, from_op: int, store_kind: str = "rename") -> None:
     for s in range(start, N_OPS + 1):
         if s % 2 == 1:
             t.upsert(frame(5 * s, 5 * s + 50, s))
+        elif s % 4 == 0:
+            t.delete_keys(
+                frame(5 * (s - 2), 5 * (s - 2) + 20, s).select("k1", "k2")
+            )
         else:
             t.merge(
                 frame(5 * s, 5 * s + 50, s),
@@ -218,7 +230,9 @@ def main() -> int:
     # startup + cdf ops at ~3-5 s each): ops 2/4/6 are MERGEs on a
     # cdf table, so the later windows cover the change-file write
     # that precedes the manifest (round 12)
-    for delay in (13.0, 22.0, 31.0):
+    # 26 s aims the kill at op 4 — the first dv delete_keys — so the
+    # sidecar-write -> cdc-write -> manifest door gets direct coverage
+    for delay in (13.0, 22.0, 26.0, 31.0):
         rounds.append(one_round(delay, f"/tmp/sif_table_fault_{delay}",
                                 store_kind))
         print(f"  delay {delay}: {rounds[-1]}", file=sys.stderr)
