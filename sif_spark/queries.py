@@ -1404,6 +1404,15 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q189_table_deletion_vectors"] = q189_table_deletion_vectors
 ORACLES["q189_table_deletion_vectors"] = ORACLE_Q189
+# q190: streaming CDC-apply — stream -> merge per micro-batch,
+# exactly-once via txn epochs, full-replay no-op pinned
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q190,
+    q190_stream_cdc_apply,
+)
+
+QUERIES["q190_stream_cdc_apply"] = q190_stream_cdc_apply
+ORACLES["q190_stream_cdc_apply"] = ORACLE_Q190
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -1585,3 +1585,111 @@ WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 3
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def q190_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply — stream → MERGE per micro-batch, exactly
+    once (VERDICT r12 "Next round" #7; streaming/stream.py
+    merge_changes_into_table): a cdf=True SOURCE table takes a
+    create (doc_id % 2 = 0) + an upsert (doc_id % 3 = 0 → lang='zz',
+    n_chars+7) + a bulk keyed delete (doc_id % 5 = 0); the TARGET is
+    created from the source's v1 snapshot, then the source's change
+    feed streams in at ONE table version per micro-batch, each batch
+    folded to final images and applied as one conditional merge
+    carrying txn=(app, epoch). In-entry pins: (1) the target's
+    content equals the source's final snapshot row-for-row; (2) a
+    FULL REPLAY of the stream from scratch (fresh checkpoint, same
+    app_id — the deterministic 1-version-per-batch plan re-fires the
+    same epochs) leaves the target at the SAME version: every
+    replayed merge lands as a committed no-op, the no-double-apply
+    contract. Oracle: the closed-form final state of the three ops."""
+    import shutil as _sh
+
+    from sif_spark.streaming.stream import merge_changes_into_table
+    from sif_spark.table import SifTable
+
+    src_base = _fresh_dir(sf_dir, "cdc_apply_src")
+    tgt_base = _fresh_dir(sf_dir, "cdc_apply_tgt")
+    ckpt = _fresh_dir(sf_dir, "cdc_apply_ckpt")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    s = SifTable.create(
+        spark, src_base, d.filter(F.col("doc_id") % 2 == 0),
+        key_col="doc_id", cdf=True,
+    )
+    s.upsert(
+        d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.lit("zz").alias("lang"),
+            (F.col("n_chars") + 7).alias("n_chars"),
+        )
+    )
+    s.delete_keys(d.filter(F.col("doc_id") % 5 == 0).select("doc_id"))
+    SifTable.create(
+        spark, tgt_base, s.read(version=1), key_col="doc_id"
+    )
+
+    def run_stream(ck):
+        q = merge_changes_into_table(
+            spark, src_base, tgt_base, app_id="q190",
+            checkpoint_dir=ck, starting_version=1,
+            max_versions_per_trigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_stream(ckpt)
+    t = SifTable(spark, tgt_base)
+    v_done = t._versions()[-1]
+    # pin 1: target content == source final snapshot, row for row
+    if t.read().exceptAll(s.read()).count() or s.read().exceptAll(
+        t.read()
+    ).count():
+        raise AssertionError("cdc-apply target diverged from source")
+    # pin 2: full replay (fresh checkpoint, same deterministic epochs)
+    # is a chain of committed no-ops — no double-apply
+    ckpt2 = _fresh_dir(sf_dir, "cdc_apply_ckpt2")
+    run_stream(ckpt2)
+    _sh.rmtree(ckpt2, ignore_errors=True)
+    if t._versions()[-1] != v_done:
+        raise AssertionError(
+            f"replayed stream re-applied: v{v_done} -> "
+            f"v{t._versions()[-1]}"
+        )
+    return (
+        t.read()
+        .groupBy((F.col("doc_id") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                F.when(F.col("lang") == "zz", 1).otherwise(0)
+            ).alias("n_zz"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# closed-form final state: evens ∪ multiples of 3 (those get lang zz,
+# n_chars+7), minus multiples of 5
+ORACLE_Q190 = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'zz' ELSE lang END AS lang,
+         CASE WHEN doc_id % 3 = 0 THEN n_chars + 7 ELSE n_chars END
+           AS n_chars
+  FROM documents
+  WHERE (doc_id % 2 = 0 OR doc_id % 3 = 0) AND doc_id % 5 <> 0
+)
+SELECT doc_id % 7 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN lang = 'zz' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zz
+FROM final
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1594,8 +1594,9 @@ class SifTable:
         merged = _merge_schema(T._parse_datatype_string(m["schema"]), updates.schema)
         cols_next = _next_columns(m, merged)
         bounds = self._key_bounds(updates, keys)
+        probes = self._bloom_probe_sets(m, updates, keys)
         v = m["version"] + 1
-        keep, rewrite = self._split_groups_by_keys(m, updates, keys, bounds)
+        keep, rewrite = self._split_groups_by_keys(m, keys, bounds, probes)
         groups = list(keep)
         seq = 0
         target = T._parse_datatype_string(m["schema"])
@@ -1674,7 +1675,9 @@ class SifTable:
         }
         if cdc:
             manifest["cdc"] = cdc
-        return self._commit(self._stamp_floor(manifest, m))
+        return self._commit_keyed(
+            self._stamp_floor(manifest, m), m, keys, bounds, probes, txn
+        )
 
     def merge(
         self,
@@ -1686,6 +1689,7 @@ class SifTable:
         when_not_matched_insert_condition: str | None = None,
         retries: int = 3,
         txn: tuple[str, int] | None = None,
+        evolve_schema: bool = True,
     ) -> int:
         """Conditional MERGE on the table's key_col (VERDICT r11 "Next
         round" #2 — the Debezium-style CDC-apply shape ``upsert``'s
@@ -1718,7 +1722,16 @@ class SifTable:
         ``replaced_rows`` (updated) and ``deleted_rows`` counters; on
         a ``cdf=True`` table materializes the full change file
         (update_preimage/update_postimage/delete/insert). ``txn=``
-        gives append()'s crash-replay idempotence."""
+        gives append()'s crash-replay idempotence.
+
+        Clause conditions and expressions see the RAW source — columns
+        that exist only on the source side (CDC metadata like an op
+        code) are usable in every ``s.``-qualified expression and are
+        never written to the table. ``evolve_schema=False`` pins the
+        table schema: source-only columns don't evolve it (the
+        Debezium-loop contract — a `_op` column must not become a
+        table column); the default True keeps append()'s
+        add-and-widen rules."""
         if not (
             when_matched_update or when_matched_delete
             or when_not_matched_insert
@@ -1733,6 +1746,7 @@ class SifTable:
                     when_matched_update_condition, when_matched_delete,
                     when_not_matched_insert,
                     when_not_matched_insert_condition, txn,
+                    evolve_schema,
                 )
             except ConcurrentCommitError as e:
                 last = e
@@ -1747,6 +1761,7 @@ class SifTable:
         ins: bool | dict[str, str],
         ins_cond: str | None,
         txn: tuple[str, int] | None,
+        evolve: bool = True,
     ) -> int:
         m = self._load()
         txns = dict(m.get("txns", {}))
@@ -1770,8 +1785,10 @@ class SifTable:
         missing = [k for k in keys if k not in source.columns]
         if missing:
             raise ValueError(f"merge source has no key column(s) {missing}")
-        merged = _merge_schema(
-            T._parse_datatype_string(m["schema"]), source.schema
+        merged = (
+            _merge_schema(T._parse_datatype_string(m["schema"]), source.schema)
+            if evolve
+            else T._parse_datatype_string(m["schema"])
         )
         cols_next = _next_columns(m, merged)
         # ANSI MERGE cardinality rule + per-key-column range bounds for
@@ -1800,7 +1817,8 @@ class SifTable:
                 "(and a null key part never matches anything)"
             )
         bounds = [(row[f"lo{i}"], row[f"hi{i}"]) for i in range(len(keys))]
-        keep, rewrite = self._split_groups_by_keys(m, source, keys, bounds)
+        probes = self._bloom_probe_sets(m, source, keys)
+        keep, rewrite = self._split_groups_by_keys(m, keys, bounds, probes)
         v = m["version"] + 1
         target = T._parse_datatype_string(m["schema"])
         groups = list(keep)
@@ -1817,8 +1835,12 @@ class SifTable:
             jcond = F.lit(True)
             for k in keys:
                 jcond = jcond & (F.col(f"t.`{k}`") == F.col(f"s.`{k}`"))
+            # RAW source on the build side: clause conditions and
+            # update/insert expressions may reference source-only
+            # columns (CDC op codes); only the SELECT lists align to
+            # the table schema
             j = old_union.alias("t").join(
-                _align(source, merged).alias("s"), jcond, "inner"
+                source.alias("s"), jcond, "inner"
             )
             del_c = (
                 F.expr(dele) if isinstance(dele, str)
@@ -1968,7 +1990,165 @@ class SifTable:
         }
         if cdc:
             manifest["cdc"] = cdc
-        return self._commit(self._stamp_floor(manifest, m))
+        return self._commit_keyed(
+            self._stamp_floor(manifest, m), m, keys, bounds, probes, txn
+        )
+
+    def _rename_dir(self, old_path: str, new_path: str) -> None:
+        fs, _, jvm = _fs(self.spark, self.path)
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(old_path),
+            jvm.org.apache.hadoop.fs.Path(new_path),
+        )
+
+    @staticmethod
+    def _meta_matches(a: dict, b: dict) -> bool:
+        """The snapshot metadata a keyed op's plan depends on."""
+        return all(
+            a.get(f) == b.get(f)
+            for f in (
+                "schema", "columns", "key_col", "key_cols", "bucket",
+                "key_bloom", "cdf", "dv", "dvs",
+            )
+        )
+
+    def _commit_keyed(
+        self,
+        manifest: dict,
+        m: dict,
+        keys: list[str],
+        bounds: list[tuple],
+        probes: tuple[dict, str],
+        txn: tuple[str, int] | None,
+    ) -> int:
+        """Commit with CONFLICT-GRANULAR retry (VERDICT r12 "Next
+        round" #6): on a CAS loss, re-read the head and — when the
+        interloper provably did not touch this op's read set — REBASE
+        the already-built manifest onto the new head and re-CAS,
+        WITHOUT re-running any job. Overlap falls back (via
+        ConcurrentCommitError) to the caller's full retry, exactly as
+        before. A rebase onto head ``h`` is safe iff:
+
+        - every plan-relevant metadatum (schema, column ids, key
+          spec, bucket, cdf/dv flags AND the dv sidecar list — an
+          interloper's tombstones change what this op's reads saw)
+          is unchanged between ``m`` and ``h``;
+        - every group this op rewrote or dv-annotated still sits in
+          ``h`` ENTRY-IDENTICAL to what it read;
+        - every group ``h`` added since ``m`` is provably key-
+          disjoint from this op's batch, decided JOB-FREE by the
+          cached range bounds + bloom probe sets (an unknown bloom
+          ktype, a capped probe set, or a range overlap all count as
+          conflict — conservative).
+
+        The rebased manifest is h's groups with this op's removals/
+        mutations/additions re-applied (h's interloper groups carry
+        through untouched), txn high-waters merged monotonically, and
+        the op's freshly written data/cdc/dv dirs RENAMED to the new
+        version prefix — every feed derives _commit_version from the
+        file path, so the name must match the committed version."""
+        m_by_id = {g["id"]: g for g in m["groups"]}
+        out_by_id = {g["id"]: g for g in manifest["groups"]}
+        removed_ids = set(m_by_id) - set(out_by_id)
+        mutated = {
+            gid: out_by_id[gid]
+            for gid in set(m_by_id) & set(out_by_id)
+            if out_by_id[gid] != m_by_id[gid]
+        }
+        added_groups = [
+            g for g in manifest["groups"] if g["id"] not in m_by_id
+        ]
+        new_dvs = [
+            d
+            for d in manifest.get("dvs") or []
+            if d["path"] not in {x["path"] for x in m.get("dvs") or []}
+        ]
+        for _ in range(10):
+            try:
+                return self._commit(manifest)
+            except ConcurrentCommitError:
+                pass
+            h = self._load()
+            if txn is not None:
+                app_id, epoch = txn
+                if int(h.get("txns", {}).get(app_id, -1)) >= int(epoch):
+                    return h["version"]  # our own replay won the race
+            if not self._meta_matches(m, h):
+                raise ConcurrentCommitError(
+                    "concurrent schema/key/dv metadata change — full "
+                    "retry required"
+                )
+            h_by_id = {g["id"]: g for g in h["groups"]}
+            touched = removed_ids | set(mutated)
+            if any(
+                gid not in h_by_id or h_by_id[gid] != m_by_id[gid]
+                for gid in touched
+            ):
+                raise ConcurrentCommitError(
+                    "concurrent writer touched this op's read set — "
+                    "full retry required"
+                )
+            delta = [g for g in h["groups"] if g["id"] not in m_by_id]
+            if delta:
+                _, overlap = self._split_groups_by_keys(
+                    {**h, "groups": delta}, keys, bounds, probes
+                )
+                if overlap:
+                    raise ConcurrentCommitError(
+                        "concurrently added groups may hold this "
+                        "op's keys — full retry required"
+                    )
+            v_new = h["version"] + 1
+            # re-mint the version prefix in every freshly written dir
+            # (data groups, dv sidecars, the cdc change file): feeds
+            # derive _commit_version from the path
+            def remint(path: str, entry_id: str | None = None):
+                head, name = path.rsplit("/", 1)
+                kind, _, rest = name.split("-", 2)
+                new_name = f"{kind}-{v_new:010d}-{rest}"
+                new_path = f"{head}/{new_name}"
+                self._rename_dir(path, new_path)
+                return new_path, new_name
+
+            id_renames = {}
+            for g in added_groups:
+                new_path, new_name = remint(g["path"])
+                id_renames[g["id"]] = new_name
+                g["id"], g["path"] = new_name, new_path
+            for d in new_dvs:
+                d["path"], _ = remint(d["path"])
+            if manifest.get("cdc"):
+                manifest["cdc"] = dict(manifest["cdc"])
+                manifest["cdc"]["path"], _ = remint(
+                    manifest["cdc"]["path"]
+                )
+            manifest["added"] = [
+                id_renames.get(i, i) for i in manifest.get("added", [])
+            ]
+            groups = []
+            for g in h["groups"]:
+                if g["id"] in removed_ids:
+                    continue
+                groups.append(mutated.get(g["id"], g))
+            groups.extend(added_groups)
+            manifest["groups"] = groups
+            if manifest.get("dvs") is not None:
+                manifest["dvs"] = _carry_dvs(m, groups) + new_dvs
+            txns = dict(h.get("txns", {}))
+            for app, ep in manifest.get("txns", {}).items():
+                txns[app] = max(int(txns.get(app, -1)), int(ep))
+            manifest["txns"] = txns
+            manifest["version"] = v_new
+            manifest["parent"] = h["version"]
+            manifest["last_column_id"] = max(
+                int(manifest.get("last_column_id", -1)),
+                int(h.get("last_column_id", -1)),
+            )
+            m = h
+            m_by_id = {g["id"]: g for g in m["groups"]}
+        raise ConcurrentCommitError(
+            "starved through 10 rebase attempts — full retry"
+        )
 
     def _key_bounds(self, df: DataFrame, keys: list[str]) -> list[tuple]:
         """Per-key-column (min, max) of the batch's non-null values —
@@ -2037,8 +2217,8 @@ class SifTable:
         return out, snap_kt
 
     def _split_groups_by_keys(
-        self, m: dict, keyed_df: DataFrame, keys: list[str],
-        bounds: list[tuple],
+        self, m: dict, keys: list[str], bounds: list[tuple],
+        probes: tuple[dict, str],
     ) -> tuple[list[dict], list[dict]]:
         """upsert/delete_keys/merge's shared two-tier group split:
         (keep, rewrite) where keep-groups PROVABLY hold none of
@@ -2050,8 +2230,11 @@ class SifTable:
         per-column stats, translated to each group's WRITTEN name so
         skipping survives renames — and a group that never held a key
         column's id holds only NULLs there, which no tuple can
-        equi-match). Tier 2 is the key-tuple bloom."""
-        probe_by_ktype, snap_kt = self._bloom_probe_sets(m, keyed_df, keys)
+        equi-match). Tier 2 is the key-tuple bloom. ``probes`` is
+        _bloom_probe_sets' result, computed ONCE by the caller (and
+        reused job-free by the conflict-granular commit rebase); a
+        group bloom ktype absent from it simply never skips."""
+        probe_by_ktype, snap_kt = probes
         columns = _columns_of(m)
         single = len(keys) == 1
         # JSON-stat form of each column's batch bounds, for comparison
@@ -2149,8 +2332,9 @@ class SifTable:
         target = T._parse_datatype_string(m["schema"])
         keys_df = keys.select(*[F.col(k) for k in kcols]).distinct()
         bounds = self._key_bounds(keys_df, kcols)
+        probes = self._bloom_probe_sets(m, keys_df, kcols)
         v = m["version"] + 1
-        keep, rewrite = self._split_groups_by_keys(m, keys_df, kcols, bounds)
+        keep, rewrite = self._split_groups_by_keys(m, kcols, bounds, probes)
         if m.get("dv", False) and rewrite:
             # merge-on-read: write a key-tombstone sidecar instead of
             # rewriting the touched groups (VERDICT r12 "Next round"
@@ -2158,7 +2342,8 @@ class SifTable:
             # nearly every group; rewriting them all per batch is the
             # scale-killer this mode removes
             return self._delete_keys_dv(
-                m, keys_df, kcols, keep, rewrite, txns, v
+                m, keys_df, kcols, keep, rewrite, txns, v,
+                bounds, probes, txn,
             )
         groups = list(keep)
         surv_group = None
@@ -2208,7 +2393,9 @@ class SifTable:
         }
         if cdc:
             manifest["cdc"] = cdc
-        return self._commit(self._stamp_floor(manifest, m))
+        return self._commit_keyed(
+            self._stamp_floor(manifest, m), m, kcols, bounds, probes, txn
+        )
 
     def _delete_keys_dv(
         self,
@@ -2219,6 +2406,9 @@ class SifTable:
         touched: list[dict],
         txns: dict,
         v: int,
+        bounds: list[tuple],
+        probes: tuple[dict, str],
+        txn: tuple[str, int] | None,
     ) -> int:
         """delete_keys on a ``dv=True`` table: ZERO group rewrites.
         The newly deleted rows — matched by key in the touched
@@ -2330,7 +2520,9 @@ class SifTable:
         }
         if cdc:
             manifest["cdc"] = cdc
-        return self._commit(self._stamp_floor(manifest, m))
+        return self._commit_keyed(
+            self._stamp_floor(manifest, m), m, kcols, bounds, probes, txn
+        )
 
     def delete(self, predicate: str) -> int:
         """Delete rows matching the SQL predicate — groups with no

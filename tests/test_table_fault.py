@@ -53,3 +53,19 @@ def test_table_sigkill_under_conditional_put_store():
     res = json.loads(line)
     assert res["ok"], res
     assert any(r["killed_mid_run"] for r in res["rounds"]), res
+
+
+def test_stream_cdc_apply_sigkill_mid_stream_never_double_applies():
+    """SIGKILL mid-stream on the CDC-apply loop (merge per
+    micro-batch): resume from the checkpoint must land the replayed
+    epoch as a committed no-op and converge to the source's exact
+    content. See tools/stream_merge_fault_probe.py."""
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/stream_merge_fault_probe.py"],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    res = json.loads(line)
+    assert res["ok"], res

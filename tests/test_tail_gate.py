@@ -172,6 +172,7 @@ TAIL = [
     "q187_ann_refresh_lifecycle",
     "q188_table_composite_key",
     "q189_table_deletion_vectors",
+    "q190_stream_cdc_apply",
 ]
 
 
