@@ -78,7 +78,16 @@ def _versions_on_disk(table_path: str) -> list[int]:
 def _load_manifest(table_path: str, version: int) -> dict:
     p = os.path.join(table_path, _MANIFESTS, f"v{version:010d}.json")
     with open(p, encoding="utf-8") as fh:
-        return json.load(fh)
+        m = json.load(fh)
+    # rehydrate interned per-era col_ids (table.py _intern_col_eras) —
+    # inline rather than imported: this runs sessionless on executors
+    eras = m.get("col_id_eras")
+    if eras:
+        for g in m.get("groups", []):
+            e = g.pop("col_era", None)
+            if e is not None:
+                g["col_ids"] = eras[e]
+    return m
 
 
 class _GroupFilePartition(InputPartition):
@@ -952,7 +961,11 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                 )
             os.makedirs(mdir, exist_ok=True)
             target = os.path.join(mdir, f"v{v:010d}.json")
-            if store.put_if_absent(target, json.dumps(manifest, indent=1)):
+            from sif_spark.table import _intern_col_eras
+
+            if store.put_if_absent(
+                target, json.dumps(_intern_col_eras(manifest), indent=1)
+            ):
                 self._moved_gpath = None  # committed: now owned by readers
                 shutil.rmtree(
                     os.path.join(self.table_path, "_staging", self.write_id),

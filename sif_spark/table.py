@@ -506,6 +506,58 @@ def _col_ids_for(columns: list[dict] | None, df_schema: T.StructType) -> dict | 
     return out or None
 
 
+def _intern_col_eras(m: dict) -> dict:
+    """Serialization-side interning (VERDICT r12 "Next round" #8): a
+    wide table with many live groups would otherwise carry
+    groups × columns ``col_ids`` entries in EVERY manifest. Distinct
+    id-maps (schema eras) are hoisted once into ``col_id_eras`` and
+    each group stores a small ``col_era`` pointer —
+    O(groups + eras × columns) manifest bytes, Iceberg's
+    schema-id-per-file idea. _expand_col_eras undoes it at load, so
+    every read path keeps seeing plain ``col_ids``. Returns a new
+    manifest dict; the caller's in-memory copy is untouched."""
+    eras: list[dict] = []
+    keys: list[tuple] = []
+    groups = []
+    changed = False
+    for g in m.get("groups", []):
+        ids = g.get("col_ids")
+        if not ids:
+            groups.append(g)
+            continue
+        key = tuple(sorted(ids.items()))
+        try:
+            idx = keys.index(key)
+        except ValueError:
+            keys.append(key)
+            eras.append(dict(ids))
+            idx = len(eras) - 1
+        g2 = {k: v for k, v in g.items() if k not in ("col_ids", "col_era")}
+        g2["col_era"] = idx
+        groups.append(g2)
+        changed = True
+    if not changed:
+        return m
+    out = dict(m)
+    out["groups"] = groups
+    out["col_id_eras"] = eras
+    return out
+
+
+def _expand_col_eras(m: dict) -> dict:
+    """Load-side expansion of _intern_col_eras: rehydrate each
+    group's ``col_ids`` from its era pointer (popped — a re-commit of
+    carried groups re-interns against the NEXT manifest's era
+    list)."""
+    eras = m.get("col_id_eras")
+    if eras:
+        for g in m.get("groups", []):
+            e = g.pop("col_era", None)
+            if e is not None:
+                g["col_ids"] = eras[e]
+    return m
+
+
 def _rename_map(written_ids: dict | None, columns: list[dict] | None) -> dict:
     """{written_name: current_name} for names whose id maps to a
     LIVE column under a different name. Empty = pure by-name."""
@@ -629,7 +681,9 @@ class SifTable:
         v = version if version is not None else versions[-1]
         if v not in versions:
             raise ValueError(f"version {v} not in {versions}")
-        return json.loads(self.log.read_text(self._manifest_path(v)))
+        return _expand_col_eras(
+            json.loads(self.log.read_text(self._manifest_path(v)))
+        )
 
     def _stamp_floor(self, manifest: dict, m_prev: dict) -> dict:
         """Record the monotonic ``last_column_id`` watermark on a
@@ -646,7 +700,8 @@ class SifTable:
         snapshot and retries."""
         v = manifest["version"]
         if not self.log.put_if_absent(
-            self._manifest_path(v), json.dumps(manifest, indent=1)
+            self._manifest_path(v),
+            json.dumps(_intern_col_eras(manifest), indent=1),
         ):
             raise ConcurrentCommitError(
                 f"version {v} was committed by another writer — re-read "

@@ -361,3 +361,68 @@ def test_dropped_column_id_never_reminted_after_group_turnover(spark, tdir):
     ch = t.changes(0).filter("_commit_version = 1")
     assert ch.count() == 25
     assert ch.filter("m IS NOT NULL").count() == 0
+
+
+def test_manifest_interns_col_id_eras(spark, tdir):
+    """VERDICT r12 'Next round' #8: manifests stay
+    O(groups + eras×columns), not groups×columns — each group stores
+    a col_era pointer into one interned id-map per schema era; read
+    paths see plain col_ids via load-side expansion."""
+    import json as _json
+
+    wide = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        *[(F.col("id") + i).alias(f"c{i:03d}") for i in range(200)],
+    )
+    t = SifTable.create(spark, tdir, wide, key_col="k")
+    for lo in (20, 40, 60, 80):
+        t.append(
+            spark.range(lo, lo + 20).select(
+                F.col("id").alias("k"),
+                *[(F.col("id") + i).alias(f"c{i:03d}") for i in range(200)],
+            )
+        )
+    mdir = os.path.join(tdir, "_manifests")
+    latest = sorted(os.listdir(mdir))[-1]
+    with open(os.path.join(mdir, latest)) as fh:
+        raw = _json.load(fh)
+    # one era, five pointers, zero per-group maps on disk
+    assert len(raw["col_id_eras"]) == 1
+    assert all("col_ids" not in g for g in raw["groups"])
+    assert [g["col_era"] for g in raw["groups"]] == [0] * 5
+    # evolving append mints a SECOND era (new column id)
+    t.append(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"),
+            *[(F.col("id") + i).alias(f"c{i:03d}") for i in range(200)],
+            F.lit(1).alias("extra"),
+        )
+    )
+    with open(os.path.join(mdir, sorted(os.listdir(mdir))[-1])) as fh:
+        raw2 = _json.load(fh)
+    assert len(raw2["col_id_eras"]) == 2
+    # read paths unchanged: rename still maps every era by id
+    t.rename_column("c007", "lucky")
+    out = t.read()
+    assert out.count() == 120
+    assert out.filter("k = 5").collect()[0]["lucky"] == 12
+    assert out.filter("k = 105").collect()[0]["extra"] == 1
+    assert out.filter("k = 5").collect()[0]["extra"] is None
+    # the 1k-group x 200-column size law, on the real (de)serializer
+    from sif_spark.table import _expand_col_eras, _intern_col_eras
+
+    ids = {f"c{i:03d}": i for i in range(200)}
+    big = {
+        "version": 1,
+        "groups": [
+            {"id": f"g-{i:010d}-000-abcdef00", "path": f"/x/{i}",
+             "rows": 1, "col_ids": dict(ids)}
+            for i in range(1000)
+        ],
+    }
+    fat = len(_json.dumps(big))
+    slim = len(_json.dumps(_intern_col_eras(big)))
+    assert slim * 20 < fat, (slim, fat)
+    # and the round-trip is exact
+    back = _expand_col_eras(_json.loads(_json.dumps(_intern_col_eras(big))))
+    assert all(g["col_ids"] == ids for g in back["groups"])
