@@ -1413,6 +1413,14 @@ from sif_spark.queries_table import (  # noqa: E402
 
 QUERIES["q190_stream_cdc_apply"] = q190_stream_cdc_apply
 ORACLES["q190_stream_cdc_apply"] = ORACLE_Q190
+# q191: delete-only merge on a dv table — erasure without rewrites
+from sif_spark.queries_table import (  # noqa: E402
+    ORACLE_Q191,
+    q191_dv_erasure_merge,
+)
+
+QUERIES["q191_dv_erasure_merge"] = q191_dv_erasure_merge
+ORACLES["q191_dv_erasure_merge"] = ORACLE_Q191
 
 # Keep the catalog strictly q-number-ordered regardless of module
 # registration order — the driver's correctness gate is the FIRST 50

@@ -1693,3 +1693,97 @@ FROM final
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def q191_dv_erasure_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-only conditional MERGE on a deletion-vector table — the
+    GDPR/CDC-erasure shape at scale: a dv=True cdf table built from
+    three full-keyrange document slices takes ONE merge whose source
+    is an erasure batch (op='D' for doc_id % 13 = 0, op='K'
+    keep-markers for % 17 = 0, plus unmatched rows that INSERT). The
+    matched op='D' rows become (group id, key) tombstones — ZERO
+    group rewrites (pinned via unchanged paths); the op column steers
+    the clause without ever becoming a table column
+    (evolve_schema=False); the change file carries the tombstones AND
+    the rider inserts. Oracle: closed-form predicate over the source
+    parquet."""
+    from sif_spark.table import SifTable
+
+    base = _fresh_dir(sf_dir, "table_dv_merge")
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t = SifTable.create(
+        spark, base, d.filter(F.col("doc_id") % 3 == 0),
+        key_col="doc_id", dv=True, cdf=True,
+    )
+    t.append(d.filter(F.col("doc_id") % 3 == 1))
+    t.append(d.filter(F.col("doc_id") % 3 == 2))
+    paths = [g["path"] for g in t._load()["groups"]]
+    erasure = d.filter(
+        (F.col("doc_id") % 13 == 0) | (F.col("doc_id") % 17 == 0)
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, "D").otherwise("K").alias("op"),
+    ).unionByName(
+        # unmatched synthetic rows: insert path (doc_id beyond corpus)
+        spark.range(5).select(
+            (F.col("id") - 100).alias("doc_id"), F.lit("K").alias("op")
+        )
+    )
+    v = t.merge(
+        erasure,
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert={
+            "doc_id": "s.doc_id", "lang": "'new'", "n_chars": "0"
+        },
+        when_not_matched_insert_condition="s.op <> 'D'",
+        evolve_schema=False,
+        txn=("q191", 1),
+    )
+    m = t._load(v)
+    if [g["path"] for g in m["groups"][:3]] != paths:
+        raise AssertionError("dv erasure merge rewrote a group file")
+    if m["replaced_rows"] != 0:
+        raise AssertionError("delete-only merge reported updates")
+    tombs = (
+        t.changes(v - 1, to_version=v, cdf=True)
+        .groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by = {r["_change_type"]: r["n"] for r in tombs}
+    if by.get("delete", 0) != m["deleted_rows"]:
+        raise AssertionError(f"cdc tombstones vs counter: {by} vs {m}")
+    return (
+        t.read()
+        .groupBy((F.pmod(F.col("doc_id"), F.lit(7))).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                F.when(F.col("lang") == "new", 1).otherwise(0)
+            ).alias("n_new"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# final state: documents minus %13==0, plus 5 synthetic inserts at
+# doc_id -100..-96 (lang 'new', 0 chars)
+ORACLE_Q191 = """
+WITH final AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT CAST(i - 100 AS BIGINT) AS doc_id, 'new' AS lang, 0 AS n_chars
+  FROM (SELECT unnest(range(5)) AS i)
+)
+SELECT ((doc_id % 7) + 7) % 7 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN lang = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new
+FROM final
+GROUP BY 1
+ORDER BY 1
+"""

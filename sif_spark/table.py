@@ -1875,6 +1875,16 @@ class SifTable:
         probes = self._bloom_probe_sets(m, source, keys)
         keep, rewrite = self._split_groups_by_keys(m, keys, bounds, probes)
         v = m["version"] + 1
+        if m.get("dv", False) and rewrite and dele and not upd:
+            # delete-only merge on a dv table (the CDC-erasure shape):
+            # tombstone the matched-and-condition-true rows instead of
+            # rewriting the touched groups — same zero-rewrite contract
+            # as delete_keys; an update clause still forces the rewrite
+            # (updated rows must change bytes)
+            return self._merge_delete_only_dv(
+                m, source, dele, ins, ins_cond, txns, v, keys, merged,
+                cols_next, bounds, probes, txn, rewrite,
+            )
         target = T._parse_datatype_string(m["schema"])
         groups = list(keep)
         seq = 0
@@ -2271,6 +2281,127 @@ class SifTable:
             )
         return out, snap_kt
 
+    def _merge_delete_only_dv(
+        self,
+        m: dict,
+        source: DataFrame,
+        dele: bool | str,
+        ins: bool | dict,
+        ins_cond: str | None,
+        txns: dict,
+        v: int,
+        keys: list[str],
+        merged: T.StructType,
+        cols_next: list[dict] | None,
+        bounds: list[tuple],
+        probes: tuple[dict, str],
+        txn: tuple[str, int] | None,
+        rewrite: list[dict],
+    ) -> int:
+        """Delete-only conditional MERGE, merge-on-read: matched pairs
+        where the delete condition holds become (group id, key)
+        tombstones in a dv sidecar — ZERO group rewrites; unmatched
+        source rows still insert as a plain added group. ANSI clause
+        semantics are unchanged (a key matched only by a deleted row
+        is still MATCHED — it does not insert)."""
+        u = self._read_groups_gid(m, rewrite, merged, cols_next, keys)
+        jcond = F.lit(True)
+        for k in keys:
+            jcond = jcond & (F.col(f"t.`{k}`") == F.col(f"s.`{k}`"))
+        j = u.alias("t").join(source.alias("s"), jcond, "inner")
+        del_c = (
+            F.expr(dele) if isinstance(dele, str) else F.lit(bool(dele))
+        )
+        del_c = F.coalesce(del_c, F.lit(False))
+        t_cols = [
+            F.col(f"t.`{f.name}`").alias(f.name) for f in merged.fields
+        ] + [F.col("t.__gid").alias("__gid")]
+        doomed = j.filter(del_c).select(*t_cols).localCheckpoint(
+            eager=False
+        )
+        per_gid, n_deleted, dv_entry = self._write_dv_sidecar(
+            doomed, keys, v, cols_next
+        )
+        groups = self._dv_bumped_groups(m, per_gid)
+        added: list[str] = []
+        inserts = None
+        if ins:
+            matched_keys = u.select(*keys).distinct()
+            s_new = source.join(matched_keys, on=keys, how="left_anti")
+            if ins_cond is not None:
+                s_new = s_new.alias("s").filter(
+                    F.coalesce(F.expr(ins_cond), F.lit(False))
+                )
+            if isinstance(ins, dict):
+                unset = [k for k in keys if k not in ins]
+                if unset:
+                    raise ValueError(
+                        "when_not_matched_insert mapping must set the "
+                        f"merge key(s) {unset}"
+                    )
+                ins_sel = [
+                    (
+                        F.expr(ins[f.name]).cast(f.dataType).alias(f.name)
+                        if f.name in ins
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    for f in merged.fields
+                ]
+                inserts = s_new.alias("s").select(*ins_sel)
+            else:
+                inserts = _align(s_new, merged)
+            ig = self._write_group(
+                inserts, v, 0, keys, m.get("bucket"),
+                m.get("key_bloom", False), cols_next
+            )
+            if int(ig["rows"]) > 0:
+                groups.append(ig)
+                added = [ig["id"]]
+            else:
+                inserts = None
+        cdc = None
+        if m.get("cdf", False) and n_deleted > 0:
+            cdc_df = doomed.drop("__gid").withColumn(
+                "_change_type", F.lit("delete")
+            )
+            if inserts is not None:
+                # a version's change file REPLACES its added groups in
+                # the feed — the inserts must ride along
+                cdc_df = cdc_df.unionByName(
+                    inserts.withColumn("_change_type", F.lit("insert"))
+                )
+            cdc = self._write_cdc(cdc_df, v, cols_next)
+        dvs = _carry_dvs(m, groups)
+        if dv_entry:
+            dvs.append(dv_entry)
+        manifest = {
+            "version": v,
+            "parent": m["version"],
+            "op": "merge",
+            "columns": cols_next,
+            "added": added,
+            "replaced_rows": 0,
+            "deleted_rows": n_deleted,
+            "txns": txns,
+            "key_col": m.get("key_col"),
+            "key_cols": m.get("key_cols"),
+            "bucket": m.get("bucket"),
+            "key_bloom": m.get("key_bloom", False),
+            "cdf": m.get("cdf", False),
+            "dv": True,
+            "dvs": dvs,
+            "schema": ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in merged.fields
+            ),
+            "groups": groups,
+        }
+        if cdc:
+            manifest["cdc"] = cdc
+        return self._commit_keyed(
+            self._stamp_floor(manifest, m), m, keys, bounds, probes, txn
+        )
+
     def _split_groups_by_keys(
         self, m: dict, keys: list[str], bounds: list[tuple],
         probes: tuple[dict, str],
@@ -2452,6 +2583,92 @@ class SifTable:
             self._stamp_floor(manifest, m), m, kcols, bounds, probes, txn
         )
 
+    def _read_groups_gid(
+        self,
+        m: dict,
+        groups: list[dict],
+        target: T.StructType,
+        columns: list[dict] | None,
+        kcols: list[str],
+    ) -> DataFrame:
+        """Aligned union of ``groups`` WITH each row's owning group id
+        (__gid, derived from the file path) and prior tombstones
+        anti-joined out — the read shape every dv-writing op needs
+        (already-deleted rows must never re-count or re-tombstone)."""
+        gid_expr = F.regexp_extract(
+            F.col("_metadata.file_path"), _GID_PAT, 1
+        ).alias("__gid")
+        parts = []
+        for g in groups:
+            df = self.spark.read.parquet(g["path"])
+            parts.append(
+                df.select(
+                    *_align_ids_select(
+                        df.columns, g.get("col_ids"), target, columns
+                    ),
+                    gid_expr,
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        gids = {g["id"] for g in groups}
+        prior = [
+            d for d in m.get("dvs") or [] if gids & set(d["gids"])
+        ]
+        if prior:
+            u = u.join(
+                F.broadcast(self._dv_frame(m, prior, columns)),
+                on=["__gid"] + kcols,
+                how="left_anti",
+            )
+        return u
+
+    def _write_dv_sidecar(
+        self,
+        doomed: DataFrame,
+        kcols: list[str],
+        v: int,
+        columns: list[dict] | None,
+    ) -> tuple[dict, int, dict | None]:
+        """(per-gid counts, total, manifest dv entry or None): count
+        the doomed (__gid + row) frame per group, then persist its
+        (group id, key tuple) sidecar under <table>/dv/."""
+        per_gid = {
+            r["__gid"]: int(r["n"])
+            for r in doomed.groupBy("__gid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        deleted = sum(per_gid.values())
+        if not deleted:
+            return per_gid, 0, None
+        did = f"d-{v:010d}-000-{uuid.uuid4().hex[:8]}"
+        dpath = f"{self.path}/dv/{did}"
+        doomed.select(
+            F.col("__gid").alias("_gid"), *[F.col(k) for k in kcols]
+        ).write.mode("overwrite").parquet(dpath)
+        id_of = {c["name"]: c["id"] for c in columns} if columns else {}
+        kids = {k: id_of[k] for k in kcols if k in id_of}
+        return per_gid, deleted, {
+            "path": dpath,
+            "rows": deleted,
+            "gids": sorted(g for g, n in per_gid.items() if n),
+            **({"col_ids": kids} if kids else {}),
+        }
+
+    @staticmethod
+    def _dv_bumped_groups(m: dict, per_gid: dict) -> list[dict]:
+        """m's groups BY REFERENCE in original order, the touched
+        entries' dv_rows metadata advanced — zero path changes."""
+        groups = []
+        for g in m["groups"]:
+            n = per_gid.get(g["id"], 0)
+            groups.append(
+                {**g, "dv_rows": int(g.get("dv_rows", 0)) + n} if n else g
+            )
+        return groups
+
     def _delete_keys_dv(
         self,
         m: dict,
@@ -2477,81 +2694,28 @@ class SifTable:
         bounded per-group count aggregate over the matched set."""
         target = T._parse_datatype_string(m["schema"])
         columns = _columns_of(m)
-        gid_expr = F.regexp_extract(
-            F.col("_metadata.file_path"), _GID_PAT, 1
-        ).alias("__gid")
-        parts = []
-        for g in touched:
-            df = self.spark.read.parquet(g["path"])
-            parts.append(
-                df.select(
-                    *_align_ids_select(
-                        df.columns, g.get("col_ids"), target, columns
-                    ),
-                    gid_expr,
-                )
-            )
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        gids_touched = {g["id"] for g in touched}
-        prior = [
-            d
-            for d in m.get("dvs") or []
-            if gids_touched & set(d["gids"])
-        ]
-        if prior:
-            # already-tombstoned rows must not re-count or re-tombstone
-            u = u.join(
-                F.broadcast(self._dv_frame(m, prior, columns)),
-                on=["__gid"] + kcols,
-                how="left_anti",
-            )
+        u = self._read_groups_gid(m, touched, target, columns, kcols)
         # lazily checkpointed: feeds the per-group counts, the sidecar
         # write AND the cdc write without re-running the joins
         doomed = u.join(keys_df, on=kcols, how="left_semi").localCheckpoint(
             eager=False
         )
-        per_gid = {
-            r["__gid"]: int(r["n"])
-            for r in doomed.groupBy("__gid")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        deleted = sum(per_gid.values())
-        dv_entry = None
+        per_gid, deleted, dv_entry = self._write_dv_sidecar(
+            doomed, kcols, v, columns
+        )
         cdc = None
-        if deleted:
-            did = f"d-{v:010d}-000-{uuid.uuid4().hex[:8]}"
-            dpath = f"{self.path}/dv/{did}"
-            doomed.select(
-                F.col("__gid").alias("_gid"), *[F.col(k) for k in kcols]
-            ).write.mode("overwrite").parquet(dpath)
-            id_of = {c["name"]: c["id"] for c in columns} if columns else {}
-            kids = {k: id_of[k] for k in kcols if k in id_of}
-            dv_entry = {
-                "path": dpath,
-                "rows": deleted,
-                "gids": sorted(g for g, n in per_gid.items() if n),
-                **({"col_ids": kids} if kids else {}),
-            }
-            if m.get("cdf", False):
-                cdc = self._write_cdc(
-                    doomed.drop("__gid").withColumn(
-                        "_change_type", F.lit("delete")
-                    ),
-                    v,
-                    columns,
-                )
+        if deleted and m.get("cdf", False):
+            cdc = self._write_cdc(
+                doomed.drop("__gid").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                v,
+                columns,
+            )
         # groups carry BY REFERENCE in their original order — only the
         # touched entries' dv_rows metadata advances (the q189 pin:
         # zero group paths change under a scattered dv delete)
-        groups = []
-        for g in m["groups"]:
-            n = per_gid.get(g["id"], 0)
-            groups.append(
-                {**g, "dv_rows": int(g.get("dv_rows", 0)) + n} if n else g
-            )
+        groups = self._dv_bumped_groups(m, per_gid)
         dvs = _carry_dvs(m, groups)
         if dv_entry:
             dvs.append(dv_entry)

@@ -221,3 +221,47 @@ def test_dv_guards_and_predicate_delete_policy(spark, tdir):
     assert m["deleted_rows"] == 8
     assert t.read().count() == 290
     assert t.read().filter("k < 10").count() == 0
+
+
+def test_dv_delete_only_merge_tombstones_without_rewrite(spark, tdir):
+    """A delete-only conditional MERGE on a dv table (the CDC-erasure
+    shape) tombstones instead of rewriting; unmatched source rows
+    still insert; an update clause forces the normal rewrite."""
+    t = _mk(spark, tdir, cdf=True)
+    paths = [g["path"] for g in t._load()["groups"]]
+    src = spark.createDataFrame(
+        [(k, "D" if k % 2 == 0 else "K") for k in (4, 5, 6, 7, 9000)],
+        "k long, op string",
+    )
+    v = t.merge(
+        src,
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert={"k": "s.k", "v": "'ins'"},
+        evolve_schema=False,
+    )
+    m = t._load(v)
+    assert m["op"] == "merge"
+    assert m["deleted_rows"] == 2 and m["replaced_rows"] == 0
+    # zero rewrites: the original group files all carry by reference
+    assert [g["path"] for g in m["groups"][:3]] == paths
+    assert len(m["groups"]) == 4  # + the insert group
+    out = t.read()
+    assert out.count() == 299  # 300 - 2 deleted + 1 inserted
+    assert out.filter("k IN (4, 6)").count() == 0
+    assert out.filter("k IN (5, 7)").count() == 2  # matched, op K: kept
+    assert out.filter("k = 9000").collect()[0]["v"] == "ins"
+    # cdf: tombstones AND the rider inserts in one change file
+    ch = t.changes(v - 1, to_version=v, cdf=True)
+    by = {r["_change_type"] for r in ch.select("_change_type").collect()}
+    assert by == {"delete", "insert"}
+    assert ch.filter("_change_type = 'delete'").count() == 2
+    # an update clause still rewrites (bytes must change)
+    v2 = t.merge(
+        spark.createDataFrame([(10, "z")], "k long, v string"),
+        when_matched_update={"v": "s.v"},
+        when_matched_delete="false",
+    )
+    m2 = t._load(v2)
+    assert m2["replaced_rows"] == 1
+    assert t.read().filter("k = 10").collect()[0]["v"] == "z"
+    assert t.read().count() == 299

@@ -173,6 +173,7 @@ TAIL = [
     "q188_table_composite_key",
     "q189_table_deletion_vectors",
     "q190_stream_cdc_apply",
+    "q191_dv_erasure_merge",
 ]
 
 
