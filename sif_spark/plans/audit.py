@@ -158,6 +158,13 @@ _VOLATILE = [
     # nondeterministic-expression seeds are drawn fresh per build
     # (salted operators use rand() for bucket assignment)
     (re.compile(r"\b(rand|randn|uuid|shuffle)\(-?\d+"), r"\1("),
+    # higher-order-function lambda variables are numbered by a
+    # SESSION-CUMULATIVE counter (x_1 in a fresh session, x_5 after
+    # other lambdas ran) — round 13 found 34 phantom "plan changed"
+    # flags when the bench control basket shifted the counter for
+    # every later lambda-bearing entry. Runs after the #\d+ rule, so
+    # the variable always reads like `lambda x_1#`.
+    (re.compile(r"\blambda (\w+?)_\d+#"), r"lambda \1_#"),
 ]
 
 

@@ -1075,3 +1075,29 @@ def test_sif_table_dim_auto_broadcasts_and_ds_boundary(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_plan_fingerprint_normalizes_lambda_counter(spark):
+    """Higher-order-function lambda variables carry a SESSION-
+    cumulative counter (x_1 fresh, x_5 after other lambdas) — round
+    13's control basket exposed 34 phantom 'plan changed' flags.
+    The fingerprint must not see it."""
+    from pyspark.sql import functions as F
+
+    from sif_spark.plans import plan_fingerprint
+
+    def build():
+        return spark.range(5).select(
+            F.filter(
+                F.split(F.lit("a b c"), " "),
+                lambda x: x != F.lit(""),
+            ).alias("t")
+        )
+
+    a = plan_fingerprint(build())
+    # burn some lambda counter in between
+    spark.range(3).select(
+        F.transform(F.array(F.lit(1)), lambda v: v + 1).alias("z")
+    ).collect()
+    b = plan_fingerprint(build())
+    assert a == b
