@@ -86,6 +86,13 @@ _BLOOM_MAX_BITS = 1 << 18
 _BLOOM_SEEDS = (1315423911, 2654435761)
 _BLOOM_UPDATE_KEY_CAP = 100_000
 
+# deletion-vector anti-join build side: broadcast below this many live
+# tombstone rows (a dict of key tuples per executor — comfortably
+# inside default executor memory), shuffled hash anti-join above it.
+# compact() reconciling keeps real tables far below; the threshold
+# removes the contract ASSUMPTION for tables that never compact.
+_DV_BROADCAST_MAX_ROWS = 2_000_000
+
 
 def _bloom_hash_cols(keys: list[str]) -> list:
     """Seeded probe hashes over the key TUPLE: one xxhash64 chain per
@@ -1107,10 +1114,15 @@ class SifTable:
             out = out.unionByName(p)
         if dvs:
             keys = _key_cols(m)
+            dvf = self._dv_frame(m, dvs, columns)
+            if sum(int(d["rows"]) for d in dvs) <= _DV_BROADCAST_MAX_ROWS:
+                dvf = F.broadcast(dvf)
+            # else: an uncompacted table grew its tombstone set past
+            # the broadcast budget — fall back to Spark's own join
+            # planning (shuffled hash anti-join) instead of forcing a
+            # too-big broadcast
             out = out.join(
-                F.broadcast(self._dv_frame(m, dvs, columns)),
-                on=["__gid"] + keys,
-                how="left_anti",
+                dvf, on=["__gid"] + keys, how="left_anti"
             ).drop("__gid")
         return out
 
@@ -2617,11 +2629,10 @@ class SifTable:
             d for d in m.get("dvs") or [] if gids & set(d["gids"])
         ]
         if prior:
-            u = u.join(
-                F.broadcast(self._dv_frame(m, prior, columns)),
-                on=["__gid"] + kcols,
-                how="left_anti",
-            )
+            pf = self._dv_frame(m, prior, columns)
+            if sum(int(d["rows"]) for d in prior) <= _DV_BROADCAST_MAX_ROWS:
+                pf = F.broadcast(pf)
+            u = u.join(pf, on=["__gid"] + kcols, how="left_anti")
         return u
 
     def _write_dv_sidecar(
