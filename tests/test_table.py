@@ -2016,3 +2016,41 @@ def test_rebase_commit_deterministic_remints_version_dirs(spark, tdir):
     ch = tb.changes(3)
     assert {r["_commit_version"] for r in ch.select("_commit_version").distinct().collect()} == {4}
     assert ch.filter("v = 'IB'").count() == 100
+
+
+def test_merge_raw_source_conditions_and_evolve_schema_flag(spark, tdir):
+    """merge() clause conditions see the RAW source (a CDC op column
+    steers clauses without joining the table schema), and
+    evolve_schema picks whether source-only columns evolve the table:
+    default True appends them; False pins the schema."""
+    t = SifTable.create(spark, tdir, _df(spark, 0, 10, "a"), key_col="k")
+    src = spark.createDataFrame(
+        [(2, "x", "D"), (3, "y", "U"), (50, "z", "U")],
+        "k long, v string, op string",
+    )
+    t.merge(
+        src,
+        when_matched_delete="s.op = 'D'",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert={"k": "s.k", "v": "s.v"},
+        evolve_schema=False,
+    )
+    out = t.read()
+    assert set(out.columns) == {"k", "v"}  # op never became a column
+    assert out.count() == 10  # 10 - 1 deleted + 1 inserted
+    assert out.filter("k = 2").count() == 0
+    assert out.filter("k = 3").collect()[0]["v"] == "y"
+    assert out.filter("k = 50").collect()[0]["v"] == "z"
+    # default evolve: a source-only column joins the schema (NULL for
+    # pre-existing rows), insert via ins=True aligns it
+    t2 = SifTable.create(
+        spark, f"{tdir}/t2", _df(spark, 0, 5, "a"), key_col="k"
+    )
+    t2.merge(
+        spark.createDataFrame([(9, "n", 7)], "k long, v string, extra int"),
+        when_not_matched_insert=True,
+    )
+    out2 = t2.read()
+    assert "extra" in out2.columns
+    assert out2.filter("k = 9").collect()[0]["extra"] == 7
+    assert out2.filter("k = 1").collect()[0]["extra"] is None
