@@ -302,3 +302,45 @@ def test_maintainer_handles_corpus_merge(spark, dirs):
     assert idx.count() == src.read().count()
     # deleted keys retired: matched (40..59) where %7==0 -> 42,49,56
     assert idx.filter("nid IN (42, 49, 56)").count() == 0
+
+
+def test_cdf_maintain_folds_dv_deletes(spark, dirs):
+    """Round-13 interaction pin: a DELETION-VECTOR corpus (dv=True —
+    deletes tombstone sidecars, zero group rewrites) still feeds the
+    cdf maintainer exactly — dv deletes materialize the same cdc
+    tombstone images, so the index retires them with no code change;
+    a dv-table delete-only MERGE folds the same way."""
+    src_path, idx_path, ck = dirs
+    src = SifTable.create(
+        spark, src_path, _vecs(spark, 0, 80), key_col="vec_id",
+        cdf=True, dv=True,
+    )
+    centroids = sgsim.build_ivf_index(
+        _vecs(spark, 0, 80), n_cells=4, max_iter=2
+    ).centroids
+    src.append(_vecs(spark, 80, 140))
+    paths_before = [g["path"] for g in src._load()["groups"]]
+    # dv delete: scattered keys, zero rewrites
+    src.delete_keys(
+        spark.range(0, 140).filter("id % 6 = 1").select(
+            F.col("id").alias("vec_id")
+        )
+    )
+    # dv delete-only merge (erasure batch)
+    src.merge(
+        spark.range(0, 140).filter("id % 35 = 0").select(
+            F.col("id").alias("vec_id")
+        ),
+        when_matched_delete=True,
+    )
+    assert [g["path"] for g in src._load()["groups"]] == paths_before
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="dv",
+        cdf=True,
+    )
+    _drain(q)
+    _assert_index_exact(spark, idx_path, src.read(), centroids)
+    idx = SifTable(spark, idx_path).read()
+    assert idx.count() == src.read().count()
+    assert idx.filter("nid % 6 = 1").count() == 0
+    assert idx.filter("nid % 35 = 0").count() == 0
