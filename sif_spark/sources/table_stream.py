@@ -503,28 +503,62 @@ def _aligned_arrow_batches(
     out = pa.Table.from_arrays(cols, schema=target)
     dv = getattr(partition, "dv", None)
     if dv and out.num_rows:
-        import pandas as pd
-
         keys = list(dv["keys"])
-        frames = []
-        for fpath, kmap in dv["files"]:
-            tb = pq.read_table(
-                fpath, columns=["_gid"] + [kmap[k] for k in keys]
-            )
-            tb = tb.filter(pa.compute.equal(tb.column("_gid"), dv["gid"]))
-            if tb.num_rows:
-                pdf = tb.to_pandas().rename(
-                    columns={kmap[k]: k for k in keys}
-                )
-                frames.append(pdf[keys])
-        if frames:
-            tomb = pd.concat(frames).drop_duplicates()
+        tomb = _dv_tombstones(dv["gid"], tuple(
+            (f, tuple(sorted(kmap.items()))) for f, kmap in dv["files"]
+        ), tuple(keys))
+        if tomb is not None:
+            import pandas as pd  # noqa: F401  (tomb is a pandas frame)
+
             rows = out.select(keys).to_pandas()
             hit = rows.merge(
                 tomb.assign(__tomb=1), on=keys, how="left"
             )["__tomb"].isna()
             out = out.filter(pa.array(hit.to_numpy()))
     yield from out.to_batches()
+
+
+# Worker-global tombstone cache (ADVICE r13 low): a dv-covered group
+# usually holds several data files -> several partitions, and every
+# partition used to re-read EVERY sidecar parquet and re-filter to its
+# gid — O(data_files x dv_files) repeated I/O. Python workers are
+# reused across tasks (spark.python.worker.reuse default), so a small
+# keyed cache makes each (gid, sidecar set) load once per worker.
+# Tombstone frames are small by contract (compact() reconciles);
+# the cache is bounded and evicts FIFO.
+_DV_CACHE: dict = {}
+_DV_CACHE_MAX = 64
+
+
+def _dv_tombstones(gid: str, files_key: tuple, keys: tuple):
+    """The deduplicated tombstone key-frame for ``gid`` over the given
+    sidecar files, cached per worker. None = no tombstones for gid."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ck = (gid, files_key, keys)
+    if ck in _DV_CACHE:
+        return _DV_CACHE[ck]
+    frames = []
+    for fpath, kmap_items in files_key:
+        kmap = dict(kmap_items)
+        tb = pq.read_table(
+            fpath, columns=["_gid"] + [kmap[k] for k in keys]
+        )
+        tb = tb.filter(pa.compute.equal(tb.column("_gid"), gid))
+        if tb.num_rows:
+            pdf = tb.to_pandas().rename(
+                columns={kmap[k]: k for k in keys}
+            )
+            frames.append(pdf[list(keys)])
+    tomb = (
+        pd.concat(frames).drop_duplicates() if frames else None
+    )
+    if len(_DV_CACHE) >= _DV_CACHE_MAX:
+        _DV_CACHE.pop(next(iter(_DV_CACHE)))
+    _DV_CACHE[ck] = tomb
+    return tomb
 
 
 class _SifTableBatchReader(DataSourceReader):
@@ -945,6 +979,19 @@ class _SifTableBatchWriter(DataSourceArrowWriter):
                 "bucket": None,
                 "key_bloom": bool(m.get("key_bloom", False)) if m else False,
                 "cdf": bool(m.get("cdf", False)) if m else False,
+                # dv/dvs carry EXACTLY like SifTable.append/overwrite
+                # (ADVICE r13 high): omitting them on an append to a
+                # dv=True table with live tombstones published a head
+                # with no dvs list — every tombstoned row silently
+                # resurrected for all subsequent reads. Overwrite
+                # keeps the dv property but clears the sidecars (the
+                # old groups they cover leave the snapshot), mirroring
+                # SifTable.overwrite.
+                "dv": bool(m.get("dv", False)) if m else False,
+                "dvs": (
+                    [] if (self.overwrite or m is None)
+                    else (m.get("dvs") or [])
+                ),
                 "txns": txns,
                 "added": added,
                 "schema": ddl,
