@@ -138,6 +138,11 @@ def merge_partials(
 
     session = batch_df.sparkSession
     names = list(sums)
+    # ONE read of the Python streaming source per fold: the emptiness
+    # check, the version-window collect and the partial aggregate all
+    # rescan this in-memory checkpoint instead of re-planning the DSV2
+    # source per action (guide §4.1)
+    batch_df = batch_df.localCheckpoint(eager=True)
     if batch_df.isEmpty():
         # a version window of deletes/compactions feeds an empty batch:
         # nothing to fold, nothing to commit — skipping is replay-safe
@@ -238,4 +243,8 @@ def merge_partials(
             for n in names
         ],
     )
+    # batch-sized (left join keeps only the batch's keys); materialize
+    # once so the upsert's bounds/probe/write actions don't each re-scan
+    # the whole view for the join
+    merged = merged.localCheckpoint(eager=True)
     dst.upsert(merged, txn=(app_id, epoch_id))

@@ -787,27 +787,29 @@ def maintain_ivf_index_table(
 
     def _assign(df: DataFrame, meta: "AnnGenMeta | None"):
         """(assigned rows, batch mean dist2 or None) against the
-        CURRENT generation's centroids/codebook."""
+        CURRENT generation's centroids/codebook. The RETURNED frame is
+        eagerly materialized (one localCheckpoint holding assignment +
+        codes + gen): the merge downstream runs ~4 actions over it
+        (key bounds, bloom probes, group writes) and each would
+        otherwise re-run both GEMMs — and re-read the batch source —
+        per action."""
         cents = meta.centroids if meta else centroids
         cb = meta.codebook if meta else pq_codebook
-        mean_d = None
-        if refresh_on:
-            assigned = assign_cells(
-                df, cents, vec_col=vec_col, id_col=id_col,
-                with_distance=True,
-            ).localCheckpoint(eager=True)
-            row = assigned.agg(F.avg("dist2").alias("d")).collect()[0]
-            mean_d = float(row["d"]) if row["d"] is not None else None
-            assigned = assigned.drop("dist2")
-        else:
-            assigned = assign_cells(
-                df, cents, vec_col=vec_col, id_col=id_col
-            )
+        assigned = assign_cells(
+            df, cents, vec_col=vec_col, id_col=id_col,
+            with_distance=refresh_on,
+        )
         if cb is not None:
             codes = pq_encode(df, cb, vec_col=vec_col, id_col=id_col)
             assigned = assigned.join(codes, "nid")  # batch-local join
         if meta is not None:
             assigned = assigned.withColumn("gen", F.lit(meta.gen))
+        assigned = assigned.localCheckpoint(eager=True)
+        mean_d = None
+        if refresh_on:
+            row = assigned.agg(F.avg("dist2").alias("d")).collect()[0]
+            mean_d = float(row["d"]) if row["d"] is not None else None
+            assigned = assigned.drop("dist2")
         return assigned, mean_d
 
     def _merge(session, assigned: DataFrame, txn: tuple) -> "SifTable | None":
@@ -950,6 +952,13 @@ def maintain_ivf_index_table(
         _save_probe_state(rows_now)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        # ONE read of the Python streaming source per fold: the batch
+        # is checkpointed eagerly up front, so the emptiness check and
+        # every derived frame (window dedup, assignment, the merge's
+        # bounds/probe/write actions) rescan the in-memory copy
+        # instead of re-planning the DSV2 source (guide §4.1 — each
+        # re-evaluation crossed the JVM<->Python boundary again)
+        batch_df = batch_df.localCheckpoint(eager=True)
         if batch_df.isEmpty():
             return  # compact/no-op window: nothing to fold
         session = batch_df.sparkSession

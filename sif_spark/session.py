@@ -30,6 +30,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Lz4 matches the reference's spill/shuffle codec (SURVEY.md §4.2).
     "spark.io.compression.codec": "lz4",
+    # FileOutputCommitter v2: task commits move files into the final
+    # dir directly instead of a second job-commit rename pass. Every
+    # sif_spark write lands in a fresh unique dir whose visibility is
+    # gated by a separate commit (SifTable manifests, the epoch
+    # stores' _SUCCESS marker), so v1's job-level atomicity buys
+    # nothing here — v2 drops one rename per written file, which at
+    # 100 TB (or on object stores) is the difference between an O(1)
+    # and O(files) commit tail.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
     # Read parquet TIMESTAMP(NANOS) (which Spark has no native type for)
     # as long nanos; sources.parquet converts to microsecond timestamps.
     "spark.sql.legacy.parquet.nanosAsLong": "true",

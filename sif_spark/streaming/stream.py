@@ -932,6 +932,12 @@ def merge_changes_into_table(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # ONE read of the Python streaming source per batch: merge runs
+        # several actions over its source (cardinality/bounds aggregate,
+        # bloom probes, the clause writes, the cdf change file) and each
+        # would otherwise re-plan the DSV2 source and re-pay the window
+        # (guide §4.1 — cross the JVM<->Python boundary once)
+        latest = latest.localCheckpoint(eager=True)
         t.merge(
             latest,
             when_matched_delete="s.`_change_type` = 'delete'",

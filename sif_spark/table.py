@@ -74,6 +74,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 _MANIFESTS = "_manifests"
+# Per-write Hadoop option (DataFrameWriter options merge into the write
+# job's Hadoop conf): skip the _SUCCESS marker for table-internal dirs,
+# whose visibility is gated by the manifest commit instead. NOT set
+# globally — pipeline.py's epoch stores use _SUCCESS as their commit
+# marker and must keep it.
+_NO_SUCCESS_OPT = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
 
 # per-group key Bloom filters (file skipping beyond min/max ranges),
 # OPT-IN per table (create(key_bloom=True) — the same explicit-index
@@ -790,6 +796,10 @@ class SifTable:
         for c in stat_cols:
             agg += [F.min(c).alias(f"min::{c}"), F.max(c).alias(f"max::{c}")]
         observed = df.observe(obs, *agg)
+        # no _SUCCESS marker: group visibility is gated by the manifest
+        # commit, not by the dir contents — the marker is pure commit-
+        # tail latency (its cost repeats on every group of every
+        # mutation, incl. each streaming fold's micro-commit)
         if bucket:
             # bucketed group: hash-clustered files + a session-catalog
             # external table (the same mechanics as the epoch stores'
@@ -799,11 +809,14 @@ class SifTable:
                 observed.write.mode("overwrite")
                 .bucketBy(bucket["n"], bucket["col"])
                 .option("path", gpath)
+                .option(_NO_SUCCESS_OPT, "false")
                 .format("parquet")
                 .saveAsTable(self._group_table_name(gpath))
             )
         else:
-            observed.write.mode("overwrite").parquet(gpath)
+            observed.write.mode("overwrite").option(
+                _NO_SUCCESS_OPT, "false"
+            ).parquet(gpath)
         row = obs.get
         # exact on-disk bytes (one driver-side listing of the group we
         # just wrote): feeds size_bytes() → read()'s automatic
@@ -888,7 +901,9 @@ class SifTable:
         cpath = f"{self.path}/cdc/{cid}"
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        observed.write.mode("overwrite").parquet(cpath)
+        observed.write.mode("overwrite").option(
+            _NO_SUCCESS_OPT, "false"
+        ).parquet(cpath)
         out = {
             "path": cpath,
             "rows": int(obs.get["rows"]),
@@ -2725,7 +2740,9 @@ class SifTable:
         written = doomed.select(
             F.col("__gid").alias("_gid"), *[F.col(k) for k in kcols]
         )
-        written.write.mode("overwrite").parquet(dpath)
+        written.write.mode("overwrite").option(
+            _NO_SUCCESS_OPT, "false"
+        ).parquet(dpath)
         id_of = {c["name"]: c["id"] for c in columns} if columns else {}
         kids = {k: id_of[k] for k in kcols if k in id_of}
         return per_gid, deleted, {
