@@ -81,6 +81,22 @@ _MANIFESTS = "_manifests"
 # marker and must keep it.
 _NO_SUCCESS_OPT = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
 
+
+def _parallel_jobs(*thunks):
+    """Run independent Spark actions from driver threads (guide §2.6:
+    the scheduler happily runs several jobs at once — a later job's
+    tasks back-fill executors freed by the earlier job's tail, and two
+    independent group writes overlap instead of serializing their
+    commit latencies). Returns results in thunk order; the first
+    failure propagates after all threads settle."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return [f.result() for f in futs]
+
 # per-group key Bloom filters (file skipping beyond min/max ranges),
 # OPT-IN per table (create(key_bloom=True) — the same explicit-index
 # posture as Delta's bloom indexes, so the default write path stays
@@ -1737,15 +1753,24 @@ class SifTable:
             # survivor rewrite
             old_union = self._read_groups(m, rewrite, target, _columns_of(m))
             survivors = old_union.join(upd_keys, on=keys, how="left_anti")
-            surv_group = self._write_group(
-                _align(survivors, merged), v, seq, keys, m.get("bucket"),
-                m.get("key_bloom", False), cols_next
+            # the survivor rewrite and the update-group write are
+            # independent jobs — overlap them (guide §2.6)
+            surv_group, upd_group = _parallel_jobs(
+                lambda: self._write_group(
+                    _align(survivors, merged), v, 0, keys, m.get("bucket"),
+                    m.get("key_bloom", False), cols_next
+                ),
+                lambda: self._write_group(
+                    _align(updates, merged), v, 1, keys, m.get("bucket"),
+                    m.get("key_bloom", False), cols_next
+                ),
             )
             groups.append(surv_group)
-            seq += 1
-        upd_group = self._write_group(_align(updates, merged), v, seq, keys,
-                                      m.get("bucket"), m.get("key_bloom", False),
-                                      cols_next)
+        else:
+            upd_group = self._write_group(
+                _align(updates, merged), v, seq, keys, m.get("bucket"),
+                m.get("key_bloom", False), cols_next
+            )
         groups.append(upd_group)
         # EXACT replacement count, free from the write jobs' stats: the
         # rows that left the rewritten groups are the matched keys. A
@@ -1967,7 +1992,7 @@ class SifTable:
         # (keep-groups PROVABLY hold no source key, so "unmatched"
         # only needs the anti-join against the touched groups)
         old_union = None
-        updated = deleted_pre = None
+        updated = deleted_pre = rewritten = None
         n_updated = n_deleted = 0
         if rewrite and (upd or dele):
             old_union = self._read_groups(m, rewrite, merged, cols_next)
@@ -2023,12 +2048,6 @@ class SifTable:
             n_updated = updated.count()
             n_deleted = deleted_pre.count()
             rewritten = survivors.unionByName(untouched).unionByName(updated)
-            wg = self._write_group(
-                _align(rewritten, merged), v, seq, keys, m.get("bucket"),
-                m.get("key_bloom", False), cols_next
-            )
-            if int(wg["rows"]) > 0:
-                groups.append(wg)
             seq += 1
         elif rewrite:
             # insert-only merge: matched rows are untouched — carry the
@@ -2070,10 +2089,26 @@ class SifTable:
                 inserts = s_new.alias("s").select(*ins_sel)
             else:
                 inserts = _align(s_new, merged)
-            ig = self._write_group(
-                inserts, v, seq, keys, m.get("bucket"),
-                m.get("key_bloom", False), cols_next
-            )
+        # the rewritten-group write and the insert-group write are
+        # independent jobs — overlap them (guide §2.6)
+        wg = ig = None
+        _w_rewrite = lambda: self._write_group(  # noqa: E731
+            _align(rewritten, merged), v, 0, keys, m.get("bucket"),
+            m.get("key_bloom", False), cols_next
+        )
+        _w_ins = lambda i=inserts, s=seq: self._write_group(  # noqa: E731
+            i, v, s, keys, m.get("bucket"),
+            m.get("key_bloom", False), cols_next
+        )
+        if rewritten is not None and inserts is not None:
+            wg, ig = _parallel_jobs(_w_rewrite, _w_ins)
+        elif rewritten is not None:
+            wg = _w_rewrite()
+        elif inserts is not None:
+            ig = _w_ins()
+        if wg is not None and int(wg["rows"]) > 0:
+            groups.append(wg)
+        if ig is not None:
             if int(ig["rows"]) > 0:
                 groups.append(ig)
                 added = [ig["id"]]
@@ -2410,11 +2445,6 @@ class SifTable:
         doomed = j.filter(del_c).select(*t_cols).localCheckpoint(
             eager=False
         )
-        per_gid, n_deleted, dv_entry = self._write_dv_sidecar(
-            doomed, keys, v, cols_next
-        )
-        groups = self._dv_bumped_groups(m, per_gid)
-        added: list[str] = []
         inserts = None
         if ins:
             matched_keys = u.select(*keys).distinct()
@@ -2441,10 +2471,25 @@ class SifTable:
                 inserts = s_new.alias("s").select(*ins_sel)
             else:
                 inserts = _align(s_new, merged)
-            ig = self._write_group(
-                inserts, v, 0, keys, m.get("bucket"),
-                m.get("key_bloom", False), cols_next
+        # the dv-sidecar pipeline (per-gid counts + tombstone write)
+        # and the insert-group write are independent jobs — overlap
+        # them (guide §2.6)
+        if inserts is not None:
+            (per_gid, n_deleted, dv_entry), ig = _parallel_jobs(
+                lambda: self._write_dv_sidecar(doomed, keys, v, cols_next),
+                lambda: self._write_group(
+                    inserts, v, 0, keys, m.get("bucket"),
+                    m.get("key_bloom", False), cols_next
+                ),
             )
+        else:
+            per_gid, n_deleted, dv_entry = self._write_dv_sidecar(
+                doomed, keys, v, cols_next
+            )
+            ig = None
+        groups = self._dv_bumped_groups(m, per_gid)
+        added: list[str] = []
+        if ig is not None:
             if int(ig["rows"]) > 0:
                 groups.append(ig)
                 added = [ig["id"]]
