@@ -136,14 +136,25 @@ def merge_partials(
     replacements/deletes maintain the view exactly."""
     from sif_spark.table import ChangeFeedIncompleteError, SifTable
 
+    from pyspark.sql import Observation
+
     session = batch_df.sparkSession
     names = list(sums)
     # ONE read of the Python streaming source per fold: the emptiness
-    # check, the version-window collect and the partial aggregate all
-    # rescan this in-memory checkpoint instead of re-planning the DSV2
-    # source per action (guide §4.1)
-    batch_df = batch_df.localCheckpoint(eager=True)
-    if batch_df.isEmpty():
+    # check, the version-window set and the partial aggregate all come
+    # off this in-memory checkpoint instead of re-planning the DSV2
+    # source per action (guide §4.1). The row count AND the distinct
+    # version set ride the checkpoint job itself as observed metrics —
+    # the old isEmpty + distinct().collect() pair cost two more action
+    # waves per micro-batch for numbers the materialization job
+    # already knows.
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if not cdf and src_path is not None:
+        aggs.append(F.collect_set("_commit_version").alias("vers"))
+    batch_df = batch_df.observe(obs, *aggs).localCheckpoint(eager=True)
+    row = obs.get
+    if int(row["n"]) == 0:
         # a version window of deletes/compactions feeds an empty batch:
         # nothing to fold, nothing to commit — skipping is replay-safe
         # because an epoch that committed nothing can't double anything
@@ -151,10 +162,7 @@ def merge_partials(
         return
     if not cdf and src_path is not None:
         src = SifTable(session, src_path)
-        row_versions = [
-            int(r["_commit_version"])
-            for r in batch_df.select("_commit_version").distinct().collect()
-        ]
+        row_versions = [int(x) for x in row["vers"]]
         # Scan the full CONTIGUOUS manifest range covered by this
         # batch, not just the versions that contributed rows: a pure
         # removal version (delete/restore) emits no rows, so a

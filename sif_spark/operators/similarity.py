@@ -792,7 +792,11 @@ def maintain_ivf_index_table(
         codes + gen): the merge downstream runs ~4 actions over it
         (key bounds, bloom probes, group writes) and each would
         otherwise re-run both GEMMs — and re-read the batch source —
-        per action."""
+        per action. The staleness statistic (mean dist2) rides the
+        SAME checkpoint job as an observed metric — the old separate
+        avg() aggregate cost one more action wave per fold."""
+        from pyspark.sql import Observation
+
         cents = meta.centroids if meta else centroids
         cb = meta.codebook if meta else pq_codebook
         assigned = assign_cells(
@@ -804,12 +808,17 @@ def maintain_ivf_index_table(
             assigned = assigned.join(codes, "nid")  # batch-local join
         if meta is not None:
             assigned = assigned.withColumn("gen", F.lit(meta.gen))
-        assigned = assigned.localCheckpoint(eager=True)
         mean_d = None
         if refresh_on:
-            row = assigned.agg(F.avg("dist2").alias("d")).collect()[0]
-            mean_d = float(row["d"]) if row["d"] is not None else None
+            obs = Observation()
+            assigned = assigned.observe(
+                obs, F.avg("dist2").alias("d")
+            ).localCheckpoint(eager=True)
+            d = obs.get["d"]
+            mean_d = float(d) if d is not None else None
             assigned = assigned.drop("dist2")
+        else:
+            assigned = assigned.localCheckpoint(eager=True)
         return assigned, mean_d
 
     def _merge(session, assigned: DataFrame, txn: tuple) -> "SifTable | None":
@@ -952,14 +961,21 @@ def maintain_ivf_index_table(
         _save_probe_state(rows_now)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Observation
+
         # ONE read of the Python streaming source per fold: the batch
         # is checkpointed eagerly up front, so the emptiness check and
         # every derived frame (window dedup, assignment, the merge's
         # bounds/probe/write actions) rescan the in-memory copy
         # instead of re-planning the DSV2 source (guide §4.1 — each
-        # re-evaluation crossed the JVM<->Python boundary again)
-        batch_df = batch_df.localCheckpoint(eager=True)
-        if batch_df.isEmpty():
+        # re-evaluation crossed the JVM<->Python boundary again). The
+        # row count rides the checkpoint job as an observed metric —
+        # the old isEmpty probe was one more action wave per fold.
+        obs = Observation()
+        batch_df = batch_df.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True)
+        if int(obs.get["n"]) == 0:
             return  # compact/no-op window: nothing to fold
         session = batch_df.sparkSession
         from pyspark.sql import Window
@@ -1006,7 +1022,22 @@ def maintain_ivf_index_table(
             )
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            .localCheckpoint(eager=False)
         )
+        # ONE aggregate settles both emptiness gates and materializes
+        # the window result — the old ups.isEmpty() + dels.isEmpty()
+        # pair re-ran the window per probe, and the retire's own
+        # actions re-ran it again over the un-checkpointed frame
+        crow = fin.agg(
+            F.sum(
+                F.when(F.col("_change_type") != "delete", 1).otherwise(0)
+            ).alias("nu"),
+            F.sum(
+                F.when(F.col("_change_type") == "delete", 1).otherwise(0)
+            ).alias("nd"),
+        ).collect()[0]
+        n_ups = int(crow["nu"] or 0)
+        n_dels = int(crow["nd"] or 0)
         ups = fin.filter(F.col("_change_type") != "delete")
         dels = fin.filter(F.col("_change_type") == "delete").select(
             F.col(id_col).alias("nid")
@@ -1019,7 +1050,7 @@ def maintain_ivf_index_table(
         dst = None
         meta = _meta_for(session)
         mean_d = None
-        if not ups.isEmpty():
+        if n_ups:
             assigned, mean_d = _assign(ups, meta)
             dst = _merge(session, assigned, (app_id, base))
         else:
@@ -1028,7 +1059,7 @@ def maintain_ivf_index_table(
                 dst._load()
             except FileNotFoundError:
                 dst = None  # nothing to retire from yet
-        if dst is not None and not dels.isEmpty():
+        if dst is not None and n_dels:
             dst.delete_keys(dels, txn=(app_id, base + 1))
         _maybe_refresh(session, meta, mean_d, epoch_id)
 

@@ -1747,15 +1747,23 @@ class SifTable:
         target = T._parse_datatype_string(m["schema"])
         old_union = None
         surv_group = None
+        cdc_spec = None
         upd_keys = updates.select(*keys).distinct()
         if rewrite:
             # dv-aware: tombstoned rows must not resurrect into the
             # survivor rewrite
             old_union = self._read_groups(m, rewrite, target, _columns_of(m))
             survivors = old_union.join(upd_keys, on=keys, how="left_anti")
-            # the survivor rewrite and the update-group write are
-            # independent jobs — overlap them (guide §2.6)
-            surv_group, upd_group = _parallel_jobs(
+            # the survivor rewrite, the update-group write and (on a
+            # cdf table) the change-file write are independent jobs —
+            # overlap all three (guide §2.6). The cdc write is
+            # SPECULATIVE: its content never depends on the exact
+            # replaced count, only the manifest's reference does — a
+            # bloom/range false positive (replaced == 0) leaves the
+            # file an invisible orphan, exactly like a pre-commit
+            # crash, instead of serializing every cdf upsert behind
+            # the survivor write.
+            thunks = [
                 lambda: self._write_group(
                     _align(survivors, merged), v, 0, keys, m.get("bucket"),
                     m.get("key_bloom", False), cols_next
@@ -1764,7 +1772,42 @@ class SifTable:
                     _align(updates, merged), v, 1, keys, m.get("bucket"),
                     m.get("key_bloom", False), cols_next
                 ),
-            )
+            ]
+            if m.get("cdf", False):
+                # the version's full CDC: pre-images (matched old
+                # rows), post-images (updates whose key existed),
+                # inserts (the rest) — one change file, read by
+                # changes(cdf=True)
+                matched_old = _align(
+                    old_union.join(upd_keys, on=keys, how="left_semi"),
+                    merged,
+                )
+                matched_keys = matched_old.select(*keys).distinct()
+                upd_aligned = _align(updates, merged)
+                cdc_df = (
+                    matched_old.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    )
+                    .unionByName(
+                        upd_aligned.join(
+                            matched_keys, on=keys, how="left_semi"
+                        ).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    .unionByName(
+                        upd_aligned.join(
+                            matched_keys, on=keys, how="left_anti"
+                        ).withColumn("_change_type", F.lit("insert"))
+                    )
+                )
+                thunks.append(
+                    lambda: self._write_cdc(cdc_df, v, cols_next)
+                )
+            res = _parallel_jobs(*thunks)
+            surv_group, upd_group = res[0], res[1]
+            if len(res) > 2:
+                cdc_spec = res[2]
             groups.append(surv_group)
         else:
             upd_group = self._write_group(
@@ -1781,32 +1824,7 @@ class SifTable:
             if rewrite
             else 0
         )
-        cdc = None
-        if m.get("cdf", False) and replaced > 0:
-            # the version's full CDC: pre-images (matched old rows),
-            # post-images (updates whose key existed), inserts (the
-            # rest) — one change file, read by changes(cdf=True)
-            matched_old = _align(
-                old_union.join(upd_keys, on=keys, how="left_semi"), merged
-            )
-            matched_keys = matched_old.select(*keys).distinct()
-            upd_aligned = _align(updates, merged)
-            cdc_df = (
-                matched_old.withColumn(
-                    "_change_type", F.lit("update_preimage")
-                )
-                .unionByName(
-                    upd_aligned.join(
-                        matched_keys, on=keys, how="left_semi"
-                    ).withColumn("_change_type", F.lit("update_postimage"))
-                )
-                .unionByName(
-                    upd_aligned.join(
-                        matched_keys, on=keys, how="left_anti"
-                    ).withColumn("_change_type", F.lit("insert"))
-                )
-            )
-            cdc = self._write_cdc(cdc_df, v, cols_next)
+        cdc = cdc_spec if replaced > 0 else None
         manifest = {
             "version": v,
             "parent": m["version"],
@@ -2043,10 +2061,19 @@ class SifTable:
             survivors = old_union.join(
                 source.select(*keys).distinct(), on=keys, how="left_anti"
             )
-            # exact counters: one count job each over the bounded
-            # matched set (the cdc write re-uses the same frames)
-            n_updated = updated.count()
-            n_deleted = deleted_pre.count()
+            # exact counters in ONE job (was one count() each): the
+            # tagged union materializes BOTH lazy checkpoints, so the
+            # writes and the cdc below still re-use the cached frames
+            crows = (
+                updated.select(F.lit("u").alias("__w"))
+                .unionAll(deleted_pre.select(F.lit("d").alias("__w")))
+                .groupBy("__w")
+                .count()
+                .collect()
+            )
+            cmap = {r["__w"]: int(r["count"]) for r in crows}
+            n_updated = cmap.get("u", 0)
+            n_deleted = cmap.get("d", 0)
             rewritten = survivors.unionByName(untouched).unionByName(updated)
             seq += 1
         elif rewrite:
@@ -2089,32 +2116,32 @@ class SifTable:
                 inserts = s_new.alias("s").select(*ins_sel)
             else:
                 inserts = _align(s_new, merged)
-        # the rewritten-group write and the insert-group write are
-        # independent jobs — overlap them (guide §2.6)
-        wg = ig = None
-        _w_rewrite = lambda: self._write_group(  # noqa: E731
-            _align(rewritten, merged), v, 0, keys, m.get("bucket"),
-            m.get("key_bloom", False), cols_next
-        )
-        _w_ins = lambda i=inserts, s=seq: self._write_group(  # noqa: E731
-            i, v, s, keys, m.get("bucket"),
-            m.get("key_bloom", False), cols_next
-        )
-        if rewritten is not None and inserts is not None:
-            wg, ig = _parallel_jobs(_w_rewrite, _w_ins)
-        elif rewritten is not None:
-            wg = _w_rewrite()
-        elif inserts is not None:
-            ig = _w_ins()
-        if wg is not None and int(wg["rows"]) > 0:
-            groups.append(wg)
-        if ig is not None:
-            if int(ig["rows"]) > 0:
-                groups.append(ig)
-                added = [ig["id"]]
-            else:
-                inserts = None
-        cdc = None
+        # the rewritten-group write, the insert-group write and (on a
+        # cdf table with matched changes) the change-file write are
+        # independent jobs — overlap all of them (guide §2.6). The cdc
+        # gate (n_updated/n_deleted) is already exact BEFORE any write,
+        # so nothing here is speculative; an insert clause that lands
+        # zero rows contributes an empty union branch — identical file
+        # content to the old post-write gate.
+        wg = ig = cdc = None
+        thunks = []
+        slots = []
+        if rewritten is not None:
+            thunks.append(
+                lambda: self._write_group(
+                    _align(rewritten, merged), v, 0, keys, m.get("bucket"),
+                    m.get("key_bloom", False), cols_next
+                )
+            )
+            slots.append("wg")
+        if inserts is not None:
+            thunks.append(
+                lambda i=inserts, s=seq: self._write_group(
+                    i, v, s, keys, m.get("bucket"),
+                    m.get("key_bloom", False), cols_next
+                )
+            )
+            slots.append("ig")
         if m.get("cdf", False) and (n_updated > 0 or n_deleted > 0):
             parts = []
             if n_deleted:
@@ -2139,7 +2166,19 @@ class SifTable:
             cdc_df = parts[0]
             for p in parts[1:]:
                 cdc_df = cdc_df.unionByName(p)
-            cdc = self._write_cdc(cdc_df, v, cols_next)
+            thunks.append(lambda: self._write_cdc(cdc_df, v, cols_next))
+            slots.append("cdc")
+        if thunks:
+            res = dict(zip(slots, _parallel_jobs(*thunks)))
+            wg, ig, cdc = res.get("wg"), res.get("ig"), res.get("cdc")
+        if wg is not None and int(wg["rows"]) > 0:
+            groups.append(wg)
+        if ig is not None:
+            if int(ig["rows"]) > 0:
+                groups.append(ig)
+                added = [ig["id"]]
+            else:
+                inserts = None
         manifest = {
             "version": v,
             "parent": m["version"],
@@ -2471,22 +2510,48 @@ class SifTable:
                 inserts = s_new.alias("s").select(*ins_sel)
             else:
                 inserts = _align(s_new, merged)
-        # the dv-sidecar pipeline (per-gid counts + tombstone write)
-        # and the insert-group write are independent jobs — overlap
-        # them (guide §2.6)
+        # per-gid counts first (one aggregate, materializes the doomed
+        # checkpoint and settles every gate exactly), then the sidecar
+        # write, the insert-group write and (cdf) the change-file
+        # write — all independent jobs — overlap (guide §2.6)
+        per_gid, n_deleted = self._dv_per_gid(doomed)
+        thunks = []
+        slots = []
+        if n_deleted:
+            thunks.append(
+                lambda: self._write_dv_sidecar(
+                    doomed, keys, v, cols_next, per_gid=per_gid
+                )
+            )
+            slots.append("dv")
         if inserts is not None:
-            (per_gid, n_deleted, dv_entry), ig = _parallel_jobs(
-                lambda: self._write_dv_sidecar(doomed, keys, v, cols_next),
+            thunks.append(
                 lambda: self._write_group(
                     inserts, v, 0, keys, m.get("bucket"),
                     m.get("key_bloom", False), cols_next
-                ),
+                )
             )
-        else:
-            per_gid, n_deleted, dv_entry = self._write_dv_sidecar(
-                doomed, keys, v, cols_next
+            slots.append("ig")
+        if m.get("cdf", False) and n_deleted > 0:
+            cdc_df = doomed.drop("__gid").withColumn(
+                "_change_type", F.lit("delete")
             )
-            ig = None
+            if inserts is not None:
+                # a version's change file REPLACES its added groups in
+                # the feed — the inserts must ride along (a zero-row
+                # insert group contributes an empty branch — identical
+                # file content to the old post-write gate)
+                cdc_df = cdc_df.unionByName(
+                    inserts.withColumn("_change_type", F.lit("insert"))
+                )
+            thunks.append(lambda: self._write_cdc(cdc_df, v, cols_next))
+            slots.append("cdc")
+        res = (
+            dict(zip(slots, _parallel_jobs(*thunks))) if thunks else {}
+        )
+        dv_entry = res["dv"][2] if "dv" in res else None
+        ig = res.get("ig")
+        cdc = res.get("cdc")
         groups = self._dv_bumped_groups(m, per_gid)
         added: list[str] = []
         if ig is not None:
@@ -2495,18 +2560,6 @@ class SifTable:
                 added = [ig["id"]]
             else:
                 inserts = None
-        cdc = None
-        if m.get("cdf", False) and n_deleted > 0:
-            cdc_df = doomed.drop("__gid").withColumn(
-                "_change_type", F.lit("delete")
-            )
-            if inserts is not None:
-                # a version's change file REPLACES its added groups in
-                # the feed — the inserts must ride along
-                cdc_df = cdc_df.unionByName(
-                    inserts.withColumn("_change_type", F.lit("insert"))
-                )
-            cdc = self._write_cdc(cdc_df, v, cols_next)
         dvs = _carry_dvs(m, groups)
         if dv_entry:
             dvs.append(dv_entry)
@@ -2670,13 +2723,35 @@ class SifTable:
         groups = list(keep)
         surv_group = None
         old_union = None
+        cdc_spec = None
         if rewrite:
             old_union = self._read_groups(m, rewrite, target, _columns_of(m))
             survivors = old_union.join(keys_df, on=kcols, how="left_anti")
-            surv_group = self._write_group(
-                survivors, v, 0, kcols, m.get("bucket"),
-                m.get("key_bloom", False), _columns_of(m)
-            )
+            # survivor rewrite ∥ (on a cdf table) the tombstone change
+            # file — independent jobs (guide §2.6). The cdc write is
+            # speculative only against a bloom/range false positive
+            # (deleted == 0), which leaves it an invisible orphan —
+            # the same artifact a pre-commit crash leaves.
+            thunks = [
+                lambda: self._write_group(
+                    survivors, v, 0, kcols, m.get("bucket"),
+                    m.get("key_bloom", False), _columns_of(m)
+                )
+            ]
+            if m.get("cdf", False):
+                thunks.append(
+                    lambda: self._write_cdc(
+                        old_union.join(
+                            keys_df, on=kcols, how="left_semi"
+                        ).withColumn("_change_type", F.lit("delete")),
+                        v,
+                        _columns_of(m),
+                    )
+                )
+            res = _parallel_jobs(*thunks)
+            surv_group = res[0]
+            if len(res) > 1:
+                cdc_spec = res[1]
             if int(surv_group["rows"]) > 0:
                 groups.append(surv_group)
             # else: every row of the rewritten groups was deleted — the
@@ -2686,15 +2761,7 @@ class SifTable:
             if rewrite
             else 0
         )
-        cdc = None
-        if m.get("cdf", False) and deleted > 0:
-            cdc = self._write_cdc(
-                old_union.join(keys_df, on=kcols, how="left_semi").withColumn(
-                    "_change_type", F.lit("delete")
-                ),
-                v,
-                _columns_of(m),
-            )
+        cdc = cdc_spec if deleted > 0 else None
         manifest = {
             "version": v,
             "parent": m["version"],
@@ -2761,22 +2828,33 @@ class SifTable:
             u = u.join(pf, on=["__gid"] + kcols, how="left_anti")
         return u
 
-    def _write_dv_sidecar(
-        self,
-        doomed: DataFrame,
-        kcols: list[str],
-        v: int,
-        columns: list[dict] | None,
-    ) -> tuple[dict, int, dict | None]:
-        """(per-gid counts, total, manifest dv entry or None): count
-        the doomed (__gid + row) frame per group, then persist its
-        (group id, key tuple) sidecar under <table>/dv/."""
+    def _dv_per_gid(self, doomed: DataFrame) -> tuple[dict, int]:
+        """Per-group tombstone counts of the doomed (__gid + row)
+        frame, ONE aggregate job (it also materializes the caller's
+        lazy checkpoint, so every later action re-uses the cache)."""
         per_gid = {
             r["__gid"]: int(r["n"])
             for r in doomed.groupBy("__gid")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        return per_gid, sum(per_gid.values())
+
+    def _write_dv_sidecar(
+        self,
+        doomed: DataFrame,
+        kcols: list[str],
+        v: int,
+        columns: list[dict] | None,
+        per_gid: dict | None = None,
+    ) -> tuple[dict, int, dict | None]:
+        """(per-gid counts, total, manifest dv entry or None): count
+        the doomed (__gid + row) frame per group (or take the caller's
+        precomputed counts, letting the sidecar write overlap other
+        independent writes), then persist its (group id, key tuple)
+        sidecar under <table>/dv/."""
+        if per_gid is None:
+            per_gid, _ = self._dv_per_gid(doomed)
         deleted = sum(per_gid.values())
         if not deleted:
             return per_gid, 0, None
@@ -2846,18 +2924,32 @@ class SifTable:
         doomed = u.join(keys_df, on=kcols, how="left_semi").localCheckpoint(
             eager=False
         )
-        per_gid, deleted, dv_entry = self._write_dv_sidecar(
-            doomed, kcols, v, columns
-        )
+        # counts first (one aggregate, materializes the checkpoint),
+        # then the sidecar write and the cdc change file — independent
+        # jobs over the cached frame — overlap (guide §2.6)
+        per_gid, deleted = self._dv_per_gid(doomed)
+        dv_entry = None
         cdc = None
-        if deleted and m.get("cdf", False):
-            cdc = self._write_cdc(
-                doomed.drop("__gid").withColumn(
-                    "_change_type", F.lit("delete")
-                ),
-                v,
-                columns,
-            )
+        if deleted:
+            thunks = [
+                lambda: self._write_dv_sidecar(
+                    doomed, kcols, v, columns, per_gid=per_gid
+                )
+            ]
+            if m.get("cdf", False):
+                thunks.append(
+                    lambda: self._write_cdc(
+                        doomed.drop("__gid").withColumn(
+                            "_change_type", F.lit("delete")
+                        ),
+                        v,
+                        columns,
+                    )
+                )
+            res = _parallel_jobs(*thunks)
+            dv_entry = res[0][2]
+            if len(res) > 1:
+                cdc = res[1]
         # groups carry BY REFERENCE in their original order — only the
         # touched entries' dv_rows metadata advances (the q189 pin:
         # zero group paths change under a scattered dv delete)
@@ -2899,43 +2991,80 @@ class SifTable:
         m = self._load()
         target = T._parse_datatype_string(m["schema"])
         v = m["version"] + 1
-        groups = []
-        seq = 0
-        removed_old = 0
-        kept_new = 0
-        matched_parts = []
         cdf_on = m.get("cdf", False)
+        kcols = _key_cols(m) or []
+        # ONE batched dv-aware probe over every group (guide §1.2/§2.4
+        # — the old shape ran two limit-1 probe jobs PER GROUP,
+        # serially: O(groups) driver-side action waves before a single
+        # rewrite started): per-gid counts of predicate-TRUE rows
+        # (group must rewrite; SQL DELETE semantics — pred=NULL rows
+        # STAY, so the survivor filter is NOT coalesce(pred, false))
+        # and of surviving rows (rewrite lands a group iff > 0).
+        counts: dict[str, tuple[int, int]] = {}
+        if m["groups"]:
+            u = self._read_groups_gid(
+                m, m["groups"], target, _columns_of(m), kcols
+            )
+            pred_t = F.coalesce(F.expr(f"({predicate})"), F.lit(False))
+            counts = {
+                r["__gid"]: (int(r["n_match"]), int(r["n_keep"]))
+                for r in u.groupBy("__gid")
+                .agg(
+                    F.sum(F.when(pred_t, 1).otherwise(0)).alias("n_match"),
+                    F.sum(F.when(~pred_t, 1).otherwise(0)).alias("n_keep"),
+                )
+                .collect()
+            }
+        groups: list = []
+        removed_old = 0
+        rewrites: list[tuple[int, dict, int]] = []
+        seq = 0
         for g in m["groups"]:
-            # per-group dv-aware read: tombstoned rows neither match
-            # the predicate nor survive into the rewrite
-            gdf = self._read_groups(m, [g], target, _columns_of(m))
-            if gdf.filter(predicate).limit(1).count() == 0:
+            n_match, n_keep = counts.get(g["id"], (0, 0))
+            if n_match == 0:
                 groups.append(g)
                 continue
             removed_old += _live_rows(g)
-            if cdf_on:
-                matched_parts.append(gdf.filter(predicate))
-            # SQL DELETE semantics: only pred=TRUE rows go; pred=NULL
-            # rows STAY (a bare NOT(pred) would silently drop them)
-            remaining = gdf.filter(f"NOT coalesce(({predicate}), false)")
-            if remaining.limit(1).count() > 0:
-                wg = self._write_group(
-                    remaining, v, seq, _key_cols(m), m.get("bucket"),
-                    m.get("key_bloom", False), _columns_of(m)
-                )
-                kept_new += int(wg["rows"])
-                groups.append(wg)
+            if n_keep > 0:
+                rewrites.append((len(groups), g, seq))
+                groups.append(None)  # placed after the parallel writes
                 seq += 1
-        deleted = removed_old - kept_new
-        cdc = None
-        if cdf_on and deleted > 0:
-            tomb = matched_parts[0]
-            for p in matched_parts[1:]:
-                tomb = tomb.unionByName(p)
-            cdc = self._write_cdc(
-                tomb.withColumn("_change_type", F.lit("delete")), v,
-                _columns_of(m),
+            # else: every live row matched — the group simply drops
+        # all per-group survivor rewrites plus (cdf) the tombstone
+        # change file are independent jobs — overlap them (guide §2.6)
+        deleted_exact = sum(
+            n for n, _ in (counts.get(g["id"], (0, 0)) for g in m["groups"])
+        )
+
+        def _rw(g: dict, s: int):
+            gdf = self._read_groups(m, [g], target, _columns_of(m))
+            remaining = gdf.filter(f"NOT coalesce(({predicate}), false)")
+            return self._write_group(
+                remaining, v, s, _key_cols(m), m.get("bucket"),
+                m.get("key_bloom", False), _columns_of(m)
             )
+
+        thunks = [lambda g=g, s=s: _rw(g, s) for _, g, s in rewrites]
+        cdc_idx = None
+        if cdf_on and deleted_exact > 0:
+            cdc_idx = len(thunks)
+            thunks.append(
+                lambda: self._write_cdc(
+                    u.filter(pred_t)
+                    .drop("__gid")
+                    .withColumn("_change_type", F.lit("delete")),
+                    v,
+                    _columns_of(m),
+                )
+            )
+        res = _parallel_jobs(*thunks) if thunks else []
+        kept_new = 0
+        for (pos, _, _), wg in zip(rewrites, res):
+            kept_new += int(wg["rows"])
+            groups[pos] = wg
+        groups = [g for g in groups if g is not None]
+        deleted = removed_old - kept_new
+        cdc = res[cdc_idx] if cdc_idx is not None and deleted > 0 else None
         manifest = {
             "version": v,
             "parent": m["version"],
