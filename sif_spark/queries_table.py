@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sif_spark.queries_ext import _io_dir
 from sif_spark.sources.parquet import read_table
+from sif_spark.table import _parallel_jobs
 
 
 def _fresh_dir(sf_dir: str, leaf: str) -> str:
@@ -691,8 +692,15 @@ def q181_incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = SifTable.create(
         spark, corpus_path, emb.filter(k3 == 0), key_col="vec_id"
     )
+
     # centroids are fitted once, on the day-1 slice — the maintainer
-    # never re-pays the fit (extend_ivf_index's contract, streaming)
+    # never re-pays the fit (extend_ivf_index's contract, streaming).
+    # NOTE: overlapping the fit with the ingest chain via
+    # _parallel_jobs was measured (r14 A/B, both orderings) at +1.5 s
+    # on this entry — the k-means fit's short action waves lose more
+    # to core contention with the ingest writes than the overlap
+    # saves — so the schedule stays serial here (q183 keeps its
+    # 3-way overlap, where the extra PQ-training chain amortizes it).
     seed_index = sgsim.build_ivf_index(
         emb.filter(k3 == 0), n_cells=16, max_iter=2
     )
@@ -723,7 +731,9 @@ def q181_incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_corpus = corpus.read()
     incr = idx_table.read().select("nid", "cell")
     fresh = sgsim.assign_cells(final_corpus, seed_index.centroids)
-    drift = incr.exceptAll(fresh).count() + fresh.exceptAll(incr).count()
+    # both exceptAll directions counted in ONE job (the union's count
+    # is exactly the sum the two separate count() actions returned)
+    drift = incr.exceptAll(fresh).unionAll(fresh.exceptAll(incr)).count()
     assert drift == 0, f"incremental index drifted from rebuild: {drift} rows"
     index = sgsim.IVFIndex(
         seed_index.centroids, incr, vec_col="embedding",
@@ -870,15 +880,25 @@ def q183_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = SifTable.create(
         spark, corpus_path, day1, key_col="vec_id"
     )
-    seed_index = sgsim.build_ivf_index(day1, n_cells=16, max_iter=2)
-    cb = sgsim.train_pq(day1, m=8, ksub=256, sample_rows=4096, iters=8)
-    corpus.append(emb.filter(k3 == 1))
-    corpus.append(emb.filter(k3 == 2))
-    corpus.upsert(
-        emb.filter(F.col("vec_id") % 10 == 3).select(
-            "vec_id",
-            F.transform("embedding", lambda x: -x).alias("embedding"),
+
+    # the IVF fit, the PQ training and the day-2/3 ingest chain all
+    # read only the raw parquet slices — three independent job chains,
+    # overlapped (guide §2.6); every side is seed-deterministic, so
+    # centroids, codebook and corpus equal the serial schedule's
+    def _ingest():
+        corpus.append(emb.filter(k3 == 1))
+        corpus.append(emb.filter(k3 == 2))
+        corpus.upsert(
+            emb.filter(F.col("vec_id") % 10 == 3).select(
+                "vec_id",
+                F.transform("embedding", lambda x: -x).alias("embedding"),
+            )
         )
+
+    seed_index, cb, _ = _parallel_jobs(
+        lambda: sgsim.build_ivf_index(day1, n_cells=16, max_iter=2),
+        lambda: sgsim.train_pq(day1, m=8, ksub=256, sample_rows=4096, iters=8),
+        _ingest,
     )
     q = sgsim.maintain_ivf_index_table(
         spark, corpus_path, idx_path, seed_index.centroids, ckpt,
@@ -899,7 +919,9 @@ def q183_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = sgsim.assign_cells(final_corpus, meta.centroids).join(
         sgsim.pq_encode(final_corpus, meta.codebook), "nid"
     )
-    drift = incr.exceptAll(fresh).count() + fresh.exceptAll(incr).count()
+    # both exceptAll directions counted in ONE job (the union's count
+    # is exactly the sum the two separate count() actions returned)
+    drift = incr.exceptAll(fresh).unionAll(fresh.exceptAll(incr)).count()
     assert drift == 0, f"incremental IVF-PQ drifted from rebuild: {drift}"
     queries = final_corpus.filter(F.col("vec_id") < 5)
     cand = (
@@ -1280,6 +1302,9 @@ def q187_ann_refresh_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     day1 = emb.filter(F.col("vec_id") % 2 == 0)
     corpus = SifTable.create(spark, corpus_path, day1, key_col="vec_id")
+    # serial fit-then-append: overlapping the two via _parallel_jobs
+    # was A/B'd flat-to-negative here (same contention as q181 — see
+    # that entry's note), so the simpler serial schedule stays
     seed_index = sgsim.build_ivf_index(day1, n_cells=16, max_iter=2)
     corpus.append(emb.filter(F.col("vec_id") % 2 == 1))
     q = sgsim.maintain_ivf_index_table(
@@ -1323,7 +1348,9 @@ def q187_ann_refresh_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_corpus = corpus.read()
     fresh = sgsim.assign_cells(final_corpus, meta.centroids)
     got = rows.select("nid", "cell")
-    drift = got.exceptAll(fresh).count() + fresh.exceptAll(got).count()
+    # both exceptAll directions counted in ONE job (the union's count
+    # is exactly the sum the two separate count() actions returned)
+    drift = got.exceptAll(fresh).unionAll(fresh.exceptAll(got)).count()
     if drift:
         raise AssertionError(f"swapped index != fresh assignment: {drift}")
     # snapshot isolation across the swap: the pre-swap version is a
