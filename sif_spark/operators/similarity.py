@@ -821,7 +821,9 @@ def maintain_ivf_index_table(
             assigned = assigned.localCheckpoint(eager=True)
         return assigned, mean_d
 
-    def _merge(session, assigned: DataFrame, txn: tuple) -> "SifTable | None":
+    def _merge(
+        session, assigned: DataFrame, txn: tuple, all_new: bool = False
+    ) -> "SifTable | None":
         dst = SifTable(session, index_table_path)
         try:
             dst._load()
@@ -829,7 +831,21 @@ def maintain_ivf_index_table(
             return SifTable.create(
                 session, index_table_path, assigned, key_col="nid", txn=txn
             )
-        dst.upsert(assigned, txn=txn)
+        if all_new:
+            # every version in this window is a create/append on the
+            # corpus, so every batch key is NEW to the corpus — and the
+            # index's key set mirrors the corpus's, so none can exist
+            # in the index either. A plain keyed APPEND lands the same
+            # content as the upsert would (its anti-join survivor set
+            # is ALL old rows when nothing matches) without reading or
+            # rewriting a single existing group — the upsert's
+            # bounds-aggregate + survivor-rewrite action waves are the
+            # dominant per-fold fixed cost at small batch sizes, and
+            # O(index) bytes at large ones (guide §1.2: remove passes
+            # the algorithm doesn't need).
+            dst.append(assigned, txn=txn)
+        else:
+            dst.upsert(assigned, txn=txn)
         return dst
 
     def _do_swap(session, meta, txn_epoch: int, m_new: "int | None"):
@@ -880,6 +896,24 @@ def maintain_ivf_index_table(
     def _corpus_rows(session) -> int:
         m = SifTable(session, corpus_table_path)._load()
         return sum(int(g["rows"]) for g in m["groups"])
+
+    def _window_all_appends(session, lo, hi) -> bool:
+        """True iff every corpus version in [lo, hi] committed with op
+        create/append — the manifest-level proof that every key in
+        this micro-batch is NEW (neither mode's feed can smuggle an
+        existing key out of an append version). Driver-side json
+        reads, O(versions-per-trigger), no Spark job."""
+        if lo is None or hi is None:
+            return False
+        t = SifTable(session, corpus_table_path)
+        for v in range(int(lo), int(hi) + 1):
+            try:
+                op = t._load(int(v)).get("op")
+            except FileNotFoundError:
+                return False
+            if op not in ("create", "append"):
+                return False
+        return True
 
     _probe_state_path = f"{index_table_path}/ann_meta/probe_state.json"
 
@@ -972,12 +1006,26 @@ def maintain_ivf_index_table(
         # row count rides the checkpoint job as an observed metric —
         # the old isEmpty probe was one more action wave per fold.
         obs = Observation()
+        # min/max _commit_version ride the same checkpoint job: they
+        # tell the driver which manifest window this batch covers, so
+        # the append fast-path below costs zero extra actions
         batch_df = batch_df.observe(
-            obs, F.count(F.lit(1)).alias("n")
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.min("_commit_version").alias("vlo"),
+            F.max("_commit_version").alias("vhi"),
         ).localCheckpoint(eager=True)
         if int(obs.get["n"]) == 0:
             return  # compact/no-op window: nothing to fold
         session = batch_df.sparkSession
+        # the append fast-path additionally requires that no refresh
+        # swap has published yet (gen 0): _do_swap re-indexes the
+        # CURRENT corpus snapshot, which can run AHEAD of the fold —
+        # after a swap, keys from still-unfolded append versions
+        # already live in the index, so an append would duplicate them
+        all_new = _window_all_appends(
+            session, obs.get["vlo"], obs.get["vhi"]
+        ) and (not refresh_on or _committed_gen(session, index_table_path) == 0)
         from pyspark.sql import Window
 
         if not cdf:
@@ -999,7 +1047,7 @@ def maintain_ivf_index_table(
             )
             meta = _meta_for(session)
             assigned, mean_d = _assign(latest, meta)
-            _merge(session, assigned, (app_id, int(epoch_id)))
+            _merge(session, assigned, (app_id, int(epoch_id)), all_new)
             _maybe_refresh(session, meta, mean_d, epoch_id)
             return
         # cdf: reduce the batch to each nid's FINAL image (a key may
@@ -1052,7 +1100,7 @@ def maintain_ivf_index_table(
         mean_d = None
         if n_ups:
             assigned, mean_d = _assign(ups, meta)
-            dst = _merge(session, assigned, (app_id, base))
+            dst = _merge(session, assigned, (app_id, base), all_new)
         else:
             dst = SifTable(session, index_table_path)
             try:
