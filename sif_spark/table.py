@@ -463,6 +463,38 @@ def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:
     return T.StructType([fields[n] for n in order])
 
 
+# logical-plan markers whose presence means re-evaluating the source
+# costs a shuffle-bearing recompute per downstream action. Plain
+# scan/filter/project pipelines are deliberately NOT listed: re-running
+# them per action is cheaper than the extra materialization job (A/B'd
+# at sf0.1 — with "Relation" in this list the trivial-source entries
+# q176/q184/q185 paid the checkpoint without a compensating win).
+_WIDE_PLAN_MARKERS = (
+    "Join", "Aggregate", "Window", "Generate", "Union",
+)
+
+
+def _materialize_source(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint a mutation's source batch when its plan
+    is non-trivial (Delta's merge-source-materialization idea; guide
+    §4.1). A keyed mutation runs SEVERAL actions over its source —
+    bounds aggregate, bloom probe collect, the join/anti-join feeding
+    each write, the cdc branches — and each action is its own query
+    execution, so a source containing a shuffle or scan re-pays that
+    full plan per action (q188's merge re-ran its 600k-row groupBy
+    ~5x). Materializing once also pins ONE consistent snapshot of the
+    source across all clauses. Sources that are already materialized
+    pipelines (a localCheckpoint's LogicalRDD, an in-memory
+    LocalRelation — the streaming folds' shape) skip the extra job."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:
+        return df.localCheckpoint(eager=True)
+    if any(m in tree for m in _WIDE_PLAN_MARKERS):
+        return df.localCheckpoint(eager=True)
+    return df
+
+
 def _align(df: DataFrame, target: T.StructType) -> DataFrame:
     """Project ``df`` onto the snapshot schema BY NAME: missing columns
     NULL, widened columns cast, extra columns dropped — schema
@@ -1736,6 +1768,7 @@ class SifTable:
         missing = [k for k in keys if k not in updates.columns]
         if missing:
             raise ValueError(f"upsert batch lacks key column(s) {missing}")
+        updates = _materialize_source(updates)
         merged = _merge_schema(T._parse_datatype_string(m["schema"]), updates.schema)
         cols_next = _next_columns(m, merged)
         bounds = self._key_bounds(updates, keys)
@@ -1957,6 +1990,7 @@ class SifTable:
         missing = [k for k in keys if k not in source.columns]
         if missing:
             raise ValueError(f"merge source has no key column(s) {missing}")
+        source = _materialize_source(source)
         merged = (
             _merge_schema(T._parse_datatype_string(m["schema"]), source.schema)
             if evolve
@@ -2705,7 +2739,9 @@ class SifTable:
         if missing:
             raise ValueError(f"delete_keys batch lacks key column(s) {missing}")
         target = T._parse_datatype_string(m["schema"])
-        keys_df = keys.select(*[F.col(k) for k in kcols]).distinct()
+        keys_df = _materialize_source(
+            keys.select(*[F.col(k) for k in kcols]).distinct()
+        )
         bounds = self._key_bounds(keys_df, kcols)
         probes = self._bloom_probe_sets(m, keys_df, kcols)
         v = m["version"] + 1
