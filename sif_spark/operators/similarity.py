@@ -857,18 +857,33 @@ def maintain_ivf_index_table(
             corpus, id_col, refresh_sample_rows
         ).localCheckpoint(eager=True)
         n_cells = refresh_n_cells or len(meta.centroids)
-        new_cents = build_ivf_index(
-            sample, vec_col=vec_col, id_col=id_col, n_cells=n_cells,
-            max_iter=4, seed=refresh_seed,
-        ).centroids
-        new_cb = None
         if meta.codebook is not None:
-            new_cb = train_pq(
-                sample, vec_col=vec_col, id_col=id_col,
-                m=m_new or meta.codebook.m, ksub=meta.codebook.ksub,
-                sample_rows=refresh_sample_rows, seed=refresh_seed,
-                normalize=meta.codebook.normalized,
+            # the coarse-quantizer fit (MLlib k-means: executor jobs)
+            # and the PQ training (one collect + driver-side numpy,
+            # GIL-released) overlap cleanly — unlike the q181 prelude
+            # case, one side is driver-CPU-bound, so the short action
+            # waves don't fight for executor cores (guide §2.6)
+            from sif_spark.table import _parallel_jobs
+
+            new_index, new_cb = _parallel_jobs(
+                lambda: build_ivf_index(
+                    sample, vec_col=vec_col, id_col=id_col,
+                    n_cells=n_cells, max_iter=4, seed=refresh_seed,
+                ),
+                lambda: train_pq(
+                    sample, vec_col=vec_col, id_col=id_col,
+                    m=m_new or meta.codebook.m, ksub=meta.codebook.ksub,
+                    sample_rows=refresh_sample_rows, seed=refresh_seed,
+                    normalize=meta.codebook.normalized,
+                ),
             )
+            new_cents = new_index.centroids
+        else:
+            new_cents = build_ivf_index(
+                sample, vec_col=vec_col, id_col=id_col, n_cells=n_cells,
+                max_iter=4, seed=refresh_seed,
+            ).centroids
+            new_cb = None
         anchor = _mean_assign_dist2(sample, new_cents, vec_col, id_col)
         new_gen = meta.gen + 1
         # meta BEFORE the swap: a crash here orphans a file no reader
@@ -934,17 +949,26 @@ def maintain_ivf_index_table(
             _json.dump({"rows_at_probe": int(rows)}, fh)
         os.replace(tmp, _probe_state_path)
 
-    def _probe_ok(session, meta) -> bool:
+    def _probe_ok(session, meta, ctx: dict) -> bool:
         """Exact top-k of a bounded query sample all contained in the
         index's ADC top-(margin x candidates)? One bounded distributed
-        pass — the direct measurement of the serving guarantee."""
-        corpus = SifTable(session, corpus_table_path).read()
-        qs = _hash_sample(
-            corpus, id_col, refresh_probe_queries
-        ).localCheckpoint(eager=True)
-        true = brute_force_knn(
-            corpus, qs, k=refresh_k, vec_col=vec_col, id_col=id_col
-        ).select("qid", "nid")
+        pass — the direct measurement of the serving guarantee.
+
+        ``ctx`` caches the query sample and its EXACT top-k across the
+        escalation attempts of one _maybe_refresh call: the true
+        neighbors depend only on the corpus (not on the codebook under
+        test), so re-running the brute-force pass after each swap
+        attempt measured ~2 s of pure repetition per extra attempt."""
+        if "true" not in ctx:
+            corpus = SifTable(session, corpus_table_path).read()
+            qs = _hash_sample(
+                corpus, id_col, refresh_probe_queries
+            ).localCheckpoint(eager=True)
+            ctx["qs"] = qs
+            ctx["true"] = brute_force_knn(
+                corpus, qs, k=refresh_k, vec_col=vec_col, id_col=id_col
+            ).select("qid", "nid").localCheckpoint(eager=False)
+        qs, true = ctx["qs"], ctx["true"]
         idx_rows = SifTable(session, index_table_path).read().select(
             "nid", "codes"
         )
@@ -984,8 +1008,9 @@ def maintain_ivf_index_table(
             return
         dim = meta.centroids.shape[1]
         prev_m = None
+        probe_ctx: dict = {}
         for attempt in range(3):
-            if _probe_ok(session, meta):
+            if _probe_ok(session, meta, probe_ctx):
                 break
             m_esc = _next_m(meta.codebook.m, dim)
             if m_esc == meta.codebook.m and prev_m == m_esc:
