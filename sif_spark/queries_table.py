@@ -1671,10 +1671,11 @@ def q190_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream(ckpt)
     t = SifTable(spark, tgt_base)
     v_done = t._versions()[-1]
-    # pin 1: target content == source final snapshot, row for row
-    if t.read().exceptAll(s.read()).count() or s.read().exceptAll(
-        t.read()
-    ).count():
+    # pin 1: target content == source final snapshot, row for row —
+    # both exceptAll directions counted in ONE job (the union's count
+    # is exactly the sum the two separate count() actions returned)
+    tr, sr = t.read(), s.read()
+    if tr.exceptAll(sr).unionAll(sr.exceptAll(tr)).count():
         raise AssertionError("cdc-apply target diverged from source")
     # pin 2: full replay (fresh checkpoint, same deterministic epochs)
     # is a chain of committed no-ops — no double-apply

@@ -344,3 +344,51 @@ def test_cdf_maintain_folds_dv_deletes(spark, dirs):
     assert idx.count() == src.read().count()
     assert idx.filter("nid % 6 = 1").count() == 0
     assert idx.filter("nid % 35 = 0").count() == 0
+
+
+def test_append_window_folds_without_rewriting_index_groups(spark, dirs):
+    """r14 append-dispatch pin: when every corpus version in a
+    micro-batch window is a create/append, the fold lands the batch as
+    a keyed APPEND — existing index groups' paths survive untouched
+    (the old upsert fold rewrote every range-overlapping group), and
+    the maintained index still equals the from-scratch assignment. An
+    UPSERT version must still take the rewrite path (its keys exist)."""
+    src_path, idx_path, ck = dirs
+    src = SifTable.create(
+        spark, src_path, _vecs(spark, 0, 60), key_col="vec_id"
+    )
+    centroids = sgsim.build_ivf_index(
+        _vecs(spark, 0, 60), n_cells=4, max_iter=2
+    ).centroids
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="ap",
+        max_versions_per_trigger=1,
+    )
+    _drain(q)
+    idx = SifTable(spark, idx_path)
+    paths_v1 = [g["path"] for g in idx._load()["groups"]]
+    # an append version folds as an index APPEND: old groups keep
+    # their exact paths, one new group appears
+    src.append(_vecs(spark, 60, 120))
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="ap",
+        max_versions_per_trigger=1,
+    )
+    _drain(q)
+    paths_v2 = [g["path"] for g in idx._load()["groups"]]
+    assert paths_v2[: len(paths_v1)] == paths_v1
+    assert len(paths_v2) == len(paths_v1) + 1
+    _assert_index_exact(spark, idx_path, src.read(), centroids)
+    # a re-embedding upsert version must NOT take the append path:
+    # its keys exist, so the fold rewrites (keyed replacement) and the
+    # index holds each nid exactly once
+    src.upsert(_vecs(spark, 10, 30, flip=True))
+    q = sgsim.maintain_ivf_index_table(
+        spark, src_path, idx_path, centroids, ck, app_id="ap",
+        max_versions_per_trigger=1,
+    )
+    _drain(q)
+    idx_rows = idx.read()
+    assert idx_rows.count() == 120
+    assert idx_rows.select("nid").distinct().count() == 120
+    _assert_index_exact(spark, idx_path, src.read(), centroids)

@@ -2054,3 +2054,22 @@ def test_merge_raw_source_conditions_and_evolve_schema_flag(spark, tdir):
     assert "extra" in out2.columns
     assert out2.filter("k = 9").collect()[0]["extra"] == 7
     assert out2.filter("k = 1").collect()[0]["extra"] is None
+
+
+def test_materialize_source_targets_wide_plans_only(spark):
+    """r14 pin: mutation sources whose plan carries a shuffle-bearing
+    node (Aggregate/Join/...) are localCheckpoint-materialized once
+    (a LogicalRDD afterwards), while narrow scan/filter pipelines and
+    already-checkpointed batches pass through untouched — the mutation
+    then runs its several actions without re-paying the source plan."""
+    from sif_spark.table import _materialize_source
+
+    wide = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    out = _materialize_source(wide)
+    assert "LogicalRDD" in out._jdf.queryExecution().optimizedPlan().treeString()
+
+    narrow = spark.range(100).filter("id % 2 = 0").select("id")
+    assert _materialize_source(narrow) is narrow
+
+    ck = spark.range(10).localCheckpoint(eager=True)
+    assert _materialize_source(ck) is ck
