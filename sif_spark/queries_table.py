@@ -731,13 +731,24 @@ def q181_incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     final_corpus = corpus.read()
     incr = idx_table.read().select("nid", "cell")
     fresh = sgsim.assign_cells(final_corpus, seed_index.centroids)
-    # both exceptAll directions counted in ONE job (the union's count
-    # is exactly the sum the two separate count() actions returned)
-    drift = incr.exceptAll(fresh).unionAll(fresh.exceptAll(incr)).count()
+    # drift (both exceptAll directions) AND the corpus row count in
+    # ONE tagged-union count job — each tag's count equals what its
+    # separate action returned
+    tag = lambda df, s: df.select(F.lit(s).alias("__t"))  # noqa: E731
+    counts = {
+        r["__t"]: r["count"]
+        for r in tag(incr.exceptAll(fresh), "d")
+        .unionAll(tag(fresh.exceptAll(incr), "d"))
+        .unionAll(tag(final_corpus, "c"))
+        .groupBy("__t")
+        .count()
+        .collect()
+    }
+    drift = counts.get("d", 0)
     assert drift == 0, f"incremental index drifted from rebuild: {drift} rows"
     index = sgsim.IVFIndex(
         seed_index.centroids, incr, vec_col="embedding",
-        corpus_rows=final_corpus.count(),
+        corpus_rows=int(counts.get("c", 0)),
     )
     queries = final_corpus.filter(F.col("vec_id") < 5)
     return sgsim.ivf_knn(
@@ -1208,10 +1219,18 @@ def q186_table_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     post2 = ch.filter(
         "_change_type = 'update_postimage' AND _commit_version = 2"
     )
-    n_post = post2.count()
+    # both pin counts in ONE aggregate job (same totals as the old
+    # count() + filtered count() pair)
+    prow = post2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("language") == "zz", 1).otherwise(0)).alias(
+            "n_zz"
+        ),
+    ).collect()[0]
+    n_post = int(prow["n"])
     if n_post != t._load(2)["replaced_rows"]:
         raise AssertionError(f"cdc/counter imbalance: {n_post}")
-    if post2.filter("language = 'zz'").count() != n_post:
+    if int(prow["n_zz"] or 0) != n_post:
         raise AssertionError("era-1 images not mapped under new name")
     for fn in (
         lambda: t.rename_column("language", "n_chars"),
@@ -1343,19 +1362,35 @@ def q187_ann_refresh_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta, rows = sgsim.load_maintained_index(spark, idx_path)
     if meta.gen != 1:
         raise AssertionError(f"expected one refresh, gen={meta.gen}")
-    if rows.filter("gen != 1").count() != 0:
-        raise AssertionError("mixed generations after the atomic swap")
     final_corpus = corpus.read()
     fresh = sgsim.assign_cells(final_corpus, meta.centroids)
     got = rows.select("nid", "cell")
-    # both exceptAll directions counted in ONE job (the union's count
-    # is exactly the sum the two separate count() actions returned)
-    drift = got.exceptAll(fresh).unionAll(fresh.exceptAll(got)).count()
-    if drift:
-        raise AssertionError(f"swapped index != fresh assignment: {drift}")
+    # ALL four pin measurements in ONE tagged-union count job (each
+    # tag's count equals what its separate action returned): 'd' =
+    # both exceptAll drift directions, 'g' = mixed-generation rows
+    # after the atomic swap, 'p' = non-gen-0 rows in the pre-swap
+    # snapshot, 'c' = final corpus rows (the serving index size)
+    tag = lambda df, s: df.select(F.lit(s).alias("__t"))  # noqa: E731
+    counts = {
+        r["__t"]: r["count"]
+        for r in tag(got.exceptAll(fresh), "d")
+        .unionAll(tag(fresh.exceptAll(got), "d"))
+        .unionAll(tag(rows.filter("gen != 1"), "g"))
+        .unionAll(tag(idx.read(version=v_pre_swap).filter("gen != 0"), "p"))
+        .unionAll(tag(final_corpus, "c"))
+        .groupBy("__t")
+        .count()
+        .collect()
+    }
+    if counts.get("g", 0):
+        raise AssertionError("mixed generations after the atomic swap")
+    if counts.get("d", 0):
+        raise AssertionError(
+            f"swapped index != fresh assignment: {counts.get('d', 0)}"
+        )
     # snapshot isolation across the swap: the pre-swap version is a
     # coherent gen-0 pair
-    if idx.read(version=v_pre_swap).filter("gen != 0").count() != 0:
+    if counts.get("p", 0):
         raise AssertionError("pre-swap snapshot not coherent gen 0")
     if sgsim.load_ann_meta(idx_path, 0).gen != 0:
         raise AssertionError("gen-0 meta lost")
@@ -1368,7 +1403,7 @@ def q187_ann_refresh_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = final_corpus.filter(F.col("vec_id") < 5)
     index = sgsim.IVFIndex(
         meta.centroids, rows.select("nid", "cell"), vec_col="embedding",
-        corpus_rows=final_corpus.count(),
+        corpus_rows=int(counts.get("c", 0)),
     )
     return sgsim.ivf_knn(
         final_corpus, queries, k=5, n_probe=16, index=index
