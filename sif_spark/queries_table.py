@@ -712,9 +712,17 @@ def q181_incremental_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: -x).alias("embedding"),
         )
     )
+    # 2 corpus versions per micro-batch (round 15, guide §4.1/VERDICT
+    # r14 #1): the fold is version-associative — the per-fold window
+    # dedup keeps each nid's LATEST image, so folding (v1,v2] then
+    # (v3,v4] lands exactly the rows four per-version folds landed —
+    # and each micro-batch costs a fixed JVM<->Python DSV2 planning
+    # round-trip plus an upsert's action waves, so halving the batch
+    # count halves the dominant fixed cost. Two batches keep the
+    # multi-epoch txn pin below meaningful (epochs 0 and 1).
     q = sgsim.maintain_ivf_index_table(
         spark, corpus_path, idx_path, seed_index.centroids, ckpt,
-        app_id="q181", max_versions_per_trigger=1,
+        app_id="q181", max_versions_per_trigger=2,
     )
     try:
         q.processAllAvailable()
@@ -911,9 +919,12 @@ def q183_incremental_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: sgsim.train_pq(day1, m=8, ksub=256, sample_rows=4096, iters=8),
         _ingest,
     )
+    # 2 versions per micro-batch — same version-associative fold
+    # argument as q181 (round 15): identical final index, half the
+    # per-fold DSV2 round-trips and merge action waves
     q = sgsim.maintain_ivf_index_table(
         spark, corpus_path, idx_path, seed_index.centroids, ckpt,
-        app_id="q183", max_versions_per_trigger=1, pq_codebook=cb,
+        app_id="q183", max_versions_per_trigger=2, pq_codebook=cb,
         refresh_candidates=200, refresh_k=5, refresh_probe_queries=8,
         refresh_growth_check=2.0, refresh_margin=0.5,
         refresh_sample_rows=32768,
@@ -1326,39 +1337,41 @@ def q187_ann_refresh_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that entry's note), so the simpler serial schedule stays
     seed_index = sgsim.build_ivf_index(day1, n_cells=16, max_iter=2)
     corpus.append(emb.filter(F.col("vec_id") % 2 == 1))
+    # Round 15 (guide §4.1 / VERDICT r14 #1): ONE maintainer stream
+    # instance rides BOTH lifecycle phases — the maintainer is a
+    # continuous query, so the mid-lifecycle pins run between
+    # processAllAvailable() waits instead of paying a second stream's
+    # cold Python-DSV2 source runner (~1.5-3 s fixed per QUERY,
+    # measured). 2 versions per micro-batch: the create+append window
+    # folds once (version-associative, q181's argument); the combined
+    # same-distribution batch trips the staleness trigger exactly as
+    # little as the per-version batches did (gen pin below).
     q = sgsim.maintain_ivf_index_table(
         spark, corpus_path, idx_path, seed_index.centroids, ckpt,
-        app_id="q187", max_versions_per_trigger=1,
+        app_id="q187", max_versions_per_trigger=2,
         refresh_staleness_ratio=2.0,
     )
     try:
         q.processAllAvailable()
+        if sgsim._committed_gen(spark, idx_path) != 0:
+            raise AssertionError(
+                "refresh fired on a same-distribution append"
+            )
+        idx = SifTable(spark, idx_path)
+        v_pre_swap = idx._load()["version"]
+        # the drift event: every vector re-embedded (shifted)
+        corpus.upsert(
+            emb.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x + 2.5)
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+        )
+        q.processAllAvailable()
     finally:
         q.stop()
         q.awaitTermination()
-    if sgsim._committed_gen(spark, idx_path) != 0:
-        raise AssertionError("refresh fired on a same-distribution append")
-    idx = SifTable(spark, idx_path)
-    v_pre_swap = idx._load()["version"]
-    # the drift event: every vector re-embedded (shifted)
-    corpus.upsert(
-        emb.select(
-            "vec_id",
-            F.transform("embedding", lambda x: x + 2.5)
-            .cast("array<float>")
-            .alias("embedding"),
-        )
-    )
-    q2 = sgsim.maintain_ivf_index_table(
-        spark, corpus_path, idx_path, seed_index.centroids, ckpt,
-        app_id="q187", max_versions_per_trigger=1,
-        refresh_staleness_ratio=2.0,
-    )
-    try:
-        q2.processAllAvailable()
-    finally:
-        q2.stop()
-        q2.awaitTermination()
     meta, rows = sgsim.load_maintained_index(spark, idx_path)
     if meta.gen != 1:
         raise AssertionError(f"expected one refresh, gen={meta.gen}")
@@ -1656,15 +1669,19 @@ def q190_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     create (doc_id % 2 = 0) + an upsert (doc_id % 3 = 0 → lang='zz',
     n_chars+7) + a bulk keyed delete (doc_id % 5 = 0); the TARGET is
     created from the source's v1 snapshot, then the source's change
-    feed streams in at ONE table version per micro-batch, each batch
-    folded to final images and applied as one conditional merge
-    carrying txn=(app, epoch). In-entry pins: (1) the target's
-    content equals the source's final snapshot row-for-row; (2) a
-    FULL REPLAY of the stream from scratch (fresh checkpoint, same
-    app_id — the deterministic 1-version-per-batch plan re-fires the
-    same epochs) leaves the target at the SAME version: every
-    replayed merge lands as a committed no-op, the no-double-apply
-    contract. Oracle: the closed-form final state of the three ops."""
+    feed streams in, each micro-batch folded to each key's FINAL
+    image and applied as one conditional merge carrying
+    txn=(app, epoch). (Round 15: the stream is uncapped — the backlog
+    lands as ONE batch whose per-key fold applies the upsert+delete
+    window exactly as the per-version batches did, at one merge's
+    action waves instead of two; the fold is the version-associative
+    piece that makes the coalescing sound.) In-entry pins: (1) the
+    target's content equals the source's final snapshot row-for-row;
+    (2) a FULL REPLAY of the stream from scratch (fresh checkpoint,
+    same app_id — the deterministic offset plan re-fires the same
+    epochs) leaves the target at the SAME version: every replayed
+    merge lands as a committed no-op, the no-double-apply contract.
+    Oracle: the closed-form final state of the three ops."""
     import shutil as _sh
 
     from sif_spark.streaming.stream import merge_changes_into_table
@@ -1695,7 +1712,6 @@ def q190_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = merge_changes_into_table(
             spark, src_base, tgt_base, app_id="q190",
             checkpoint_dir=ck, starting_version=1,
-            max_versions_per_trigger=1,
         )
         try:
             q.processAllAvailable()

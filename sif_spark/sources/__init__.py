@@ -13,11 +13,6 @@ write paths live on SifFrame (write_parquet/csv/json) since practical
 parity requires them.
 """
 
-from sif_spark.sources.dsv import read_dsv, DSVConf
-from sif_spark.sources.jsonl import read_jsonl, JSONLConf
-from sif_spark.sources.memory import from_rows, from_pandas
-from sif_spark.sources.parquet import read_parquet, read_table, TABLES
-
 __all__ = [
     "read_dsv",
     "DSVConf",
@@ -29,3 +24,34 @@ __all__ = [
     "read_table",
     "TABLES",
 ]
+
+# Lazy re-exports (PEP 562) — same rationale as the package root: the
+# cold per-query streaming source runner imports
+# sif_spark.sources.table_stream, which triggers this __init__; the
+# eager dsv/frame imports pulled pandas (~0.4 s) into a worker that
+# never touches them.
+_LAZY = {
+    "read_dsv": ("sif_spark.sources.dsv", "read_dsv"),
+    "DSVConf": ("sif_spark.sources.dsv", "DSVConf"),
+    "read_jsonl": ("sif_spark.sources.jsonl", "read_jsonl"),
+    "JSONLConf": ("sif_spark.sources.jsonl", "JSONLConf"),
+    "from_rows": ("sif_spark.sources.memory", "from_rows"),
+    "from_pandas": ("sif_spark.sources.memory", "from_pandas"),
+    "read_parquet": ("sif_spark.sources.parquet", "read_parquet"),
+    "read_table": ("sif_spark.sources.parquet", "read_table"),
+    "TABLES": ("sif_spark.sources.parquet", "TABLES"),
+}
+
+
+def __getattr__(name: str):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(
+            f"module {__name__!r} has no attribute {name!r}"
+        ) from None
+    import importlib
+
+    value = getattr(importlib.import_module(mod_name), attr)
+    globals()[name] = value
+    return value

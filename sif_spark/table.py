@@ -69,6 +69,7 @@ sif_spark/pipeline.py's epoch stores (fault-injection-proven r9).
 from __future__ import annotations
 
 import json
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -463,15 +464,44 @@ def _merge_schema(old: T.StructType, new: T.StructType) -> T.StructType:
     return T.StructType([fields[n] for n in order])
 
 
-# logical-plan markers whose presence means re-evaluating the source
-# costs a shuffle-bearing recompute per downstream action. Plain
-# scan/filter/project pipelines are deliberately NOT listed: re-running
-# them per action is cheaper than the extra materialization job (A/B'd
-# at sf0.1 — with "Relation" in this list the trivial-source entries
-# q176/q184/q185 paid the checkpoint without a compensating win).
-_WIDE_PLAN_MARKERS = (
-    "Join", "Aggregate", "Window", "Generate", "Union",
+# logical-plan NODE names whose presence means re-evaluating the
+# source costs a shuffle-bearing recompute per downstream action.
+# Matched at tree-line starts (ADVICE r14 low: a bare substring test
+# also fired on column/relation names containing a marker word — e.g.
+# a field named `unionId` rendered inside a Project forced a needless
+# checkpoint). Sort and FlatMapGroupsInPandas joined the list for the
+# same reason the originals are on it (both repartition their input).
+# Plain scan/filter/project pipelines are deliberately NOT matched:
+# re-running them per action is cheaper than the extra materialization
+# job (A/B'd at sf0.1 — with "Relation" matched the trivial-source
+# entries q176/q184/q185 paid the checkpoint without a compensating
+# win).
+_WIDE_PLAN_NODE_RE = re.compile(
+    r"^[\s+:\-]*(?:Join|Aggregate|Window|Generate|Union|Sort|"
+    r"FlatMapGroupsInPandas)\b",
+    re.MULTILINE,
 )
+
+_NARROW_LEAF_NODES = frozenset(
+    {"Project", "Filter", "LogicalRDD", "LocalRelation", "Deduplicate"}
+)
+
+_PLAN_NODE_NAME_RE = re.compile(r"^[\s+:\-]*([A-Za-z]\w*)", re.MULTILINE)
+
+
+def _materialized_leaf_plan(df: DataFrame) -> bool:
+    """True when ``df`` is a narrow pipeline over an already-
+    materialized leaf (a localCheckpoint's LogicalRDD or an in-memory
+    LocalRelation): re-running it per action is cheap by
+    construction, so even a shuffle-light derived frame (e.g. a
+    distinct over a 3-row key list) should not pay a checkpoint job
+    (ADVICE r14 low)."""
+    try:
+        tree = df._jdf.queryExecution().optimizedPlan().treeString()
+    except Exception:
+        return False
+    names = set(_PLAN_NODE_NAME_RE.findall(tree))
+    return bool(names) and names <= _NARROW_LEAF_NODES
 
 
 def _materialize_source(df: DataFrame) -> DataFrame:
@@ -490,7 +520,7 @@ def _materialize_source(df: DataFrame) -> DataFrame:
         tree = df._jdf.queryExecution().optimizedPlan().treeString()
     except Exception:
         return df.localCheckpoint(eager=True)
-    if any(m in tree for m in _WIDE_PLAN_MARKERS):
+    if _WIDE_PLAN_NODE_RE.search(tree) is not None:
         return df.localCheckpoint(eager=True)
     return df
 
@@ -2739,9 +2769,17 @@ class SifTable:
         if missing:
             raise ValueError(f"delete_keys batch lacks key column(s) {missing}")
         target = T._parse_datatype_string(m["schema"])
-        keys_df = _materialize_source(
-            keys.select(*[F.col(k) for k in kcols]).distinct()
-        )
+        sel = keys.select(*[F.col(k) for k in kcols])
+        # The dedup's Aggregate node would always trip
+        # _materialize_source, so the wide/narrow decision looks at the
+        # PRE-distinct input (ADVICE r14 low): a key list that is
+        # already an in-memory leaf (the streaming folds' checkpointed
+        # batches, a driver-local list) re-runs its tiny distinct per
+        # action instead of paying an unconditional checkpoint job.
+        if _materialized_leaf_plan(sel):
+            keys_df = sel.distinct()
+        else:
+            keys_df = _materialize_source(sel.distinct())
         bounds = self._key_bounds(keys_df, kcols)
         probes = self._bloom_probe_sets(m, keys_df, kcols)
         v = m["version"] + 1
