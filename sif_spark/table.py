@@ -2075,8 +2075,11 @@ class SifTable:
         # only needs the anti-join against the touched groups)
         old_union = None
         updated = deleted_pre = rewritten = None
+        merge_obs = None
         n_updated = n_deleted = 0
         if rewrite and (upd or dele):
+            from pyspark.sql import Observation
+
             old_union = self._read_groups(m, rewrite, merged, cols_next)
             jcond = F.lit(True)
             for k in keys:
@@ -2084,32 +2087,44 @@ class SifTable:
             # RAW source on the build side: clause conditions and
             # update/insert expressions may reference source-only
             # columns (CDC op codes); only the SELECT lists align to
-            # the table schema
+            # the table schema.
+            #
+            # ONE LEFT join pass (round 15, guide §2.4/§2.6): the old
+            # shape derived survivors (anti-join) ∪ untouched ∪ updated
+            # as three branches over the touched groups plus a separate
+            # tagged-count job — the rewritten-group write re-scanned
+            # the touched groups three times and the counters cost one
+            # more action wave. A left join with per-row CASE computes
+            # the same rows in one scan+join; the EXACT counters ride
+            # the write job as observed metrics. The ANSI cardinality
+            # check above proves ≤1 source row per target key, so the
+            # left join cannot duplicate target rows, and the source's
+            # key tuples are fully non-null (same check), so
+            # "s-side key not null" ⟺ matched.
             j = old_union.alias("t").join(
-                source.alias("s"), jcond, "inner"
+                source.alias("s"), jcond, "left"
             )
+            matched = F.col(f"s.`{keys[0]}`").isNotNull()
             del_c = (
                 F.expr(dele) if isinstance(dele, str)
                 else F.lit(bool(dele))
             )
-            del_c = F.coalesce(del_c, F.lit(False))
+            del_c = matched & F.coalesce(del_c, F.lit(False))
             # bool(upd), not `upd is not None`: an EMPTY update mapping
             # is inert (it updates no columns), but `is not None` made
             # it an active clause that counted every matched
             # non-deleted row in replaced_rows and wrote identical
             # pre/postimage pairs into the change file (ADVICE r12 low)
-            upd_c = F.lit(bool(upd)) & ~del_c
+            upd_c = matched & F.lit(bool(upd)) & ~del_c
             if upd_cond is not None:
                 upd_c = upd_c & F.coalesce(F.expr(upd_cond), F.lit(False))
             t_cols = [F.col(f"t.`{f.name}`").alias(f.name)
                       for f in merged.fields]
-            # lazily checkpointed: each feeds the counter, the
-            # rewritten-group write AND the cdc write — without the
-            # checkpoint every consumer re-reads the touched groups
-            # and re-runs the join (O(touched groups) per consumer)
-            deleted_pre = j.filter(del_c).select(*t_cols).localCheckpoint(
-                eager=False
-            )
+            # cdc branches re-derive from the un-observed join: the cdc
+            # write is an independent parallel job, so it overlaps the
+            # rewritten-group write instead of serializing behind a
+            # shared materialization
+            deleted_pre = j.filter(del_c).select(*t_cols)
             upd_sel = [
                 (
                     F.expr(upd[f.name]).cast(f.dataType).alias(f.name)
@@ -2118,27 +2133,30 @@ class SifTable:
                 )
                 for f in merged.fields
             ]
-            updated = j.filter(upd_c).select(*upd_sel).localCheckpoint(
-                eager=False
+            updated = j.filter(upd_c).select(*upd_sel)
+            case_sel = [
+                (
+                    F.when(
+                        upd_c,
+                        F.expr(upd[f.name]).cast(f.dataType),
+                    )
+                    .otherwise(F.col(f"t.`{f.name}`"))
+                    .alias(f.name)
+                    if upd and f.name in upd
+                    else F.col(f"t.`{f.name}`").alias(f.name)
+                )
+                for f in merged.fields
+            ]
+            merge_obs = Observation()
+            rewritten = (
+                j.observe(
+                    merge_obs,
+                    F.sum(upd_c.cast("long")).alias("nu"),
+                    F.sum(del_c.cast("long")).alias("nd"),
+                )
+                .filter(~del_c)
+                .select(*case_sel)
             )
-            untouched = j.filter(~del_c & ~upd_c).select(*t_cols)
-            survivors = old_union.join(
-                source.select(*keys).distinct(), on=keys, how="left_anti"
-            )
-            # exact counters in ONE job (was one count() each): the
-            # tagged union materializes BOTH lazy checkpoints, so the
-            # writes and the cdc below still re-use the cached frames
-            crows = (
-                updated.select(F.lit("u").alias("__w"))
-                .unionAll(deleted_pre.select(F.lit("d").alias("__w")))
-                .groupBy("__w")
-                .count()
-                .collect()
-            )
-            cmap = {r["__w"]: int(r["count"]) for r in crows}
-            n_updated = cmap.get("u", 0)
-            n_deleted = cmap.get("d", 0)
-            rewritten = survivors.unionByName(untouched).unionByName(updated)
             seq += 1
         elif rewrite:
             # insert-only merge: matched rows are untouched — carry the
@@ -2181,12 +2199,15 @@ class SifTable:
             else:
                 inserts = _align(s_new, merged)
         # the rewritten-group write, the insert-group write and (on a
-        # cdf table with matched changes) the change-file write are
+        # cdf table with matched clauses) the change-file write are
         # independent jobs — overlap all of them (guide §2.6). The cdc
-        # gate (n_updated/n_deleted) is already exact BEFORE any write,
-        # so nothing here is speculative; an insert clause that lands
-        # zero rows contributes an empty union branch — identical file
-        # content to the old post-write gate.
+        # write is SPECULATIVE only against a bloom/range false
+        # positive (every matched count lands 0), which leaves the file
+        # an invisible orphan — the artifact a pre-commit crash already
+        # leaves; the manifest reference keeps the exact
+        # count-gated contract below (same pattern as the upsert's
+        # speculative cdc). Empty clause branches contribute zero rows
+        # — identical file content to the old pre-counted gate.
         wg = ig = cdc = None
         thunks = []
         slots = []
@@ -2206,35 +2227,35 @@ class SifTable:
                 )
             )
             slots.append("ig")
-        if m.get("cdf", False) and (n_updated > 0 or n_deleted > 0):
-            parts = []
-            if n_deleted:
-                parts.append(
-                    deleted_pre.withColumn("_change_type", F.lit("delete"))
-                )
-            if n_updated:
-                pre_keys = updated.select(*keys)
-                parts.append(
+        if m.get("cdf", False) and rewritten is not None:
+            pre_keys = updated.select(*keys)
+            cdc_df = (
+                deleted_pre.withColumn("_change_type", F.lit("delete"))
+                .unionByName(
                     old_union.join(pre_keys, on=keys, how="left_semi")
                     .withColumn("_change_type", F.lit("update_preimage"))
                 )
-                parts.append(
+                .unionByName(
                     updated.withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
                 )
+            )
             if inserts is not None:
-                parts.append(
+                cdc_df = cdc_df.unionByName(
                     inserts.withColumn("_change_type", F.lit("insert"))
                 )
-            cdc_df = parts[0]
-            for p in parts[1:]:
-                cdc_df = cdc_df.unionByName(p)
             thunks.append(lambda: self._write_cdc(cdc_df, v, cols_next))
             slots.append("cdc")
         if thunks:
             res = dict(zip(slots, _parallel_jobs(*thunks)))
             wg, ig, cdc = res.get("wg"), res.get("ig"), res.get("cdc")
+        if merge_obs is not None:
+            row_m = merge_obs.get  # settled by the rewritten-group write
+            n_updated = int(row_m["nu"] or 0)
+            n_deleted = int(row_m["nd"] or 0)
+        if cdc is not None and not (n_updated or n_deleted):
+            cdc = None  # false-positive rewrite: orphan the change file
         if wg is not None and int(wg["rows"]) > 0:
             groups.append(wg)
         if ig is not None:

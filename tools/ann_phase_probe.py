@@ -66,7 +66,7 @@ def probe_q183(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     q = sgsim.maintain_ivf_index_table(
         spark, corpus_path, idx_path, seed_index.centroids, ckpt,
-        app_id="q183", max_versions_per_trigger=1, pq_codebook=cb,
+        app_id="q183", max_versions_per_trigger=2, pq_codebook=cb,
         refresh_candidates=200, refresh_k=5, refresh_probe_queries=8,
         refresh_growth_check=2.0, refresh_margin=0.5,
         refresh_sample_rows=32768,
@@ -138,7 +138,7 @@ def probe_q181(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     q = sgsim.maintain_ivf_index_table(
         spark, corpus_path, idx_path, seed_index.centroids, ckpt,
-        app_id="q181", max_versions_per_trigger=1,
+        app_id="q181", max_versions_per_trigger=2,
     )
     try:
         q.processAllAvailable()
