@@ -168,6 +168,135 @@ _VOLATILE = [
 ]
 
 
+# --- distinct-rewrite canonicalization (round 15, VERDICT r14 #8) ---
+# RewriteDistinctAggregates orders its Expand projection branches (and
+# the qualified `relation.column#` attributes they mint) by iterating a
+# map keyed on expressions whose exprIds come from the SESSION-
+# cumulative counter: two builds of the SAME multi-distinct query in
+# sessions with different histories emit the branches (and every
+# downstream Input/Keys/Results/hashpartitioning list) in a different
+# — semantically identical — order. Reproduced on q174 (the one
+# same-code fingerprint flip between the r14 and r15 baseline
+# captures). The fix canonicalizes LIST ORDER, but only for plans
+# carrying the rewrite's signature (an Expand node + dot-qualified
+# attributes), so every other entry's fingerprint is byte-stable
+# across this change.
+
+_DISTINCT_REWRITE_EXPAND = re.compile(r"\(\d+\) Expand")
+_QUALIFIED_ATTR = re.compile(r"\w+\.\w+#")
+_SORTABLE_LINE = re.compile(
+    r"^(Input|Keys|Results|Functions|Aggregate Attributes)\s*(\[\d+\])?:"
+)
+_BARE_INT = re.compile(r"^\d+$")
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (never inside (), [] nesting)."""
+    items, depth, buf = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        items.append("".join(buf).strip())
+    return items
+
+
+def _canon_items(s: str) -> str:
+    """Sort top-level comma items; nested [..] items (Expand branch
+    tuples) first canonicalize recursively with their bare-integer
+    gid literal masked (the gid is the branch's position, which is
+    exactly the unstable part)."""
+    items = []
+    for it in _split_top(s):
+        if it.startswith("[") and it.endswith("]"):
+            inner = [
+                "N" if _BARE_INT.match(x) else x
+                for x in _split_top(it[1:-1])
+            ]
+            it = "[" + ", ".join(sorted(inner)) + "]"
+        items.append(it)
+    return ", ".join(sorted(items))
+
+
+def _canon_group(s: str) -> str:
+    """Canonicalize one bracket/paren group's content unless it is a
+    sort spec (ASC/DESC order is semantics, never touched)."""
+    if " ASC" in s or " DESC" in s:
+        return s
+    return _canon_items(s)
+
+
+def _canon_line_lists(line: str) -> str:
+    """Rewrite every top-level [..] group and hashpartitioning(..)
+    argument list on a detail line into canonical (sorted) order."""
+    out, i, depth = [], 0, 0
+    n = len(line)
+    while i < n:
+        ch = line[i]
+        if ch == "[":
+            # find the matching close at this level
+            j, d = i + 1, 1
+            while j < n and d:
+                if line[j] == "[":
+                    d += 1
+                elif line[j] == "]":
+                    d -= 1
+                j += 1
+            out.append("[" + _canon_group(line[i + 1 : j - 1]) + "]")
+            i = j
+            continue
+        if line.startswith("hashpartitioning(", i):
+            j, d = i + len("hashpartitioning("), 1
+            while j < n and d:
+                if line[j] == "(":
+                    d += 1
+                elif line[j] == ")":
+                    d -= 1
+                j += 1
+            out.append(
+                "hashpartitioning("
+                + _canon_group(line[i + len("hashpartitioning(") : j - 1])
+                + ")"
+            )
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _canon_distinct_rewrite(text: str) -> str:
+    """Apply the list-order canonicalization iff the plan carries the
+    distinct-rewrite signature; all other plans pass through
+    byte-identical."""
+    if not (
+        _DISTINCT_REWRITE_EXPAND.search(text)
+        and _QUALIFIED_ATTR.search(text)
+    ):
+        return text
+    # the gid literal in the rewrite's FILTER (WHERE (gid# = N))
+    # predicates is the branch's position — the same unstable ordering
+    # in another costume; the function name (count(col)) already
+    # identifies the branch, so the literal carries no stable signal
+    text = re.sub(r"gid# = \d+", "gid# = N", text)
+    out = []
+    for line in text.splitlines():
+        stripped = line.strip()
+        if _SORTABLE_LINE.match(stripped) or stripped.startswith(
+            "Arguments:"
+        ):
+            line = _canon_line_lists(line)
+        out.append(line)
+    return "\n".join(out)
+
+
 def normalized_plan(df: DataFrame) -> str:
     """Formatted physical plan with run-volatile tokens stripped —
     two builds of the same logical query (same session or not)
@@ -176,6 +305,7 @@ def normalized_plan(df: DataFrame) -> str:
     text = plan_string(df)
     for pat, repl in _VOLATILE:
         text = pat.sub(repl, text)
+    text = _canon_distinct_rewrite(text)
     # drop blank lines + trailing whitespace so formatting-only
     # differences between Spark patch versions don't churn the hash
     return "\n".join(

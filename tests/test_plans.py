@@ -1101,3 +1101,87 @@ def test_plan_fingerprint_normalizes_lambda_counter(spark):
     ).collect()
     b = plan_fingerprint(build())
     assert a == b
+
+
+# --- round 15: distinct-rewrite fingerprint stability (VERDICT r14 #8)
+
+
+def test_distinct_rewrite_canonicalization_is_order_insensitive():
+    """RewriteDistinctAggregates orders its Expand branches by a map
+    keyed on session-cumulative exprIds — two builds of the SAME
+    multi-distinct query in different sessions permute the branches,
+    the gid literals, and every downstream attribute list. The
+    canonicalizer must map both permutations to one string (this is
+    the exact line shape captured from q174's two-session repro), and
+    must pass non-signature plans through byte-identical."""
+    from sif_spark.plans.audit import _canon_distinct_rewrite
+
+    a = (
+        "(9) Expand\n"
+        "Input [5]: [_groupingexpression#, l_partkey#L, l_suppkey#L, o_custkey#L, l_quantity#]\n"
+        "Arguments: [[_groupingexpression#, null, null, null, 0, cast(round(l_quantity#, 0) as bigint)], "
+        "[_groupingexpression#, l_partkey#L, null, null, 1, null], "
+        "[_groupingexpression#, null, l_suppkey#L, null, 2, null]], "
+        "[_groupingexpression#, lineitem.l_partkey#L, lineitem.l_suppkey#L, gid#]\n"
+        "(10) HashAggregate\n"
+        "Keys [4]: [_groupingexpression#, lineitem.l_partkey#L, lineitem.l_suppkey#L, gid#]\n"
+        "Functions [2]: [partial_count(lineitem.l_partkey#L) FILTER (WHERE (gid# = 1)), "
+        "partial_count(lineitem.l_suppkey#L) FILTER (WHERE (gid# = 2))]\n"
+        "(11) Exchange\n"
+        "Arguments: hashpartitioning(_groupingexpression#, lineitem.l_partkey#L, lineitem.l_suppkey#L, gid#, 32), ENSURE_REQUIREMENTS, [plan_id=]\n"
+    )
+    # the other session's ordering: partkey/suppkey swapped everywhere,
+    # gid literals reassigned to the new branch positions
+    b = (
+        "(9) Expand\n"
+        "Input [5]: [_groupingexpression#, l_partkey#L, l_suppkey#L, o_custkey#L, l_quantity#]\n"
+        "Arguments: [[_groupingexpression#, null, null, null, 0, cast(round(l_quantity#, 0) as bigint)], "
+        "[_groupingexpression#, l_suppkey#L, null, null, 1, null], "
+        "[_groupingexpression#, null, l_partkey#L, null, 2, null]], "
+        "[_groupingexpression#, lineitem.l_suppkey#L, lineitem.l_partkey#L, gid#]\n"
+        "(10) HashAggregate\n"
+        "Keys [4]: [_groupingexpression#, lineitem.l_suppkey#L, lineitem.l_partkey#L, gid#]\n"
+        "Functions [2]: [partial_count(lineitem.l_partkey#L) FILTER (WHERE (gid# = 2)), "
+        "partial_count(lineitem.l_suppkey#L) FILTER (WHERE (gid# = 1))]\n"
+        "(11) Exchange\n"
+        "Arguments: hashpartitioning(_groupingexpression#, lineitem.l_suppkey#L, lineitem.l_partkey#L, gid#, 32), ENSURE_REQUIREMENTS, [plan_id=]\n"
+    )
+    assert _canon_distinct_rewrite(a) == _canon_distinct_rewrite(b)
+    # a genuinely different plan (different aggregated column) must NOT
+    # collapse to the same canonical form
+    c = a.replace("o_custkey#L", "o_orderkey#L")
+    assert _canon_distinct_rewrite(a) != _canon_distinct_rewrite(c)
+    # plans without the rewrite signature pass through byte-identical
+    plain = "(1) Scan parquet\nInput [2]: [b#, a#]\nSort [b# ASC, a# ASC]\n"
+    assert _canon_distinct_rewrite(plain) == plain
+
+
+def test_multi_distinct_fingerprint_stable_across_rebuilds(spark):
+    """Two builds of the same multi-distinct aggregate must fingerprint
+    identically even after other queries shift the session's exprId
+    counter (the q174 same-code flip between the r14/r15 captures);
+    sort specs stay order-sensitive (a real ordering change still
+    changes the fingerprint)."""
+    from pyspark.sql import functions as F
+
+    from sif_spark.plans.audit import plan_fingerprint
+
+    def build():
+        li = spark.range(100).selectExpr(
+            "id % 7 AS k", "id % 3 AS a", "id % 5 AS b", "id % 2 AS c",
+            "CAST(id AS DOUBLE) AS q",
+        ).alias("lineitem")
+        return li.groupBy("k").agg(
+            F.countDistinct("a"),
+            F.countDistinct("b"),
+            F.countDistinct("c"),
+            F.sum("q"),
+        )
+
+    fp1 = plan_fingerprint(build())
+    # perturb the session-cumulative counters the rewrite orders by
+    spark.range(50).selectExpr("id % 3 x", "id y", "id z").groupBy(
+        "x"
+    ).agg(F.countDistinct("y"), F.countDistinct("z")).collect()
+    fp2 = plan_fingerprint(build())
+    assert fp1 == fp2
