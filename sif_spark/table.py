@@ -1801,8 +1801,13 @@ class SifTable:
         updates = _materialize_source(updates)
         merged = _merge_schema(T._parse_datatype_string(m["schema"]), updates.schema)
         cols_next = _next_columns(m, merged)
-        bounds = self._key_bounds(updates, keys)
-        probes = self._bloom_probe_sets(m, updates, keys)
+        # bounds + bloom probes are independent jobs over the (already
+        # materialized) source — one overlapped wave, not two serial
+        # ones (guide §2.6; round 15)
+        bounds, probes = _parallel_jobs(
+            lambda: self._key_bounds(updates, keys),
+            lambda: self._bloom_probe_sets(m, updates, keys),
+        )
         v = m["version"] + 1
         keep, rewrite = self._split_groups_by_keys(m, keys, bounds, probes)
         groups = list(keep)
@@ -2044,7 +2049,13 @@ class SifTable:
         ]
         for i, k in enumerate(keys):
             aggs += [F.min(k).alias(f"lo{i}"), F.max(k).alias(f"hi{i}")]
-        row = source.agg(*aggs).collect()[0]
+        # cardinality/bounds aggregate ∥ bloom probes — independent
+        # jobs over the materialized source (guide §2.6; round 15).
+        # The cardinality check still raises before any write.
+        row, probes = _parallel_jobs(
+            lambda: source.agg(*aggs).collect()[0],
+            lambda: self._bloom_probe_sets(m, source, keys),
+        )
         if int(row["n"]) != int(row["nk"]):
             raise ValueError(
                 f"merge source has {row['n']} rows but {row['nk']} "
@@ -2053,7 +2064,6 @@ class SifTable:
                 "(and a null key part never matches anything)"
             )
         bounds = [(row[f"lo{i}"], row[f"hi{i}"]) for i in range(len(keys))]
-        probes = self._bloom_probe_sets(m, source, keys)
         keep, rewrite = self._split_groups_by_keys(m, keys, bounds, probes)
         v = m["version"] + 1
         if m.get("dv", False) and rewrite and dele and not upd:
@@ -2801,8 +2811,10 @@ class SifTable:
             keys_df = sel.distinct()
         else:
             keys_df = _materialize_source(sel.distinct())
-        bounds = self._key_bounds(keys_df, kcols)
-        probes = self._bloom_probe_sets(m, keys_df, kcols)
+        bounds, probes = _parallel_jobs(
+            lambda: self._key_bounds(keys_df, kcols),
+            lambda: self._bloom_probe_sets(m, keys_df, kcols),
+        )
         v = m["version"] + 1
         keep, rewrite = self._split_groups_by_keys(m, kcols, bounds, probes)
         if m.get("dv", False) and rewrite:
